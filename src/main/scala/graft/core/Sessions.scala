@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory.
+  *
+  * Mirrors the reference's session contract (`/root/reference/src/spark_session.py:3-18`):
+  * UTC session timezone, explicit shuffle-partition count, WARN log level,
+  * dynamic partition overwrite for idempotent partition re-runs
+  * (`/root/reference/scripts/02_spark_etl.py:65`).
+  *
+  * Scale notes (100 TB / 1000-executor design):
+  *   - AQE on: runtime shuffle-partition coalescing + skew-join splitting means
+  *     the static `shufflePartitions` only needs to be an upper bound.
+  *   - `local[32]` + 32 shuffle partitions for the test harness; on a real
+  *     cluster callers pass `master=None` (spark-submit provides it) and a
+  *     shuffle-partition count sized to 2-3x total cores.
+  */
+object Sessions {
+  def local(
+      appName: String = "graft",
+      cores: Int = Runtime.getRuntime.availableProcessors.min(32),
+      shufflePartitions: Int = 32
+  ): SparkSession =
+    build(appName, Some(s"local[$cores]"), shufflePartitions)
+
+  def build(
+      appName: String,
+      master: Option[String],
+      shufflePartitions: Int
+  ): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+    val withMaster = master.fold(b)(b.master)
+    val spark = withMaster.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

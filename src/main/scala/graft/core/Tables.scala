@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-provided synthetic star schema
+  * (`/root/repo/TESTDATA.md`). One parquet file per table under the
+  * per-scale-factor dirs of /root/testdata.
+  *
+  * All reads are plain `spark.read.parquet` so Catalyst keeps full control of
+  * column pruning and predicate pushdown (SURVEY.md section 4: prefer
+  * declarative reads + predicates over hand-built partition paths).
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to read as
+    * a timestamp. Read it as raw nanos (legacy conf) and convert to a proper
+    * TimestampType via integral division — `DIV` keeps the arithmetic in
+    * longs (a double round-trip could round across a microsecond boundary).
+    */
+  private def withNanosTs(spark: SparkSession, dir: String, name: String, tsCol: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val raw = read(spark, dir, name)
+    raw.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn(tsCol, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$tsCol DIV 1000")))
+      case _ => raw
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = withNanosTs(spark, dir, "events", "ts")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}

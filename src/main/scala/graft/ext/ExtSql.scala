@@ -1,0 +1,312 @@
+package graft.ext
+
+/** Training-data-pipeline operators over the `documents` / `embeddings`
+  * tables, written once against the [[Sql]] dialect and rendered for both
+  * Spark (the engine) and DuckDB (the driver's oracle). Each builder returns
+  * a complete SELECT; the Spark side runs it via `spark.sql` over temp views.
+  *
+  * Scale design (100 TB): every op here is candidate-generation via
+  * equi-join (LSH band / simhash band / inverted shingle index / hyperplane
+  * bucket) followed by verification ONLY on candidates — never an all-pairs
+  * cross join. The shuffles are hash-partitioned on the band/bucket key, so
+  * they parallelize across executors; skew on hot shingles is bounded by
+  * using 3-gram shingles (high cardinality) rather than unigrams.
+  */
+object ExtSql {
+
+  // ---------------------------------------------------------------- dedup --
+
+  /** Exact dedup: md5 content fingerprint, keep the minimum doc_id per
+    * group. (Reference has no dedup; this is the BASELINE.json north-star
+    * surface — exact hash-groupBy flavor.) */
+  def dedupExact(d: Sql): String =
+    s"""SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  /** MinHash permutation constants: k=16 signatures banded 4x4.
+    * (a*h + b) mod P with P prime; products stay far below 2^63. */
+  val P = 1000003
+  val perms: Seq[(Int, Int)] = Seq(
+    (131, 7), (137, 89), (139, 997), (149, 9973),
+    (151, 251), (157, 383), (163, 641), (167, 769),
+    (173, 13), (179, 9601), (181, 6151), (191, 787),
+    (193, 104729), (197, 1299), (199, 54321), (211, 999983)
+  )
+
+  private def shingleCte(d: Sql): String = {
+    val toks = d.splitWs("text")
+    s"t AS (SELECT doc_id, ${d.arrDistinct(d.shingle3(toks))} AS sh FROM documents)"
+  }
+
+  /** Staged pipeline: named intermediate selects + a final select. The Spark
+    * runner materializes each stage as a CACHED temp view (Spark inlines CTEs,
+    * so an un-staged WITH would recompute the expensive shingle/signature
+    * stages once per downstream reference — 8x at the band self-join); the
+    * DuckDB oracle gets the same pipeline assembled back into one WITH chain. */
+  final case class Staged(stages: Seq[(String, Sql => String)], finalSql: Sql => String) {
+    def oracle(d: Sql): String =
+      s"WITH ${stages.map { case (n, b) => s"$n AS (${b(d)})" }.mkString(",\n")}\n${finalSql(d)}"
+  }
+
+  /** Tokenize + distinct 3-gram shingles, one row per doc. The shingle HOF
+    * runs exactly once per document (cached stage). */
+  private def shingleStage(name: String): (String, Sql => String) =
+    name -> { d: Sql =>
+      s"SELECT doc_id, ${d.arrDistinct(d.shingle3(d.splitWs("text")))} AS sh FROM documents"
+    }
+
+  /** MinHash + LSH near-dup pairs: shingle -> 60-bit hash -> 16 min-hash
+    * signatures as CODEGEN'D grouped MIN aggregates over the exploded
+    * shingle index (no interpreted array lambdas in the hot path; partial
+    * aggregation is map-side) -> 4 bands of 4 -> band-key equi-join ->
+    * exact-Jaccard verification at 0.5. The oracle replays the identical
+    * pipeline, so the result is deterministic cross-engine. */
+  val dedupMinhashLshStaged: Staged = {
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) => (a, b, s"sig$i") }
+    Staged(
+      Seq(
+        shingleStage("mh_t"),
+        "mh_e" -> { d: Sql =>
+          s"SELECT doc_id, ${d.md5Long("s")} % $P AS hm FROM (${d.explodeSelect("doc_id", "sh", "s", "mh_t")}) mh_x"
+        },
+        "mh_sig" -> { d: Sql =>
+          val mins = sigCols.map { case (a, b, c) => s"MIN(($a * hm + $b) % $P) AS $c" }
+          s"SELECT doc_id, ${mins.mkString(", ")} FROM mh_e GROUP BY doc_id"
+        },
+        "mh_bands" -> { d: Sql =>
+          val selects = (0 until 4).map { j =>
+            val key = (0 until 4).map(r => d.toStr(s"sig${4 * j + r}")).mkString("concat_ws('-', ", ", ", ")")
+            s"SELECT doc_id, $j AS band, $key AS bkey FROM mh_sig"
+          }
+          selects.mkString("\nUNION ALL\n")
+        },
+        "mh_cand" -> { _: Sql =>
+          s"""SELECT ba.doc_id AS i, bb.doc_id AS j
+             |FROM mh_bands ba JOIN mh_bands bb
+             |  ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+             |GROUP BY ba.doc_id, bb.doc_id""".stripMargin
+        }
+      ),
+      { d: Sql =>
+        s"""SELECT c.i, c.j,
+           |  ROUND(${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
+           |    (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}), 6) AS jac
+           |FROM mh_cand c JOIN mh_t ta ON c.i = ta.doc_id JOIN mh_t tb ON c.j = tb.doc_id
+           |WHERE ${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
+           |    (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}) >= 0.5
+           |ORDER BY i, j""".stripMargin
+      }
+    )
+  }
+
+  /** SimHash near-dup pairs: 32-bit simhash computed as 32 codegen'd
+    * conditional-SUM aggregates over the exploded shingle index (bit b's
+    * vote = +-1 by bit parity of the 60-bit shingle hash), banded by byte
+    * for candidates, Hamming <= 3 verification. */
+  val dedupSimhashStaged: Staged = Staged(
+    Seq(
+      shingleStage("sh_t"),
+      "sh_e" -> { d: Sql =>
+        s"SELECT doc_id, ${d.md5Long("s")} AS h FROM (${d.explodeSelect("doc_id", "sh", "s", "sh_t")}) sh_x"
+      },
+      "sh_bits" -> { d: Sql =>
+        val sums = (0 until 32).map { b =>
+          s"SUM(CASE WHEN ${d.intDiv("h", (1L << b).toString)} % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+        }
+        s"SELECT doc_id, ${sums.mkString(", ")} FROM sh_e GROUP BY doc_id"
+      },
+      "sh_s" -> { _: Sql =>
+        val sim = (0 until 32).map(b => s"(CASE WHEN b$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        s"SELECT doc_id, CAST($sim AS BIGINT) AS sim FROM sh_bits"
+      },
+      "sh_bands" -> { d: Sql =>
+        (0 until 4).map { j =>
+          s"SELECT doc_id, sim, $j AS band, ${d.intDiv("sim", (1L << (8 * j)).toString)} % 256 AS bkey FROM sh_s"
+        }.mkString("\nUNION ALL\n")
+      }
+    ),
+    { d: Sql =>
+      s"""SELECT ba.doc_id AS i, bb.doc_id AS j,
+         |  ${d.bitCount(d.xor("ba.sim", "bb.sim"))} AS hamming
+         |FROM sh_bands ba JOIN sh_bands bb
+         |  ON ba.band = bb.band AND ba.bkey = bb.bkey AND ba.doc_id < bb.doc_id
+         |GROUP BY ba.doc_id, bb.doc_id, ba.sim, bb.sim
+         |HAVING ${d.bitCount(d.xor("ba.sim", "bb.sim"))} <= 3
+         |ORDER BY i, j""".stripMargin
+    }
+  )
+
+  /** N-gram Jaccard near-dup via inverted shingle index (explode + equi-join
+    * + group count) — the scalable formulation of all-pairs set similarity. */
+  val dedupNgramJaccardStaged: Staged = Staged(
+    Seq(
+      shingleStage("nj_t"),
+      "nj_e" -> { d: Sql => d.explodeSelect("doc_id", "sh", "s", "nj_t") },
+      "nj_l" -> { d: Sql => s"SELECT doc_id, ${d.arrLen("sh")} AS n FROM nj_t" },
+      "nj_p" -> { _: Sql =>
+        s"""SELECT ea.doc_id AS i, eb.doc_id AS j, COUNT(*) AS inter
+           |FROM nj_e ea JOIN nj_e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+           |GROUP BY ea.doc_id, eb.doc_id""".stripMargin
+      }
+    ),
+    { _: Sql =>
+      s"""SELECT p.i, p.j,
+         |  ROUND(p.inter * CAST(1.0 AS DOUBLE) / (la.n + lb.n - p.inter), 6) AS jac
+         |FROM nj_p p JOIN nj_l la ON p.i = la.doc_id JOIN nj_l lb ON p.j = lb.doc_id
+         |WHERE p.inter * CAST(1.0 AS DOUBLE) / (la.n + lb.n - p.inter) >= 0.5
+         |ORDER BY p.i, p.j""".stripMargin
+    }
+  )
+
+  // ----------------------------------------------------- embeddings / ANN --
+
+  /** Deterministic +-1 hyperplanes for sign-LSH over the 64-dim embeddings
+    * (simple LCG evaluated at code-gen time; identical literals on both
+    * engines). 4 planes -> 16 buckets. */
+  val hyperplanes: Seq[Seq[Int]] = {
+    var state = 42L
+    def next(): Int = { state = (state * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; if (((state >> 33) & 1) == 0) -1 else 1 }
+    Seq.fill(4)(Seq.fill(64)(next()))
+  }
+
+  private def planeDot(d: Sql, emb: String, plane: Seq[Int]): String =
+    d.dotD(emb, d.arrayLit(plane.map(v => s"CAST($v AS DOUBLE)")))
+
+  private def bucketExpr(d: Sql, emb: String): String =
+    hyperplanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${planeDot(d, emb, p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def cosExpr(d: Sql, a: String, b: String, na: String, nb: String): String =
+    s"${d.dotD(a, b)} / (sqrt($na) * sqrt($nb))"
+
+  /** Normalized + sign-LSH-bucketed vectors, one cached stage (the 64-dim
+    * dot products and 4 plane projections run once per vector). */
+  private val vStage: (String, Sql => String) =
+    "v" -> { d: Sql =>
+      s"SELECT vec_id, embedding, ${d.dotD("embedding", "embedding")} AS nrm, ${bucketExpr(d, "embedding")} AS bucket FROM embeddings"
+    }
+
+  /** Embedding near-dup: sign-LSH bucket candidates, cosine >= 0.4 verify.
+    * The bucket join replaces the O(n^2) cross join; at 100 TB the bucket
+    * count scales with plane count (add planes -> smaller buckets). */
+  val dedupEmbeddingCosineStaged: Staged = Staged(
+    Seq(vStage),
+    { d: Sql =>
+      s"""SELECT va.vec_id AS i, vb.vec_id AS j,
+         |  ROUND(${cosExpr(d, "va.embedding", "vb.embedding", "va.nrm", "vb.nrm")}, 4) AS cos
+         |FROM v va JOIN v vb ON va.bucket = vb.bucket AND va.vec_id < vb.vec_id
+         |WHERE ROUND(${cosExpr(d, "va.embedding", "vb.embedding", "va.nrm", "vb.nrm")}, 4) >= 0.4
+         |ORDER BY i, j""".stripMargin
+    }
+  )
+
+  /** Brute-force cosine top-k against a fixed query vector (vec_id 0) — the
+    * ANN correctness baseline. Compiles to TakeOrderedAndProject over a
+    * broadcast single-row query frame. */
+  def annBruteTopKStaged(k: Int = 10): Staged = Staged(
+    Seq(vStage, "q" -> { _: Sql => "SELECT embedding AS qe, nrm AS qn FROM v WHERE vec_id = 0" }),
+    { d: Sql =>
+      s"""SELECT vec_id, ROUND(${cosExpr(d, "embedding", "qe", "nrm", "qn")}, 4) AS cos
+         |FROM v, q WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+    }
+  )
+
+  /** LSH-bucketed ANN: probe only the query's sign-LSH bucket — the scale
+    * path (bucket equi-join instead of scanning all vectors). */
+  def annLshTopKStaged(k: Int = 5): Staged = Staged(
+    Seq(vStage, "q" -> { _: Sql => "SELECT embedding AS qe, nrm AS qn, bucket AS qb FROM v WHERE vec_id = 0" }),
+    { d: Sql =>
+      s"""SELECT vec_id, ROUND(${cosExpr(d, "embedding", "qe", "nrm", "qn")}, 4) AS cos
+         |FROM v JOIN q ON v.bucket = q.qb
+         |WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+    }
+  )
+
+  // ----------------------------------------------------------- text ops ----
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"),
+    "zh" -> Seq("de_zh", "shi", "le_zh", "zai", "he")
+  )
+  private val langOrder = Seq("en", "es", "de", "fr", "zh")
+
+  /** Language-ID by stopword scoring (n-gram-heuristic family): per-language
+    * stopword hit counts, argmax with first-language-wins tiebreak; reported
+    * as a (true lang x predicted) confusion matrix. */
+  def textLangId(d: Sql): String = {
+    val toks = d.splitWs("text")
+    val scores = langOrder.map(l => s"${d.countIn(toks, stopwords(l))} AS s_$l").mkString(", ")
+    val greatest = s"greatest(${langOrder.map(l => s"s_$l").mkString(", ")})"
+    val pred = langOrder.dropRight(1).foldRight(s"'${langOrder.last}'") { (l, rest) =>
+      s"CASE WHEN s_$l >= $greatest THEN '$l' ELSE $rest END"
+    }
+    s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+       |p AS (SELECT doc_id, lang, $pred AS pred_lang FROM sc)
+       |SELECT lang, pred_lang, COUNT(*) AS n FROM p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Quality scoring: token counts, vocabulary-diversity ratio, stopword
+    * ratio, length saturation — composed into one [0,1] score. */
+  def textQuality(d: Sql): String = {
+    val toks = d.splitWs("text")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    ${d.arrLen(toks)} AS n_tokens,
+       |    ${d.arrLen(d.arrDistinct(toks))} AS n_distinct,
+       |    ${d.countIn(toks, stopwords("en"))} AS n_stop,
+       |    length(text) AS n_chars_m
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ROUND(n_distinct * CAST(1.0 AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+       |  ROUND(n_stop * CAST(1.0 AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |  ROUND(0.4 * (n_distinct * CAST(1.0 AS DOUBLE) / n_tokens)
+       |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+       |      + 0.3 * (CAST(1.0 AS DOUBLE) - n_stop * CAST(1.0 AS DOUBLE) / n_tokens), 4) AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens, regex word tokens, and a BPE-ish
+    * bytes/4 estimate (standard LLM sizing heuristic). */
+  def textTokens(d: Sql): String =
+    s"""SELECT doc_id,
+       |  ${d.arrLen(d.splitWs("text"))} AS ws_tokens,
+       |  ${d.arrLen(d.regexpAll("text", "[a-z0-9]+"))} AS re_tokens,
+       |  CAST(ceil(${d.utf8Len("text")} / 4.0) AS BIGINT) AS bpe_est
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: min-4 of the 3-gram shingle hash set (a
+    * winnowing-style content signature stable under small edits). */
+  def textFingerprint(d: Sql): String = {
+    val toks = d.splitWs("text")
+    val hashes = d.transform(d.arrDistinct(d.shingle3(toks)), "s", d.md5Long("s"))
+    val fp = d.arrJoin(d.transform(d.arrSlice(d.arrSort(hashes), 1, 4), "fv", d.toStr("fv")), "-")
+    s"""SELECT doc_id, $fp AS fp FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- multimodal ---
+
+  /** Multimodal metadata plumbing: documents.text stands in for an opaque
+    * binary payload (the container ships no image/audio codecs — SURVEY.md
+    * north star). Decode is a deterministic fake over byte stats; the
+    * schema/partitioning/batch plumbing is the real, tested part (see
+    * graft.ext.Multimodal for the typed mapPartitions path). */
+  def mmMeta(d: Sql): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    ${d.utf8Len("text")} AS n_bytes
+       |  FROM documents)
+       |SELECT doc_id, media_type, n_bytes,
+       |  64 + n_bytes % 64 AS fake_width,
+       |  64 + (n_bytes * 7) % 64 AS fake_height,
+       |  1 + n_bytes % 24 AS n_frames,
+       |  ${d.arrJoin(d.transform(d.arrSort(d.arrDistinct(d.arrayLit(Seq("CAST(0 AS BIGINT)", d.intDiv("(1 + n_bytes % 24)", "2"), "CAST(n_bytes % 24 AS BIGINT)")))), "fr", d.toStr("fr")), ",")} AS sample_frames
+       |FROM m ORDER BY doc_id""".stripMargin
+}

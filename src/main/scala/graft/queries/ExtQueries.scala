@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.ext.{DuckSql, ExtSql, SparkSql}
+
+/** Training-data-pipeline queries (dedup, similarity search, text analysis,
+  * multimodal metadata) over `documents` / `embeddings`. Each is one
+  * dialect-templated pipeline (graft.ext.ExtSql) rendered for Spark and for
+  * the DuckDB oracle, so the hash-heavy ops (MinHash, SimHash, sign-LSH)
+  * stay bit-identical across engines.
+  */
+object ExtQueries {
+
+  private def views(s: SparkSession, dir: String): Unit = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+  }
+
+  private def run(build: graft.ext.Sql => String)(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(build(SparkSql))
+  }
+
+  /** Materialize each stage as a cached temp view, then run the final
+    * select. Spark inlines (recomputes) CTEs per reference; caching the
+    * stages makes the expensive shingle/signature work run once, which is
+    * also the shape a 100 TB run wants (persist the signature table, then
+    * self-join it). */
+  private def runStaged(st: ExtSql.Staged)(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    st.stages.foreach { case (name, build) =>
+      val df = s.sql(build(SparkSql))
+      df.cache()
+      df.createOrReplaceTempView(name)
+    }
+    s.sql(st.finalSql(SparkSql))
+  }
+
+  private def spec(name: String, build: graft.ext.Sql => String): QuerySpec =
+    QuerySpec(name, run(build), Some(build(DuckSql)))
+
+  private def staged(name: String, st: ExtSql.Staged): QuerySpec =
+    QuerySpec(name, runStaged(st), Some(st.oracle(DuckSql)))
+
+  val all: Seq[QuerySpec] = Seq(
+    spec("dedup_exact", ExtSql.dedupExact),
+    staged("dedup_minhash_lsh", ExtSql.dedupMinhashLshStaged),
+    staged("dedup_simhash", ExtSql.dedupSimhashStaged),
+    staged("dedup_ngram_jaccard", ExtSql.dedupNgramJaccardStaged),
+    staged("dedup_embedding_cosine", ExtSql.dedupEmbeddingCosineStaged),
+    staged("ann_brute_topk", ExtSql.annBruteTopKStaged(10)),
+    staged("ann_lsh_topk", ExtSql.annLshTopKStaged(5)),
+    spec("text_langid", ExtSql.textLangId),
+    spec("text_quality", ExtSql.textQuality),
+    spec("text_tokens", ExtSql.textTokens),
+    spec("text_fingerprint", ExtSql.textFingerprint),
+    spec("mm_meta", ExtSql.mmMeta)
+  )
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming re-expression of the batch pipeline (SURVEY.md §2.12
+  * marks streaming absent in the reference; this is the §7.5 extension): the
+  * same ETL transforms over a file source with `Trigger.AvailableNow`, plus
+  * the streaming-native operators a continuous ingest needs — watermarked
+  * tumbling-window aggregation and custom sessionization state.
+  *
+  * Scale notes: file-source streaming at 100 TB runs the identical code with
+  * `maxFilesPerTrigger` bounding batch size; state stores (window agg,
+  * mapGroupsWithState) are partitioned by key across executors, and the
+  * watermark bounds state size — without it the hour-window state grows
+  * unboundedly.
+  */
+object StreamingJobs {
+
+  /** readStream over a parquet directory with a fixed schema (streaming
+    * sources require one — inferred here from a batch peek at setup time). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Watermarked tumbling-window count+avg per event_type — the canonical
+    * streaming aggregation (1h windows, 2h late-data bound). */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("valor_promedio"))
+
+  final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+  // NOT private: Spark's encoder codegen needs a public constructor
+  final case class SessionState(n: Long, total: Double)
+
+  /** Custom per-user sessionization via mapGroupsWithState — the stateful-
+    * operator surface (counts + value totals per user session, emitted on
+    * every update; closed on idle when `idleTimeout` is set).
+    *
+    * `idleTimeout=None` (NoTimeout) is the batch-parity mode: an
+    * AvailableNow run terminates once the data is drained. With a
+    * processing-time timeout the query stays alive to fire timers — correct
+    * for continuous ingest, non-terminating under AvailableNow. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 idleTimeout: Option[String] = None): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(user, s.n, s.total, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+            var n = prev.n
+            var tot = prev.total
+            rows.foreach { case (_, v) => n += 1; tot += v }
+            val next = SessionState(n, tot)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            SessionUpdate(user, next.n, next.total, closed = false)
+          }
+      }
+  }
+
+  /** Run a streaming frame to a memory sink until all available data is
+    * processed (Trigger.AvailableNow — the batch-parity execution mode). */
+  def runAvailableNow(df: DataFrame, queryName: String, outputMode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

@@ -1,0 +1,60 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class JobsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tlcFrame = Seq(
+    ("2024-01-05 10:00:00", "2024-01-05 10:30:00", 2.0, 10.0),
+    ("2024-01-06 11:00:00", "2024-01-06 11:10:00", 1.0, 5.0),
+    ("2024-01-07 12:00:00", "2024-01-07 12:01:00", -1.0, 5.0) // invalid distance
+  ).toDF("tpep_pickup_datetime", "tpep_dropoff_datetime", "trip_distance", "fare_amount")
+    .withColumn("tpep_pickup_datetime", to_timestamp($"tpep_pickup_datetime"))
+    .withColumn("tpep_dropoff_datetime", to_timestamp($"tpep_dropoff_datetime"))
+
+  test("S3 etl writes year=/month= partitioned parquet and filters invalid rows") {
+    val out = Files.createTempDirectory("etl").toString
+    Jobs.etl(spark, tlcFrame, out, 2024, 1, removeOutliers = false)
+    assert(new java.io.File(s"$out/year=2024/month=01").isDirectory)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2) // invalid row dropped
+    assert(back.columns.contains("trip_duration_min"))
+    // dynamic overwrite: re-run same month, still 2 rows (idempotent)
+    Jobs.etl(spark, tlcFrame, out, 2024, 1, removeOutliers = false)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("S4/S7 marts writes all 11 marts off one cached frame") {
+    val outEtl = Files.createTempDirectory("etl2").toString
+    val curated = Jobs.etl(spark, tlcFrame, outEtl, 2024, 1, removeOutliers = false)
+    val outM = Files.createTempDirectory("marts").toString
+    val m = Jobs.marts(spark, spark.read.parquet(outEtl), outM)
+    assert(m.size == 11)
+    assert(new java.io.File(s"$outM/kpis").isDirectory)
+    val kpis = spark.read.parquet(s"$outM/kpis")
+    assert(kpis.head.getAs[Long]("total_viajes") == 2L)
+  }
+
+  test("S5 exportCsv writes a single part file with header") {
+    val out = Files.createTempDirectory("csv").toString + "/kpis"
+    Jobs.exportCsv(Seq((1L, 2.5)).toDF("total_viajes", "tarifa_promedio"), out)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    assert(lines.head == "total_viajes,tarifa_promedio")
+  }
+
+  test("S6 exportJson + readJson round trip") {
+    val out = Files.createTempDirectory("json").toString + "/metrics"
+    Jobs.exportJson(Seq(("gbt", 1.5)).toDF("algoritmo", "rmse"), out)
+    val back = Jobs.readJson(spark, out)
+    assert(back.head.getAs[String]("algoritmo") == "gbt")
+  }
+}

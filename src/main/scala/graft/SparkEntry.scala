@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries, MlQueries, QuerySpec}
+import graft.queries.{CoreQueries, ExtQueries, MlQueries, MoreQueries, QuerySpec}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CoreQueries, ExtQueries, MlQueries, QuerySpec}
   */
 object SparkEntry {
 
-  def registry: Seq[QuerySpec] = CoreQueries.all ++ ExtQueries.all ++ MlQueries.all
+  def registry: Seq[QuerySpec] =
+    CoreQueries.all ++ MoreQueries.all ++ ExtQueries.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -14,6 +14,18 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** S13 missing-input tolerance: the reference's skip-missing contract
+    * (`/root/reference/scripts/02_spark_etl.py:80-86` — catch
+    * AnalysisException, warn, continue with the next month). */
+  def readOptional(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"input missing, skipping: $path (${e.getMessage})")
+        None
+    }
+
   /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to read as
     * a timestamp. Read it as raw nanos (legacy conf) and convert to a proper
     * TimestampType via integral division — `DIV` keeps the arithmetic in

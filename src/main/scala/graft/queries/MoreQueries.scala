@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.etl.Features
+import graft.serve.Report
+
+/** Coverage closers for the SURVEY §2 / §2.11-§2.12 surface not exercised by
+  * CoreQueries: the heatmap pivot, rollup aggregation, distinct counting
+  * (exact + HLL sketch), percentile-array unpacking (E9), simple
+  * re-aggregation (A13), period keys (E15), and the A10 approxQuantile
+  * sketch (rows-only: GK sketch isn't reproducible in ANSI SQL).
+  */
+object MoreQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- §2.11: hour x day heatmap pivot (dashboard reshape of A2) ---------
+    QuerySpec(
+      "a2_heatmap_pivot",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        val pivoted = e.groupBy(col("event_dow").cast("long").as("event_dow"))
+          .pivot("event_hour", 0 to 23)
+          .count()
+        val renamed = (0 to 23).foldLeft(pivoted) { (df, h) =>
+          df.withColumn(s"h$h", coalesce(col(s"`$h`"), lit(0L))).drop(s"$h")
+        }
+        renamed.orderBy(col("event_dow"))
+      },
+      Some {
+        val cols = (0 to 23).map(h => s"COUNT(*) FILTER (WHERE hour(ts) = $h) AS h$h").mkString(",\n  ")
+        s"""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS event_dow,
+           |  $cols
+           |FROM events GROUP BY 1 ORDER BY event_dow""".stripMargin
+      }
+    ),
+
+    // ---- §2.12: rollup (supported-because-Spark, now exercised) ------------
+    QuerySpec(
+      "agg_rollup_type_hour",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        e.rollup(col("event_type"), col("event_hour").cast("long").as("event_hour"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type").asc_nulls_first, col("event_hour").asc_nulls_first)
+      },
+      Some("""SELECT event_type, CAST(hour(ts) AS BIGINT) AS event_hour, COUNT(*) AS n
+             |FROM events GROUP BY ROLLUP(event_type, hour(ts))
+             |ORDER BY event_type ASC NULLS FIRST, event_hour ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- exact distinct (oracle) + HLL sketch (engine-specific, rows-only) -
+    QuerySpec(
+      "agg_distinct_exact",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("usuarios_unicos"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS usuarios_unicos
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    QuerySpec(
+      "agg_distinct_hll",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("usuarios_aprox"))
+          .orderBy(col("event_type")),
+      None // HLL sketch values are engine-specific; driver does rows-only
+    ),
+
+    // ---- E9 + A8 faithful shape: percentile ARRAY then getItem unpack ------
+    QuerySpec(
+      "e9_percentile_unpack",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        e.groupBy(col("event_hour").cast("long").as("event_hour"))
+          .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("pcts"))
+          .select(
+            col("event_hour"),
+            round(col("pcts").getItem(0), 4).as("p25"),
+            round(col("pcts").getItem(1), 4).as("p50"),
+            round(col("pcts").getItem(2), 4).as("p75")
+          )
+          .orderBy(col("event_hour"))
+      },
+      Some("""SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
+             |  ROUND((quantile_cont(value, [0.25, 0.5, 0.75]))[1], 4) AS p25,
+             |  ROUND((quantile_cont(value, [0.25, 0.5, 0.75]))[2], 4) AS p50,
+             |  ROUND((quantile_cont(value, [0.25, 0.5, 0.75]))[3], 4) AS p75
+             |FROM events GROUP BY 1 ORDER BY event_hour""".stripMargin)
+    ),
+
+    // ---- A13: simple re-aggregation of a mart (dashboard annual rollup) ----
+    QuerySpec(
+      "a13_simple_reagg",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        val mart = e.groupBy(col("event_dow"), col("event_hour"))
+          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+        mart.groupBy(col("event_dow").cast("long").as("event_dow"))
+          .agg(
+            sum(col("n")).as("n"),
+            round(avg(col("avg_v")), 4).as("avg_naive")
+          )
+          .orderBy(col("event_dow"))
+      },
+      Some("""WITH m AS (
+             |  SELECT dayofweek(ts) + 1 AS event_dow, hour(ts) AS event_hour,
+             |    COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_v
+             |  FROM events GROUP BY 1, 2)
+             |SELECT CAST(event_dow AS BIGINT) AS event_dow, SUM(n) AS n,
+             |  ROUND(AVG(avg_v), 4) AS avg_naive
+             |FROM m GROUP BY 1 ORDER BY event_dow""".stripMargin)
+    ),
+
+    // ---- E15: period keys from year/month strings --------------------------
+    QuerySpec(
+      "e15_period_keys",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("year", year(col("ts")).cast("string"))
+          .withColumn("month", lpad(month(col("ts")).cast("string"), 2, "0"))
+        Report.withPeriod(e)
+          .groupBy(col("periodo"), col("periodo_orden").cast("long").as("periodo_orden"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("periodo_orden"))
+      },
+      Some("""SELECT CAST(year(ts) AS VARCHAR) || '-' || lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS periodo,
+             |  CAST(year(ts) * 100 + month(ts) AS BIGINT) AS periodo_orden,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY periodo_orden""".stripMargin)
+    ),
+
+    // ---- A10: dataset-level GK quantile sketch (rows-only: sketch-specific) -
+    QuerySpec(
+      "a10_approx_quantile_band",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Tables.events(s, dir).stat
+          .approxQuantile("value", Array(0.01, 0.99), 0.01)
+        Seq((bands(0), bands(1))).toDF("p01_aprox", "p99_aprox")
+      },
+      None
+    )
+  )
+}

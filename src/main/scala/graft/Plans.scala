@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints `explain("formatted")` for selected queries so the
+  * physical shape (PushedFilters, ReadSchema pruning, broadcast joins,
+  * WholeStageCodegen spans, TakeOrderedAndProject) can be reviewed against
+  * the scale checklist in the module scaladocs. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+                else Seq("s1_scan_pruned", "j2_revenue_by_nation", "q1_pricing", "a5_top_users")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -52,6 +52,23 @@ object ExtQueries {
     staged("dedup_embedding_cosine", ExtSql.dedupEmbeddingCosineStaged),
     staged("ann_brute_topk", ExtSql.annBruteTopKStaged(10)),
     staged("ann_lsh_topk", ExtSql.annLshTopKStaged(5)),
+    // Native codegen'd Catalyst expression (graft.functions.CosineSimilarity)
+    // replacing the interpreted HOF dot products — float->double promotion and
+    // sequential summation are identical, so it hash-matches the SAME DuckDB
+    // oracle as the HOF ann_brute_topk formulation.
+    QuerySpec(
+      "ann_native_topk",
+      (s, dir) => {
+        graft.functions.CosineSimilarity.register(s)
+        views(s, dir)
+        s.sql(
+          """SELECT vec_id, ROUND(cosine_sim(embedding, qe), 4) AS cos
+            |FROM embeddings, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+            |WHERE vec_id <> 0
+            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+      },
+      Some(ExtSql.annBruteTopKStaged(10).oracle(DuckSql))
+    ),
     spec("text_langid", ExtSql.textLangId),
     spec("text_quality", ExtSql.textQuality),
     spec("text_tokens", ExtSql.textTokens),

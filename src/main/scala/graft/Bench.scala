@@ -27,6 +27,7 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      spark.catalog.clearCache() // stage caches must not leak into the next timing
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

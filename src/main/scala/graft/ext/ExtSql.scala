@@ -290,6 +290,52 @@ object ExtSql {
     s"""SELECT doc_id, $fp AS fp FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Same fingerprint via explode + partitioned window + grouped aggregate —
+    * the codegen'd scale path (the array-sort HOF above runs interpreted per
+    * row). Emits identical strings, so both share one oracle. */
+  val textFingerprintStaged: Staged = Staged(
+    Seq(
+      shingleStage("fp_t"),
+      "fp_e" -> { d: Sql =>
+        s"SELECT doc_id, ${d.md5Long("s")} AS h FROM (${d.explodeSelect("doc_id", "sh", "s", "fp_t")}) fp_x"
+      },
+      "fp_r" -> { _: Sql =>
+        """SELECT doc_id, h,
+          |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+          |FROM fp_e""".stripMargin
+      }
+    ),
+    { d: Sql =>
+      // collect the <=4 smallest hashes, sort for determinism, join
+      val collected = d match {
+        case SparkSql => "collect_list(h)"
+        case _        => "list(h)"
+      }
+      s"""SELECT doc_id,
+         |  ${d.arrJoin(d.transform(d.arrSort(collected), "fv", d.toStr("fv")), "-")} AS fp
+         |FROM fp_r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  /** End-to-end dedup with a keep-list: verified near-dup pairs (MinHash
+    * pipeline), drop the higher doc_id of every pair via ANTI JOIN — the
+    * standard keep-lowest-id heuristic (§2.12 semi/anti-join coverage). */
+  val dedupMinhashKeepStaged: Staged = Staged(
+    dedupMinhashLshStaged.stages :+
+      ("mh_drop" -> { d: Sql =>
+        s"""SELECT DISTINCT c.j AS doc_id
+           |FROM mh_cand c JOIN mh_t ta ON c.i = ta.doc_id JOIN mh_t tb ON c.j = tb.doc_id
+           |WHERE ${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
+           |  (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}) >= 0.5""".stripMargin
+      }),
+    { d: Sql =>
+      val anti = d match { case SparkSql => "LEFT ANTI JOIN"; case _ => "ANTI JOIN" }
+      s"""SELECT d.doc_id, d.lang, d.source
+         |FROM documents d $anti mh_drop x ON d.doc_id = x.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
+  )
+
   // ---------------------------------------------------------- multimodal ---
 
   /** Multimodal metadata plumbing: documents.text stands in for an opaque

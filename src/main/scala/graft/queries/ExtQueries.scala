@@ -23,16 +23,27 @@ object ExtQueries {
     s.sql(build(SparkSql))
   }
 
+  /** Stage caches from the previous staged query: unpersisted lazily at the
+    * start of the next one (the caller materializes the returned frame
+    * before then). Without this, 15+ staged queries in one session pile up
+    * cached blocks until executor memory pressure slows everything. */
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
   /** Materialize each stage as a cached temp view, then run the final
     * select. Spark inlines (recomputes) CTEs per reference; caching the
     * stages makes the expensive shingle/signature work run once, which is
     * also the shape a 100 TB run wants (persist the signature table, then
     * self-join it). */
   private def runStaged(st: ExtSql.Staged)(s: SparkSession, dir: String): DataFrame = {
+    liveCaches.synchronized {
+      liveCaches.foreach(_.unpersist(blocking = false))
+      liveCaches.clear()
+    }
     views(s, dir)
     st.stages.foreach { case (name, build) =>
       val df = s.sql(build(SparkSql))
       df.cache()
+      liveCaches.synchronized { liveCaches += df }
       df.createOrReplaceTempView(name)
     }
     s.sql(st.finalSql(SparkSql))
@@ -72,7 +83,8 @@ object ExtQueries {
     spec("text_langid", ExtSql.textLangId),
     spec("text_quality", ExtSql.textQuality),
     spec("text_tokens", ExtSql.textTokens),
-    spec("text_fingerprint", ExtSql.textFingerprint),
+    staged("text_fingerprint", ExtSql.textFingerprintStaged),
+    staged("dedup_minhash_keep", ExtSql.dedupMinhashKeepStaged),
     spec("mm_meta", ExtSql.mmMeta)
   )
 }

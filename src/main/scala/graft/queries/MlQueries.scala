@@ -49,7 +49,9 @@ object MlQueries {
     val df = prepared(s, dir)
     val (train, test) = split(df)
     val capped = train.limit(300000).cache()
+    capped.count() // materialize: every fit iteration must read memory, not parquet
     val model = Pipelines.regression(capped, cfg).fit(capped)
+    capped.unpersist(blocking = false)
     model.transform(test)
   }
 
@@ -69,7 +71,7 @@ object MlQueries {
   /** M5+M7: RandomForest variant (reference `--algoritmo rf`). */
   private def rfScore(s: SparkSession, dir: String): DataFrame =
     Marts.errorsByHour(
-      trainScore(s, dir, cfgBase.copy(algo = "rf", numTrees = 20)),
+      trainScore(s, dir, cfgBase.copy(algo = "rf", numTrees = 20, rfMaxDepth = 8)),
       "event_hour", "prediction", "value"
     ).select(
       col("event_hour").cast("long").as("event_hour"),
@@ -86,11 +88,13 @@ object MlQueries {
     val df = prepared(s, dir)
     val (train, test) = split(df)
     val capped = train.limit(300000).cache()
+    val nTrain = capped.count() // materialize before fit
     val model = Pipelines.regression(capped, cfgBase.copy(maxIter = 5)).fit(capped)
     val m = Pipelines.evaluate(model.transform(test), "value")
+    capped.unpersist(blocking = false)
     Seq((
       "gbt", math.round(m.rmse * 100) / 100.0, math.round(m.mae * 100) / 100.0,
-      math.round(m.r2 * 10000) / 10000.0, capped.count(), test.count()
+      math.round(m.r2 * 10000) / 10000.0, nTrain, test.count()
     )).toDF("algoritmo", "rmse", "mae", "r2", "filas_entrenamiento", "filas_prueba")
   }
 

@@ -336,6 +336,27 @@ object ExtSql {
     }
   )
 
+  /** PII-style redaction: number runs and long identifiers replaced with
+    * placeholder tokens (regexp_replace — same RE2-compatible patterns in
+    * both engines), reported with per-doc replacement counts. */
+  def textRedact(d: Sql): String = {
+    val redacted = "regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>'), '[a-z]{12,}', '<LONGWORD>')"
+    s"""SELECT doc_id,
+       |  $redacted AS text_redacted,
+       |  ${d.arrLen(d.regexpAll("text", "[0-9]+"))} AS n_nums,
+       |  ${d.arrLen(d.regexpAll("text", "[a-z]{12,}"))} AS n_longwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus vocabulary stats: global top-k tokens by document frequency —
+    * explode + two-level aggregate (classic inverted-index shape). */
+  def textVocabTopK(d: Sql, k: Int = 20): String =
+    s"""WITH t AS (SELECT doc_id, ${d.arrDistinct(d.splitWs("text"))} AS toks FROM documents),
+       |e AS (${d.explodeSelect("doc_id", "toks", "tok", "t")})
+       |SELECT tok, COUNT(*) AS doc_freq
+       |FROM e GROUP BY tok
+       |ORDER BY doc_freq DESC, tok LIMIT $k""".stripMargin
+
   // ---------------------------------------------------------- multimodal ---
 
   /** Multimodal metadata plumbing: documents.text stands in for an opaque

@@ -83,6 +83,8 @@ object ExtQueries {
     spec("text_langid", ExtSql.textLangId),
     spec("text_quality", ExtSql.textQuality),
     spec("text_tokens", ExtSql.textTokens),
+    spec("text_redact", ExtSql.textRedact),
+    spec("text_vocab_topk", ExtSql.textVocabTopK(_, 20)),
     staged("text_fingerprint", ExtSql.textFingerprintStaged),
     staged("dedup_minhash_keep", ExtSql.dedupMinhashKeepStaged),
     spec("mm_meta", ExtSql.mmMeta)

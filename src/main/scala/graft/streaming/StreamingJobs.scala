@@ -72,6 +72,30 @@ object StreamingJobs {
       }
   }
 
+  /** End-to-end streaming ETL: file source -> the SAME batch transforms
+    * (temporal features + validity filter) -> parquet sink with checkpoint.
+    * Streaming/batch unification: one transform function serves both paths;
+    * `maxFilesPerTrigger` bounds micro-batch size for continuous ingest at
+    * scale (unbounded AvailableNow here drains everything in one run). */
+  def etlStream(spark: SparkSession, srcDir: String, outDir: String,
+                checkpoint: String, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    val bounded = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val transformed = graft.etl.Features.withTemporal(
+      bounded.parquet(srcDir).filter(col("value") > 0 && col("ts").isNotNull),
+      "ts", "event")
+    val q = transformed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+  }
+
   /** Run a streaming frame to a memory sink until all available data is
     * processed (Trigger.AvailableNow — the batch-parity execution mode). */
   def runAvailableNow(df: DataFrame, queryName: String, outputMode: OutputMode): StreamingQuery = {

@@ -33,6 +33,24 @@ class StreamingJobsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("streaming ETL to parquet sink equals the batch transform (incl. restart idempotence)") {
+    val src = java.nio.file.Files.createTempDirectory("setl-src").toString
+    val out = java.nio.file.Files.createTempDirectory("setl-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("setl-ckpt").toString
+    Tables.events(spark, TestSpark.sfDir).write.mode("overwrite").parquet(src)
+
+    StreamingJobs.etlStream(spark, src, out, ckpt)
+    val streamed = spark.read.parquet(out)
+    val batch = graft.etl.Features.withTemporal(
+      Tables.events(spark, TestSpark.sfDir)
+        .filter(col("value") > 0 && col("ts").isNotNull), "ts", "event")
+    assert(streamed.count() == batch.count())
+    assert(streamed.columns.sorted.sameElements(batch.columns.sorted))
+    // re-run with the same checkpoint: no new files -> no duplicate rows
+    StreamingJobs.etlStream(spark, src, out, ckpt)
+    assert(spark.read.parquet(out).count() == batch.count())
+  }
+
   test("mapGroupsWithState sessionization emits per-user running totals") {
     val dir = java.nio.file.Files.createTempDirectory("stream-src2").toString
     Tables.events(spark, TestSpark.sfDir).limit(500).write.mode("overwrite").parquet(dir)

@@ -63,14 +63,15 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project") && plan.toLowerCase.contains("cosine_sim"))
   }
 
-  test("GraftExtensions injects the function into a fresh session") {
-    val fresh = spark.newSession()
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
-    // registration path via extensions object on the live session:
-    CosineSimilarity.register(fresh)
-    import fresh.implicits._
-    val one = Seq((Array(1f), Array(1f))).toDF("a", "b")
-      .select(expr("cosine_sim(a, b)")).head.getDouble(0)
-    assert(one == 1.0)
+  test("GraftExtensions wiring + builder arity checking") {
+    // spark.sql.extensions is a static conf — it only applies to a session
+    // built on a FRESH SparkContext, which a shared-context test JVM cannot
+    // provide. Exercise the extension object and the injected builder
+    // directly instead; registration-on-live-session is covered above.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+    val e = intercept[IllegalArgumentException] {
+      CosineSimilarity.builder(Seq.empty)
+    }
+    assert(e.getMessage.contains("2 arguments"))
   }
 }

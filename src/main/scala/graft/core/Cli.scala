@@ -1,0 +1,55 @@
+package graft.core
+
+/** U5: the reference's CLI flag surface (`/root/reference/scripts/02:30-61`,
+  * `03:17-32`, `04:20-55`) as a dependency-free parser. Flag names are kept
+  * verbatim (Spanish included) so reference invocations port 1:1.
+  */
+object Cli {
+
+  final case class JobConfig(
+      year: Int = 2024,
+      month: Option[Int] = None,
+      months: Seq[Int] = Nil,
+      quarter: Option[Int] = None,
+      rawRoot: String = "",
+      curatedRoot: String = "",
+      outRoot: String = "",
+      master: Option[String] = None,
+      appName: String = "graft",
+      p1: Double = 0.01,
+      p99: Double = 0.99,
+      sampleFrac: Option[Double] = None,
+      maxRows: Option[Int] = None,
+      sinOutliers: Boolean = false,
+      skipMissing: Boolean = false,
+      algoritmo: String = "gbt"
+  ) {
+    def resolvedMonths: Seq[String] = Months.resolve(month, months, quarter)
+  }
+
+  def parse(args: Seq[String]): JobConfig = {
+    def loop(rest: List[String], cfg: JobConfig): JobConfig = rest match {
+      case Nil => cfg
+      case "--year" :: v :: t => loop(t, cfg.copy(year = v.toInt))
+      case "--month" :: v :: t => loop(t, cfg.copy(month = Some(v.toInt)))
+      case "--months" :: v :: t => loop(t, cfg.copy(months = v.split(",").map(_.trim.toInt).toSeq))
+      case "--quarter" :: v :: t => loop(t, cfg.copy(quarter = Some(v.toInt)))
+      case "--raw-root" :: v :: t => loop(t, cfg.copy(rawRoot = v))
+      case "--curated-root" :: v :: t => loop(t, cfg.copy(curatedRoot = v))
+      case "--out-root" :: v :: t => loop(t, cfg.copy(outRoot = v))
+      case "--master" :: v :: t => loop(t, cfg.copy(master = Some(v)))
+      case "--app-name" :: v :: t => loop(t, cfg.copy(appName = v))
+      case "--p1" :: v :: t => loop(t, cfg.copy(p1 = v.toDouble))
+      case "--p99" :: v :: t => loop(t, cfg.copy(p99 = v.toDouble))
+      case "--sample-frac" :: v :: t => loop(t, cfg.copy(sampleFrac = Some(v.toDouble)))
+      case "--max-rows" :: v :: t => loop(t, cfg.copy(maxRows = Some(v.toInt)))
+      case "--sin-outliers" :: t => loop(t, cfg.copy(sinOutliers = true))
+      case "--skip-missing" :: t => loop(t, cfg.copy(skipMissing = true))
+      case "--algoritmo" :: v :: t =>
+        require(v == "gbt" || v == "rf", s"--algoritmo inválido: $v (gbt|rf)")
+        loop(t, cfg.copy(algoritmo = v))
+      case other :: _ => throw new IllegalArgumentException(s"flag desconocido: $other")
+    }
+    loop(args.toList, JobConfig())
+  }
+}

@@ -184,7 +184,7 @@ object ExtSql {
     * dot products and 4 plane projections run once per vector). */
   private val vStage: (String, Sql => String) =
     "v" -> { d: Sql =>
-      s"SELECT vec_id, embedding, ${d.dotD("embedding", "embedding")} AS nrm, ${bucketExpr(d, "embedding")} AS bucket FROM embeddings"
+      s"SELECT vec_id, label, embedding, ${d.dotD("embedding", "embedding")} AS nrm, ${bucketExpr(d, "embedding")} AS bucket FROM embeddings"
     }
 
   /** Embedding near-dup: sign-LSH bucket candidates, cosine >= 0.4 verify.
@@ -221,6 +221,37 @@ object ExtSql {
       s"""SELECT vec_id, ROUND(${cosExpr(d, "embedding", "qe", "nrm", "qn")}, 4) AS cos
          |FROM v JOIN q ON v.bucket = q.qb
          |WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+    }
+  )
+
+  /** IVF-style ANN: build per-cluster centroids by ELEMENT-WISE aggregation
+    * over the position-exploded vectors (the missing primitive for real IVF:
+    * centroid build is a groupBy(cluster, dim) average), assign the query to
+    * its nearest centroid by L2, then search only that cluster (nprobe=1).
+    * The `label` column plays the coarse-quantizer cluster id. */
+  def annIvfTopKStaged(k: Int = 5): Staged = Staged(
+    Seq(
+      vStage,
+      "q" -> { _: Sql => "SELECT embedding AS qe, nrm AS qn FROM v WHERE vec_id = 0" },
+      "iv_e" -> { d: Sql => d.posExplodeSelect("vec_id, label", "embedding", "embeddings") },
+      "iv_c" -> { _: Sql =>
+        "SELECT label, pos, AVG(CAST(val AS DOUBLE)) AS c FROM iv_e GROUP BY label, pos"
+      },
+      "iv_qe" -> { _: Sql =>
+        "SELECT pos, CAST(val AS DOUBLE) AS qv FROM iv_e WHERE vec_id = 0"
+      },
+      "iv_probe" -> { _: Sql =>
+        """SELECT label FROM (
+          |  SELECT c.label, SUM((c.c - q.qv) * (c.c - q.qv)) AS d2
+          |  FROM iv_c c JOIN iv_qe q ON c.pos = q.pos GROUP BY c.label)
+          |ORDER BY d2, label LIMIT 1""".stripMargin
+      }
+    ),
+    { d: Sql =>
+      s"""SELECT v.vec_id, ROUND(${cosExpr(d, "v.embedding", "q.qe", "v.nrm", "q.qn")}, 4) AS cos
+         |FROM v JOIN iv_probe p ON v.label = p.label, q
+         |WHERE v.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
     }
   )
@@ -356,6 +387,31 @@ object ExtSql {
        |SELECT tok, COUNT(*) AS doc_freq
        |FROM e GROUP BY tok
        |ORDER BY doc_freq DESC, tok LIMIT $k""".stripMargin
+
+  /** TF-IDF top terms per document (first 20 docs): term frequency x inverse
+    * document frequency, ranked per doc with a partitioned window — the
+    * standard relevance-weighting shape (explode -> two aggregates -> join
+    * -> window), all codegen'd. */
+  val textTfidfStaged: Staged = Staged(
+    Seq(
+      "tf_t" -> { d: Sql => s"SELECT doc_id, ${d.splitWs("text")} AS toks FROM documents" },
+      "tf_e" -> { d: Sql => d.explodeSelect("doc_id", "toks", "tok", "tf_t") },
+      "tf_f" -> { _: Sql => "SELECT doc_id, tok, COUNT(*) AS tf FROM tf_e GROUP BY doc_id, tok" },
+      "tf_d" -> { _: Sql => "SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf_e GROUP BY tok" }
+    ),
+    { _: Sql =>
+      """SELECT doc_id, tok, score, rk FROM (
+        |  SELECT f.doc_id, f.tok,
+        |    ROUND(f.tf * ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0) / (d.df + 1.0)), 6) AS score,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY f.doc_id
+        |      ORDER BY f.tf * ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1.0) / (d.df + 1.0)) DESC, f.tok
+        |    ) AS BIGINT) AS rk
+        |  FROM tf_f f JOIN tf_d d ON f.tok = d.tok
+        |  WHERE f.doc_id < 20)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    }
+  )
 
   // ---------------------------------------------------------- multimodal ---
 

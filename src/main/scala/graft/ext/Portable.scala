@@ -54,6 +54,8 @@ trait Sql {
   def regexpAll(x: String, pattern: String): String
   /** byte length of the UTF-8 encoding of a string expression */
   def utf8Len(x: String): String
+  /** SELECT <extra>, 1-based pos AS pos, element AS val FROM <table> */
+  def posExplodeSelect(extra: String, arrCol: String, table: String): String
 
   /** 3-gram word shingles of a token array (empty when < 3 tokens). */
   def shingle3(toks: String): String =
@@ -97,6 +99,8 @@ object SparkSql extends Sql {
     s"SELECT $extra, explode($arrCol) AS $alias FROM $table"
   def regexpAll(x: String, pattern: String) = s"regexp_extract_all($x, '$pattern', 0)"
   def utf8Len(x: String) = s"octet_length($x)"
+  def posExplodeSelect(extra: String, arrCol: String, table: String) =
+    s"SELECT $extra, pe_pos + 1 AS pos, pe_val AS val FROM $table LATERAL VIEW posexplode($arrCol) pe AS pe_pos, pe_val"
 }
 
 object DuckSql extends Sql {
@@ -129,4 +133,6 @@ object DuckSql extends Sql {
     s"SELECT $extra, unnest($arrCol) AS $alias FROM $table"
   def regexpAll(x: String, pattern: String) = s"regexp_extract_all($x, '$pattern')"
   def utf8Len(x: String) = s"octet_length(encode($x))"
+  def posExplodeSelect(extra: String, arrCol: String, table: String) =
+    s"SELECT $extra, generate_subscripts($arrCol, 1) AS pos, unnest($arrCol) AS val FROM $table"
 }

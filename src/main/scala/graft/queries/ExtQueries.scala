@@ -63,6 +63,8 @@ object ExtQueries {
     staged("dedup_embedding_cosine", ExtSql.dedupEmbeddingCosineStaged),
     staged("ann_brute_topk", ExtSql.annBruteTopKStaged(10)),
     staged("ann_lsh_topk", ExtSql.annLshTopKStaged(5)),
+    staged("ann_ivf_topk", ExtSql.annIvfTopKStaged(5)),
+    staged("text_tfidf_topterms", ExtSql.textTfidfStaged),
     // Native codegen'd Catalyst expression (graft.functions.CosineSimilarity)
     // replacing the interpreted HOF dot products — float->double promotion and
     // sequential summation are identical, so it hash-matches the SAME DuckDB

@@ -83,6 +83,21 @@ object Multimodal {
     ds.repartition(parts)
   }
 
+  /** Resize decoded media to target dims (fake arithmetic transform — the
+    * real pixel work lives behind the decoder seam; the schema and scale
+    * factors are what downstream consumers depend on). */
+  def resize(spark: SparkSession, ds: Dataset[DecodedMedia], w: Int, h: Int): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    ds.map(m => m.copy(width = w, height = h,
+      features = m.features.map(f => f * (w.toFloat * h / (m.width.toFloat * m.height)))))
+  }
+
+  /** Frame sampling: evenly spaced frame indices (video path of the fake
+    * decode; mirrors the mm_meta query's 0/mid/last picks when n=3). */
+  def sampleFrames(nFrames: Int, n: Int): Seq[Int] =
+    if (nFrames <= 0 || n <= 0) Nil
+    else (0 until n).map(i => (i.toLong * (nFrames - 1) / math.max(1, n - 1)).toInt).distinct
+
   /** Partition-local batched decode — the real plumbing around the stubbed
     * codec: fixed-size batches through the injectable decoder. */
   def decodeAll(spark: SparkSession, ds: Dataset[MediaRecord], decoder: MediaDecoder,

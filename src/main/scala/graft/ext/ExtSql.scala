@@ -173,6 +173,36 @@ object ExtSql {
     )
   }
 
+  /** Near-dup CLUSTERS via connected components over the verified MinHash
+    * pair graph: component id = min reachable doc_id. The Spark side runs
+    * iterative min-label propagation (ExtQueries — Spark has no recursive
+    * SQL); the oracle expresses the same fixpoint as a DuckDB recursive CTE.
+    * Both converge to the identical labeling, so the hash compare holds.
+    * Fixes the keep-list's greedy-pair blind spot: chains A~B~C dedup to
+    * one component. */
+  object dedupComponents {
+    /** pairs CTE body: verified near-dup pairs (jac >= 0.5), no ORDER BY. */
+    def pairsSql(d: Sql): String =
+      s"""SELECT c.i, c.j
+         |FROM mh_cand c JOIN mh_t ta ON c.i = ta.doc_id JOIN mh_t tb ON c.j = tb.doc_id
+         |WHERE ${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
+         |  (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}) >= 0.5""".stripMargin
+
+    def oracle(d: Sql): String = {
+      val stages = dedupMinhashLshStaged.stages.map { case (n, b) => s"$n AS (${b(d)})" }
+      s"""WITH RECURSIVE ${stages.mkString(",\n")},
+         |pairs AS (${pairsSql(d)}),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+         |nodes AS (SELECT i AS id FROM pairs UNION SELECT j FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+    }
+  }
+
   // ----------------------------------------------------- embeddings / ANN --
 
   /** Deterministic +-1 hyperplanes for sign-LSH over the 64-dim embeddings

@@ -89,6 +89,37 @@ object ExtQueries {
     spec("text_vocab_topk", ExtSql.textVocabTopK(_, 20)),
     staged("text_fingerprint", ExtSql.textFingerprintStaged),
     staged("dedup_minhash_keep", ExtSql.dedupMinhashKeepStaged),
+    // Connected components: Spark side = iterative min-label propagation
+    // (no recursive SQL in Spark); oracle = DuckDB recursive CTE. Same
+    // fixpoint, identical labels.
+    QuerySpec(
+      "dedup_components",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pairsStaged = ExtSql.Staged(
+          ExtSql.dedupMinhashLshStaged.stages,
+          ExtSql.dedupComponents.pairsSql)
+        val pairs = runStaged(pairsStaged)(s, dir).cache()
+        val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+          .union(pairs.select(col("j"), col("i"))).cache()
+        var comp = edges.select(col("a").as("id")).distinct()
+          .withColumn("comp", col("id"))
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val msgs = edges.join(comp, edges("a") === comp("id"))
+            .select(edges("b").as("id"), col("comp"))
+          val next = comp.union(msgs).groupBy("id")
+            .agg(min("comp").as("comp")).cache()
+          converged = next.join(comp.withColumnRenamed("comp", "prev"), Seq("id"))
+            .filter(col("comp") =!= col("prev")).isEmpty
+          comp = next
+          iter += 1
+        }
+        comp.select(col("id").as("doc_id"), col("comp")).orderBy(col("doc_id"))
+      },
+      Some(ExtSql.dedupComponents.oracle(graft.ext.DuckSql))
+    ),
     spec("mm_meta", ExtSql.mmMeta)
   )
 }

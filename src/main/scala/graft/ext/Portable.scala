@@ -101,6 +101,11 @@ object SparkSql extends Sql {
   def utf8Len(x: String) = s"octet_length($x)"
   def posExplodeSelect(extra: String, arrCol: String, table: String) =
     s"SELECT $extra, pe_pos + 1 AS pos, pe_val AS val FROM $table LATERAL VIEW posexplode($arrCol) pe AS pe_pos, pe_val"
+
+  /** Native codegen'd expression (graft.functions.Shingle3), registered by
+    * the ext query runner; byte-identical output to the portable HOF form
+    * the DuckDB dialect keeps. */
+  override def shingle3(toks: String): String = s"shingle3($toks)"
 }
 
 object DuckSql extends Sql {

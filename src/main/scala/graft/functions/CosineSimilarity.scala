@@ -96,6 +96,8 @@ object CosineSimilarity {
 /** `SparkSessionExtensions` entry point: ship the engine's native functions
   * to any session via `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.ident, CosineSimilarity.info, CosineSimilarity.builder))
+    ext.injectFunction((Shingle3.ident, Shingle3.info, Shingle3.builder))
+  }
 }

@@ -14,6 +14,7 @@ import graft.ext.{DuckSql, ExtSql, SparkSql}
 object ExtQueries {
 
   private def views(s: SparkSession, dir: String): Unit = {
+    graft.functions.Shingle3.register(s)
     Tables.documents(s, dir).createOrReplaceTempView("documents")
     Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
   }

@@ -114,6 +114,7 @@ object ExtQueries {
             .agg(min("comp").as("comp")).cache()
           converged = next.join(comp.withColumnRenamed("comp", "prev"), Seq("id"))
             .filter(col("comp") =!= col("prev")).isEmpty
+          comp.unpersist(blocking = false) // drop the previous iteration's cache
           comp = next
           iter += 1
         }

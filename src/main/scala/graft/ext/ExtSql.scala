@@ -155,10 +155,13 @@ object ExtSql {
              |JOIN (SELECT s, COUNT(*) AS df FROM nj_e GROUP BY s HAVING COUNT(*) <= $maxDf) r
              |  ON e.s = r.s""".stripMargin
         },
+        // HAVING >= 3: a pair at Jaccard >= 0.5 shares at least a third of
+        // its shingles (dozens here) — dropping the 1-2-shared tail prunes
+        // the bulk of candidate pairs while keeping the verify set exact
         "nj_cand" -> { _: Sql =>
           s"""SELECT ea.doc_id AS i, eb.doc_id AS j
              |FROM nj_rare ea JOIN nj_rare eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
-             |GROUP BY ea.doc_id, eb.doc_id""".stripMargin
+             |GROUP BY ea.doc_id, eb.doc_id HAVING COUNT(*) >= 3""".stripMargin
         }
       ),
       { d: Sql =>

@@ -341,10 +341,16 @@ object CoreQueries {
     QuerySpec(
       "a12_weighted_rollup",
       (s, dir) => {
+        // Cross-engine reproducibility: every cross-group accumulation is an
+        // exact DECIMAL sum (order-insensitive); doubles only appear in single
+        // deterministic divisions on exact inputs. See VERDICT r1 "What's wrong".
         val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
         val perHourDow = e.groupBy(col("event_dow"), col("event_hour"))
-          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
-        Report.weightedRollup(perHourDow, Seq("event_dow"), Seq("avg_value" -> "valor_ponderado"), "n")
+          .agg(
+            count(lit(1)).as("n"),
+            round(dsum(col("value")) / count(lit(1)), 6).cast("decimal(18,6)").as("avg_dec")
+          )
+        Report.weightedRollup(perHourDow, Seq("event_dow"), Seq("avg_dec" -> "valor_ponderado"), "n")
           .select(
             col("event_dow").cast("long").as("event_dow"),
             col("n_groups"),
@@ -355,10 +361,11 @@ object CoreQueries {
       },
       Some("""WITH m AS (
              |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS event_dow, hour(ts) AS event_hour,
-             |    COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+             |    COUNT(*) AS n,
+             |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_dec
              |  FROM events GROUP BY 1, 2)
              |SELECT event_dow, COUNT(*) AS n_groups, SUM(n) AS n,
-             |  ROUND(SUM(avg_value * n) / SUM(n), 4) AS valor_ponderado
+             |  ROUND(CAST(SUM(avg_dec * n) AS DOUBLE) / SUM(n), 4) AS valor_ponderado
              |FROM m GROUP BY event_dow ORDER BY event_dow""".stripMargin)
     ),
 
@@ -408,7 +415,7 @@ object CoreQueries {
              |  FROM events GROUP BY 1)
              |SELECT event_hour, n,
              |  SUM(n) OVER (ORDER BY event_hour) AS cum,
-             |  ROUND(SUM(n) OVER (ORDER BY event_hour) * 100.0 / SUM(n) OVER (), 6) AS cum_pct
+             |  ROUND(SUM(n) OVER (ORDER BY event_hour) * CAST(100.0 AS DOUBLE) / SUM(n) OVER (), 6) AS cum_pct
              |FROM h ORDER BY event_hour""".stripMargin)
     ),
 

@@ -98,22 +98,29 @@ object MoreQueries {
     QuerySpec(
       "a13_simple_reagg",
       (s, dir) => {
+        // Exact-decimal inner averages + exact-decimal outer sum: no
+        // order-dependent double accumulation anywhere (VERDICT r1 fix).
         val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
         val mart = e.groupBy(col("event_dow"), col("event_hour"))
-          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(12,2)")).cast("double") / count(lit(1)), 6)
+              .cast("decimal(18,6)").as("avg_dec")
+          )
         mart.groupBy(col("event_dow").cast("long").as("event_dow"))
           .agg(
             sum(col("n")).as("n"),
-            round(avg(col("avg_v")), 4).as("avg_naive")
+            round(sum(col("avg_dec")).cast("double") / count(lit(1)), 4).as("avg_naive")
           )
           .orderBy(col("event_dow"))
       },
       Some("""WITH m AS (
              |  SELECT dayofweek(ts) + 1 AS event_dow, hour(ts) AS event_hour,
-             |    COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_v
+             |    COUNT(*) AS n,
+             |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_dec
              |  FROM events GROUP BY 1, 2)
              |SELECT CAST(event_dow AS BIGINT) AS event_dow, SUM(n) AS n,
-             |  ROUND(AVG(avg_v), 4) AS avg_naive
+             |  ROUND(CAST(SUM(avg_dec) AS DOUBLE) / COUNT(*), 4) AS avg_naive
              |FROM m GROUP BY 1 ORDER BY event_dow""".stripMargin)
     ),
 

@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
 object Report {
 
   /** A12: the correct algebra for re-aggregating group averages —
-    * sum(avg*n)/sum(n) (`streamlit_app.py:219-229` et al.). */
+    * sum(avg*n)/sum(n) (`streamlit_app.py:219-229` et al.).
+    *
+    * The numerator sum is cast to double *after* accumulating, so that when
+    * callers feed DECIMAL averages (the cross-engine-reproducible path — sums
+    * of decimals are exact and order-insensitive) the result is still a
+    * double ratio; with double inputs the cast is an identity. */
   def weightedAvg(avgCol: Column, weightCol: Column): Column =
-    sum(avgCol * weightCol) / sum(weightCol)
+    sum(avgCol * weightCol).cast("double") / sum(weightCol)
 
   /** A12 applied: roll up per-group averages to coarser keys with weights
     * (e.g. month -> year per-hour marts, `streamlit_app.py:329-339`). */
@@ -71,8 +76,11 @@ object Report {
     val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totalW = if (partitionKeys.isEmpty) Window.partitionBy()
                  else Window.partitionBy(partitionKeys.map(col): _*)
+    // cum * 100.0 / total (not (cum/total)*100.0): the multiply-first order
+    // matches the SQL-oracle rendering bit-for-bit — with integer counts both
+    // operands are exact, so the two double ops are fully deterministic.
     df.withColumn("cum", sum(col(metric)).over(w))
-      .withColumn("cum_pct", col("cum") / sum(col(metric)).over(totalW) * 100.0)
+      .withColumn("cum_pct", col("cum") * lit(100.0) / sum(col(metric)).over(totalW))
   }
 
   /** J3 + E11: code -> label decode against a literal dimension, with

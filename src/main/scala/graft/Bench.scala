@@ -25,7 +25,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // min of 2 runs: the host shows multi-x background-load noise; the
     // second pass is JIT- and page-cache-warm, i.e. the steady-state number
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional local-iteration filter (comma-separated substrings); the
+    // driver sets no filter and benches everything.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

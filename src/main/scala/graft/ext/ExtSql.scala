@@ -138,30 +138,37 @@ object ExtSql {
 
   /** N-gram Jaccard near-dup via inverted shingle index (explode + equi-join
     * + group count), with HOT-SHINGLE PRUNING: shingles appearing in more
-    * than `maxDf` documents are dropped from CANDIDATE generation only (a
+    * than maxDf documents are dropped from CANDIDATE generation only (a
     * hot shingle contributes O(df^2) candidate pairs and is the skew bomb of
     * this join at scale); verification then computes the EXACT Jaccard on
-    * full shingle arrays. A pair at threshold >= 0.5 shares ~half its
-    * shingles, so it is caught by its rare shingles — at sf0.01 the pruned
-    * pipeline still finds all 25 planted pairs. */
+    * full shingle arrays. maxDf scales with corpus size (10% of docs,
+    * floor 50) rather than a fixed constant, so bigger corpora keep
+    * proportional pruning without starving recall.
+    *
+    * Candidate floor (ADVICE r1 fix): a pair at Jaccard >= 0.5 with
+    * m = min(|sh_a|, |sh_b|) shares s >= (|sh_a|+|sh_b|)/3 >= 2m/3
+    * shingles, so the floor is per-pair ceil(2m/3) capped at 3 — short
+    * documents (m <= 4) are no longer dropped for sharing only 1-2
+    * shingles, while normal-length docs keep the >= 3 pruning power. */
   val dedupNgramJaccardStaged: Staged = {
-    val maxDf = 50
     Staged(
       Seq(
         shingleStage("nj_t"),
         "nj_e" -> { d: Sql => d.explodeSelect("doc_id", "sh", "s", "nj_t") },
-        "nj_rare" -> { _: Sql =>
+        "nj_len" -> { d: Sql => s"SELECT doc_id, ${d.arrLen("sh")} AS len FROM nj_t" },
+        "nj_rare" -> { d: Sql =>
           s"""SELECT e.doc_id, e.s FROM nj_e e
-             |JOIN (SELECT s, COUNT(*) AS df FROM nj_e GROUP BY s HAVING COUNT(*) <= $maxDf) r
+             |JOIN (SELECT s, COUNT(*) AS df FROM nj_e GROUP BY s
+             |      HAVING COUNT(*) <= GREATEST(50, ${d.intDiv("(SELECT COUNT(*) FROM nj_t)", "10")})) r
              |  ON e.s = r.s""".stripMargin
         },
-        // HAVING >= 3: a pair at Jaccard >= 0.5 shares at least a third of
-        // its shingles (dozens here) — dropping the 1-2-shared tail prunes
-        // the bulk of candidate pairs while keeping the verify set exact
-        "nj_cand" -> { _: Sql =>
+        "nj_cand" -> { d: Sql =>
           s"""SELECT ea.doc_id AS i, eb.doc_id AS j
              |FROM nj_rare ea JOIN nj_rare eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
-             |GROUP BY ea.doc_id, eb.doc_id HAVING COUNT(*) >= 3""".stripMargin
+             |JOIN nj_len la ON ea.doc_id = la.doc_id
+             |JOIN nj_len lb ON eb.doc_id = lb.doc_id
+             |GROUP BY ea.doc_id, eb.doc_id, la.len, lb.len
+             |HAVING COUNT(*) >= LEAST(3, GREATEST(1, ${d.intDiv("2 * LEAST(la.len, lb.len) + 2", "3")}))""".stripMargin
         }
       ),
       { d: Sql =>

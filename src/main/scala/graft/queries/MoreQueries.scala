@@ -185,17 +185,95 @@ object MoreQueries {
              |FROM h ORDER BY event_type, event_hour""".stripMargin)
     ),
 
+    // ---- §2.11 dashboard composites: weekday-vs-weekend comparative and
+    // night/weekend KPI shares (/root/reference/dashboards/streamlit_app.py:775-831).
+    // Weekend = dow in {1,7} (1=Sunday convention, E3); night = hour >= 22
+    // or <= 5. Shares are integer-count ratios cast to double — exact, so
+    // no order-sensitivity in the oracle compare.
+    QuerySpec(
+      "dash_week_vs_weekend",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        e.groupBy(
+            when(col("event_dow").isin(1, 7), lit("Fin de semana"))
+              .otherwise(lit("Semana")).as("grupo"))
+          .agg(count(lit(1)).as("total_viajes"))
+          .orderBy(col("grupo"))
+      },
+      Some("""SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'Fin de semana' ELSE 'Semana' END AS grupo,
+             |  COUNT(*) AS total_viajes
+             |FROM events GROUP BY 1 ORDER BY grupo""".stripMargin)
+    ),
+    QuerySpec(
+      "dash_night_weekend_share",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        e.agg(
+            count(lit(1)).as("total_viajes"),
+            sum(when(col("event_hour") >= 22 || col("event_hour") <= 5, 1L).otherwise(0L))
+              .as("viajes_nocturnos"),
+            sum(when(col("event_dow").isin(1, 7), 1L).otherwise(0L)).as("viajes_finde"))
+          .select(
+            col("total_viajes"),
+            col("viajes_nocturnos"),
+            col("viajes_finde"),
+            round(col("viajes_nocturnos").cast("double") * 100 / col("total_viajes"), 4)
+              .as("pct_nocturno"),
+            round(col("viajes_finde").cast("double") * 100 / col("total_viajes"), 4)
+              .as("pct_finde"))
+      },
+      Some("""WITH k AS (
+             |  SELECT COUNT(*) AS total_viajes,
+             |    COUNT(*) FILTER (WHERE hour(ts) >= 22 OR hour(ts) <= 5) AS viajes_nocturnos,
+             |    COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS viajes_finde
+             |  FROM events)
+             |SELECT total_viajes, viajes_nocturnos, viajes_finde,
+             |  ROUND(CAST(viajes_nocturnos AS DOUBLE) * 100 / total_viajes, 4) AS pct_nocturno,
+             |  ROUND(CAST(viajes_finde AS DOUBLE) * 100 / total_viajes, 4) AS pct_finde
+             |FROM k""".stripMargin)
+    ),
+
+    // ---- E1 + F2: duration derivation /60.0 + positive-duration filter.
+    // events has no second timestamp, so both engines derive a synthetic
+    // dropoff = ts + FLOOR(value) minutes (VERDICT r1 item 5); the duration
+    // chain (timestamp diff, /60.0, > 0 filter) is then oracle-checkable.
+    // Mirrors /root/reference/scripts/02_spark_etl.py duration logic.
+    QuerySpec(
+      "etl_duration",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("dropoff_ts",
+            col("ts") + expr("make_dt_interval(0, 0, CAST(FLOOR(value) AS INT), 0)"))
+          .withColumn("duration_min",
+            (unix_timestamp(col("dropoff_ts")) - unix_timestamp(col("ts"))) /
+              lit(60.0))
+        e.filter(col("duration_min") > 0)
+          .select(col("event_id"), col("duration_min"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  date_diff('second', ts, ts + to_minutes(CAST(FLOOR(value) AS BIGINT))) / CAST(60 AS DOUBLE) AS duration_min
+             |FROM events
+             |WHERE date_diff('second', ts, ts + to_minutes(CAST(FLOOR(value) AS BIGINT))) / CAST(60 AS DOUBLE) > 0
+             |ORDER BY event_id""".stripMargin)
+    ),
+
     // ---- F4/O5: seeded Bernoulli sample + randomSplit counts (Spark-side
     // deterministic for a fixed partition layout; not cross-engine -> rows-only)
     QuerySpec(
       "f4_seeded_sample_counts",
       (s, dir) => {
-        import s.implicits._
+        // One job, not three count() actions (VERDICT r1 fix): tag each leg
+        // and aggregate the union, so the three scans run as one stage
+        // instead of three sequential jobs. Counts are identical — sample()
+        // and randomSplit() stay deterministic for a fixed seed + layout.
         val e = Tables.events(s, dir)
         val sampled = e.sample(withReplacement = false, 0.1, seed = 42L)
         val Array(tr, te) = e.randomSplit(Array(0.8, 0.2), seed = 42L)
-        Seq((sampled.count(), tr.count(), te.count()))
-          .toDF("n_sample", "n_train", "n_test")
+        sampled.select(lit("n_sample").as("leg"))
+          .union(tr.select(lit("n_train").as("leg")))
+          .union(te.select(lit("n_test").as("leg")))
+          .groupBy().pivot("leg", Seq("n_sample", "n_train", "n_test")).count()
       },
       None
     ),

@@ -1,8 +1,9 @@
 package graft.core
 
-/** U5: the reference's CLI flag surface (`/root/reference/scripts/02:30-61`,
-  * `03:17-32`, `04:20-55`) as a dependency-free parser. Flag names are kept
-  * verbatim (Spanish included) so reference invocations port 1:1.
+/** U5: the reference's CLI flag surface (`/root/reference/scripts/00:64-86`,
+  * `02:30-61`, `03:17-32`, `04:20-55`, `05:17-49`, `06:17-59`) as a
+  * dependency-free parser. Flag names are kept verbatim (Spanish included)
+  * so reference invocations port 1:1.
   */
 object Cli {
 
@@ -22,9 +23,30 @@ object Cli {
       maxRows: Option[Int] = None,
       sinOutliers: Boolean = false,
       skipMissing: Boolean = false,
-      algoritmo: String = "gbt"
+      algoritmo: String = "gbt",
+      // scripts 04/05/06 surface. hdfsUri defaults empty (= plain local
+      // paths); the reference's docker default is hdfs://namenode:8020 and
+      // callers pass it via --hdfs-uri when running against a cluster.
+      hdfsUri: String = "",
+      modelRoot: String = "/models/tlc_trip_duration",
+      metricsRoot: String = "/reports/metrics/tlc_trip_duration",
+      predictionsRoot: String = "/data/tlc/predictions",
+      martsRoot: String = "/data/tlc/marts",
+      outputDir: String = "data/export",
+      usarSubdir: Boolean = false,
+      exportarMetricas: Boolean = false,
+      exportarErrores: Boolean = false,
+      // script 00 (manifest/catalog) surface
+      baseUrl: String = "",
+      manifestPath: Option[String] = None,
+      force: Boolean = false
   ) {
     def resolvedMonths: Seq[String] = Months.resolve(month, months, quarter)
+
+    /** `unir_ruta` (`scripts/04_train_sparkml.py:14-17`): prefix an absolute
+      * data path with the HDFS URI when one is configured. */
+    def uri(path: String): String =
+      if (hdfsUri.nonEmpty) hdfsUri.stripSuffix("/") + path else path
   }
 
   def parse(args: Seq[String]): JobConfig = {
@@ -48,6 +70,18 @@ object Cli {
       case "--algoritmo" :: v :: t =>
         require(v == "gbt" || v == "rf", s"--algoritmo inválido: $v (gbt|rf)")
         loop(t, cfg.copy(algoritmo = v))
+      case "--hdfs-uri" :: v :: t => loop(t, cfg.copy(hdfsUri = v))
+      case "--model-root" :: v :: t => loop(t, cfg.copy(modelRoot = v))
+      case "--metrics-root" :: v :: t => loop(t, cfg.copy(metricsRoot = v))
+      case "--predictions-root" :: v :: t => loop(t, cfg.copy(predictionsRoot = v))
+      case "--marts-root" :: v :: t => loop(t, cfg.copy(martsRoot = v))
+      case "--output-dir" :: v :: t => loop(t, cfg.copy(outputDir = v))
+      case "--usar-subdir" :: t => loop(t, cfg.copy(usarSubdir = true))
+      case "--exportar-metricas" :: t => loop(t, cfg.copy(exportarMetricas = true))
+      case "--exportar-errores" :: t => loop(t, cfg.copy(exportarErrores = true))
+      case "--base-url" :: v :: t => loop(t, cfg.copy(baseUrl = v))
+      case "--manifest-path" :: v :: t => loop(t, cfg.copy(manifestPath = Some(v)))
+      case "--force" :: t => loop(t, cfg.copy(force = true))
       case other :: _ => throw new IllegalArgumentException(s"flag desconocido: $other")
     }
     loop(args.toList, JobConfig())

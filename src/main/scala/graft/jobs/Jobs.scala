@@ -32,7 +32,11 @@ object Jobs {
       year: Int,
       month: Int,
       requiredCols: Seq[String] = Seq("pickup_datetime", "dropoff_datetime", "trip_distance", "fare_amount"),
-      removeOutliers: Boolean = true
+      removeOutliers: Boolean = true,
+      pLow: Double = 0.01,
+      pHigh: Double = 0.99,
+      sampleFrac: Option[Double] = None,
+      maxRows: Option[Int] = None
   ): DataFrame = {
     val std = Clean.standardizeColumns(raw)
     Clean.requireColumns(std, requiredCols)
@@ -47,10 +51,18 @@ object Jobs {
     val durated = Features.withDurationMin(valid, "pickup_datetime", "dropoff_datetime")
       .filter(col("trip_duration_min") > 0)
     val featured = Features.withTemporal(durated, "pickup_datetime", "pickup")
+    // sample/limit AFTER validity + duration filtering, BEFORE outliers —
+    // the reference's exact order (`scripts/02_spark_etl.py:120-133`), so
+    // --max-rows N yields N cleaned rows and the outlier band is computed
+    // on the sampled population.
+    val sampled = sampleFrac.filter(f => f > 0 && f < 1)
+      .fold(featured)(f => featured.sample(withReplacement = false, f, 42L))
+    val capped = maxRows.filter(_ > 0).fold(sampled)(sampled.limit)
     val cleaned =
       if (removeOutliers)
-        Outliers.sequentialCached(featured, Seq("trip_distance", "fare_amount", "trip_duration_min"))
-      else featured
+        Outliers.sequentialCached(capped,
+          Seq("trip_distance", "fare_amount", "trip_duration_min"), pLow, pHigh)
+      else capped
     val curated = Features.withPartitions(cleaned, year, month)
     curated.write.mode(SaveMode.Overwrite).partitionBy("year", "month").parquet(out)
     curated
@@ -79,6 +91,86 @@ object Jobs {
     }
     c.unpersist(blocking = false)
     m
+  }
+
+  /** §3.4 training job body (`/root/reference/scripts/04_train_sparkml.py:76-156`):
+    * duration filter, sample/cap, column-presence filtering, 80/20 split
+    * seed 42, fit, rmse/mae/r2, model save, one-row metrics JSON record.
+    * Returns the metrics for the caller (logging, tests). */
+  def train(
+      spark: SparkSession,
+      curated: DataFrame,
+      algoritmo: String,
+      modelOut: String,
+      metricsOut: String,
+      year: Int,
+      month: String,
+      sampleFrac: Option[Double] = None,
+      maxRows: Option[Int] = None
+  ): graft.ml.Pipelines.RegressionMetrics = {
+    import spark.implicits._
+    val numericBase = Seq("trip_distance", "fare_amount", "passenger_count",
+      "pickup_hour", "pickup_dow", "is_weekend")
+    val categoricalBase = Seq("payment_type", "pu_location", "do_location",
+      "vendor_id", "ratecode_id")
+
+    val filtered = curated.filter(col("trip_duration_min") > 0)
+    val sampled = sampleFrac.filter(f => f > 0 && f < 1)
+      .fold(filtered)(f => filtered.sample(withReplacement = false, f, 42L))
+    val df = maxRows.filter(_ > 0).fold(sampled)(sampled.limit)
+
+    val pipeline = graft.ml.Pipelines.regression(df,
+      graft.ml.Pipelines.RegressionConfig(
+        algo = algoritmo, label = "trip_duration_min",
+        numericCols = numericBase, categoricalCols = categoricalBase))
+    val Array(trainDf, testDf) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val rowsTrain = trainDf.count()
+    val rowsTest = testDf.count()
+    val model = pipeline.fit(trainDf)
+    val metrics = graft.ml.Pipelines.evaluate(model.transform(testDf), "trip_duration_min")
+    graft.ml.Pipelines.save(model, modelOut)
+    val record = Seq((year.toString, month, algoritmo,
+        metrics.rmse, metrics.mae, metrics.r2, rowsTrain, rowsTest,
+        java.time.Instant.now().toString))
+      .toDF("year", "month", "algoritmo", "rmse", "mae", "r2",
+        "rows_train", "rows_test", "fecha_entrenamiento")
+    exportJson(record, metricsOut)
+    metrics
+  }
+
+  /** §3.5 batch-scoring job body (`/root/reference/scripts/05_batch_scoring.py:76-106`):
+    * sample/cap, model transform, ensure string year/month partition
+    * columns, dynamic-overwrite partitioned parquet sink. */
+  def score(
+      spark: SparkSession,
+      curated: DataFrame,
+      modelPath: String,
+      predictionsOut: String,
+      year: Int,
+      month: String,
+      sampleFrac: Option[Double] = None,
+      maxRows: Option[Int] = None
+  ): DataFrame = {
+    val sampled = sampleFrac.filter(f => f > 0 && f < 1)
+      .fold(curated)(f => curated.sample(withReplacement = false, f, 42L))
+    val df = maxRows.filter(_ > 0).fold(sampled)(sampled.limit)
+    val model = graft.ml.Pipelines.load(modelPath)
+    val pred0 = model.transform(df)
+    val pred1 = if (pred0.columns.contains("year")) pred0
+      else pred0.withColumn("year", lit(year.toString))
+    val pred = if (pred1.columns.contains("month")) pred1
+      else pred1.withColumn("month", lit(month))
+    pred.write.mode(SaveMode.Overwrite).partitionBy("year", "month").parquet(predictionsOut)
+    pred
+  }
+
+  /** §3.6 per-hour error export (`/root/reference/scripts/06_export_for_dashboard.py:155-180`):
+    * None when the predictions frame lacks the required columns (the
+    * reference warns and skips). */
+  def errorsFromPredictions(pred: DataFrame): Option[DataFrame] = {
+    val required = Set("prediction", "trip_duration_min", "pickup_hour")
+    if (!required.subsetOf(pred.columns.toSet)) None
+    else Some(Marts.errorsByHour(pred, "pickup_hour", "prediction", "trip_duration_min"))
   }
 
   /** S5: single-file CSV with header (dashboard export,

@@ -18,6 +18,29 @@ class CliSpec extends AnyFunSuite {
     assert(cfg.sinOutliers && cfg.skipMissing && cfg.algoritmo == "rf")
   }
 
+  test("U5: train/score/export/manifest flag surface (scripts 00/04/05/06)") {
+    val cfg = Cli.parse(Seq(
+      "--year", "2024", "--month", "3",
+      "--hdfs-uri", "hdfs://namenode:8020/",
+      "--model-root", "/models/m", "--metrics-root", "/reports/m",
+      "--predictions-root", "/data/pred", "--marts-root", "/data/marts",
+      "--output-dir", "out/export", "--usar-subdir",
+      "--exportar-metricas", "--exportar-errores",
+      "--base-url", "https://example.test/data", "--manifest-path", "m.json",
+      "--force"
+    ))
+    assert(cfg.hdfsUri == "hdfs://namenode:8020/")
+    assert(cfg.uri("/models/m") == "hdfs://namenode:8020/models/m")
+    assert(cfg.modelRoot == "/models/m" && cfg.metricsRoot == "/reports/m")
+    assert(cfg.predictionsRoot == "/data/pred" && cfg.martsRoot == "/data/marts")
+    assert(cfg.outputDir == "out/export" && cfg.usarSubdir)
+    assert(cfg.exportarMetricas && cfg.exportarErrores && cfg.force)
+    assert(cfg.baseUrl == "https://example.test/data")
+    assert(cfg.manifestPath.contains("m.json"))
+    // empty hdfs-uri (default) leaves paths untouched (local run)
+    assert(Cli.parse(Nil).uri("/data/x") == "/data/x")
+  }
+
   test("U5: month selectors stay mutually exclusive; bad flags and algos rejected") {
     intercept[IllegalArgumentException](
       Cli.parse(Seq("--month", "1", "--quarter", "2")).resolvedMonths)

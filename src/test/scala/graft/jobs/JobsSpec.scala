@@ -42,6 +42,27 @@ class JobsSpec extends AnyFunSuite {
     assert(kpis.head.getAs[Long]("total_viajes") == 2L)
   }
 
+  test("U5: --p1/--p99 and --max-rows are honored inside the ETL chain") {
+    val n = 200
+    val wide = spark.range(1, n + 1).selectExpr(
+      "timestamp '2024-01-05 10:00:00' + make_interval(0,0,0,0,0,id,0) as tpep_pickup_datetime",
+      "timestamp '2024-01-05 10:00:00' + make_interval(0,0,0,0,0,id,cast(id as int) * 60) as tpep_dropoff_datetime",
+      "cast(id as double) as trip_distance",
+      "cast(id as double) as fare_amount")
+    // --max-rows caps CLEANED rows (post-validity, pre-outlier), so the cap
+    // is exact even when raw rows get filtered (the old behavior sampled the
+    // raw frame and returned fewer than N)
+    val out1 = Files.createTempDirectory("etl-cap").toString
+    val capped = Jobs.etl(spark, wide, out1, 2024, 1, removeOutliers = false, maxRows = Some(25))
+    assert(capped.count() == 25)
+    // a narrower --p1/--p99 band must reach the outlier stage
+    val out2 = Files.createTempDirectory("etl-band").toString
+    val defaultBand = Jobs.etl(spark, wide, out2, 2024, 1).count()
+    val narrowBand = Jobs.etl(spark, wide, out2, 2024, 1, pLow = 0.25, pHigh = 0.75).count()
+    assert(narrowBand < defaultBand)
+    assert(narrowBand <= n / 2 + 10)
+  }
+
   test("S5 exportCsv writes a single part file with header") {
     val out = Files.createTempDirectory("csv").toString + "/kpis"
     Jobs.exportCsv(Seq((1L, 2.5)).toDF("total_viajes", "tarifa_promedio"), out)

@@ -283,9 +283,12 @@ object ExtSql {
   /** IVF-style ANN: build per-cluster centroids by ELEMENT-WISE aggregation
     * over the position-exploded vectors (the missing primitive for real IVF:
     * centroid build is a groupBy(cluster, dim) average), assign the query to
-    * its nearest centroid by L2, then search only that cluster (nprobe=1).
-    * The `label` column plays the coarse-quantizer cluster id. */
-  def annIvfTopKStaged(k: Int = 5): Staged = Staged(
+    * its `nprobe` nearest centroids by L2, then search only those clusters.
+    * The `label` column plays the coarse-quantizer cluster id. nprobe=1 is
+    * the fastest/least-recall probe; nprobe>1 trades a proportionally
+    * larger (still cluster-bounded, never full-scan) search for recall —
+    * the standard IVF undersearch dial. */
+  def annIvfTopKStaged(k: Int = 5, nprobe: Int = 1): Staged = Staged(
     Seq(
       vStage,
       "q" -> { _: Sql => "SELECT embedding AS qe, nrm AS qn FROM v WHERE vec_id = 0" },
@@ -297,10 +300,10 @@ object ExtSql {
         "SELECT pos, CAST(val AS DOUBLE) AS qv FROM iv_e WHERE vec_id = 0"
       },
       "iv_probe" -> { _: Sql =>
-        """SELECT label FROM (
+        s"""SELECT label FROM (
           |  SELECT c.label, SUM((c.c - q.qv) * (c.c - q.qv)) AS d2
           |  FROM iv_c c JOIN iv_qe q ON c.pos = q.pos GROUP BY c.label)
-          |ORDER BY d2, label LIMIT 1""".stripMargin
+          |ORDER BY d2, label LIMIT $nprobe""".stripMargin
       }
     ),
     { d: Sql =>

@@ -65,6 +65,11 @@ object ExtQueries {
     staged("ann_brute_topk", ExtSql.annBruteTopKStaged(10)),
     staged("ann_lsh_topk", ExtSql.annLshTopKStaged(5)),
     staged("ann_ivf_topk", ExtSql.annIvfTopKStaged(5)),
+    // nprobe=3: searches the query's 3 nearest clusters instead of 1 —
+    // the IVF recall dial (VERDICT r1 item 9). Still cluster-bounded,
+    // never a full scan; oracle-checked because the whole pipeline is
+    // dialect-templated SQL.
+    staged("ann_ivf_nprobe3", ExtSql.annIvfTopKStaged(5, nprobe = 3)),
     staged("text_tfidf_topterms", ExtSql.textTfidfStaged),
     // Native codegen'd Catalyst expression (graft.functions.CosineSimilarity)
     // replacing the interpreted HOF dot products — float->double promotion and

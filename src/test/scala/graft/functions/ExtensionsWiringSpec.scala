@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-JVM proof of the `spark.sql.extensions=graft.functions.GraftExtensions`
+  * contract (VERDICT r1 item 10): forks a brand-new JVM running
+  * [[graft.ExtensionsSmoke]], whose session registers the native functions
+  * only through the extensions config — the way a spark-submit user would.
+  * The in-process specs can't cover this because the shared test
+  * SparkContext was created without the config.
+  */
+class ExtensionsWiringSpec extends AnyFunSuite {
+
+  // same module-opens the build gives every Spark JVM on JDK 17
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("a fresh JVM session picks up cosine_sim/shingle3 via spark.sql.extensions") {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp, "graft.ExtensionsSmoke")
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(cmd)
+      .run(scala.sys.process.ProcessLogger(l => out.synchronized(out.append(l).append('\n')), _ => ()))
+      .exitValue()
+    assert(code == 0, s"forked smoke JVM failed:\n$out")
+    // parallel vectors -> cosine exactly 1.0; 4 tokens -> 2 three-gram shingles
+    assert(out.toString.contains("[extensions-smoke] cos=1.0 shingles=2"), out.toString)
+  }
+}

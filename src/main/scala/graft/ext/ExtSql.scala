@@ -232,8 +232,15 @@ object ExtSql {
       s"(CASE WHEN ${planeDot(d, emb, p)} >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Cosine via the dialect: DuckDB keeps the portable HOF dot product over
+    * the precomputed norms; Spark renders the native codegen'd
+    * `cosine_sim` Expression instead (graft.functions.CosineSimilarity) —
+    * same float->double promotion and sequential summation, so the two
+    * renderings are bit-equal (ann_native_topk hash-matches the HOF oracle)
+    * while the Spark side stays inside whole-stage codegen with no
+    * per-row intermediate arrays. */
   private def cosExpr(d: Sql, a: String, b: String, na: String, nb: String): String =
-    s"${d.dotD(a, b)} / (sqrt($na) * sqrt($nb))"
+    d.cosineSim(a, b, na, nb)
 
   /** Normalized + sign-LSH-bucketed vectors, one cached stage (the 64-dim
     * dot products and 4 plane projections run once per vector). */

@@ -46,6 +46,11 @@ trait Sql {
   def arrSumD(x: String): String
   /** element-wise double dot product of two numeric arrays */
   def dotD(a: String, b: String): String
+  /** cosine similarity given precomputed self-dot norms na/nb; engines may
+    * ignore the norms and fuse the whole computation (bit-equal either way:
+    * sequential double accumulation in both renderings) */
+  def cosineSim(a: String, b: String, na: String, nb: String): String =
+    s"${dotD(a, b)} / (sqrt($na) * sqrt($nb))"
   /** literal array from rendered element expressions */
   def arrayLit(items: Seq[String]): String
   /** SELECT <extra>, <explode of col> AS <alias> FROM <table> */
@@ -106,6 +111,13 @@ object SparkSql extends Sql {
     * the ext query runner; byte-identical output to the portable HOF form
     * the DuckDB dialect keeps. */
   override def shingle3(toks: String): String = s"shingle3($toks)"
+
+  /** Native codegen'd fused cosine (graft.functions.CosineSimilarity):
+    * recomputes the norms inside the fused loop — identical double
+    * arithmetic to dotD(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))), no
+    * interpreted HOF and no intermediate arrays. */
+  override def cosineSim(a: String, b: String, na: String, nb: String): String =
+    s"cosine_sim($a, $b)"
 }
 
 object DuckSql extends Sql {

@@ -15,6 +15,7 @@ object ExtQueries {
 
   private def views(s: SparkSession, dir: String): Unit = {
     graft.functions.Shingle3.register(s)
+    graft.functions.CosineSimilarity.register(s) // SparkSql.cosineSim renders it
     Tables.documents(s, dir).createOrReplaceTempView("documents")
     Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
   }

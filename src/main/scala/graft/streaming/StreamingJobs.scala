@@ -72,6 +72,25 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming exact dedup: drop replayed/duplicate records by key within
+    * the watermark bound — the streaming counterpart of `dedup_exact` for
+    * continuous ingest (at-least-once sources replay records; this makes
+    * the pipeline effectively-once). State holds one entry per key and is
+    * EVICTED once older than the watermark, which is what keeps continuous
+    * dedup state bounded at scale — an unwatermarked dropDuplicates grows
+    * state forever. */
+  def dedupStream(events: DataFrame, tsCol: String = "ts",
+      keyCols: Seq[String] = Seq("event_id"), delay: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment join (J3's dim-decode join, streaming
+    * flavor): broadcast hash join of each micro-batch against a static
+    * dimension frame. The static side is re-planned per batch, so slowly
+    * changing dimensions are picked up between batches without restarting
+    * the query. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   /** End-to-end streaming ETL: file source -> the SAME batch transforms
     * (temporal features + validity filter) -> parquet sink with checkpoint.
     * Streaming/batch unification: one transform function serves both paths;

@@ -67,4 +67,38 @@ class StreamingJobsSpec extends AnyFunSuite {
     val out = spark.sql("SELECT COUNT(DISTINCT user_id) FROM sessions").head.getLong(0)
     assert(out > 0)
   }
+
+  test("streaming dedup drops replayed records within the watermark") {
+    // source with every event duplicated (an at-least-once replay)
+    val dir = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    val events = Tables.events(spark, TestSpark.sfDir).limit(2000)
+    events.union(events).write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingJobs.eventsStream(spark, dir)
+    val q = StreamingJobs.runAvailableNow(
+      StreamingJobs.dedupStream(stream), "dedup_stream", OutputMode.Append)
+    q.stop()
+
+    val deduped = spark.sql("SELECT COUNT(*) FROM dedup_stream").head.getLong(0)
+    assert(deduped == events.count())
+    assert(spark.read.parquet(dir).count() == 2 * events.count())
+  }
+
+  test("stream-static enrichment join decodes against a static dim per micro-batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-enrich").toString
+    val events = Tables.events(spark, TestSpark.sfDir).limit(1000)
+    events.write.mode("overwrite").parquet(dir)
+    val dim = events.select("event_type").distinct()
+      .withColumn("etiqueta", concat(lit("tipo:"), col("event_type")))
+
+    val stream = StreamingJobs.eventsStream(spark, dir)
+    val q = StreamingJobs.runAvailableNow(
+      StreamingJobs.enrichStream(stream, dim, Seq("event_type")), "enriched", OutputMode.Append)
+    q.stop()
+
+    val enriched = spark.table("enriched")
+    assert(enriched.count() == events.count())
+    assert(enriched.filter(col("etiqueta").isNull || !col("etiqueta").startsWith("tipo:")).isEmpty)
+  }
 }

@@ -42,9 +42,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(0, 3).isEmpty)
   }
 
-  test("CodecDecoder is a deliberate stub") {
+  test("CodecDecoder (audio/video) is a deliberate stub") {
     intercept[NotImplementedError] {
       Multimodal.CodecDecoder.decode(Seq.empty)
     }
+  }
+
+  // real image bytes, generated with the JDK's own encoder — no external libs
+  private def imageBytes(format: String, w: Int = 20, h: Int = 10): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"JDK cannot encode $format")
+    out.toByteArray
+  }
+
+  test("ImageHeaders sniffs PNG/JPEG/GIF/BMP dimensions from raw bytes") {
+    assert(ImageHeaders.pngDims(imageBytes("png")).contains((20, 10)))
+    assert(ImageHeaders.jpegDims(imageBytes("jpg")).contains((20, 10)))
+    assert(ImageHeaders.gifDims(imageBytes("gif")).contains((20, 10)))
+    assert(ImageHeaders.bmpDims(imageBytes("bmp")).contains((20, 10)))
+    assert(ImageHeaders.sniff(imageBytes("png")).contains(("png", 20, 10)))
+    assert(ImageHeaders.sniff(imageBytes("jpg")).exists(_._1 == "jpeg"))
+    // non-image bytes sniff to None, never throw
+    assert(ImageHeaders.sniff("just some text".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeaders.sniff(Array.empty[Byte]).isEmpty)
+  }
+
+  test("ImageIoDecoder really decodes pixels: true dims + luminance histogram") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", imageBytes("png")),
+      Multimodal.MediaRecord(2L, "image", imageBytes("jpg", w = 33, h = 7)),
+      Multimodal.MediaRecord(3L, "image", "corrupt payload".getBytes("UTF-8")))
+    val out = Multimodal.ImageIoDecoder.decode(recs).sortBy(_.doc_id)
+    assert(out(0).width == 20 && out(0).height == 10 && out(0).n_frames == 1)
+    // 50/50 checkerboard: half the pixels in the darkest bin, half in the lightest
+    assert(math.abs(out(0).features(0) - 0.5f) < 1e-6)
+    assert(math.abs(out(0).features(7) - 0.5f) < 1e-6)
+    assert(math.abs(out(0).features.sum - 1.0f) < 1e-5)
+    assert(out(1).width == 33 && out(1).height == 7)
+    // corrupt payload degrades to sniffed/zero metadata, not a failure
+    assert(out(2).width == 0 && out(2).n_frames == 0 && out(2).features.isEmpty)
+  }
+
+  test("sniffMeta is the codec-free pre-filter over a distributed Dataset") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", imageBytes("png", w = 300, h = 200)),
+      Multimodal.MediaRecord(2L, "image", imageBytes("png", w = 8, h = 8)),
+      Multimodal.MediaRecord(3L, "audio", "not an image".getBytes("UTF-8")))
+    val meta = Multimodal.sniffMeta(spark, spark.createDataset(recs)).collect().sortBy(_.doc_id)
+    assert(meta(0).format == "png" && meta(0).width == 300)
+    assert(meta(2).format == "unknown" && meta(2).width == 0)
+    // the pre-filter in action: keep only images >= 64px wide
+    val kept = Multimodal.sniffMeta(spark, spark.createDataset(recs))
+      .filter(m => m.format != "unknown" && m.width >= 64).collect()
+    assert(kept.map(_.doc_id).toSeq == Seq(1L))
+  }
+
+  test("full image path: distributed ImageIoDecoder over generated images") {
+    import spark.implicits._
+    val recs = (1L to 50L).map(i =>
+      Multimodal.MediaRecord(i, "image", imageBytes("png", w = 16 + (i % 8).toInt, h = 12)))
+    val decoded = Multimodal.decodeAll(spark, spark.createDataset(recs),
+      Multimodal.ImageIoDecoder, batchSize = 8).collect()
+    assert(decoded.length == 50)
+    assert(decoded.forall(d => d.height == 12 && d.n_frames == 1 && d.features.length == 8))
   }
 }

@@ -36,10 +36,11 @@ object Cli {
       usarSubdir: Boolean = false,
       exportarMetricas: Boolean = false,
       exportarErrores: Boolean = false,
-      // script 00 (manifest/catalog) surface
+      // script 00 (download/manifest) + 01 (hdfs put) surface
       baseUrl: String = "",
       manifestPath: Option[String] = None,
-      force: Boolean = false
+      force: Boolean = false,
+      localDir: String = "data/raw"
   ) {
     def resolvedMonths: Seq[String] = Months.resolve(month, months, quarter)
 
@@ -82,6 +83,8 @@ object Cli {
       case "--base-url" :: v :: t => loop(t, cfg.copy(baseUrl = v))
       case "--manifest-path" :: v :: t => loop(t, cfg.copy(manifestPath = Some(v)))
       case "--force" :: t => loop(t, cfg.copy(force = true))
+      case "--local-dir" :: v :: t => loop(t, cfg.copy(localDir = v))
+      case "--hdfs-raw-root" :: v :: t => loop(t, cfg.copy(rawRoot = v))
       case other :: _ => throw new IllegalArgumentException(s"flag desconocido: $other")
     }
     loop(args.toList, JobConfig())

@@ -185,6 +185,63 @@ object ExportMain {
   }
 }
 
+/** S9 ingest (`scripts/00_download_tlc.py:95-130`): per-month HTTP download
+  * of `yellow_tripdata_YYYY-MM.parquet` from --base-url into --output-dir
+  * (existing files kept unless --force), then the same manifest catalog
+  * pass as ManifestMain. No Spark needed for the download itself; the
+  * manifest's schema introspection uses the session. */
+object IngestMain {
+  def main(args: Array[String]): Unit = {
+    val cfg = Cli.parse(args.toIndexedSeq)
+    val spark = Sessions.build(cfg.appName, cfg.master, shufflePartitions = 32)
+    try run(spark, cfg)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cfg: Cli.JobConfig): Unit = {
+    require(cfg.baseUrl.nonEmpty, "--base-url requerido")
+    cfg.resolvedMonths.foreach { mm =>
+      val nombre = s"yellow_tripdata_${cfg.year}-$mm.parquet"
+      val dest = new java.io.File(cfg.outputDir, nombre)
+      if (dest.exists() && !cfg.force)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"file exists, use --force to re-download: $dest")
+      else
+        Ingest.httpDownload(s"${cfg.baseUrl.stripSuffix("/")}/$nombre", dest, cfg.skipMissing)
+    }
+    ManifestMain.run(spark, cfg.copy(skipMissing = true)) // catalog whatever landed
+  }
+}
+
+/** S10 HDFS put (`scripts/01_put_to_hdfs.sh:110-121`): per-month
+  * mkdir -p + put -f of the local raw file into
+  * `<hdfs-raw-root>/year=YYYY/month=MM/`, skip-missing per month. Runs off
+  * the session's Hadoop configuration, so --hdfs-uri / core-site both
+  * work; a `file://` root exercises the identical code path in tests. */
+object PutMain {
+  def main(args: Array[String]): Unit = {
+    val cfg = Cli.parse(args.toIndexedSeq)
+    val spark = Sessions.build(cfg.appName, cfg.master, shufflePartitions = 32)
+    try run(spark, cfg)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cfg: Cli.JobConfig): Unit = {
+    val root = if (cfg.rawRoot.nonEmpty) cfg.rawRoot else "/data/tlc/raw"
+    cfg.resolvedMonths.foreach { mm =>
+      val local = new java.io.File(cfg.localDir, s"yellow_tripdata_${cfg.year}-$mm.parquet")
+      if (!local.exists()) {
+        if (cfg.skipMissing)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(s"file missing, skipping: $local")
+        else throw new IllegalStateException(s"file missing: $local")
+      } else {
+        Ingest.hdfsPut(spark.sparkContext.hadoopConfiguration, local,
+          cfg.uri(Months.partitionPath(root, cfg.year, mm)))
+      }
+    }
+  }
+}
+
 /** S11 manifest/catalog utility (`scripts/00_download_tlc.py:45-59,95-130`):
   * catalogs per-month parquet files into a JSON manifest (name, size,
   * columns, timestamp, year, month), replacing any existing entry for the

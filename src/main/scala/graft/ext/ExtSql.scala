@@ -162,6 +162,9 @@ object ExtSql {
              |      HAVING COUNT(*) <= GREATEST(50, ${d.intDiv("(SELECT COUNT(*) FROM nj_t)", "10")})) r
              |  ON e.s = r.s""".stripMargin
         },
+        // the per-pair length floor reads the tiny nj_len table via two
+        // broadcast joins AFTER pair grouping keys are formed — measured
+        // faster than carrying len through the (much wider) exploded index
         "nj_cand" -> { d: Sql =>
           s"""SELECT ea.doc_id AS i, eb.doc_id AS j
              |FROM nj_rare ea JOIN nj_rare eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id

@@ -324,6 +324,67 @@ object ExtSql {
     }
   )
 
+  // ------------------------------------------------- LLM sequence prep ----
+
+  /** Fixed-size token chunking with overlap — the standard LLM context-prep
+    * op (chunk = window of `chunk` tokens, stride < chunk gives overlap).
+    * Expressed as a stepped-range explode + dynamic slice, so it is a
+    * single narrow pipeline (no shuffle until the final ORDER BY): at
+    * 100 TB each task chunks its own partition's documents independently.
+    * Short final chunks are kept (both engines clamp the slice at the
+    * array end — identical results). */
+  def textChunksStaged(chunk: Int = 32, stride: Int = 24): Staged = Staged(
+    Seq(
+      "ck_t" -> { d: Sql =>
+        s"SELECT doc_id, ${d.splitWs("text")} AS toks, CAST(${d.arrLen(d.splitWs("text"))} AS BIGINT) AS len FROM documents"
+      },
+      "ck_s" -> { d: Sql =>
+        d.explodeSelect("doc_id, toks", d.rangeStep("1", "len", stride), "st", "ck_t")
+      }
+    ),
+    { d: Sql =>
+      s"""SELECT doc_id, CAST(st AS BIGINT) AS chunk_start,
+         |  ${d.arrJoin(d.arrSliceAt("toks", "st", chunk), " ")} AS chunk,
+         |  CAST(${d.arrLen(d.arrSliceAt("toks", "st", chunk))} AS BIGINT) AS n_tokens
+         |FROM ck_s ORDER BY doc_id, chunk_start""".stripMargin
+    }
+  )
+
+  /** Deterministic mixture sampling: each source gets a stable rate in
+    * [20, 80] (hash of the source name) and keeps documents whose id-hash
+    * falls under it — the portable-hash flavor of `sampleBy` that
+    * reproduces bit-identically across engines AND across reruns/retries
+    * (a seeded RNG sample is partition-layout-dependent; a content-hash
+    * gate is not, which is what a resumable 100 TB mixture job needs). */
+  def mixBySource(d: Sql): String =
+    s"""WITH mx_r AS (
+       |  SELECT source, 20 + ${d.md5Long("source")} % 61 AS rate
+       |  FROM (SELECT DISTINCT source FROM documents) mx_s),
+       |mx_k AS (
+       |  SELECT dd.doc_id, dd.source, mx_r.rate
+       |  FROM documents dd JOIN mx_r ON dd.source = mx_r.source
+       |  WHERE ${d.md5Long(d.toStr("doc_id"))} % 100 < mx_r.rate)
+       |SELECT source, CAST(MIN(rate) AS BIGINT) AS rate_pct, COUNT(*) AS n_kept
+       |FROM mx_k GROUP BY source ORDER BY source""".stripMargin
+
+  /** Sequential sequence packing: documents in doc_id order are laid into
+    * fixed token-budget bins via an exclusive running sum — bin =
+    * floor(tokens_before / budget), so a document belongs to the bin it
+    * starts in. One window pass + one aggregation; the deterministic
+    * baseline against which smarter (FFD-style, shuffle-heavy) packers
+    * would be judged. */
+  def packSequences(budget: Int = 512)(d: Sql): String =
+    s"""WITH pk_w AS (
+       |  SELECT doc_id, CAST(${d.arrLen(d.splitWs("text"))} AS BIGINT) AS n_tok FROM documents),
+       |pk_c AS (
+       |  SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM pk_w)
+       |SELECT ${d.intDiv("(cum - n_tok)", budget.toString)} AS bin,
+       |  COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+       |FROM pk_c GROUP BY ${d.intDiv("(cum - n_tok)", budget.toString)}
+       |ORDER BY bin""".stripMargin
+
   // ----------------------------------------------------------- text ops ----
 
   val stopwords: Map[String, Seq[String]] = Map(

@@ -33,6 +33,11 @@ trait Sql {
   def transform(x: String, v: String, body: String): String
   /** inclusive integer range [lo, hi] as an array expression */
   def rangeIncl(lo: String, hi: String): String
+  /** inclusive stepped integer range [lo, lo+step, ...] <= hi */
+  def rangeStep(lo: String, hi: String, step: Int): String
+  /** slice of up to `len` elements of `x` starting at 1-based expression
+    * `from` (clamped at the array end in both engines) */
+  def arrSliceAt(x: String, from: String, len: Int): String
   /** element access, 1-based */
   def at(x: String, i: String): String
   def intDiv(a: String, b: String): String
@@ -87,6 +92,10 @@ object SparkSql extends Sql {
   def interLen(a: String, b: String) = s"size(array_intersect($a, $b))"
   def transform(x: String, v: String, body: String) = s"transform($x, $v -> $body)"
   def rangeIncl(lo: String, hi: String) = s"sequence(CAST($lo AS INT), CAST($hi AS INT))"
+  def rangeStep(lo: String, hi: String, step: Int) =
+    s"sequence(CAST($lo AS INT), CAST($hi AS INT), $step)"
+  def arrSliceAt(x: String, from: String, len: Int) =
+    s"slice($x, CAST($from AS INT), $len)"
   def at(x: String, i: String) = s"element_at($x, CAST($i AS INT))"
   def intDiv(a: String, b: String) = s"($a div $b)"
   def xor(a: String, b: String) = s"($a ^ $b)"
@@ -133,6 +142,10 @@ object DuckSql extends Sql {
   def interLen(a: String, b: String) = s"len(list_intersect($a, $b))"
   def transform(x: String, v: String, body: String) = s"list_transform($x, $v -> $body)"
   def rangeIncl(lo: String, hi: String) = s"range(CAST($lo AS BIGINT), CAST($hi AS BIGINT) + 1)"
+  def rangeStep(lo: String, hi: String, step: Int) =
+    s"range(CAST($lo AS BIGINT), CAST($hi AS BIGINT) + 1, $step)"
+  def arrSliceAt(x: String, from: String, len: Int) =
+    s"($x)[$from:$from + ${len - 1}]"
   def at(x: String, i: String) = s"($x)[$i]"
   def intDiv(a: String, b: String) = s"($a // $b)"
   def xor(a: String, b: String) = s"xor($a, $b)"

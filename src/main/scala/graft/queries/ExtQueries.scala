@@ -89,6 +89,9 @@ object ExtQueries {
       },
       Some(ExtSql.annBruteTopKStaged(10).oracle(DuckSql))
     ),
+    staged("text_chunks", ExtSql.textChunksStaged()),
+    spec("mix_sample_by_source", ExtSql.mixBySource),
+    spec("pack_sequences", ExtSql.packSequences(512)),
     spec("text_langid", ExtSql.textLangId),
     spec("text_quality", ExtSql.textQuality),
     spec("text_tokens", ExtSql.textTokens),

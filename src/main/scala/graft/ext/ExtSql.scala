@@ -414,6 +414,27 @@ object ExtSql {
 
   /** Quality scoring: token counts, vocabulary-diversity ratio, stopword
     * ratio, length saturation — composed into one [0,1] score. */
+  /** Within-document repetition (Gopher/C4-family quality filter): the
+    * fraction of 3-gram shingles that are repeats of an earlier shingle in
+    * the same document — boilerplate-heavy and looping generations score
+    * high and get flagged. Pure per-row array arithmetic (no shuffle until
+    * the final sort): total shingles vs distinct shingles. */
+  def textRepetition(d: Sql): String = {
+    val sh = d.shingle3(d.splitWs("text"))
+    s"""WITH rp AS (
+       |  SELECT doc_id,
+       |    CAST(${d.arrLen(sh)} AS BIGINT) AS n_shingles,
+       |    CAST(${d.arrLen(d.arrDistinct(sh))} AS BIGINT) AS n_distinct
+       |  FROM documents)
+       |SELECT doc_id, n_shingles, n_distinct,
+       |  ROUND(CASE WHEN n_shingles = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE (n_shingles - n_distinct) * CAST(1.0 AS DOUBLE) / n_shingles END, 4) AS rep_ratio,
+       |  CAST(CASE WHEN n_shingles > 0
+       |    AND (n_shingles - n_distinct) * CAST(1.0 AS DOUBLE) / n_shingles > 0.2
+       |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM rp ORDER BY doc_id""".stripMargin
+  }
+
   def textQuality(d: Sql): String = {
     val toks = d.splitWs("text")
     s"""WITH f AS (

@@ -94,6 +94,7 @@ object ExtQueries {
     spec("pack_sequences", ExtSql.packSequences(512)),
     spec("text_langid", ExtSql.textLangId),
     spec("text_quality", ExtSql.textQuality),
+    spec("text_repetition", ExtSql.textRepetition),
     spec("text_tokens", ExtSql.textTokens),
     spec("text_redact", ExtSql.textRedact),
     spec("text_vocab_topk", ExtSql.textVocabTopK(_, 20)),

@@ -63,4 +63,20 @@ class PropertiesSpec extends AnyFunSuite {
       (0 to 2).foreach(i => assert(arr.getDouble(i) == scalars.getDouble(i)))
     }
   }
+
+  test("ImageHeaders agrees with the JDK encoder for random dims across all four formats") {
+    val rnd = new scala.util.Random(7)
+    (1 to trials).foreach { _ =>
+      val w = 1 + rnd.nextInt(500)
+      val h = 1 + rnd.nextInt(500)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(rnd.nextInt(w), rnd.nextInt(h), rnd.nextInt())
+      Seq("png", "jpg", "gif", "bmp").foreach { fmt =>
+        val out = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(img, fmt, out))
+        val sniffed = graft.ext.ImageHeaders.sniff(out.toByteArray)
+        assert(sniffed.exists(s => s._2 == w && s._3 == h), s"$fmt ${w}x$h -> $sniffed")
+      }
+    }
+  }
 }

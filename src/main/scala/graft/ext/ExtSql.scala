@@ -324,6 +324,30 @@ object ExtSql {
     }
   )
 
+  /** Train/eval DECONTAMINATION: verified near-duplicate pairs that cross
+    * a holdout split (one side in the eval sources, the other in train) —
+    * the standard pre-training hygiene pass that keeps benchmark text out
+    * of the training mix. Reuses the MinHash-LSH candidate pipeline and
+    * the exact-Jaccard verify, then splits by source membership; at scale
+    * this is the same bucketed band join as dedup, never an all-pairs
+    * train x eval comparison. */
+  def decontamHoldoutStaged(holdout: Seq[String] = Seq("src0", "src1", "src2", "src3")): Staged = {
+    val hold = holdout.map(s => s"'$s'").mkString(", ")
+    Staged(
+      dedupMinhashLshStaged.stages,
+      { d: Sql =>
+        s"""SELECT
+           |  CASE WHEN da.source IN ($hold) THEN dp.j ELSE dp.i END AS train_doc,
+           |  CASE WHEN da.source IN ($hold) THEN dp.i ELSE dp.j END AS eval_doc
+           |FROM (${dedupComponents.pairsSql(d)}) dp
+           |JOIN documents da ON dp.i = da.doc_id
+           |JOIN documents db ON dp.j = db.doc_id
+           |WHERE (da.source IN ($hold)) <> (db.source IN ($hold))
+           |ORDER BY train_doc, eval_doc""".stripMargin
+      }
+    )
+  }
+
   // ------------------------------------------------- LLM sequence prep ----
 
   /** Fixed-size token chunking with overlap — the standard LLM context-prep

@@ -89,6 +89,7 @@ object ExtQueries {
       },
       Some(ExtSql.annBruteTopKStaged(10).oracle(DuckSql))
     ),
+    staged("decontam_holdout", ExtSql.decontamHoldoutStaged()),
     staged("text_chunks", ExtSql.textChunksStaged()),
     spec("mix_sample_by_source", ExtSql.mixBySource),
     spec("pack_sequences", ExtSql.packSequences(512)),

@@ -40,4 +40,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("etl_clean_events")
     assert(p.contains("PushedFilters") && p.contains("IsNotNull"))
   }
+
+  /** Queries allowed a BroadcastNestedLoopJoin: each joins a 1-row scalar
+    * frame (global total, outlier band, the ANN query vector / probe list)
+    * — a broadcast of one row, not an all-pairs product. Anything else
+    * acquiring a nested-loop or cartesian join is a scale regression. */
+  private val scalarBroadcastAllowed = Set(
+    "f3_outlier_band", "e13_pct_of_total",
+    "ann_brute_topk", "ann_ivf_topk", "ann_ivf_nprobe3", "ann_native_topk")
+
+  test("no registry query plans a cartesian product or unexpected nested-loop join") {
+    // ml_* fit models and dedup_components iterates at plan-build time;
+    // they are covered by their own specs and contain no joins beyond those
+    val skip = (n: String) => n.startsWith("ml_") || n == "dedup_components"
+    SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
+      val p = q.fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+      if (!scalarBroadcastAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans a BroadcastNestedLoopJoin outside the scalar-broadcast allowlist")
+    }
+  }
 }

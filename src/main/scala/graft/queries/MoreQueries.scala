@@ -278,6 +278,45 @@ object MoreQueries {
       None
     ),
 
+    // ---- §2.12 promoted set ops: INTERSECT / EXCEPT with oracle parity ------
+    QuerySpec(
+      "set_intersect_except",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        val am = e.filter(col("event_hour") < 12).select(col("user_id"))
+        val pm = e.filter(col("event_hour") >= 12).select(col("user_id"))
+        am.intersect(pm).withColumn("set_op", lit("both"))
+          .union(am.except(pm).withColumn("set_op", lit("am_only")))
+          .orderBy(col("set_op"), col("user_id"))
+      },
+      Some("""WITH am AS (SELECT DISTINCT user_id FROM events WHERE hour(ts) < 12),
+             |pm AS (SELECT DISTINCT user_id FROM events WHERE hour(ts) >= 12)
+             |SELECT user_id, 'both' AS set_op FROM (SELECT user_id FROM am INTERSECT SELECT user_id FROM pm) i
+             |UNION ALL
+             |SELECT user_id, 'am_only' AS set_op FROM (SELECT user_id FROM am EXCEPT SELECT user_id FROM pm) x
+             |ORDER BY set_op, user_id""".stripMargin)
+    ),
+
+    // ---- §2.12 promoted semi/anti joins with oracle parity ------------------
+    QuerySpec(
+      "j_semi_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).withColumn("segment", lit("con_pedidos"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("segment", lit("sin_pedidos"))
+        semi.union(anti).select(col("segment"), col("n")).orderBy(col("segment"))
+      },
+      Some("""SELECT 'con_pedidos' AS segment, COUNT(*) AS n FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |UNION ALL
+             |SELECT 'sin_pedidos' AS segment, COUNT(*) AS n FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY segment""".stripMargin)
+    ),
+
     // ---- A10: dataset-level GK quantile sketch (rows-only: sketch-specific) -
     QuerySpec(
       "a10_approx_quantile_band",

@@ -51,6 +51,20 @@ object MoreQueries {
              |ORDER BY event_type ASC NULLS FIRST, event_hour ASC NULLS FIRST""".stripMargin)
     ),
 
+    // ---- §2.12 promoted: CUBE over type x dow (all 4 grouping combos) ------
+    QuerySpec(
+      "agg_cube_type_dow",
+      (s, dir) => {
+        val e = Features.withTemporal(Tables.events(s, dir), "ts", "event")
+        e.cube(col("event_type"), col("event_dow").cast("long").as("event_dow"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type").asc_nulls_first, col("event_dow").asc_nulls_first)
+      },
+      Some("""SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS event_dow, COUNT(*) AS n
+             |FROM events GROUP BY CUBE(event_type, dayofweek(ts) + 1)
+             |ORDER BY event_type ASC NULLS FIRST, event_dow ASC NULLS FIRST""".stripMargin)
+    ),
+
     // ---- exact distinct (oracle) + HLL sketch (engine-specific, rows-only) -
     QuerySpec(
       "agg_distinct_exact",

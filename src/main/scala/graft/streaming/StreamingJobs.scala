@@ -72,6 +72,25 @@ object StreamingJobs {
       }
   }
 
+  /** Watermarked SLIDING-window counts (1h window every 30min — each event
+    * lands in two overlapping windows): the trend-smoothing flavor of the
+    * tumbling aggregate. */
+  def slidingCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** SESSION windows (gap-based, built-in `session_window`): events closer
+    * than `gap` merge into one variable-length session per user — the
+    * declarative counterpart of the mapGroupsWithState sessionizer below,
+    * with watermark-bounded state. */
+  def sessionWindows(events: DataFrame, tsCol: String = "ts", gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
   /** Streaming exact dedup: drop replayed/duplicate records by key within
     * the watermark bound — the streaming counterpart of `dedup_exact` for
     * continuous ingest (at-least-once sources replay records; this makes

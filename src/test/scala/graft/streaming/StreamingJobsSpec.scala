@@ -68,6 +68,32 @@ class StreamingJobsSpec extends AnyFunSuite {
     assert(out > 0)
   }
 
+  test("sliding windows double-count each event; session windows match batch session count") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-win2").toString
+    val events = Tables.events(spark, TestSpark.sfDir).limit(5000)
+    events.write.mode("overwrite").parquet(dir)
+
+    // sliding 1h-every-30min: every event falls in exactly 2 windows
+    val q1 = StreamingJobs.runAvailableNow(
+      StreamingJobs.slidingCounts(StreamingJobs.eventsStream(spark, dir)),
+      "slide_counts", OutputMode.Complete)
+    q1.stop()
+    val slideTotal = spark.sql("SELECT SUM(n) FROM slide_counts").head.getLong(0)
+    assert(slideTotal == 2 * events.count())
+
+    // gap-based session windows: streaming result equals the same
+    // session_window aggregation run in batch
+    val q2 = StreamingJobs.runAvailableNow(
+      StreamingJobs.sessionWindows(StreamingJobs.eventsStream(spark, dir)),
+      "sess_win", OutputMode.Complete)
+    q2.stop()
+    val streamed = spark.sql("SELECT COUNT(*) FROM sess_win").head.getLong(0)
+    val batch = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1))).count()
+    assert(streamed == batch && streamed > 0)
+  }
+
   test("streaming dedup drops replayed records within the watermark") {
     // source with every event duplicated (an at-least-once replay)
     val dir = java.nio.file.Files.createTempDirectory("stream-dedup").toString

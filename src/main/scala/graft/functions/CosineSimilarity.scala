@@ -99,5 +99,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.ident, CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction((Shingle3.ident, Shingle3.info, Shingle3.builder))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -25,6 +25,25 @@ object ExtensionsSmoke {
           |                   CAST(array(2.0, 4.0) AS ARRAY<FLOAT>)), 6) AS cos,
           |  size(shingle3(array('a', 'b', 'c', 'd'))) AS n_shingles""".stripMargin).head()
       println(s"[extensions-smoke] cos=${row.getDouble(0)} shingles=${row.getInt(1)}")
+
+      // planner-strategy injection: build the AsOfJoin logical node through
+      // the shim DIRECTLY (bypassing AsOf.join's lazy extraStrategies
+      // registration) — it only plans if GraftExtensions injected the
+      // strategy into this fresh session
+      val ev = spark.sql(
+        """SELECT id AS event_id,
+          |  timestamp'2024-01-01 10:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts,
+          |  'a' AS k FROM range(3)""".stripMargin)
+      val rates = spark.sql(
+        "SELECT 'a' AS k, timestamp'2024-01-01 10:01:00' AS valid_from, CAST(7.5 AS DOUBLE) AS rate")
+      def attr(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.queryExecution.analyzed.output.find(_.name == n).get
+      val plan = graft.plans.AsOfJoin(
+        ev.queryExecution.analyzed, rates.queryExecution.analyzed,
+        attr(ev, "k"), attr(rates, "k"), attr(ev, "ts"), attr(rates, "valid_from"))
+      val matched = org.apache.spark.sql.classic.GraftSqlShim.ofRows(spark, plan)
+        .where("rate IS NOT NULL").count()
+      println(s"[extensions-smoke] asof_matched=$matched")
     } finally spark.stop()
   }
 }

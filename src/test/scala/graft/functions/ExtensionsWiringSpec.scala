@@ -34,5 +34,8 @@ class ExtensionsWiringSpec extends AnyFunSuite {
     assert(code == 0, s"forked smoke JVM failed:\n$out")
     // parallel vectors -> cosine exactly 1.0; 4 tokens -> 2 three-gram shingles
     assert(out.toString.contains("[extensions-smoke] cos=1.0 shingles=2"), out.toString)
+    // the injected PLANNER STRATEGY planned the custom as-of node: events at
+    // 10:01 and 10:02 match the 10:01 rate, the 10:00 event null-extends
+    assert(out.toString.contains("[extensions-smoke] asof_matched=2"), out.toString)
   }
 }

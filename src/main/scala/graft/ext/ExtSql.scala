@@ -404,8 +404,8 @@ object ExtSql {
        |  SELECT doc_id, n_tok,
        |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM pk_w)
-       |SELECT ${d.intDiv("(cum - n_tok)", budget.toString)} AS bin,
-       |  COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens
+       |SELECT CAST(${d.intDiv("(cum - n_tok)", budget.toString)} AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
        |FROM pk_c GROUP BY ${d.intDiv("(cum - n_tok)", budget.toString)}
        |ORDER BY bin""".stripMargin
 

@@ -364,7 +364,7 @@ object CoreQueries {
              |    COUNT(*) AS n,
              |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_dec
              |  FROM events GROUP BY 1, 2)
-             |SELECT event_dow, COUNT(*) AS n_groups, SUM(n) AS n,
+             |SELECT event_dow, COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n,
              |  ROUND(CAST(SUM(avg_dec * n) AS DOUBLE) / SUM(n), 4) AS valor_ponderado
              |FROM m GROUP BY event_dow ORDER BY event_dow""".stripMargin)
     ),
@@ -414,7 +414,7 @@ object CoreQueries {
              |  SELECT CAST(hour(ts) AS BIGINT) AS event_hour, COUNT(*) AS n
              |  FROM events GROUP BY 1)
              |SELECT event_hour, n,
-             |  SUM(n) OVER (ORDER BY event_hour) AS cum,
+             |  CAST(SUM(n) OVER (ORDER BY event_hour) AS BIGINT) AS cum,
              |  ROUND(SUM(n) OVER (ORDER BY event_hour) * CAST(100.0 AS DOUBLE) / SUM(n) OVER (), 6) AS cum_pct
              |FROM h ORDER BY event_hour""".stripMargin)
     ),

@@ -133,7 +133,7 @@ object MoreQueries {
              |    COUNT(*) AS n,
              |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_dec
              |  FROM events GROUP BY 1, 2)
-             |SELECT CAST(event_dow AS BIGINT) AS event_dow, SUM(n) AS n,
+             |SELECT CAST(event_dow AS BIGINT) AS event_dow, CAST(SUM(n) AS BIGINT) AS n,
              |  ROUND(CAST(SUM(avg_dec) AS DOUBLE) / COUNT(*), 4) AS avg_naive
              |FROM m GROUP BY 1 ORDER BY event_dow""".stripMargin)
     ),

@@ -17,6 +17,26 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# Oracle output columns must stay inside this set: anything else (HUGEINT
+# from un-cast SUM(BIGINT)/window-SUM, DECIMAL from un-cast literals) can
+# materialize differently in the driver's dump than in this client, which
+# normalizes to python ints/floats and so can't see the divergence (the
+# r2 a12/a13/a15/pack_sequences bug class). CAST the oracle column instead.
+SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+              "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "TIMESTAMP_NS"}
+
+
+def unsafe_cols(con, sql):
+    """DESCRIBE the oracle SQL; return [(col, type)] outside SAFE_TYPES."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    bad = []
+    for row in desc:
+        col, typ = row[0], row[1]
+        base = typ.split("(")[0].strip().upper()
+        if base not in SAFE_TYPES and not base.endswith("[]"):
+            bad.append((col, typ))
+    return bad
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -47,6 +67,11 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         try:
+            bad = unsafe_cols(con, sql)
+            if bad:
+                print(f"FAIL {name}: oracle emits non-portable types {bad} — CAST them")
+                failures += 1
+                continue
             ours = con.execute(
                 f"SELECT * FROM read_parquet('{dump}/*.parquet')"
             ).fetchall()

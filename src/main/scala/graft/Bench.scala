@@ -35,8 +35,9 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // stage caches must not leak into the next timing
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       name -> times.min
     }

@@ -71,4 +71,66 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(1L) == 2.5) // rate that became valid exactly at 09:00 applies
     assert(out(2L) == 1.0) // one second earlier still sees the old rate
   }
+
+  // big-right regime: per-event-id state history far too large to broadcast
+  // in spirit — drives the sort-merge variant and checks exact parity with
+  // the broadcast variant AND the window-composed equivalent.
+  private lazy val bigHistory = {
+    // 200 keys x 50 versions each; valid_from every 7 minutes from midnight
+    spark.sql(
+      """SELECT CAST(id % 200 AS STRING) AS k,
+        |  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(7 * (id / 200) AS INT),0) AS valid_from,
+        |  CAST(id AS DOUBLE) AS version
+        |FROM range(10000)""".stripMargin)
+  }
+
+  private lazy val bigEvents = Tables.events(spark, TestSpark.sfDir)
+    .select($"event_id", $"ts", ($"event_id" % 250).cast("string").as("k"))
+    // keys 200..249 have no history -> null-extended leg comes for free
+
+  test("sort-merge variant matches broadcast variant and window equivalent on a big right side") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"version")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+
+    val merge = toMap(AsOf.join(bigEvents, bigHistory, "k", "ts", "valid_from", strategy = "merge"))
+    val bcast = toMap(AsOf.join(bigEvents, bigHistory, "k", "ts", "valid_from", strategy = "broadcast"))
+    assert(merge == bcast)
+
+    val l = bigEvents.select($"k", $"ts", lit(1).as("is_left"), $"event_id",
+      lit(null).cast("double").as("version"))
+    val r = bigHistory.select($"k", $"valid_from".as("ts"), lit(0).as("is_left"),
+      lit(null).cast("long").as("event_id"), $"version")
+    val w = Window.partitionBy($"k").orderBy($"ts", $"is_left")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = l.unionByName(r)
+      .withColumn("version_asof", last($"version", ignoreNulls = true).over(w))
+      .filter($"is_left" === 1)
+      .select($"event_id", $"version_asof".as("version"))
+    assert(merge == toMap(composed))
+    assert(merge.values.exists(_ == null) && merge.values.exists(_ != null))
+  }
+
+  test("sort-merge plan co-partitions both sides and adds nothing beyond exchange+sort") {
+    val plan = AsOf.join(bigEvents, bigHistory, "k", "ts", "valid_from", strategy = "merge")
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("SortMergeAsOfJoin"), s.take(800))
+    // exactly the co-partitioning machinery: one exchange + one sort per side
+    assert("(?m)^.*Exchange hashpartitioning".r.findAllIn(s).size == 2, s)
+    assert("(?m)^.*\\bSort \\[".r.findAllIn(s).size == 2, s)
+  }
+
+  test("auto strategy picks broadcast under the threshold and merge above it") {
+    val small = AsOf.join(events, rates, "event_type", "ts", "valid_from")
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastAsOfJoin"), small.take(500))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val big = AsOf.join(events, rates, "event_type", "ts", "valid_from")
+        .queryExecution.executedPlan.toString
+      assert(big.contains("SortMergeAsOfJoin"), big.take(500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -33,6 +33,18 @@ object Ann {
     (model, index)
   }
 
+  /** Persist the index partitioned BY cluster: at read time the nprobe
+    * filter becomes partition pruning, so a probe touches only its
+    * clusters' files — the scan cost is O(corpus/k * nprobe), never the
+    * corpus, and on object storage the untouched partitions are never even
+    * listed into the scan. */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Reload a persisted index; `cluster` comes back as a partition column. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Top-k cosine search probing the `nprobe` nearest clusters. */
   def ivfSearch(spark: SparkSession, index: DataFrame, model: KMeansModel,
                 query: Array[Float], nprobe: Int, topK: Int): DataFrame = {

@@ -28,6 +28,21 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf.sameElements(brute))
   }
 
+  test("persisted index: probe filter prunes partitions and top-k is identical") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Ann.writeIndex(index, dir)
+    val reloaded = Ann.readIndex(spark, dir)
+    val search = Ann.ivfSearch(spark, reloaded, model, query, nprobe = 3, topK = 10)
+    val p = search.queryExecution.executedPlan.toString
+    // the cluster probe must surface as PARTITION pruning on the scan, not
+    // a post-scan data filter
+    assert(p.contains("PartitionFilters: [cluster"), p.take(1200))
+    val fromDisk = search.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val fromMem = Ann.ivfSearch(spark, index, model, query, nprobe = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(fromDisk.sameElements(fromMem))
+  }
+
   test("nprobe = 1 scans one cluster and still finds the query vector first") {
     val top = Ann.ivfSearch(spark, index, model, query, nprobe = 1, topK = 5).collect()
     assert(top.nonEmpty && top.head.getLong(0) == 0L)

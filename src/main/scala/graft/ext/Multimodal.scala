@@ -92,9 +92,33 @@ object Multimodal {
     }
   }
 
-  /** Audio/video codec decode — genuinely requires ffmpeg-class libraries
-    * absent from this container; deliberately unimplemented. Image decode
-    * is REAL — see [[ImageIoDecoder]]. */
+  /** REAL audio decode for PCM WAV — RIFF is a raw-sample container, so no
+    * codec library is needed ([[AudioBytes]]): header meta plus per-segment
+    * RMS energy as the feature vector. `DecodedMedia` field mapping for
+    * audio: width = sample rate (Hz), height = channels, n_frames = sample
+    * frames (saturated at Int.MaxValue). Non-WAV / non-PCM16 payloads
+    * degrade to metadata-or-nothing instead of failing the partition,
+    * mirroring the corrupt-image path. */
+  object RiffAudioDecoder extends MediaDecoder {
+    def decode(batch: Seq[MediaRecord]): Seq[DecodedMedia] = batch.map { r =>
+      AudioBytes.wavMeta(r.payload) match {
+        case Some(m) =>
+          DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+            width = m.sampleRate, height = m.channels,
+            n_frames = math.min(m.nFrames, Int.MaxValue.toLong).toInt,
+            features = AudioBytes.pcm16Features(r.payload, m))
+        case None =>
+          DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+            width = 0, height = 0, n_frames = 0, features = Array.empty[Float])
+      }
+    }
+  }
+
+  /** VIDEO codec decode — the one genuinely codec-bound modality left
+    * (H.264/VP9-class decoders are absent from this container);
+    * deliberately unimplemented. Image decode is REAL
+    * ([[ImageIoDecoder]]); PCM-WAV audio decode is REAL
+    * ([[RiffAudioDecoder]]). */
   object CodecDecoder extends MediaDecoder {
     def decode(batch: Seq[MediaRecord]): Seq[DecodedMedia] = ???
   }
@@ -110,7 +134,11 @@ object Multimodal {
   def sniffMeta(spark: SparkSession, ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import spark.implicits._
     ds.map { r =>
-      val (fmt, w, h) = ImageHeaders.sniff(r.payload).getOrElse(("unknown", 0, 0))
+      // audio sniff reuses the (format, a, b) triple: a = sample rate,
+      // b = channels — the routing facts a media pipeline buckets on
+      val (fmt, w, h) = ImageHeaders.sniff(r.payload)
+        .orElse(AudioBytes.wavMeta(r.payload).map(m => ("wav", m.sampleRate, m.channels)))
+        .getOrElse(("unknown", 0, 0))
       MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong, fmt, w, h)
     }
   }

@@ -42,10 +42,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(0, 3).isEmpty)
   }
 
-  test("CodecDecoder (audio/video) is a deliberate stub") {
+  test("CodecDecoder (video only) is a deliberate stub") {
     intercept[NotImplementedError] {
       Multimodal.CodecDecoder.decode(Seq.empty)
     }
+  }
+
+  // real WAV bytes, written by the JDK's own javax.sound.sampled encoder:
+  // 1 s of a 440 Hz sine at half scale, 8 kHz mono 16-bit PCM little-endian
+  private def wavBytes(rate: Float = 8000f, channels: Int = 1, amp: Double = 0.5): Array[Byte] = {
+    val n = rate.toInt
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](n * 2 * channels)
+    for (i <- 0 until n; c <- 0 until channels) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      val o = (i * channels + c) * 2
+      pcm(o) = (v & 0xff).toByte
+      pcm(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("AudioBytes sniffs WAV/RIFF meta: rate, channels, depth, duration") {
+    val m = AudioBytes.wavMeta(wavBytes()).get
+    assert(m.audioFormat == 1 && m.channels == 1 && m.sampleRate == 8000 && m.bitsPerSample == 16)
+    assert(m.nFrames == 8000L)
+    assert(math.abs(m.durationSec - 1.0) < 1e-9)
+    val stereo = AudioBytes.wavMeta(wavBytes(rate = 16000f, channels = 2)).get
+    assert(stereo.channels == 2 && stereo.sampleRate == 16000 && stereo.nFrames == 16000L)
+    // a header-only prefix still yields full meta (duration from declared size)
+    val prefix = AudioBytes.wavMeta(wavBytes().take(64)).get
+    assert(prefix.sampleRate == 8000 && math.abs(prefix.durationSec - 1.0) < 1e-9)
+    // non-WAV bytes sniff to None, never throw
+    assert(AudioBytes.wavMeta("just some text".getBytes("UTF-8")).isEmpty)
+    assert(AudioBytes.wavMeta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("RiffAudioDecoder really decodes PCM samples: RMS of a known sine") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", wavBytes()),
+      Multimodal.MediaRecord(2L, "audio", "not audio".getBytes("UTF-8")))
+    val out = Multimodal.RiffAudioDecoder.decode(recs).sortBy(_.doc_id)
+    assert(out(0).width == 8000 && out(0).height == 1 && out(0).n_frames == 8000)
+    // RMS of a half-scale sine = 0.5 / sqrt(2) in every time segment
+    assert(out(0).features.length == 8)
+    out(0).features.foreach(f => assert(math.abs(f - 0.5 / math.sqrt(2)) < 1e-3, f))
+    // non-WAV payload degrades to zero metadata, not a failure
+    assert(out(1).width == 0 && out(1).features.isEmpty)
+  }
+
+  test("sniffMeta routes WAV audio alongside images") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", imageBytes("png")),
+      Multimodal.MediaRecord(2L, "audio", wavBytes(rate = 44100f, channels = 2)))
+    val meta = Multimodal.sniffMeta(spark, spark.createDataset(recs)).collect().sortBy(_.doc_id)
+    assert(meta(0).format == "png")
+    assert(meta(1).format == "wav" && meta(1).width == 44100 && meta(1).height == 2)
   }
 
   // real image bytes, generated with the JDK's own encoder — no external libs

@@ -145,6 +145,15 @@ object ExtSql {
     * floor 50) rather than a fixed constant, so bigger corpora keep
     * proportional pruning without starving recall.
     *
+    * Pair-stream pruning (similarity-join prefix/length filtering): `len`
+    * rides the inverted index, which buys two things the r2 shape lacked —
+    * (a) a LENGTH-RATIO filter in the self-join ON clause: jac(a,b) <=
+    * min(len)/max(len), so any pair with len ratio > 2 can never reach 0.5
+    * and is dropped BEFORE the pair aggregation (~24% of the sf0.1 pair
+    * stream; far more on length-diverse corpora), and (b) the per-pair
+    * candidate floor reads MIN(LEAST(len)) off the aggregation itself, so
+    * the two pre-aggregation nj_len broadcast joins are retired outright.
+    *
     * Candidate floor (ADVICE r1 fix): a pair at Jaccard >= 0.5 with
     * m = min(|sh_a|, |sh_b|) shares s >= (|sh_a|+|sh_b|)/3 >= 2m/3
     * shingles, so the floor is per-pair ceil(2m/3) capped at 3 — short
@@ -154,34 +163,47 @@ object ExtSql {
     Staged(
       Seq(
         shingleStage("nj_t"),
-        "nj_e" -> { d: Sql => d.explodeSelect("doc_id", "sh", "s", "nj_t") },
-        "nj_len" -> { d: Sql => s"SELECT doc_id, ${d.arrLen("sh")} AS len FROM nj_t" },
-        "nj_rare" -> { d: Sql =>
-          s"""SELECT e.doc_id, e.s FROM nj_e e
-             |JOIN (SELECT s, COUNT(*) AS df FROM nj_e GROUP BY s
-             |      HAVING COUNT(*) <= GREATEST(50, ${d.intDiv("(SELECT COUNT(*) FROM nj_t)", "10")})) r
-             |  ON e.s = r.s""".stripMargin
+        // the index carries the 60-bit shingle HASH, not the shingle string:
+        // candidate generation only needs equality, and a BIGINT join key
+        // shuffles ~5x narrower than a 3-gram VARCHAR. A hash collision can
+        // only ADD a spurious candidate (killed by exact verification) —
+        // recall is preserved, and both engines hash identically (md5Long),
+        // so the final rows stay bit-equal cross-engine.
+        "nj_e" -> { d: Sql =>
+          s"SELECT doc_id, len, ${d.md5Long("s")} AS h FROM (${
+            d.explodeSelect(s"doc_id, ${d.arrLen("sh")} AS len", "sh", "s", "nj_t")}) nj_x"
         },
-        // the per-pair length floor reads the tiny nj_len table via two
-        // broadcast joins AFTER pair grouping keys are formed — measured
-        // faster than carrying len through the (much wider) exploded index
+        // hot-shingle pruning as an ANTI join against the HOT list (usually
+        // tiny or empty -> broadcast), not an equi-join against the full df
+        // table (which shuffles the whole index to keep almost all of it)
+        "nj_hot" -> { d: Sql =>
+          s"""SELECT h FROM nj_e GROUP BY h
+             |HAVING COUNT(*) > GREATEST(50, ${d.intDiv("(SELECT COUNT(*) FROM nj_t)", "10")})""".stripMargin
+        },
+        "nj_rare" -> { _: Sql =>
+          "SELECT e.doc_id, e.len, e.h FROM nj_e e WHERE NOT EXISTS (SELECT 1 FROM nj_hot x WHERE x.h = e.h)"
+        },
         "nj_cand" -> { d: Sql =>
-          s"""SELECT ea.doc_id AS i, eb.doc_id AS j
-             |FROM nj_rare ea JOIN nj_rare eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
-             |JOIN nj_len la ON ea.doc_id = la.doc_id
-             |JOIN nj_len lb ON eb.doc_id = lb.doc_id
-             |GROUP BY ea.doc_id, eb.doc_id, la.len, lb.len
-             |HAVING COUNT(*) >= LEAST(3, GREATEST(1, ${d.intDiv("2 * LEAST(la.len, lb.len) + 2", "3")}))""".stripMargin
+          s"""SELECT p.i, p.j FROM (
+             |  SELECT ea.doc_id AS i, eb.doc_id AS j,
+             |    MIN(LEAST(ea.len, eb.len)) AS m, COUNT(*) AS shared
+             |  FROM nj_rare ea JOIN nj_rare eb
+             |    ON ea.h = eb.h AND ea.doc_id < eb.doc_id
+             |    AND eb.len <= 2 * ea.len AND ea.len <= 2 * eb.len
+             |  GROUP BY ea.doc_id, eb.doc_id) p
+             |WHERE p.shared >= LEAST(3, GREATEST(1, ${d.intDiv("(2 * p.m + 2)", "3")}))""".stripMargin
         }
       ),
+      // exact-Jaccard verification; inter/len factored into a subquery so
+      // the set intersection is evaluated once per pair, not once per
+      // appearance in the select list and the predicate
       { d: Sql =>
-        s"""SELECT c.i, c.j,
-           |  ROUND(${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
-           |    (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}), 6) AS jac
-           |FROM nj_cand c JOIN nj_t ta ON c.i = ta.doc_id JOIN nj_t tb ON c.j = tb.doc_id
-           |WHERE ${d.interLen("ta.sh", "tb.sh")} * CAST(1.0 AS DOUBLE) /
-           |    (${d.arrLen("ta.sh")} + ${d.arrLen("tb.sh")} - ${d.interLen("ta.sh", "tb.sh")}) >= 0.5
-           |ORDER BY c.i, c.j""".stripMargin
+        s"""SELECT i, j, ROUND(inter * CAST(1.0 AS DOUBLE) / (la + lb - inter), 6) AS jac
+           |FROM (SELECT c.i, c.j, ${d.interLen("ta.sh", "tb.sh")} AS inter,
+           |        ${d.arrLen("ta.sh")} AS la, ${d.arrLen("tb.sh")} AS lb
+           |      FROM nj_cand c JOIN nj_t ta ON c.i = ta.doc_id JOIN nj_t tb ON c.j = tb.doc_id) v
+           |WHERE inter * CAST(1.0 AS DOUBLE) / (la + lb - inter) >= 0.5
+           |ORDER BY i, j""".stripMargin
       }
     )
   }

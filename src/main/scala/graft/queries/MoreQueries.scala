@@ -14,6 +14,11 @@ import graft.serve.Report
   */
 object MoreQueries {
 
+  /** Exact decimal sum surfaced as double — order-insensitive, cross-engine
+    * reproducible (same discipline as CoreQueries.dsum). */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(12,2)")).cast("double")
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---- §2.11: hour x day heatmap pivot (dashboard reshape of A2) ---------
@@ -368,6 +373,52 @@ object MoreQueries {
              |SELECT 'sin_pedidos' AS segment, COUNT(*) AS n FROM customer c
              |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY segment""".stripMargin)
+    ),
+
+    // ---- F1+F3 malformed-input gauntlet: hash-pin the null/range semantics -
+    // Five malformed batches derived from the first 5 events (NULL value,
+    // negative value, zero value, NULL ts, ts pushed 10 years into the
+    // future) flow through the REAL Clean.filterValid + Outliers.
+    // exactBandFilter operators. The output pins exactly which batches
+    // survive: 1-3 die on value > 0 (NULL compares unknown -> dropped),
+    // 4 dies on ts IS NOT NULL, 5 SURVIVES — F1 has no future-timestamp
+    // rule, and the band filter sees its duplicate values inside the band.
+    QuerySpec(
+      "etl_malformed_gauntlet",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        val seed = base.filter(col("event_id") < 5)
+        val bad = Seq(
+          seed.withColumn("value", lit(null).cast("double")).withColumn("event_id", col("event_id") + 1000000L),
+          seed.withColumn("value", -col("value")).withColumn("event_id", col("event_id") + 2000000L),
+          seed.withColumn("value", lit(0.0)).withColumn("event_id", col("event_id") + 3000000L),
+          seed.withColumn("ts", lit(null).cast("timestamp")).withColumn("event_id", col("event_id") + 4000000L),
+          seed.withColumn("ts", col("ts") + expr("INTERVAL 10 YEAR")).withColumn("event_id", col("event_id") + 5000000L)
+        ).reduce(_ unionByName _)
+        val valid = graft.etl.Clean.filterValid(base.unionByName(bad),
+          positiveCols = Seq("value"), nonNullCols = Seq("ts"))
+        val banded = graft.etl.Outliers.exactBandFilter(valid, "value", 0.01, 0.99)
+        banded.groupBy(expr("event_id DIV 1000000").as("batch"))
+          .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("v"))
+          .orderBy(col("batch"))
+      },
+      Some("""WITH base AS (SELECT event_id, ts, user_id, event_type, value FROM events),
+             |seed AS (SELECT * FROM base WHERE event_id < 5),
+             |bad AS (
+             |  SELECT event_id + 1000000 AS event_id, ts, user_id, event_type, CAST(NULL AS DOUBLE) AS value FROM seed
+             |  UNION ALL SELECT event_id + 2000000, ts, user_id, event_type, -value FROM seed
+             |  UNION ALL SELECT event_id + 3000000, ts, user_id, event_type, CAST(0.0 AS DOUBLE) FROM seed
+             |  UNION ALL SELECT event_id + 4000000, CAST(NULL AS TIMESTAMP), user_id, event_type, value FROM seed
+             |  UNION ALL SELECT event_id + 5000000, ts + INTERVAL 10 YEAR, user_id, event_type, value FROM seed),
+             |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM bad),
+             |valid AS (SELECT * FROM unioned WHERE value > 0 AND ts IS NOT NULL),
+             |banded AS (SELECT * FROM valid
+             |  WHERE value >= (SELECT quantile_cont(value, 0.01) FROM valid)
+             |    AND value <= (SELECT quantile_cont(value, 0.99) FROM valid))
+             |SELECT CAST(event_id // 1000000 AS BIGINT) AS batch, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS v
+             |FROM banded GROUP BY 1 ORDER BY batch""".stripMargin)
     ),
 
     // ---- A10: dataset-level GK quantile sketch (rows-only: sketch-specific) -

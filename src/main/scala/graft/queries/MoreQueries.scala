@@ -421,6 +421,35 @@ object MoreQueries {
              |FROM banded GROUP BY 1 ORDER BY batch""".stripMargin)
     ),
 
+    // ---- skew: salted two-stage aggregation is EXACT on a hot-key fixture --
+    // 80% of events land on one key ('hot'); Skew.saltedAgg spreads it over
+    // 16 salt buckets and merges partials. The oracle is the plain
+    // single-stage GROUP BY — hash equality proves the two-stage algebra
+    // exact, not just spec'd on toy frames. Values are decimal-accumulated
+    // so the salted summation order cannot produce a double ulp drift.
+    QuerySpec(
+      "agg_salted_skew",
+      (s, dir) => {
+        val t = Tables.events(s, dir).select(
+          expr("CASE WHEN event_id % 10 < 8 THEN 'hot' ELSE concat('k', CAST(event_id % 97 AS STRING)) END").as("k"),
+          col("event_id"),
+          col("value").cast("decimal(12,2)").as("v"))
+        graft.core.Skew.saltedAgg(t, "k", "v", spreadCol = "event_id", saltBuckets = 16)
+          .select(col("k"), col("n"),
+            round(col("total").cast("double"), 2).as("total"),
+            round(col("total").cast("double") / col("n"), 4).as("avg_v"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH t AS (
+             |  SELECT CASE WHEN event_id % 10 < 8 THEN 'hot'
+             |              ELSE 'k' || CAST(event_id % 97 AS VARCHAR) END AS k,
+             |    CAST(value AS DECIMAL(12,2)) AS v
+             |  FROM events)
+             |SELECT k, COUNT(*) AS n, ROUND(CAST(SUM(v) AS DOUBLE), 2) AS total,
+             |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS avg_v
+             |FROM t GROUP BY k ORDER BY k""".stripMargin)
+    ),
+
     // ---- A10: dataset-level GK quantile sketch (rows-only: sketch-specific) -
     QuerySpec(
       "a10_approx_quantile_band",

@@ -26,6 +26,16 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedAgg plans TWO aggregation stages: salt exchange, then key exchange") {
+    val plan = Skew.saltedAgg(skewed, "k", "v", spreadCol = "id", saltBuckets = 8)
+      .queryExecution.executedPlan.toString
+    // stage 1 shuffles on (k, __salt), stage 2 re-shuffles on k alone
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("__salt"), plan)
+    // each stage is a partial+final hash aggregate pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("withSalt spreads a hot key across buckets deterministically") {
     val salted = Skew.withSalt(skewed.filter($"k" === "hot"), "id", 8)
     val buckets = salted.select(countDistinct("__salt")).head.getLong(0)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bin-bucketed range join: join points to the intervals containing them.
+  *
+  * A naive `points JOIN intervals ON p >= lo AND p < hi` has no equi-key, so
+  * Spark can only plan it as a BroadcastNestedLoopJoin (small intervals side)
+  * or a CartesianProduct (large side) — both all-pairs, both scale killers at
+  * 100 TB. The standard fix (public Spark/Databricks range-join optimization,
+  * also how interval trees are flattened onto MPP engines) is to overlay a
+  * fixed grid of width `binWidth`:
+  *
+  *   - each point lands in exactly one bin: `floor(p / binWidth)`;
+  *   - each interval is exploded to every bin it overlaps
+  *     (`sequence(floor(lo/w), floor(hi/w))`);
+  *   - the join becomes an EQUI-join on the bin id, post-filtered by the
+  *     exact range predicate. Each matching pair is produced exactly once
+  *     because the point is in exactly one bin.
+  *
+  * Scale behavior: the equi-join hashes/broadcasts on the bin key like any
+  * other join — AQE, broadcast thresholds, and skew splitting all apply.
+  * The only amplification is the interval side, which grows by roughly
+  * `avg_interval_width / binWidth + 1` rows; pick `binWidth` near the median
+  * interval width so replication stays O(1) per interval. Degenerate
+  * intervals (hi < lo) vanish in the explode, mirroring the empty result the
+  * range predicate would give.
+  */
+object RangeJoin {
+
+  /** Join `points` to every row of `intervals` whose half-open range
+    * `[loCol, hiCol)` contains `points(pointCol)`. Inner join; all columns of
+    * both frames survive. `pointCol`/`loCol`/`hiCol` must be numeric. */
+  def binnedPointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val bin = "__rj_bin"
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val p = points.withColumn(bin, binOf(col(pointCol)))
+    // hi is exclusive, but a point equal to a bin boundary still lives in
+    // that bin, so the interval must cover floor(hi/w) too; the exact
+    // predicate below removes any overshoot.
+    val i = intervals.withColumn(
+      bin, explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    p.join(i, Seq(bin), "inner")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop(bin)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.Column
+
+import graft.core.{Skew, Tables}
+import graft.operators.{RangeJoin, Sessionize}
+import graft.streaming.StreamingJobs
+
+/** Round-3 operator queries: range join, sessionization, salted join
+  * parity, ntile windows, and the streaming batch-parity gate.
+  *
+  * Each entry follows the QuerySpec determinism contract (total ORDER BY,
+  * identical aliases both sides, decimal-exact money sums, BIGINT casts on
+  * DuckDB SUM/window-SUM outputs which otherwise widen to HUGEINT).
+  */
+object OpQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** memory-sink names must be fresh per invocation (bench runs each query
+    * twice in one session; re-starting a terminated query under the same
+    * name would shadow the previous temp view). */
+  private val streamRun = new AtomicLong(0L)
+
+  def all: Seq[QuerySpec] = Seq(
+
+    // ---- Range join (point-in-interval): events.value against 50
+    // overlapping value tiers. The binned rewrite keeps this an equi-join
+    // (see graft.operators.RangeJoin) — the naive BETWEEN predicate would
+    // plan a nested-loop, which PlanShapeSpec forbids registry-wide.
+    QuerySpec(
+      "j_range_tiers",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("value"))
+        val tiers = s.range(50).select(
+          col("id").as("tier"),
+          (col("id").cast("double") * 10.0).as("lo"),
+          (col("id").cast("double") * 10.0 + 12.0 +
+            (col("id") % 5).cast("double") * 3.0).as("hi"))
+        RangeJoin.binnedPointInInterval(e, "value", tiers, "lo", "hi", binWidth = 16.0)
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("tier"))
+      },
+      Some("""WITH tiers AS (
+             |  SELECT CAST(k AS BIGINT) AS tier,
+             |         CAST(k AS DOUBLE) * 10 AS lo,
+             |         CAST(k AS DOUBLE) * 10 + 12 + CAST(k % 5 AS DOUBLE) * 3 AS hi
+             |  FROM range(50) t(k))
+             |SELECT t.tier, COUNT(*) AS n,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Gap-based sessionization (4h inactivity gap), the batch twin of
+    // the streaming session_window. All-integer output: session ids are
+    // running sums (CAST from DuckDB's HUGEINT), durations integral DIV.
+    QuerySpec(
+      "w_sessionize",
+      (s, dir) => {
+        val sess = Sessionize.assign(
+          Tables.events(s, dir), "user_id", "ts", "event_id", gapSec = 14400L)
+        Sessionize.stats(sess, "user_id", "ts")
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |              > 14400000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, us,
+             |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM o)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- Salted-join exactness: Skew.saltedJoin (right side exploded
+    // across 8 salts, join key widened to (key, salt)) must aggregate to
+    // the same result as the plain join the oracle runs.
+    QuerySpec(
+      "j_salted_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_type"), col("event_id"), col("value"))
+        val dim = e.groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
+        Skew.saltedJoin(e, dim, "event_type", "event_id", saltBuckets = 8)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("value")).as("total_value"),
+            min(col("type_total")).as("type_total"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1)
+             |SELECT e.event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+             |       MIN(d.type_total) AS type_total
+             |FROM events e JOIN dim d USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- ntile quartiles per type (window-function family beyond
+    // rank/lag): ANSI ntile semantics match across engines; ties broken by
+    // event_id so the bucket assignment is total-order stable.
+    QuerySpec(
+      "w_ntile_quartiles",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy(col("event_type"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("lo_value"),
+            max(col("value")).as("hi_value"))
+          .orderBy(col("event_type"), col("quartile"))
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type, value, event_id,
+             |         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+             |  FROM events)
+             |SELECT event_type, CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n,
+             |       MIN(value) AS lo_value, MAX(value) AS hi_value
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- Structured Streaming batch parity, oracle-checked: an
+    // AvailableNow run of a streaming aggregation must hash-match the batch
+    // SQL over the same files. Buckets are integral 6h windows over
+    // micros-truncated event time (raw parquet ts is INT64 nanos with
+    // sub-microsecond parts; DuckDB timestamps are micros, so truncate
+    // BEFORE bucketing or boundary rows could land one window apart).
+    QuerySpec(
+      "stream_tumbling_counts",
+      (s, dir) => {
+        try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        catch { case _: Throwable => () }
+        // streaming file sources require a directory: stream the sf dir,
+        // glob-filtered to the events table
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val counts = src
+          .select(expr("(ts DIV 1000) DIV 21600000000").as("win_id"), col("event_type"))
+          .groupBy(col("win_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val name = s"stream_tumbling_counts_${streamRun.incrementAndGet()}"
+        StreamingJobs.runAvailableNow(counts, name, OutputMode.Complete())
+        s.table(name).orderBy(col("win_id"), col("event_type"))
+      },
+      Some("""SELECT CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS win_id,
+             |       event_type, COUNT(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    )
+  )
+}

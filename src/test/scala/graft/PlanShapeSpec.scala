@@ -46,7 +46,7 @@ class PlanShapeSpec extends AnyFunSuite {
     * — a broadcast of one row, not an all-pairs product. Anything else
     * acquiring a nested-loop or cartesian join is a scale regression. */
   private val scalarBroadcastAllowed = Set(
-    "f3_outlier_band", "e13_pct_of_total",
+    "f3_outlier_band", "e13_pct_of_total", "etl_malformed_gauntlet",
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_nprobe3", "ann_native_topk")
 
   test("no registry query plans a cartesian product or unexpected nested-loop join") {

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def points = Seq(
+    (1L, 0.0), (2L, 4.9), (3L, 5.0), (4L, 15.99), (5L, 16.0),
+    (6L, 47.5), (7L, -3.0), (8L, 100.0)
+  ).toDF("pid", "v")
+
+  // overlapping, multi-bin-spanning, degenerate (hi < lo), and
+  // boundary-aligned intervals
+  private def intervals = Seq(
+    ("a", 0.0, 5.0),     // [0,5): pid 1,2 — 5.0 excluded
+    ("b", 4.0, 50.0),    // spans 3 bins of width 16: pids 2..6
+    ("c", 16.0, 16.0),   // empty half-open range
+    ("d", 20.0, 10.0),   // degenerate hi < lo
+    ("e", -10.0, 0.5)    // negative lo: pids 7, 1
+  ).toDF("iid", "lo", "hi")
+
+  private def naive = points.crossJoin(intervals)
+    .where($"v" >= $"lo" && $"v" < $"hi")
+    .select("pid", "iid")
+
+  test("binned range join matches the naive cross-filter on every bin width") {
+    val expected = naive.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1.0, 7.5, 16.0, 1000.0)) {
+      val got = RangeJoin
+        .binnedPointInInterval(points, "v", intervals, "lo", "hi", w)
+        .select("pid", "iid").collect()
+      // exactly once per matching pair: compare as a multiset via sizes
+      assert(got.length == expected.size, s"binWidth=$w duplicated or dropped pairs")
+      assert(got.map(r => (r.getLong(0), r.getString(1))).toSet == expected, s"binWidth=$w")
+    }
+  }
+
+  test("boundary semantics: lo inclusive, hi exclusive") {
+    val got = RangeJoin.binnedPointInInterval(points, "v", intervals, "lo", "hi", 16.0)
+      .select("pid", "iid").as[(Long, String)].collect().toSet
+    assert(got.contains((1L, "a")))   // v=0.0 == lo included
+    assert(!got.contains((3L, "a")))  // v=5.0 == hi excluded
+    assert(got.exists(_._2 == "e"))   // negative-lo interval still matches
+    assert(!got.exists(_._2 == "c") && !got.exists(_._2 == "d")) // empty/degenerate
+  }
+
+  test("plans an equi-join on the bin key, not a nested-loop join") {
+    val plan = RangeJoin
+      .binnedPointInInterval(points, "v", intervals, "lo", "hi", 16.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to an all-pairs join:\n$plan")
+  }
+}

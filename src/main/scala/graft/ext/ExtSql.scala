@@ -396,6 +396,43 @@ object ExtSql {
     }
   )
 
+  /** Symmetric int8 quantization of the embedding vectors (the storage /
+    * transfer-compression step of an ANN serving pipeline): per-vector
+    * scale = 127 / max|x|, elements to FLOOR(x*scale + 0.5) in [-127, 127],
+    * all via explode + grouped aggregates (codegen both engines — the
+    * array-lambda HOFs are interpreted in Spark). The result is pinned by
+    * per-label scalar rollups: a position-weighted integer checksum of
+    * every quantized element (exact BIGINT — any element off by one
+    * anywhere flips it) plus the max dequantization error (bounded by
+    * 0.5/scale; rounded before compare). Float inputs are widened to
+    * double before any arithmetic — exact, so both renderings see
+    * identical values. */
+  val embQuantizeInt8Staged: Staged = Staged(
+    Seq(
+      "qz_e" -> { d: Sql => d.posExplodeSelect("vec_id, label", "embedding", "embeddings") },
+      "qz_s" -> { _: Sql =>
+        """SELECT vec_id,
+          |  CAST(127 AS DOUBLE) / (CASE WHEN MAX(ABS(CAST(val AS DOUBLE))) = 0
+          |    THEN CAST(1 AS DOUBLE) ELSE MAX(ABS(CAST(val AS DOUBLE))) END) AS scale
+          |FROM qz_e GROUP BY vec_id""".stripMargin },
+      "qz_q" -> { _: Sql =>
+        """SELECT e.vec_id, e.label, e.pos, s.scale,
+          |  CAST(FLOOR(CAST(e.val AS DOUBLE) * s.scale + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q,
+          |  CAST(e.val AS DOUBLE) AS x
+          |FROM qz_e e JOIN qz_s s ON e.vec_id = s.vec_id""".stripMargin },
+      "qz_v" -> { _: Sql =>
+        """SELECT vec_id, label,
+          |  CAST(SUM(q * pos) AS BIGINT) AS vchk,
+          |  MAX(ABS(CAST(q AS DOUBLE) / scale - x)) AS verr
+          |FROM qz_q GROUP BY vec_id, label""".stripMargin }
+    ),
+    { _: Sql =>
+      """SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(vchk) AS BIGINT) AS checksum,
+        |  ROUND(MAX(verr), 6) AS max_abs_err
+        |FROM qz_v GROUP BY 1 ORDER BY 1""".stripMargin }
+  )
+
   /** Deterministic mixture sampling: each source gets a stable rate in
     * [20, 80] (hash of the source name) and keeps documents whose id-hash
     * falls under it — the portable-hash flavor of `sampleBy` that

@@ -53,4 +53,36 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(bin)
   }
+
+  /** Interval-overlap join: all pairs (a, b) whose half-open ranges
+    * `[aLo, aHi)` and `[bLo, bHi)` intersect.
+    *
+    * Both sides explode to their overlapping bins and equi-join on the bin
+    * id. A pair of overlapping intervals shares every bin their intersection
+    * touches, so to emit each pair EXACTLY once the match is kept only in
+    * its canonical bin — the first bin both intervals occupy,
+    * `greatest(bin(aLo), bin(bLo))` — rather than deduplicating downstream
+    * (a distinct here would be a second shuffle over the pair universe).
+    * Replication per side is `width / binWidth + 1`, same dial as the
+    * point-in-interval case. */
+  def binnedOverlap(
+      left: DataFrame,
+      aLo: String,
+      aHi: String,
+      right: DataFrame,
+      bLo: String,
+      bHi: String,
+      binWidth: Double
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val bin = "__rj_bin"
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val a = left.withColumn(bin, explode(sequence(binOf(col(aLo)), binOf(col(aHi)))))
+    val b = right.withColumn(bin, explode(sequence(binOf(col(bLo)), binOf(col(bHi)))))
+    a.join(b, Seq(bin), "inner")
+      .where(
+        col(bin) === greatest(binOf(col(aLo)), binOf(col(bLo))) &&
+          col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .drop(bin)
+  }
 }

@@ -101,6 +101,7 @@ object ExtQueries {
     spec("text_vocab_topk", ExtSql.textVocabTopK(_, 20)),
     staged("text_fingerprint", ExtSql.textFingerprintStaged),
     staged("dedup_minhash_keep", ExtSql.dedupMinhashKeepStaged),
+    staged("emb_quantize_int8", ExtSql.embQuantizeInt8Staged),
     // Connected components: Spark side = iterative min-label propagation
     // with pointer jumping (no recursive SQL in Spark); oracle = DuckDB
     // recursive CTE. Same fixpoint, identical labels.

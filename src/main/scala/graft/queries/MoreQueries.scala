@@ -14,6 +14,46 @@ import graft.serve.Report
   */
 object MoreQueries {
 
+  /** Backward as-of join of events to a small rate table — each event picks
+    * the rate in force at its timestamp; event types with no rates
+    * null-extend. Parameterized by the physical-strategy hint so both the
+    * broadcast and the sort-merge exec are proven against the identical
+    * DuckDB ASOF LEFT JOIN oracle. */
+  private def asofRates(name: String, strategy: String): QuerySpec = QuerySpec(
+    name,
+    (s, dir) => {
+      import s.implicits._
+      val events = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        element_at(array(lit("click"), lit("view"), lit("scroll")),
+          (col("event_id") % 3).cast("int") + 1).as("etype"))
+      val rates = Seq(
+        ("click", "2024-01-01 00:00:00", 1.0),
+        ("click", "2024-01-10 00:00:00", 2.5),
+        ("click", "2024-01-20 12:00:00", 4.0),
+        ("view", "2024-01-05 06:00:00", 0.5),
+        ("view", "2024-01-15 18:00:00", 0.75)
+      ).toDF("etype", "valid_from", "rate")
+        .withColumn("valid_from", to_timestamp(col("valid_from")))
+      graft.plans.AsOf.join(events, rates, "etype", "ts", "valid_from", strategy)
+        .select(col("event_id"), col("rate"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH rates(etype, valid_from, rate) AS (VALUES
+           |  ('click', TIMESTAMP '2024-01-01 00:00:00', CAST(1.0 AS DOUBLE)),
+           |  ('click', TIMESTAMP '2024-01-10 00:00:00', CAST(2.5 AS DOUBLE)),
+           |  ('click', TIMESTAMP '2024-01-20 12:00:00', CAST(4.0 AS DOUBLE)),
+           |  ('view',  TIMESTAMP '2024-01-05 06:00:00', CAST(0.5 AS DOUBLE)),
+           |  ('view',  TIMESTAMP '2024-01-15 18:00:00', CAST(0.75 AS DOUBLE))),
+           |e AS (SELECT event_id, ts,
+           |  (['click', 'view', 'scroll'])[CAST(event_id % 3 AS INT) + 1] AS etype
+           |  FROM events)
+           |SELECT e.event_id, r.rate
+           |FROM e ASOF LEFT JOIN rates r
+           |  ON e.etype = r.etype AND e.ts >= r.valid_from
+           |ORDER BY event_id""".stripMargin)
+  )
+
   /** Exact decimal sum surfaced as double — order-insensitive, cross-engine
     * reproducible (same discipline as CoreQueries.dsum). */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -316,44 +356,13 @@ object MoreQueries {
              |ORDER BY set_op, user_id""".stripMargin)
     ),
 
-    // ---- custom whole-operator: backward as-of join (LogicalPlan + Strategy
-    // + broadcast SparkPlan, graft.plans.AsOfJoin) vs DuckDB's native
-    // ASOF LEFT JOIN — each event picks the rate in force at its timestamp;
-    // event types with no rates null-extend ------------------------------------
-    QuerySpec(
-      "j_asof_rates",
-      (s, dir) => {
-        import s.implicits._
-        val events = Tables.events(s, dir).select(
-          col("event_id"), col("ts"),
-          element_at(array(lit("click"), lit("view"), lit("scroll")),
-            (col("event_id") % 3).cast("int") + 1).as("etype"))
-        val rates = Seq(
-          ("click", "2024-01-01 00:00:00", 1.0),
-          ("click", "2024-01-10 00:00:00", 2.5),
-          ("click", "2024-01-20 12:00:00", 4.0),
-          ("view", "2024-01-05 06:00:00", 0.5),
-          ("view", "2024-01-15 18:00:00", 0.75)
-        ).toDF("etype", "valid_from", "rate")
-          .withColumn("valid_from", to_timestamp(col("valid_from")))
-        graft.plans.AsOf.join(events, rates, "etype", "ts", "valid_from")
-          .select(col("event_id"), col("rate"))
-          .orderBy(col("event_id"))
-      },
-      Some("""WITH rates(etype, valid_from, rate) AS (VALUES
-             |  ('click', TIMESTAMP '2024-01-01 00:00:00', CAST(1.0 AS DOUBLE)),
-             |  ('click', TIMESTAMP '2024-01-10 00:00:00', CAST(2.5 AS DOUBLE)),
-             |  ('click', TIMESTAMP '2024-01-20 12:00:00', CAST(4.0 AS DOUBLE)),
-             |  ('view',  TIMESTAMP '2024-01-05 06:00:00', CAST(0.5 AS DOUBLE)),
-             |  ('view',  TIMESTAMP '2024-01-15 18:00:00', CAST(0.75 AS DOUBLE))),
-             |e AS (SELECT event_id, ts,
-             |  (['click', 'view', 'scroll'])[CAST(event_id % 3 AS INT) + 1] AS etype
-             |  FROM events)
-             |SELECT e.event_id, r.rate
-             |FROM e ASOF LEFT JOIN rates r
-             |  ON e.etype = r.etype AND e.ts >= r.valid_from
-             |ORDER BY event_id""".stripMargin)
-    ),
+    // ---- custom whole-operator: backward as-of join (graft.plans.AsOfJoin)
+    // vs DuckDB's native ASOF LEFT JOIN — both physical strategies
+    // hash-checked against the same oracle: the broadcast exec (auto picks
+    // it for this dimension-scale right side) and the co-partitioned
+    // sort-merge exec (forced via the hint, the big-right scale path) ----------
+    asofRates("j_asof_rates", "auto"),
+    asofRates("j_asof_rates_merge", "merge"),
 
     // ---- §2.12 promoted semi/anti joins with oracle parity ------------------
     QuerySpec(

@@ -59,6 +59,43 @@ object OpQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- Interval-overlap join over two generated interval sets. The
+    // binned rewrite emits each overlapping pair exactly once (canonical
+    // first-common-bin), so no distinct pass; the oracle runs the plain
+    // quadratic overlap predicate, exact at oracle scale.
+    QuerySpec(
+      "j_range_overlap",
+      (s, dir) => {
+        val a = s.range(40).select(
+          col("id").as("a_id"),
+          (col("id").cast("double") * 12.5).as("alo"),
+          (col("id").cast("double") * 12.5 + 8.0 +
+            (col("id") % 4).cast("double") * 5.0).as("ahi"))
+        val b = s.range(30).select(
+          col("id").as("b_id"),
+          (col("id").cast("double") * 17.0 + 3.0).as("blo"),
+          (col("id").cast("double") * 17.0 + 13.0 +
+            (col("id") % 3).cast("double") * 7.0).as("bhi"))
+        RangeJoin.binnedOverlap(a, "alo", "ahi", b, "blo", "bhi", binWidth = 16.0)
+          .groupBy(col("a_id"))
+          .agg(count(lit(1)).as("n"), sum(col("b_id")).as("sum_b_id"))
+          .orderBy(col("a_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(k AS BIGINT) AS a_id,
+             |         CAST(k AS DOUBLE) * 12.5 AS alo,
+             |         CAST(k AS DOUBLE) * 12.5 + 8 + CAST(k % 4 AS DOUBLE) * 5 AS ahi
+             |  FROM range(40) t(k)),
+             |b AS (
+             |  SELECT CAST(m AS BIGINT) AS b_id,
+             |         CAST(m AS DOUBLE) * 17 + 3 AS blo,
+             |         CAST(m AS DOUBLE) * 17 + 13 + CAST(m % 3 AS DOUBLE) * 7 AS bhi
+             |  FROM range(30) t(m))
+             |SELECT a_id, COUNT(*) AS n, CAST(SUM(b_id) AS BIGINT) AS sum_b_id
+             |FROM a JOIN b ON alo < bhi AND blo < ahi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- Gap-based sessionization (4h inactivity gap), the batch twin of
     // the streaming session_window. All-integer output: session ids are
     // running sums (CAST from DuckDB's HUGEINT), durations integral DIV.
@@ -163,6 +200,59 @@ object OpQueries {
       Some("""SELECT CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS win_id,
              |       event_type, COUNT(*) AS n
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- Streaming session windows with watermark semantics, hash-pinned:
+    // an append-mode session_window aggregation only emits sessions closed
+    // before the final watermark (= max event time at 0s delay after an
+    // AvailableNow drain). Both sides apply the same strict cutoff
+    // (session end = last event + gap < max event time), so the oracle
+    // pins exactly the watermark-finalized set. session_window splits at a
+    // gap of EXACTLY 4h (the next event falls outside the half-open
+    // window), hence the >= in the oracle's boundary flag.
+    QuerySpec(
+      "stream_session_windows",
+      (s, dir) => {
+        try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        catch { case _: Throwable => () }
+        val batch = s.read.parquet(s"$dir/events.parquet")
+        val maxUs = batch.selectExpr("max(ts DIV 1000)").first().getLong(0)
+        val src = s.readStream.schema(batch.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+        val sess = src
+          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ets", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ets"), "4 hours"))
+          .agg(count(lit(1)).as("n_events"))
+        val name = s"stream_session_windows_${streamRun.incrementAndGet()}"
+        StreamingJobs.runAvailableNow(sess, name, OutputMode.Append())
+        s.table(name)
+          .where(unix_micros(col("session_window.end")) < lit(maxUs))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+             |o AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS us,
+             |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+             |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |              >= 14400000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, us,
+             |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |  FROM o),
+             |g AS (
+             |  SELECT user_id, sid, MIN(us) AS session_start_us,
+             |         MAX(us) AS last_us, COUNT(*) AS n_events
+             |  FROM sess GROUP BY 1, 2)
+             |SELECT user_id, session_start_us, n_events
+             |FROM g, mx WHERE last_us + 14400000000 < max_us
+             |ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -50,6 +50,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == "c") && !got.exists(_._2 == "d")) // empty/degenerate
   }
 
+  test("binned overlap join matches naive cross-filter, each pair exactly once") {
+    // includes touching-at-boundary (half-open: no overlap), containment,
+    // identical ranges, and multi-bin spans
+    val as = Seq(("a1", 0.0, 10.0), ("a2", 10.0, 20.0), ("a3", 5.0, 50.0), ("a4", 60.0, 61.0))
+      .toDF("aid", "alo", "ahi")
+    val bs = Seq(("b1", 9.0, 10.5), ("b2", 10.0, 20.0), ("b3", 0.0, 100.0), ("b4", 50.0, 60.0))
+      .toDF("bid", "blo", "bhi")
+    val expected = as.crossJoin(bs)
+      .where($"alo" < $"bhi" && $"blo" < $"ahi")
+      .select("aid", "bid").as[(String, String)].collect().toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1.0, 16.0, 300.0)) {
+      val got = RangeJoin.binnedOverlap(as, "alo", "ahi", bs, "blo", "bhi", w)
+        .select("aid", "bid").as[(String, String)].collect()
+      assert(got.length == expected.size, s"binWidth=$w duplicated or dropped pairs")
+      assert(got.toSet == expected, s"binWidth=$w")
+    }
+    // half-open semantics: a2=[10,20) does not overlap b4=[50,60); a4=[60,61) not b4
+    assert(!expected.contains(("a4", "b4")))
+  }
+
   test("plans an equi-join on the bin key, not a nested-loop join") {
     val plan = RangeJoin
       .binnedPointInInterval(points, "v", intervals, "lo", "hi", 16.0)

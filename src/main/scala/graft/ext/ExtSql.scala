@@ -396,6 +396,38 @@ object ExtSql {
     }
   )
 
+  /** Exact span-level dedup KPI (the C4/RefinedWeb "repeated passage"
+    * check, adapted to the flat synthetic text): every `chunk`-token span
+    * (stride = chunk, so spans tile the document) is fingerprinted with the
+    * portable 60-bit hash and counted globally and per-doc-set. One
+    * hash-groupBy over the exploded spans — the trivially-scalable exact
+    * complement to the approximate MinHash/SimHash family. Output is a
+    * single all-BIGINT KPI row (total/distinct/duplicated/cross-doc spans,
+    * max repeat count), non-empty at any scale factor. */
+  def dedupChunksExactStaged(chunk: Int = 3): Staged = Staged(
+    Seq(
+      "dx_t" -> { d: Sql =>
+        s"SELECT doc_id, ${d.splitWs("text")} AS toks, CAST(${d.arrLen(d.splitWs("text"))} AS BIGINT) AS len FROM documents"
+      },
+      "dx_s" -> { d: Sql =>
+        d.explodeSelect("doc_id, toks", d.rangeStep("1", "len", chunk), "st", "dx_t")
+      },
+      "dx_c" -> { d: Sql =>
+        s"SELECT doc_id, ${d.md5Long(d.arrJoin(d.arrSliceAt("toks", "st", chunk), " "))} AS fp FROM dx_s"
+      },
+      "dx_f" -> { _: Sql =>
+        "SELECT fp, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS docs FROM dx_c GROUP BY fp"
+      }
+    ),
+    { _: Sql =>
+      """SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_distinct_chunks,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_chunks,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_repeat
+        |FROM dx_f""".stripMargin }
+  )
+
   /** Symmetric int8 quantization of the embedding vectors (the storage /
     * transfer-compression step of an ANN serving pipeline): per-vector
     * scale = 127 / max|x|, elements to FLOOR(x*scale + 0.5) in [-127, 127],

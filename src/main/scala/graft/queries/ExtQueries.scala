@@ -102,6 +102,7 @@ object ExtQueries {
     staged("text_fingerprint", ExtSql.textFingerprintStaged),
     staged("dedup_minhash_keep", ExtSql.dedupMinhashKeepStaged),
     staged("emb_quantize_int8", ExtSql.embQuantizeInt8Staged),
+    staged("dedup_chunks_exact", ExtSql.dedupChunksExactStaged()),
     // Connected components: Spark side = iterative min-label propagation
     // with pointer jumping (no recursive SQL in Spark); oracle = DuckDB
     // recursive CTE. Same fixpoint, identical labels.

@@ -202,6 +202,32 @@ object OpQueries {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // ---- Count-min-sketch heavy hitters (sketch family beyond GK
+    // quantiles and HLL distinct): one pass builds the mergeable sketch
+    // (map-side partial aggregation — the 100 TB shape), the driver reads
+    // it back and reports estimated vs exact counts per key. Rows-only by
+    // contract (the sketch is not SQL-reproducible); the CMS guarantee
+    // (exact <= est <= exact + eps*N at the given confidence) is
+    // spec-asserted.
+    QuerySpec(
+      "agg_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val skBytes = e
+          .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val exact = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+        exact.collect()
+          .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+          .toSeq.toDF("event_type", "n_exact", "n_est")
+          .orderBy(col("event_type"))
+      },
+      None
+    ),
+
     // ---- Streaming session windows with watermark semantics, hash-pinned:
     // an append-mode session_window aggregation only emits sessions closed
     // before the final watermark (= max event time at 0s delay after an

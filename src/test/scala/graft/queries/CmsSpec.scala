@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** The count-min-sketch error contract: estimates never undercount, and
+  * overcount by at most eps * stream-size (here eps = 0.001) — with a
+  * 5-key stream the estimate should in fact be exact. */
+class CmsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("CMS estimates bound the exact counts per the eps*N guarantee") {
+    val rows = SparkEntry.queries("agg_cms_heavy_hitters")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS undercounted ($est < $exact)")
+      assert(est <= exact + math.ceil(0.001 * total).toLong,
+        s"${r.getString(0)}: CMS overcounted beyond eps*N ($est vs $exact, N=$total)")
+    }
+  }
+}

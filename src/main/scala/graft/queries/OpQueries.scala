@@ -202,6 +202,72 @@ object OpQueries {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // ---- Classic OLAP shapes beyond j2/q1: the TPC-H Q3 pattern
+    // (selective dim filter -> fact join -> top-k by aggregated revenue,
+    // TakeOrderedAndProject) and the Q5 pattern (six-way star with the
+    // co-location condition c_nationkey = s_nationkey). Decimal-exact
+    // revenue per the q1/j2 convention.
+    QuerySpec(
+      "q3_shipping_priority",
+      (s, dir) => {
+        val revenue = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir).where(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        val li = Tables.lineitem(s, dir).where(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+    QuerySpec(
+      "q5_local_supplier_volume",
+      (s, dir) => {
+        val revenue = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        val o = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        Tables.lineitem(s, dir)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)
+    ),
+
     // ---- Count-min-sketch heavy hitters (sketch family beyond GK
     // quantiles and HLL distinct): one pass builds the mergeable sketch
     // (map-side partial aggregation — the 100 TB shape), the driver reads

@@ -465,6 +465,17 @@ object ExtSql {
         |FROM qz_v GROUP BY 1 ORDER BY 1""".stripMargin }
   )
 
+  /** Edit-distance similarity over consecutive-doc 100-char prefixes —
+    * Levenshtein parity across engines (both implement the classic DP;
+    * the prefix cap keeps the O(len^2) cell work bounded, which is also
+    * the production discipline: edit distance is a VERIFY step on
+    * already-candidate pairs, never a candidate generator). */
+  def textEditDistPrefix(d: Sql): String =
+    s"""SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(levenshtein(substr(a.text, 1, 100), substr(b.text, 1, 100)) AS BIGINT) AS dist
+       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |ORDER BY dist, i LIMIT 20""".stripMargin
+
   /** Deterministic mixture sampling: each source gets a stable rate in
     * [20, 80] (hash of the source name) and keeps documents whose id-hash
     * falls under it — the portable-hash flavor of `sampleBy` that

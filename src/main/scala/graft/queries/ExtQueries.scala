@@ -103,6 +103,7 @@ object ExtQueries {
     staged("dedup_minhash_keep", ExtSql.dedupMinhashKeepStaged),
     staged("emb_quantize_int8", ExtSql.embQuantizeInt8Staged),
     staged("dedup_chunks_exact", ExtSql.dedupChunksExactStaged()),
+    spec("text_editdist_prefix", ExtSql.textEditDistPrefix),
     // Connected components: Spark side = iterative min-label propagation
     // with pointer jumping (no recursive SQL in Spark); oracle = DuckDB
     // recursive CTE. Same fixpoint, identical labels.

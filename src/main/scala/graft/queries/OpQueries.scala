@@ -202,6 +202,31 @@ object OpQueries {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // ---- Remaining window-function family: lead + first_value over the
+    // hourly series (lag/rank/ntile covered elsewhere); all-BIGINT output.
+    QuerySpec(
+      "w_lead_bounds",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("event_hour"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_hour"))
+        e.withColumn("next_n", lead(col("n"), 1).over(w))
+          .withColumn("first_n", first(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("event_type"), col("event_hour"))
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS event_hour, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, event_hour, n,
+             |  lead(n, 1) OVER (PARTITION BY event_type ORDER BY event_hour) AS next_n,
+             |  first_value(n) OVER (PARTITION BY event_type ORDER BY event_hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_n
+             |FROM h ORDER BY event_type, event_hour""".stripMargin)
+    ),
+
     // ---- Classic OLAP shapes beyond j2/q1: the TPC-H Q3 pattern
     // (selective dim filter -> fact join -> top-k by aggregated revenue,
     // TakeOrderedAndProject) and the Q5 pattern (six-way star with the

@@ -71,6 +71,40 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!expected.contains(("a4", "b4")))
   }
 
+  test("randomized: both variants match naive on seeded-random inputs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val pts = Seq.tabulate(60)(i => (i.toLong, rnd.nextDouble() * 200 - 50))
+        .toDF("pid", "v")
+      def ivs(n: Int) = Seq.tabulate(n) { i =>
+        val lo = rnd.nextDouble() * 200 - 60
+        // mix of tiny, normal, huge, and degenerate (negative-width) ranges
+        val width = rnd.nextInt(4) match {
+          case 0 => rnd.nextDouble() * 0.5
+          case 1 => rnd.nextDouble() * 20
+          case 2 => rnd.nextDouble() * 150
+          case _ => -rnd.nextDouble() * 5
+        }
+        (s"i$i", lo, lo + width)
+      }
+      val as = ivs(25).toDF("iid", "lo", "hi")
+      val w = Seq(0.7, 5.0, 33.0)(trial % 3)
+
+      val naivePt = pts.crossJoin(as).where($"v" >= $"lo" && $"v" < $"hi")
+        .select("pid", "iid").as[(Long, String)].collect().sorted.toSeq
+      val binnedPt = RangeJoin.binnedPointInInterval(pts, "v", as, "lo", "hi", w)
+        .select("pid", "iid").as[(Long, String)].collect().sorted.toSeq
+      assert(binnedPt == naivePt, s"point-in-interval trial=$trial w=$w")
+
+      val bs = ivs(25).toDF("jid", "blo", "bhi")
+      val naiveOv = as.crossJoin(bs).where($"lo" < $"bhi" && $"blo" < $"hi")
+        .select("iid", "jid").as[(String, String)].collect().sorted.toSeq
+      val binnedOv = RangeJoin.binnedOverlap(as, "lo", "hi", bs, "blo", "bhi", w)
+        .select("iid", "jid").as[(String, String)].collect().sorted.toSeq
+      assert(binnedOv == naiveOv, s"overlap trial=$trial w=$w")
+    }
+  }
+
   test("plans an equi-join on the bin key, not a nested-loop join") {
     val plan = RangeJoin
       .binnedPointInInterval(points, "v", intervals, "lo", "hi", 16.0)

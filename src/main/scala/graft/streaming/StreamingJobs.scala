@@ -134,6 +134,51 @@ object StreamingJobs {
     q.stop()
   }
 
+  /** foreachBatch key-merge sink — the production streaming-write pattern
+    * for sinks without native exactly-once support: each microbatch
+    * anti-joins the target on the key before appending, so BOTH failure
+    * modes dedupe — a replayed batch after a crash (same rows, second
+    * delivery) and late cross-batch duplicates from the source. The
+    * checkpoint gives at-least-once batch delivery; the key merge upgrades
+    * it to effectively-exactly-once on the key.
+    *
+    * Scale note: the anti-join reads only the key column of the target
+    * (column-pruned scan); at 100 TB the target would be partitioned and
+    * the batch's partition range pushed into the read, keeping the probe
+    * proportional to the batch, not the table. */
+  def foreachBatchKeyMerge(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpoint: String,
+      key: String
+  ): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatch = batch.dropDuplicates(key)
+        val novel =
+          try {
+            val existingKeys = spark.read.parquet(outDir).select(col(key))
+            inBatch.join(existingKeys, Seq(key), "left_anti")
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => inBatch // first batch
+          }
+        novel.persist()
+        try {
+          if (novel.limit(1).count() > 0)
+            novel.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        } finally novel.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+  }
+
   /** Run a streaming frame to a memory sink until all available data is
     * processed (Trigger.AvailableNow — the batch-parity execution mode). */
   def runAvailableNow(df: DataFrame, queryName: String, outputMode: OutputMode): StreamingQuery = {

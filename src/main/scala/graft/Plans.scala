@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
-                else Seq("s1_scan_pruned", "j2_revenue_by_nation", "q1_pricing", "a5_top_users")
+                else Seq("s1_scan_pruned", "j2_revenue_by_nation", "q1_pricing", "a5_top_users",
+                  "j_range_tiers", "w_sessionize", "q3_shipping_priority", "j_asof_rates_merge")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -114,11 +114,32 @@ object Multimodal {
     }
   }
 
-  /** VIDEO codec decode — the one genuinely codec-bound modality left
+  /** Video CONTAINER metadata decode — codec-free ([[VideoBytes]]: MP4 box
+    * tree, AVI RIFF headers): dimensions, duration, declared frame count.
+    * `DecodedMedia` mapping: n_frames = declared frames (AVI; 0 for MP4,
+    * whose frame count lives in per-track tables), features empty (no
+    * pixel data without a codec). Unknown containers degrade to
+    * metadata-or-nothing like the corrupt-image path. */
+  object ContainerVideoDecoder extends MediaDecoder {
+    def decode(batch: Seq[MediaRecord]): Seq[DecodedMedia] = batch.map { r =>
+      VideoBytes.sniff(r.payload) match {
+        case Some(m) =>
+          DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+            width = m.width, height = m.height,
+            n_frames = math.min(m.nFrames, Int.MaxValue.toLong).toInt,
+            features = Array.empty[Float])
+        case None =>
+          DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+            width = 0, height = 0, n_frames = 0, features = Array.empty[Float])
+      }
+    }
+  }
+
+  /** VIDEO frame/pixel decode — the one genuinely codec-bound seam left
     * (H.264/VP9-class decoders are absent from this container);
-    * deliberately unimplemented. Image decode is REAL
-    * ([[ImageIoDecoder]]); PCM-WAV audio decode is REAL
-    * ([[RiffAudioDecoder]]). */
+    * deliberately unimplemented. Image decode is REAL ([[ImageIoDecoder]]),
+    * PCM-WAV audio decode is REAL ([[RiffAudioDecoder]]), and video
+    * CONTAINER metadata is REAL ([[ContainerVideoDecoder]]). */
   object CodecDecoder extends MediaDecoder {
     def decode(batch: Seq[MediaRecord]): Seq[DecodedMedia] = ???
   }
@@ -138,6 +159,7 @@ object Multimodal {
       // b = channels — the routing facts a media pipeline buckets on
       val (fmt, w, h) = ImageHeaders.sniff(r.payload)
         .orElse(AudioBytes.wavMeta(r.payload).map(m => ("wav", m.sampleRate, m.channels)))
+        .orElse(VideoBytes.sniff(r.payload).map(m => (m.format, m.width, m.height)))
         .getOrElse(("unknown", 0, 0))
       MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong, fmt, w, h)
     }

@@ -293,6 +293,118 @@ object OpQueries {
              |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)
     ),
 
+    // ---- Distribution windows: percent_rank / cume_dist / nth_value —
+    // exact rational values ((rank-1)/(n-1), rank/n) identical across
+    // engines; rounded anyway per the determinism contract.
+    QuerySpec(
+      "w_dist_ranks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("event_hour"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("n"), col("event_hour"))
+        h.select(col("event_type"), col("event_hour"), col("n"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            nth_value(col("n"), 3).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("third_n"))
+          .orderBy(col("event_type"), col("event_hour"))
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS event_hour, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, event_hour, n,
+             |  ROUND(percent_rank() OVER w, 6) AS pr,
+             |  ROUND(cume_dist() OVER w, 6) AS cd,
+             |  nth_value(n, 3) OVER (PARTITION BY event_type ORDER BY n, event_hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_n
+             |FROM h
+             |WINDOW w AS (PARTITION BY event_type ORDER BY n, event_hour)
+             |ORDER BY event_type, event_hour""".stripMargin)
+    ),
+
+    // ---- Explicit GROUPING SETS with grouping() markers (CUBE/ROLLUP
+    // covered elsewhere); NULL ordering pinned explicitly on both sides
+    // (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST).
+    QuerySpec(
+      "agg_grouping_sets",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("event_hour", hour(col("ts")).cast("long"))
+          .createOrReplaceTempView("gs_events")
+        s.sql("""SELECT event_type, event_hour,
+                |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+                |  CAST(grouping(event_hour) AS BIGINT) AS g_hour,
+                |  COUNT(*) AS n
+                |FROM gs_events
+                |GROUP BY GROUPING SETS ((event_type), (event_hour), ())
+                |ORDER BY g_type, g_hour, event_type ASC NULLS FIRST,
+                |  event_hour ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT event_type, CAST(hour(ts) AS BIGINT) AS event_hour,
+             |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+             |  CAST(grouping(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS g_hour,
+             |  COUNT(*) AS n
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (CAST(hour(ts) AS BIGINT)), ())
+             |ORDER BY g_type, g_hour, event_type ASC NULLS FIRST,
+             |  event_hour ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- NULL-semantics gauntlet, hash-pinned: NULL keys form ONE group
+    // in GROUP BY but match NOTHING in joins (left rows null-extend) —
+    // the two NULL rules every engine must agree on. Ordering pinned
+    // NULLS FIRST explicitly (engine defaults differ).
+    QuerySpec(
+      "null_semantics_gauntlet",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          when(col("event_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("k"),
+          col("value"))
+        val dim = Tables.events(s, dir).select(col("event_type").as("k"))
+          .distinct().withColumn("present", lit(1L))
+        e.join(dim, Seq("k"), "left")
+          .groupBy(col("k"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("present").isNull, 1L).otherwise(0L)).as("unmatched"))
+          .orderBy(asc_nulls_first("k"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS k, value
+             |  FROM events),
+             |dim AS (SELECT DISTINCT event_type AS k, 1 AS present FROM events)
+             |SELECT e.k, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN dim.present IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unmatched
+             |FROM e LEFT JOIN dim ON e.k = dim.k
+             |GROUP BY e.k ORDER BY e.k ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ---- Temporal-function parity beyond hour/dow: date_trunc month
+    // keys, end-of-month clamping (add_months / last_day), day diffs from
+    // an epoch anchor — all on the orders dates (midnight-aligned).
+    QuerySpec(
+      "e_date_functions",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+          .agg(
+            count(lit(1)).as("n"),
+            max(last_day(col("o_orderdate"))).cast("timestamp").as("eom"),
+            min(add_months(col("o_orderdate"), 2)).cast("timestamp").as("plus2m"),
+            max(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+              .cast("long").as("max_day_offset"))
+          .orderBy(col("month_start"))
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, COUNT(*) AS n,
+             |  CAST(MAX(last_day(o_orderdate)) AS TIMESTAMP) AS eom,
+             |  CAST(MIN(o_orderdate + INTERVAL 2 MONTH) AS TIMESTAMP) AS plus2m,
+             |  CAST(MAX(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS max_day_offset
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- Count-min-sketch heavy hitters (sketch family beyond GK
     // quantiles and HLL distinct): one pass builds the mergeable sketch
     // (map-side partial aggregation — the 100 TB shape), the driver reads

@@ -15,10 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local-iteration substring filter (never set by the driver): restricts
-    // both the dump and oracle_sql.json so check_oracle sees a closed set
+    // local-iteration filter (never set by the driver): comma-separated
+    // substrings, any-match; restricts both the dump and oracle_sql.json so
+    // check_oracle sees a closed set
     val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
-    def keep(name: String): Boolean = filter.forall(name.contains)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def keep(name: String): Boolean = filter.forall(_.exists(name.contains))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries, MlQueries, MoreQueries, OpQueries, QuerySpec, ShapeQueries}
+import graft.queries.{CoreQueries, ExtQueries, MlQueries, MoreQueries, OpQueries, QuerySpec, ShapeQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{CoreQueries, ExtQueries, MlQueries, MoreQueries, OpQueries
 object SparkEntry {
 
   def registry: Seq[QuerySpec] =
-    CoreQueries.all ++ MoreQueries.all ++ OpQueries.all ++ ShapeQueries.all ++ ExtQueries.all ++ MlQueries.all
+    CoreQueries.all ++ MoreQueries.all ++ OpQueries.all ++ ShapeQueries.all ++
+      WarehouseQueries.all ++ ExtQueries.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Warehouse-maintenance operators: SCD2 dimension build, event-time
+  * range-frame rolling aggregates, bivariate statistics, and unpivot.
+  *
+  * Scale notes (the 100 TB shapes):
+  *   - scd2_user_type runs two window passes over the SAME hash partitioning
+  *     (user_id) — one Exchange total; the run-compression filter between
+  *     them only re-sorts within partitions.
+  *   - w_rolling_time_range is a RANGE frame over epoch micros — Spark's
+  *     window operator keeps a sliding buffer per partition, never the whole
+  *     frame; skew only if one user dominates (then: Skew.saltedAgg).
+  *   - rolling sums are DECIMAL-exact inside the frame; only the final
+  *     surfacing casts to double (per the QuerySpec contract).
+  */
+object WarehouseQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  def all: Seq[QuerySpec] = Seq(
+
+    // ---- SCD2 (type-2 slowly-changing dimension) build from an event log:
+    // run-compress consecutive equal values per user, then derive
+    // [valid_from, valid_to) intervals with lead(); open intervals flagged
+    // current. The standard warehouse dimension-versioning operator.
+    QuerySpec(
+      "scd2_user_type",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val chg = e
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        chg
+          .select(col("user_id"), col("event_type"),
+            col("us").as("valid_from_us"),
+            lead(col("us"), 1).over(w).as("valid_to_us"))
+          .withColumn("is_current",
+            when(col("valid_to_us").isNull, 1L).otherwise(0L))
+          .orderBy(col("user_id"), col("valid_from_us"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |chg AS (SELECT user_id, ts, event_id, event_type FROM o
+             |        WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+             |  FROM chg)
+             |SELECT user_id, event_type, valid_from_us, valid_to_us,
+             |  CASE WHEN valid_to_us IS NULL THEN CAST(1 AS BIGINT)
+             |       ELSE CAST(0 AS BIGINT) END AS is_current
+             |FROM v ORDER BY user_id, valid_from_us""".stripMargin)
+    ),
+
+    // ---- Event-time rolling aggregates: RANGE frame of 1h of epoch micros
+    // per user (peers with equal order keys enter the frame together on
+    // both engines). Decimal-exact rolling sum.
+    QuerySpec(
+      "w_rolling_time_range",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        e.select(col("user_id"), col("event_id"), col("us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+             |SELECT user_id, event_id, us,
+             |  COUNT(*) OVER w AS n_1h,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, us, event_id""".stripMargin)
+    ),
+
+    // ---- Bivariate statistics family: corr / covar_samp / var_samp /
+    // regr_slope per type, rounded 4 per the determinism contract.
+    QuerySpec(
+      "agg_corr_stats",
+      (s, dir) => {
+        val h = hour(col("ts")).cast("double")
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            round(corr(col("value"), h), 4).as("corr_vh"),
+            round(covar_samp(col("value"), h), 4).as("covar_vh"),
+            round(var_samp(col("value")), 4).as("var_v"),
+            round(regr_slope(col("value"), h), 4).as("slope_vh"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_vh,
+             |  ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_vh,
+             |  ROUND(var_samp(value), 4) AS var_v,
+             |  ROUND(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4) AS slope_vh
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Unpivot (wide KPI row -> long metric/value pairs) via the native
+    // DataFrame unpivot operator; the oracle's UNION ALL is the relational
+    // definition it must match.
+    QuerySpec(
+      "unpivot_kpis",
+      (s, dir) => {
+        val kpi = Tables.events(s, dir).agg(
+          count(lit(1)).cast("double").as("n_events"),
+          dsum(col("value")).as("total_value"),
+          (dsum(col("value")) / count(lit(1))).cast("double").as("avg_value"))
+        kpi.unpivot(
+            Array.empty[Column],
+            Array(col("n_events"), col("total_value"), col("avg_value")),
+            "metric", "value")
+          .orderBy(col("metric"))
+      },
+      Some("""WITH k AS (SELECT
+             |    CAST(COUNT(*) AS DOUBLE) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_value
+             |  FROM events)
+             |SELECT 'n_events' AS metric, n_events AS value FROM k
+             |UNION ALL SELECT 'total_value', total_value FROM k
+             |UNION ALL SELECT 'avg_value', avg_value FROM k
+             |ORDER BY metric""".stripMargin)
+    )
+  )
+}

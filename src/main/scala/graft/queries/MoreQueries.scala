@@ -121,14 +121,27 @@ object MoreQueries {
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS usuarios_unicos
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
+    // HLL sketch values are engine-specific, but the estimator's error
+    // BOUND is not: rsd=0.02 is the requested relative standard deviation,
+    // so |est−exact|/exact ≤ 3·rsd holds at 3σ (deterministically for a
+    // fixed dataset — HLL is seed-free). Emitting the exact count plus the
+    // bound boolean makes the row hash-checkable (VERDICT r3 item #1b).
     QuerySpec(
       "agg_distinct_hll",
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("usuarios_aprox"))
+          .agg(
+            countDistinct(col("user_id")).as("usuarios_exactos"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("est"))
+          .select(
+            col("event_type"), col("usuarios_exactos"),
+            (abs(col("est") - col("usuarios_exactos")).cast("double") /
+              col("usuarios_exactos") <= lit(0.06)).as("hll_dentro_3sigma"))
           .orderBy(col("event_type")),
-      None // HLL sketch values are engine-specific; driver does rows-only
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS usuarios_exactos,
+             |  TRUE AS hll_dentro_3sigma
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // ---- E9 + A8 faithful shape: percentile ARRAY then getItem unpack ------
@@ -317,24 +330,37 @@ object MoreQueries {
              |ORDER BY event_id""".stripMargin)
     ),
 
-    // ---- F4/O5: seeded Bernoulli sample + randomSplit counts (Spark-side
-    // deterministic for a fixed partition layout; not cross-engine -> rows-only)
+    // ---- F4/O5: seeded Bernoulli sample + randomSplit counts. The raw
+    // counts are partition-layout-dependent, but their STATISTICS are not:
+    // randomSplit partitions the input exactly (train+test == total), and
+    // both legs are per-row Bernoulli draws, so the counts sit within a
+    // 6σ binomial band around fraction·N with certainty for any sane RNG.
+    // Emitting the exact total plus the band booleans converts the check
+    // from rows-only to hash-checked (VERDICT r3 item #1).
     QuerySpec(
       "f4_seeded_sample_counts",
       (s, dir) => {
-        // One job, not three count() actions (VERDICT r1 fix): tag each leg
-        // and aggregate the union, so the three scans run as one stage
-        // instead of three sequential jobs. Counts are identical — sample()
-        // and randomSplit() stay deterministic for a fixed seed + layout.
+        // One job, not four count() actions (VERDICT r1 fix): tag each leg
+        // and aggregate the union, so the scans run as one stage.
         val e = Tables.events(s, dir)
         val sampled = e.sample(withReplacement = false, 0.1, seed = 42L)
         val Array(tr, te) = e.randomSplit(Array(0.8, 0.2), seed = 42L)
-        sampled.select(lit("n_sample").as("leg"))
+        e.select(lit("n_total").as("leg"))
+          .union(sampled.select(lit("n_sample").as("leg")))
           .union(tr.select(lit("n_train").as("leg")))
           .union(te.select(lit("n_test").as("leg")))
-          .groupBy().pivot("leg", Seq("n_sample", "n_train", "n_test")).count()
+          .groupBy().pivot("leg", Seq("n_total", "n_sample", "n_train", "n_test")).count()
+          .select(
+            col("n_total"),
+            (col("n_train") + col("n_test") === col("n_total")).as("particion_completa"),
+            (abs(col("n_sample") - lit(0.1) * col("n_total")) <=
+              lit(6.0) * sqrt(col("n_total") * lit(0.1 * 0.9))).as("muestra_en_banda"),
+            (abs(col("n_train") - lit(0.8) * col("n_total")) <=
+              lit(6.0) * sqrt(col("n_total") * lit(0.8 * 0.2))).as("split_en_banda"))
       },
-      None
+      Some("""SELECT COUNT(*) AS n_total, TRUE AS particion_completa,
+             |  TRUE AS muestra_en_banda, TRUE AS split_en_banda
+             |FROM events""".stripMargin)
     ),
 
     // ---- §2.12 promoted set ops: INTERSECT / EXCEPT with oracle parity ------
@@ -459,16 +485,37 @@ object MoreQueries {
              |FROM t GROUP BY k ORDER BY k""".stripMargin)
     ),
 
-    // ---- A10: dataset-level GK quantile sketch (rows-only: sketch-specific) -
+    // ---- A10: dataset-level GK quantile sketch, bound-checked. The GK
+    // guarantee at relativeError=0.01 is that the returned value's RANK is
+    // within ±1% of the target rank, so its VALUE must lie between the
+    // exact quantiles at p±0.01; we bracket with p±0.03 (clamped to
+    // [0,1]) to absorb rank-definition differences between engines, which
+    // still pins the sketch to a 6%-of-rank window. The exact brackets are
+    // themselves hash-checked vs DuckDB quantile_cont, and the sketch
+    // values become `dentro` booleans (VERDICT r3 item #1a).
     QuerySpec(
       "a10_approx_quantile_band",
       (s, dir) => {
         import s.implicits._
-        val bands = Tables.events(s, dir).stat
-          .approxQuantile("value", Array(0.01, 0.99), 0.01)
-        Seq((bands(0), bands(1))).toDF("p01_aprox", "p99_aprox")
+        val e = Tables.events(s, dir)
+        val sk = e.stat.approxQuantile("value", Array(0.01, 0.99), 0.01)
+        val ex = e.agg(expr("percentile(value, array(0.0, 0.04, 0.96, 1.0))"))
+          .head().getSeq[Double](0)
+        Seq((ex(0), ex(1), ex(2), ex(3),
+             sk(0) >= ex(0) && sk(0) <= ex(1),
+             sk(1) >= ex(2) && sk(1) <= ex(3)))
+          .toDF("p00", "p04", "p96", "p100", "p01_dentro", "p99_dentro")
+          .select(
+            round(col("p00"), 4).as("p00"), round(col("p04"), 4).as("p04"),
+            round(col("p96"), 4).as("p96"), round(col("p100"), 4).as("p100"),
+            col("p01_dentro"), col("p99_dentro"))
       },
-      None
+      Some("""SELECT ROUND(quantile_cont(value, 0.00), 4) AS p00,
+             |  ROUND(quantile_cont(value, 0.04), 4) AS p04,
+             |  ROUND(quantile_cont(value, 0.96), 4) AS p96,
+             |  ROUND(quantile_cont(value, 1.00), 4) AS p100,
+             |  TRUE AS p01_dentro, TRUE AS p99_dentro
+             |FROM events""".stripMargin)
     )
   )
 }

@@ -408,10 +408,12 @@ object OpQueries {
     // ---- Count-min-sketch heavy hitters (sketch family beyond GK
     // quantiles and HLL distinct): one pass builds the mergeable sketch
     // (map-side partial aggregation — the 100 TB shape), the driver reads
-    // it back and reports estimated vs exact counts per key. Rows-only by
-    // contract (the sketch is not SQL-reproducible); the CMS guarantee
-    // (exact <= est <= exact + eps*N at the given confidence) is
-    // spec-asserted.
+    // it back and checks each key's estimate against the CMS guarantee
+    // (exact ≤ est ≤ exact + ε·N at the configured confidence — here
+    // deterministic for the fixed seed + dataset). The exact counts are
+    // hash-checked vs DuckDB; the sketch estimates become a bound boolean
+    // (VERDICT r3 item #1). The collect() reads back a ≤5-row grouped
+    // aggregate — driver-side by design.
     QuerySpec(
       "agg_cms_heavy_hitters",
       (s, dir) => {
@@ -423,12 +425,18 @@ object OpQueries {
         val cms = org.apache.spark.util.sketch.CountMinSketch
           .readFrom(new java.io.ByteArrayInputStream(skBytes))
         val exact = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
-        exact.collect()
-          .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-          .toSeq.toDF("event_type", "n_exact", "n_est")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val n = exact.map(_._2).sum
+        exact
+          .map { case (k, cnt) =>
+            val est = cms.estimateCount(k)
+            (k, cnt, est >= cnt && est <= cnt + math.ceil(0.001 * n).toLong)
+          }
+          .toSeq.toDF("event_type", "n_exact", "cms_dentro_eps")
           .orderBy(col("event_type"))
       },
-      None
+      Some("""SELECT event_type, COUNT(*) AS n_exact, TRUE AS cms_dentro_eps
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // ---- Streaming session windows with watermark semantics, hash-pinned:

@@ -56,6 +56,31 @@ object Multimodal {
     }
   }
 
+  /** Decode bytes with ImageIO (JDK-shipped PNG/JPEG/GIF/BMP readers);
+    * null when the reader can't handle them. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
+
+  /** 8-bin luminance histogram, normalized — the shared pixel-feature
+    * vector for still images and extracted video frames. */
+  private def lumaHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = img.getWidth.toLong * img.getHeight
+    hist.map(c => c.toFloat / total)
+  }
+
   /** REAL image decode via `javax.imageio` — ships inside the JDK
     * (PNG/JPEG/GIF/BMP readers, no external codec): true pixel dimensions
     * plus an 8-bin luminance histogram as the feature vector. Records the
@@ -64,26 +89,11 @@ object Multimodal {
     * payload degrades to metadata instead of failing the partition. */
   object ImageIoDecoder extends MediaDecoder {
     def decode(batch: Seq[MediaRecord]): Seq[DecodedMedia] = batch.map { r =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: Exception => null }
+      val img = readImage(r.payload)
       if (img != null) {
-        val hist = new Array[Long](8)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            hist(lum >> 5) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val total = img.getWidth.toLong * img.getHeight
         DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
           width = img.getWidth, height = img.getHeight, n_frames = 1,
-          features = hist.map(c => c.toFloat / total))
+          features = lumaHistogram(img))
       } else {
         val (w, h) = ImageHeaders.sniff(r.payload).map(s => (s._2, s._3)).getOrElse((0, 0))
         DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
@@ -135,13 +145,42 @@ object Multimodal {
     }
   }
 
-  /** VIDEO frame/pixel decode — the one genuinely codec-bound seam left
-    * (H.264/VP9-class decoders are absent from this container);
-    * deliberately unimplemented. Image decode is REAL ([[ImageIoDecoder]]),
-    * PCM-WAV audio decode is REAL ([[RiffAudioDecoder]]), and video
-    * CONTAINER metadata is REAL ([[ContainerVideoDecoder]]). */
+  /** VIDEO frame/pixel decode, codec-free where the format allows it:
+    * MJPEG-in-AVI frames are standalone JPEGs, so
+    * [[VideoBytes.aviFirstJpegFrame]] + the JDK's ImageIO decode REAL
+    * first-frame pixels — true dimensions plus the same 8-bin luminance
+    * histogram the still-image path emits — with n_frames taken from the
+    * container's `avih` header. Inter-frame codecs (H.264/VP9-class,
+    * whose decoders are absent from this container) and non-AVI payloads
+    * degrade to container metadata like [[ContainerVideoDecoder]], never
+    * failing the partition. Every modality now has a real decode leg:
+    * images ([[ImageIoDecoder]]), PCM-WAV audio ([[RiffAudioDecoder]]),
+    * MJPEG video frames (here). */
   object CodecDecoder extends MediaDecoder {
-    def decode(batch: Seq[MediaRecord]): Seq[DecodedMedia] = ???
+    def decode(batch: Seq[MediaRecord]): Seq[DecodedMedia] = batch.map { r =>
+      val meta = VideoBytes.sniff(r.payload)
+      val frame = VideoBytes.aviFirstJpegFrame(r.payload)
+        .map(readImage).filter(_ != null)
+      frame match {
+        case Some(img) =>
+          DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+            width = img.getWidth, height = img.getHeight,
+            n_frames = meta.map(m => math.min(m.nFrames, Int.MaxValue.toLong).toInt)
+              .filter(_ > 0).getOrElse(1),
+            features = lumaHistogram(img))
+        case None =>
+          meta match {
+            case Some(m) =>
+              DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+                width = m.width, height = m.height,
+                n_frames = math.min(m.nFrames, Int.MaxValue.toLong).toInt,
+                features = Array.empty[Float])
+            case None =>
+              DecodedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+                width = 0, height = 0, n_frames = 0, features = Array.empty[Float])
+          }
+      }
+    }
   }
 
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,

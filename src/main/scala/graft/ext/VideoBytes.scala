@@ -125,4 +125,42 @@ object VideoBytes {
   def sniff(b: Array[Byte]): Option[VideoMeta] =
     try mp4Meta(b).orElse(aviMeta(b))
     catch { case _: IndexOutOfBoundsException => None }
+
+  /** First video-frame payload from an AVI `movi` list, when that frame is
+    * a standalone JPEG (MJPEG codec: every `##dc`/`##db` chunk begins with
+    * the FF D8 SOI marker). MJPEG needs NO codec library — the container
+    * walk here plus the JDK's ImageIO close the frame-decode path — so
+    * this is the codec-free seam between "container metadata only" and
+    * real pixels. Inter-frame codecs (whose chunks are not JPEGs) and
+    * non-AVI containers return None. Handles frames nested in `rec ` lists
+    * (interleaved AVIs group chunks per video rec). */
+  def aviFirstJpegFrame(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        fourcc(b, 8) != "AVI ") return None
+    def scan(from: Int, to: Int): Option[Array[Byte]] = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fourcc(b, o)
+        val size = le32(b, o + 4).toInt
+        val payload = o + 8
+        if (size < 0 || payload + size > to) return None // truncated: stop
+        if (id == "LIST" && payload + 4 <= to) {
+          val ltype = fourcc(b, payload)
+          if (ltype == "movi" || ltype == "rec ") {
+            val hit = scan(payload + 4, payload + size)
+            if (hit.isDefined) return hit
+          }
+        } else if (id(0).isDigit && id(1).isDigit && id(2) == 'd' &&
+                   (id(3) == 'c' || id(3) == 'b') && size >= 2 &&
+                   u8(b(payload)) == 0xff && u8(b(payload + 1)) == 0xd8) {
+          return Some(java.util.Arrays.copyOfRange(b, payload, payload + size))
+        }
+        o = payload + size + (size & 1)
+      }
+      None
+    }
+    try scan(12, b.length)
+    catch { case _: IndexOutOfBoundsException => None }
+  }
 }

@@ -42,10 +42,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(0, 3).isEmpty)
   }
 
-  test("CodecDecoder (video only) is a deliberate stub") {
-    intercept[NotImplementedError] {
-      Multimodal.CodecDecoder.decode(Seq.empty)
-    }
+  test("CodecDecoder handles empty batches (MJPEG leg lives in VideoBytesSpec)") {
+    assert(Multimodal.CodecDecoder.decode(Seq.empty).isEmpty)
   }
 
   // real WAV bytes, written by the JDK's own javax.sound.sampled encoder:

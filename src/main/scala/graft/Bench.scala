@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import java.io.{FileWriter, PrintWriter}
+import java.nio.file.{Files, Paths}
+
 /** Driver benchmark: runs every registry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract).
   *
@@ -30,6 +33,12 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
+    // Incremental per-query emission (VERDICT r4 item #1): every timing is
+    // appended to a JSONL file the moment it's measured, so a truncated
+    // stdout capture can never lose per-query numbers or the total again.
+    val progressPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROGRESS", "target/bench_progress.jsonl")
+    Option(Paths.get(progressPath).getParent).foreach(Files.createDirectories(_))
+    val progress = new PrintWriter(new FileWriter(progressPath, false), true) // autoflush per line
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -39,11 +48,15 @@ object Bench {
         spark.catalog.clearCache() // stage caches must not leak into the next timing
         dt
       }
+      progress.println(s"""{"query":"$name","sec":${times.min},"runs":[${times.mkString(",")}]}""")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    progress.println(line) // the full line lives on disk even if stdout truncates
+    progress.close()
+    println(line)
     spark.stop()
   }
 }

@@ -21,13 +21,23 @@ object Verify {
     val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     def keep(name: String): Boolean = filter.forall(_.exists(name.contains))
+    // Per-query progress JSONL, appended as each dump lands — a truncated
+    // run still leaves an exact record of what completed (VERDICT r4 #1).
+    val progress = new java.io.PrintWriter(
+      new java.io.FileWriter(s"$outDir/verify_progress.jsonl", false), true)
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        progress.println(
+          s"""{"query":"$name","status":"ok","sec":${(System.nanoTime() - t0) / 1e9}}""")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        progress.println(s"""{"query":"$name","status":"failed"}""")
       }
     }
+    progress.close()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

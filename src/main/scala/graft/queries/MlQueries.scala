@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Dumps, Tables}
 import graft.etl.Features
 import graft.ml.Pipelines
 import graft.ml.Pipelines.RegressionConfig
@@ -51,14 +51,9 @@ object MlQueries {
     (df.filter(pmod(col("event_id"), lit(10)) < 8),
      df.filter(pmod(col("event_id"), lit(10)) >= 8))
 
-  /** Prediction-dump root. The DuckDB oracle reads these files back with
-    * `read_parquet`, so the path must be identical from both engines' point
-    * of view: absolute, keyed by the scale-factor directory basename. The
-    * driver's correctness gate runs at sf0.01 — the path hardcoded in the
-    * oracle SQL — while bench/local runs at other SFs dump to sibling dirs
-    * and never clobber the gate's files. */
-  private def dumpDir(dir: String): String =
-    s"/root/repo/target/verify_dumps/${new java.io.File(dir).getName}"
+  /** Prediction-dump root: see [[graft.core.Dumps]] — one shared constant so
+    * the engine dump and the oracle SQL can never drift apart. */
+  private def dumpDir(dir: String): String = Dumps.forSf(dir)
 
   /** Train on the capped key-mod train split, score the held-out split, and
     * persist (event_id, value, prediction, event_hour) at full double
@@ -101,7 +96,7 @@ object MlQueries {
     s"""SELECT event_hour, COUNT(*) AS total_viajes,
        |  ROUND(CAST(SUM(CAST(ABS(value - prediction) AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*), 4) AS mae,
        |  ROUND(SQRT(CAST(SUM(CAST((value - prediction) * (value - prediction) AS DECIMAL(24,8))) AS DOUBLE) / COUNT(*)), 4) AS rmse
-       |FROM read_parquet('/root/repo/target/verify_dumps/sf0.01/${tag}_preds/*.parquet')
+       |FROM read_parquet('${Dumps.oracleSf}/${tag}_preds/*.parquet')
        |GROUP BY event_hour ORDER BY event_hour""".stripMargin
 
   /** M4+M7: GBT train + score; per-hour error mart hash-checked vs DuckDB
@@ -141,13 +136,13 @@ object MlQueries {
   }
 
   private val metricsSql: String =
-    """WITH a AS (
+    s"""WITH a AS (
       |  SELECT COUNT(*) AS n,
       |    CAST(SUM(CAST((value - prediction) * (value - prediction) AS DECIMAL(24,8))) AS DOUBLE) AS ssres,
       |    CAST(SUM(CAST(ABS(value - prediction) AS DECIMAL(24,8))) AS DOUBLE) AS sae,
       |    CAST(SUM(CAST(value AS DECIMAL(24,8))) AS DOUBLE) AS sv,
       |    CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS sv2
-      |  FROM read_parquet('/root/repo/target/verify_dumps/sf0.01/gbt5_preds/*.parquet')),
+      |  FROM read_parquet('${Dumps.oracleSf}/gbt5_preds/*.parquet')),
       |t AS (
       |  SELECT CAST(LEAST(COUNT(*) FILTER (WHERE event_id % 10 < 8), 300000) AS BIGINT) AS filas_entrenamiento
       |  FROM events)

@@ -41,6 +41,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("IsNotNull"))
   }
 
+  test("q21: decorrelated double-EXISTS shuffles lineitem at most twice") {
+    val df = SparkEntry.queries("q21_waiting_orders")(spark, TestSpark.sfDir)
+    val p = df.queryExecution.executedPlan
+    val liShuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.treeString.contains("lineitem") => e
+    }
+    assert(liShuffles.size <= 2, s"lineitem shuffled ${liShuffles.size}x:\n${p.toString.take(2000)}")
+    assert(!p.toString.contains("CartesianProduct"))
+    // the supplier⋈nation dim is a broadcast, never a shuffle join
+    assert(p.toString.contains("BroadcastHashJoin"), p.toString.take(1000))
+  }
+
   /** Queries allowed a BroadcastNestedLoopJoin: each joins a 1-row scalar
     * frame (global total, outlier band, the ANN query vector / probe list)
     * — a broadcast of one row, not an all-pairs product. Anything else

@@ -169,7 +169,7 @@ object ShapeQueries {
             col("l_orderkey") === col("o_orderkey"))
         val supp = broadcast(
           Tables.supplier(s, dir)
-            .join(Tables.nation(s, dir).where(col("n_name") === "NATION_7"),
+            .join(Tables.nation(s, dir).where(col("n_name") === "NATION_3"),
               col("s_nationkey") === col("n_nationkey"))
             .select(col("s_suppkey"), col("s_name")))
         faulted.join(supp, col("l_suppkey") === col("s_suppkey"))
@@ -189,7 +189,7 @@ object ShapeQueries {
              |                  WHERE l3.l_orderkey = l1.l_orderkey
              |                    AND l3.l_suppkey <> l1.l_suppkey
              |                    AND l3.l_returnflag = 'R')
-             |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+             |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
              |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
     )
   )

@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Dumps, Tables}
+import graft.jobs.Merge
 
 /** Warehouse-maintenance operators: SCD2 dimension build, event-time
   * range-frame rolling aggregates, bivariate statistics, and unpivot.
@@ -137,6 +138,57 @@ object WarehouseQueries {
              |UNION ALL SELECT 'total_value', total_value FROM k
              |UNION ALL SELECT 'avg_value', avg_value FROM k
              |ORDER BY metric""".stripMargin)
+    ),
+
+    // ---- Batch MERGE/upsert (VERDICT r4 item #4): build an event_type-
+    // partitioned target from `events`, merge a source of whole-row updates
+    // (value doubled), partition-moving updates (event_type -> 'relocated')
+    // and inserts (shifted keys), then surface the post-merge table as a
+    // per-partition checksum. The oracle recomputes MERGE semantics
+    // relationally (anti-join + union), so a dropped, duplicated or
+    // stale-partition row anywhere in the write path flips the hash.
+    // MergeSpec additionally proves untouched partitions stay byte-identical.
+    QuerySpec(
+      "merge_upsert",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/merge"
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        // fresh target per run (static overwrite clears a prior run's
+        // 'relocated' partition, which dynamic mode would leave stale)
+        e.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("event_type").parquet(s"$root/target")
+        val updates = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+        val moves = e.where(col("event_id") % 100 === 1)
+          .withColumn("event_type", lit("relocated"))
+        val inserts = e.where(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("value", col("value") + 1)
+        val merged = Merge.mergeIntoPartitioned(s, s"$root/target",
+          updates.unionByName(moves).unionByName(inserts),
+          Seq("event_id"), "event_type", s"$root/staging")
+        merged.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (
+             |  SELECT event_id, user_id, value * 2 AS value, event_type FROM e WHERE event_id % 10 = 0
+             |  UNION ALL
+             |  SELECT event_id, user_id, value, 'relocated' FROM e WHERE event_id % 100 = 1
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type FROM e WHERE event_id % 10 = 7),
+             |merged AS (
+             |  SELECT * FROM e WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src)
+             |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

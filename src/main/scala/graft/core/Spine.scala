@@ -69,6 +69,40 @@ object Spine {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q21's shape off the spine: BOTH lineitem passes (the per-order
+    * distinct-supplier aggregate and the returnflag probe) read the bucket
+    * distribution in place, and the orders join is co-located — the plain
+    * path's two lineitem shuffles (see ShapeQueries) drop to ZERO. */
+  def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark)
+    // two-stage distinct (see ShapeQueries q21 note): groupBy(order, supp)
+    // runs in place on the bucket distribution — countDistinct's Expand
+    // would discard it
+    val perOrder = li
+      .groupBy(col("l_orderkey").as("a_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .groupBy(col("a_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_ret_supp"))
+    val l1 = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val faulted = l1
+      .join(perOrder, col("l_orderkey") === col("a_orderkey"))
+      .where(col("n_supp") >= 2 && col("n_ret_supp") === 1)
+      .join(orders(spark).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val supp = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir).where(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name")))
+    faulted.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Q18's shape off the spine: per-order quantity aggregate AND the
     * orderkey joins all run on the bucket distribution — lineitem is never
     * shuffled; only the final customer-grain aggregate exchanges. */

@@ -83,17 +83,23 @@ object Merge {
     // must be deleted explicitly.
     val remaining = spark.read.parquet(stagingPath)
       .select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
-    val emptied = touched.filterNot(remaining.contains)
-    if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(targetPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { v =>
-        val dir = new org.apache.hadoop.fs.Path(targetPath,
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(partitionCol, String.valueOf(v)))
-        fs.delete(dir, true)
-      }
-    }
+    deletePartitions(spark, targetPath, partitionCol,
+      touched.filterNot(remaining.contains))
     spark.read.parquet(targetPath)
   }
+
+  /** Remove the partition directories for `values` under `path` (escaped
+    * the same way Spark's file-source writer lays them out). */
+  private[jobs] def deletePartitions(
+      spark: SparkSession, path: String, partitionCol: String, values: Seq[Any]): Unit =
+    if (values.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      values.foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(path,
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(partitionCol, String.valueOf(v)))
+        fs.delete(dir, true); ()
+      }
+    }
 }

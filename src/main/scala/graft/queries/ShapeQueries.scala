@@ -146,6 +146,12 @@ object ShapeQueries {
     //   n_ret_supp = COUNT(DISTINCT l_suppkey) FILTER ('R') ⇒ NOT EXISTS
     //                (other 'R' supplier) ≡ n_ret_supp = 1, because l1
     //                itself is 'R' so its supplier is always in the set.
+    // The distinct counts are computed as a TWO-STAGE grouped aggregate
+    // (groupBy(order, supplier) then groupBy(order)) rather than
+    // countDistinct: a multi-distinct aggregate plans through Expand,
+    // whose output partitioning is unknown — it would force a re-shuffle
+    // even off a bucketed table (see Spine.q21WaitingOrders, which runs
+    // this exact shape exchange-free).
     // Scale: lineitem is shuffled exactly twice (once into the per-order
     // aggregate, once as the l1 probe side of the orderkey join — AQE can
     // co-locate the orders join on the same key); supplier⋈nation is a
@@ -154,11 +160,11 @@ object ShapeQueries {
       "q21_waiting_orders",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        val perOrder = li.groupBy(col("l_orderkey").as("a_orderkey"))
-          .agg(
-            countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-              .as("n_ret_supp"))
+        val perOrder = li
+          .groupBy(col("l_orderkey").as("a_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+          .groupBy(col("a_orderkey"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_ret_supp"))
         val l1 = li.where(col("l_returnflag") === "R")
           .select(col("l_orderkey"), col("l_suppkey"))
         val faulted = l1
@@ -191,6 +197,132 @@ object ShapeQueries {
              |                    AND l3.l_returnflag = 'R')
              |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
              |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    ),
+
+    // ---- Q7 pattern: dual-role dimension (nation joined TWICE — once via
+    // supplier, once via customer) with a symmetric pair predicate, revenue
+    // by (supp_nation, cust_nation, year). Both nation⋈supplier and
+    // nation⋈customer builds are broadcast (each filtered to 2 nations);
+    // lineitem⋈orders is the only real shuffle. The pair predicate prunes
+    // BEFORE the join via the per-side 2-nation filters, then the exact
+    // (A,B)/(B,A) disjunction filters the joined stream.
+    QuerySpec(
+      "q7_volume_shipping",
+      (s, dir) => {
+        val pair = Seq("NATION_3", "NATION_8")
+        val n1 = Tables.nation(s, dir).where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir).where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        val su = broadcast(Tables.supplier(s, dir)
+          .join(n1, col("s_nationkey") === col("n1_key"))
+          .select(col("s_suppkey"), col("supp_nation")))
+        val cu = broadcast(Tables.customer(s, dir)
+          .join(n2, col("c_nationkey") === col("n2_key"))
+          .select(col("c_custkey"), col("cust_nation")))
+        val revenue = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        Tables.lineitem(s, dir)
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(cu, col("o_custkey") === col("c_custkey"))
+          .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+            (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("bigint").as("l_year"))
+          .agg(sum(revenue).cast("double").as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+             |  AND c_nationkey = n2.n_nationkey
+             |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+             |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    ),
+
+    // ---- Q15 pattern: aggregate-then-select-the-max (the "top supplier"
+    // view + scalar MAX subquery), ties preserved. Decorrelation: the
+    // 1-row MAX aggregate joins back EQUI on the decimal revenue value —
+    // decimal equality is exact, so ties match bit-for-bit on both
+    // engines; no window over a single global partition, no nested loop.
+    QuerySpec(
+      "q15_top_supplier",
+      (s, dir) => {
+        val revenue = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        val perSupp = Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(revenue).as("total_rev"))
+        val maxRev = perSupp.agg(max(col("total_rev")).as("max_rev"))
+        perSupp.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("supplier_no") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+             |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+             |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)
+    ),
+
+    // ---- Q22 pattern: scalar-average threshold + anti join ("customers
+    // with above-average balance and no recent orders"). The synthetic data
+    // gives every customer at least one order, so the NOT EXISTS is
+    // date-scoped (no orders since 1999) — same shape, non-empty at every
+    // SF. The threshold is a 1-row broadcast (scalar-broadcast allowlist in
+    // PlanShapeSpec); the NOT EXISTS decorrelates to a left anti join
+    // against the date-filtered, key-projected orders.
+    QuerySpec(
+      "q22_dormant_customers",
+      (s, dir) => {
+        val pool = Tables.customer(s, dir)
+          .where(col("c_nationkey").isin(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val thr = pool.where(col("c_acctbal") > 0)
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("avg_bal"))
+        val recent = Tables.orders(s, dir)
+          .where(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+          .select(col("o_custkey"))
+        pool.join(broadcast(thr))
+          .where(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""WITH pool AS (
+             |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+             |  WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)),
+             |thr AS (
+             |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+             |  FROM pool WHERE c_acctbal > 0)
+             |SELECT c_nationkey, COUNT(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+             |FROM pool, thr
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Dumps, Tables}
-import graft.jobs.Merge
+import graft.jobs.{Incremental, Merge}
 
 /** Warehouse-maintenance operators: SCD2 dimension build, event-time
   * range-frame rolling aggregates, bivariate statistics, and unpivot.
@@ -189,6 +189,57 @@ object WarehouseQueries {
              |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Incremental mart maintenance: MERGE a change confined to one
+    // fact partition, then refresh ONLY that partition's slice of a
+    // partition-aligned mart (jobs/Incremental — re-aggregate the touched
+    // fact partitions, dynamic-overwrite the touched mart partitions).
+    // The oracle recomputes the whole mart from scratch over the merged
+    // fact, so the hash proves initial-build + incremental-refresh is
+    // EXACTLY from-scratch recomputation — the refresh missed nothing and
+    // rewrote nothing it shouldn't have.
+    QuerySpec(
+      "mart_incremental_refresh",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/incr"
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        e.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("event_type").parquet(s"$root/fact")
+        val martAgg = (df: org.apache.spark.sql.DataFrame) =>
+          df.groupBy(col("event_type"),
+              (col("user_id") % 10).cast("bigint").as("bucket"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("event_id")).cast("bigint").as("id_sum"),
+              dsum(col("value")).as("value_sum"))
+        martAgg(s.read.parquet(s"$root/fact")).write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("event_type").parquet(s"$root/mart")
+        // a change confined to the 'click' partition (keys can't move)
+        val src = e.where(col("event_type") === "click" && col("event_id") % 7 === 3)
+          .withColumn("value", col("value") * 3)
+        Merge.mergeIntoPartitioned(s, s"$root/fact", src,
+          Seq("event_id"), "event_type", s"$root/staging", detectMoves = false)
+        Incremental.refreshPartitions(s, s"$root/fact", s"$root/mart",
+          "event_type", Seq("click"), martAgg)
+        s.read.parquet(s"$root/mart")
+          .select(col("event_type"), col("bucket"), col("n"),
+            col("id_sum"), col("value_sum"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (SELECT event_id, user_id, value * 3 AS value, event_type FROM e
+             |        WHERE event_type = 'click' AND event_id % 7 = 3),
+             |merged AS (
+             |  SELECT * FROM e WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src)
+             |SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -42,6 +42,17 @@ class SpineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q21 on the spine: both lineitem passes exchange-free, same answer") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val spine = Spine.q21WaitingOrders(spark, TestSpark.sfDir)
+      val plan = spine.queryExecution.executedPlan.toString
+      assert(exchangesOn(plan, "l_orderkey") == 0,
+        s"bucketed lineitem still shuffles:\n$plan")
+      assert(spine.collect().toSeq == shapeQuery("q21_waiting_orders").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q18 on the spine never shuffles lineitem; results match the plain path") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

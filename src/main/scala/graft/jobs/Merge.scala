@@ -48,7 +48,22 @@ object Merge {
       partitionCol: String,
       stagingPath: String,
       detectMoves: Boolean = true
-  ): DataFrame = {
+  ): DataFrame =
+    mergeIntoPartitionedTouched(spark, targetPath, source, keyCols,
+      partitionCol, stagingPath, detectMoves)._1
+
+  /** As `mergeIntoPartitioned`, additionally returning the touched
+    * partition values — the input downstream incremental maintenance
+    * (`jobs.Incremental`) needs to refresh only what changed. */
+  def mergeIntoPartitionedTouched(
+      spark: SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      stagingPath: String,
+      detectMoves: Boolean = true
+  ): (DataFrame, Seq[Any]) = {
     require(keyCols.nonEmpty && !keyCols.contains(partitionCol),
       "keyCols must be non-empty and disjoint from the partition column")
     val target = spark.read.parquet(targetPath)
@@ -65,7 +80,7 @@ object Merge {
         receiving.union(departing).distinct()
       } else receiving
     val touched = touchedDf.collect().map(_.get(0)).toSeq
-    if (touched.isEmpty) return target
+    if (touched.isEmpty) return (target, Nil)
 
     val targetTouched = target.where(col(partitionCol).isin(touched: _*))
     val kept = targetTouched.join(srcKeys, keyCols, "left_anti")
@@ -85,7 +100,7 @@ object Merge {
       .select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
     deletePartitions(spark, targetPath, partitionCol,
       touched.filterNot(remaining.contains))
-    spark.read.parquet(targetPath)
+    (spark.read.parquet(targetPath), touched)
   }
 
   /** Remove the partition directories for `values` under `path` (escaped

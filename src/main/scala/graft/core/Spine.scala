@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The bucketed curated spine for the relational tables (VERDICT r4 item
@@ -25,26 +26,29 @@ object Spine {
 
   val LineitemTable = "spine_lineitem"
   val OrdersTable = "spine_orders"
+  val EventsTable = "spine_events"
 
   /** One-off curation: persist lineitem + orders bucketed by order key.
     * `buckets` sizes the layout — at 100 TB pick buckets so each bucket file
     * stays in the hundreds of MB (e.g. 4096), not the test-scale default. */
-  def build(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
-    // an earlier JVM's warehouse dir can survive an in-memory catalog that
-    // no longer knows the table — mode("overwrite") then refuses the
-    // location; drop both halves before writing
-    Seq(LineitemTable, OrdersTable).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(loc)
+  /** An earlier JVM's warehouse dir can survive an in-memory catalog that
+    * no longer knows the table — mode("overwrite") then refuses the
+    * location; drop both halves before writing. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
       }
+      rm(loc)
     }
+  }
+
+  def build(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    Seq(LineitemTable, OrdersTable).foreach(dropStale(spark, _))
     Tables.lineitem(spark, dir).write.mode("overwrite")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(LineitemTable)
@@ -55,6 +59,20 @@ object Spine {
 
   def lineitem(spark: SparkSession): DataFrame = spark.table(LineitemTable)
   def orders(spark: SparkSession): DataFrame = spark.table(OrdersTable)
+  def events(spark: SparkSession): DataFrame = spark.table(EventsTable)
+
+  /** The event-log spine: events bucketed by `user_id`, sorted by
+    * (user_id, ts) within buckets. Every per-user window pass — SCD2
+    * builds, lag/lead deltas, event-time rolling frames, sessionization —
+    * requires hashpartitioning(user_id); off this table that distribution
+    * holds at scan time, so the whole window tier plans with ZERO
+    * Exchange (sorts stay, but sorts are per-partition, not data motion). */
+  def buildEvents(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
+    dropStale(spark, EventsTable)
+    Tables.events(spark, dir).write.mode("overwrite")
+      .bucketBy(buckets, "user_id").sortBy("user_id", "ts")
+      .saveAsTable(EventsTable)
+  }
 
   /** Q4's shape off the spine: the semi join probes bucketed lineitem in
     * place — no Exchange until the final (tiny) priority aggregate. */
@@ -67,6 +85,26 @@ object Spine {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** The SCD2 build (WarehouseQueries scd2_user_type's exact shape) off the
+    * bucketed event log: both window passes read the bucket distribution in
+    * place — zero Exchange where the plain path shuffles events once. */
+  def scd2UserType(spark: SparkSession): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = events(spark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val chg = e
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+    chg
+      .select(col("user_id"), col("event_type"),
+        col("us").as("valid_from_us"),
+        lead(col("us"), 1).over(w).as("valid_to_us"))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+      .orderBy(col("user_id"), col("valid_from_us"))
   }
 
   /** Q21's shape off the spine: BOTH lineitem passes (the per-order

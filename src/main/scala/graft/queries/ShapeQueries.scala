@@ -323,6 +323,52 @@ object ShapeQueries {
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Q2 pattern: correlated per-group MIN membership ("the suppliers
+    // achieving the minimum cost for each part"). The supplier-part bridge
+    // is derived from lineitem (MIN unit price per part-supplier pair —
+    // the synthetic schema has no partsupp table); the correlated scalar
+    // MIN decorrelates to a per-part MIN aggregate joined back EQUI on
+    // (partkey, cost) — double MIN/equality is exact (no summation), so
+    // argmin ties match bit-for-bit. Bridge and per-part aggregate share
+    // the l_partkey grouping; part/supplier/nation decodes broadcast.
+    QuerySpec(
+      "q2_min_cost_supplier",
+      (s, dir) => {
+        val bridge = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        val perPart = bridge.groupBy(col("partkey").as("m_partkey"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        val p = broadcast(Tables.part(s, dir).where(col("p_size") < 10)
+          .select(col("p_partkey")))
+        val sn = broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation")))
+        bridge
+          .join(perPart, col("partkey") === col("m_partkey") &&
+            col("unit_cost") === col("min_cost"))
+          .join(p, col("partkey") === col("p_partkey"))
+          .join(sn, col("suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("s_name"), col("nation"),
+            round(col("unit_cost"), 4).as("unit_cost"))
+          .orderBy(col("p_partkey"), col("s_name"))
+      },
+      Some("""WITH bridge AS (
+             |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             |         MIN(l_extendedprice / l_quantity) AS unit_cost
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT p.p_partkey, s.s_name, n.n_name AS nation,
+             |  ROUND(b.unit_cost, 4) AS unit_cost
+             |FROM part p JOIN bridge b ON b.partkey = p.p_partkey
+             |JOIN supplier s ON s.s_suppkey = b.suppkey
+             |JOIN nation n ON n.n_nationkey = s.s_nationkey
+             |WHERE p.p_size < 10
+             |  AND b.unit_cost = (SELECT MIN(b2.unit_cost) FROM bridge b2
+             |                     WHERE b2.partkey = p.p_partkey)
+             |ORDER BY p.p_partkey, s.s_name""".stripMargin)
     )
   )
 }

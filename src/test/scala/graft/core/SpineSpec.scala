@@ -24,6 +24,10 @@ class SpineSpec extends AnyFunSuite {
   private def shapeQuery(name: String) =
     ShapeQueries.all.find(_.name == name).get.fn(spark, TestSpark.sfDir)
 
+  private def warehouseQuery(name: String) =
+    graft.queries.WarehouseQueries.all.find(_.name == name).get
+      .fn(spark, TestSpark.sfDir)
+
   private def exchangesOn(plan: String, key: String): Int =
     s"Exchange hashpartitioning\\($key".r.findAllIn(plan).size
 
@@ -51,6 +55,19 @@ class SpineSpec extends AnyFunSuite {
         s"bucketed lineitem still shuffles:\n$plan")
       assert(spine.collect().toSeq == shapeQuery("q21_waiting_orders").collect().toSeq)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("scd2 window passes on the bucketed event log are exchange-free") {
+    Spine.buildEvents(spark, TestSpark.sfDir, buckets = 4)
+    val spine = Spine.scd2UserType(spark)
+    val plan = spine.queryExecution.executedPlan.toString
+    // the final presentation ORDER BY still exchanges (range partitioning);
+    // the WINDOW tier itself must not — no hash exchange on user_id
+    assert(exchangesOn(plan, "user_id") == 0,
+      s"bucketed events still shuffle for the window:\n$plan")
+    val plainPlan = warehouseQuery("scd2_user_type").queryExecution.executedPlan.toString
+    assert(exchangesOn(plainPlan, "user_id") >= 1)
+    assert(spine.collect().toSeq == warehouseQuery("scd2_user_type").collect().toSeq)
   }
 
   test("q18 on the spine never shuffles lineitem; results match the plain path") {

@@ -369,6 +369,63 @@ object ShapeQueries {
              |  AND b.unit_cost = (SELECT MIN(b2.unit_cost) FROM bridge b2
              |                     WHERE b2.partkey = p.p_partkey)
              |ORDER BY p.p_partkey, s.s_name""".stripMargin)
+    ),
+
+    // ---- Q8 pattern: market share — a conditional-aggregation ratio
+    // (one nation's slice of a region+product market, per order year) over
+    // a six-table star. Every dimension build broadcasts (region-filtered
+    // customer⋈nation, PROMO-filtered part, supplier⋈nation decode);
+    // lineitem⋈orders is the only shuffle join. Numerator and denominator
+    // are both decimal-exact revenue sums; the ratio divides as double
+    // and rounds 6 on both engines.
+    QuerySpec(
+      "q8_market_share",
+      (s, dir) => {
+        val revenue = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        val custAsia = broadcast(Tables.customer(s, dir)
+          .join(Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir).where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey")))
+        val promoPart = broadcast(Tables.part(s, dir)
+          .where(col("p_type") === "PROMO").select(col("p_partkey")))
+        val suppNation = broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation")))
+        Tables.lineitem(s, dir)
+          .join(promoPart, col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(custAsia, col("o_custkey") === col("c_custkey"))
+          .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg(
+            (coalesce(sum(when(col("supp_nation") === "NATION_3", revenue)),
+              lit(0).cast("decimal(25,4)")).cast("double") /
+              sum(revenue).cast("double")).as("share0"))
+          .select(col("o_year"), round(col("share0"), 6).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  ROUND(CAST(COALESCE(SUM(CASE WHEN sn.n_name = 'NATION_3'
+             |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END),
+             |      CAST(0 AS DECIMAL(25,4))) AS DOUBLE) /
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+             |    AS mkt_share
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation cn ON cn.n_nationkey = c_nationkey
+             |JOIN region ON r_regionkey = cn.n_regionkey
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation sn ON sn.n_nationkey = s_nationkey
+             |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -426,6 +426,68 @@ object ShapeQueries {
              |JOIN nation sn ON sn.n_nationkey = s_nationkey
              |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Q11 pattern: HAVING against a global scalar over the same
+    // aggregate ("value concentration": parts whose total value exceeds a
+    // multiple of the average part value). The per-part aggregate is
+    // computed ONCE and reused for both the groups and the threshold —
+    // the 1-row threshold joins back as a scalar broadcast. Threshold is
+    // a multiple of the AVERAGE (scale-invariant), not a fixed share of
+    // the total (which silently empties as the part count grows).
+    // Decimal-exact value sums; the avg threshold divides as double.
+    QuerySpec(
+      "q11_value_concentration",
+      (s, dir) => {
+        val pv = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum(dec(col("l_extendedprice"))).as("val_d"))
+        val thr = pv.agg(
+          (sum(col("val_d")).cast("double") / count(lit(1)) * lit(1.5))
+            .as("threshold"))
+        pv.join(broadcast(thr))
+          .where(col("val_d").cast("double") > col("threshold"))
+          .select(col("l_partkey"), col("val_d").cast("double").as("val"))
+          .orderBy(col("val").desc, col("l_partkey"))
+      },
+      Some("""WITH pv AS (
+             |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_d
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_partkey, CAST(val_d AS DOUBLE) AS val
+             |FROM pv
+             |WHERE CAST(val_d AS DOUBLE) >
+             |  (SELECT CAST(SUM(val_d) AS DOUBLE) / COUNT(*) * 1.5 FROM pv)
+             |ORDER BY val DESC, l_partkey""".stripMargin)
+    ),
+
+    // ---- Q16 pattern: NOT IN exclusion + grouped COUNT(DISTINCT)
+    // ("supplier diversity per product segment, excluding flagged
+    // suppliers"). The NOT IN decorrelates to a LEFT ANTI join — exact
+    // because supplier keys are non-null (with nullable keys NOT IN has
+    // three-valued semantics an anti join does not replicate; the
+    // null_semantics_gauntlet pins that difference). The distinct count
+    // runs per (brand, size band); the exclusion list is a broadcast.
+    QuerySpec(
+      "q16_supplier_diversity",
+      (s, dir) => {
+        val flagged = Tables.supplier(s, dir)
+          .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)
+            .where(col("p_brand") =!= "Brand#1")
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), (col("p_size") % 5).cast("bigint").as("band"))
+          .agg(countDistinct(col("l_suppkey")).as("supp_cnt"))
+          .orderBy(col("supp_cnt").desc, col("p_brand"), col("band"))
+      },
+      Some("""SELECT p_brand, CAST(p_size % 5 AS BIGINT) AS band,
+             |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supp_cnt
+             |FROM part JOIN lineitem ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2 ORDER BY supp_cnt DESC, p_brand, band""".stripMargin)
     )
   )
 }

@@ -29,6 +29,35 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE: random upsert batch sequences match an in-memory model") {
+    // model: a Map[key -> row]; each batch is last-writer-wins per key,
+    // rows may change partition. After every batch, the on-disk table must
+    // equal the model exactly — catching lost inserts, surviving stale
+    // rows, and partition-move leaks across arbitrary interleavings.
+    val rnd = new scala.util.Random(11)
+    val parts = Seq("pa", "pb", "pc")
+    val root = java.nio.file.Files.createTempDirectory("merge-prop").toFile.getAbsolutePath
+    val staging = java.nio.file.Files.createTempDirectory("merge-prop-stage").toFile.getAbsolutePath
+    def randRows(n: Int): Seq[(String, Long, String)] =
+      Seq.fill(n)((s"k${rnd.nextInt(12)}", rnd.nextInt(1000).toLong, parts(rnd.nextInt(parts.size))))
+    var model: Map[String, (Long, String)] =
+      randRows(8).map { case (k, v, p) => k -> (v, p) }.toMap
+    model.toSeq.map { case (k, (v, p)) => (k, v, p) }.toDF("k", "v", "p")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("p").parquet(root)
+    (1 to 5).foreach { i =>
+      val batchRows = randRows(1 + rnd.nextInt(5))
+      val batch = batchRows.map { case (k, v, p) => k -> (v, p) }.toMap // last wins per key
+      model = model ++ batch.map { case (k, (v, p)) => k -> (v, p) }
+      val merged = graft.jobs.Merge.mergeIntoPartitioned(spark, root,
+        batch.toSeq.map { case (k, (v, p)) => (k, v, p) }.toDF("k", "v", "p"),
+        Seq("k"), "p", staging)
+      val got = merged.select("k", "v", "p").as[(String, Long, String)]
+        .collect().map { case (k, v, p) => k -> (v, p) }.toMap
+      assert(got == model, s"batch $i diverged (batch=$batchRows)")
+    }
+  }
+
   test("A12 weighted average of per-group averages equals the global average") {
     val rnd = new scala.util.Random(7)
     (1 to trials).foreach { _ =>

@@ -488,6 +488,70 @@ object ShapeQueries {
              |WHERE p_brand <> 'Brand#1'
              |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
              |GROUP BY 1, 2 ORDER BY supp_cnt DESC, p_brand, band""".stripMargin)
+    ),
+
+    // ---- Q6 pattern: the pure scan-efficiency probe — filter-heavy
+    // single-table aggregate with NO join and a 1-row output. The entire
+    // query should collapse to scan(+pushed filters) -> partial agg ->
+    // final agg; every predicate (date range, discount band, quantity
+    // cap) reaches PushedFilters. Revenue = price*discount decimal-exact.
+    QuerySpec(
+      "q6_revenue_delta",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |           CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)
+    ),
+
+    // ---- Q19 pattern: disjunctive join predicate (OR of brand/size/
+    // quantity conjunctions). The join key stays a pure equi-join —
+    // Catalyst keeps p_partkey = l_partkey as the hash key and evaluates
+    // the OR as a post-join filter, while the brand/size arms push into
+    // the part scan as (brand=1 OR brand=2 OR brand=3) — a disjunction
+    // must never degrade the join itself to nested-loop (the registry
+    // no-cartesian spec enforces it).
+    QuerySpec(
+      "q19_disjunctive_filter",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")))
+        val arm1 = col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+        val arm2 = col("p_brand") === "Brand#2" &&
+          col("p_size").between(10, 30) && col("l_quantity").between(10, 30)
+        val arm3 = col("p_brand") === "Brand#3" &&
+          col("p_size").between(20, 50) && col("l_quantity").between(20, 40)
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .where(arm1 || arm2 || arm3)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+              .cast("double").as("revenue"))
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)
     )
   )
 }

@@ -54,6 +54,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.toString.contains("BroadcastHashJoin"), p.toString.take(1000))
   }
 
+  test("q6: every predicate family reaches the lineitem scan as a pushed filter") {
+    val df = SparkEntry.queries("q6_revenue_delta")(spark, TestSpark.sfDir)
+    // treeString truncates long filter lists — read the scan's metadata
+    // (unwrapping AQE, whose exec node hides the plan from collectLeaves)
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val pushed = unwrapped.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_discount,0.07)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    // single-table probe: no join operator of any kind in the plan
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
   /** Queries allowed a BroadcastNestedLoopJoin: each joins a 1-row scalar
     * frame (global total, outlier band, the ANN query vector / probe list)
     * — a broadcast of one row, not an all-pairs product. Anything else

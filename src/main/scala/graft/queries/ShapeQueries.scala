@@ -552,6 +552,177 @@ object ShapeQueries {
              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)
+    ),
+
+    // ---- Q9 pattern: profit (revenue minus derived cost) by supplier
+    // nation and order year, with a part-name LIKE filter. Cost is
+    // synthesized from p_retailprice (the schema has no ps_supplycost);
+    // all arithmetic stays decimal until the final double cast, so the
+    // profit sum is summation-order-proof. supplier⋈nation and the
+    // name-filtered part build broadcast; lineitem⋈orders is the shuffle.
+    QuerySpec(
+      "q9_product_profit",
+      (s, dir) => {
+        val revD = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        val costD = dec(col("l_quantity")) * dec(col("p_retailprice")) *
+          lit(0.1).cast("decimal(12,2)")
+        val widgetParts = broadcast(Tables.part(s, dir)
+          .where(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), col("p_retailprice")))
+        val suppNation = broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation")))
+        Tables.lineitem(s, dir)
+          .join(widgetParts, col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg(sum(revD - costD).cast("double").as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |        (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) -
+             |      CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) *
+             |        CAST(0.1 AS DECIMAL(12,2))) AS DOUBLE) AS profit
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)
+    ),
+
+    // ---- Q10 pattern: the returned-item report — revenue lost to
+    // returns per customer over a quarter, top 20. Star join with the
+    // customer decode broadcast; TakeOrderedAndProject caps the sort.
+    QuerySpec(
+      "q10_returned_items",
+      (s, dir) => {
+        val revD = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        val custNation = broadcast(Tables.customer(s, dir)
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name").as("nation")))
+        Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+          .join(Tables.orders(s, dir)
+            .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1997-07-01"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(custNation, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("nation"))
+          .agg(sum(revD).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation ON n_nationkey = c_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-07-01'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+    ),
+
+    // ---- Q12 pattern: two-way conditional counts after a join (high- vs
+    // low-priority orders per line status, one ship year). The CASE
+    // disjunction aggregates map-side; one shuffle on the tiny group key.
+    QuerySpec(
+      "q12_priority_by_status",
+      (s, dir) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).cast("bigint").as("high_count"),
+            sum(when(high, 0L).otherwise(1L)).cast("bigint").as("low_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Q14 pattern: promo revenue share over a window — a CASE ratio
+    // off ONE part⋈lineitem join (numerator and denominator from the same
+    // pass, no second scan). Decimal sums; double division; round 6.
+    QuerySpec(
+      "q14_promo_share",
+      (s, dir) => {
+        val revD = dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(12,2)") - dec(col("l_discount")))
+        Tables.lineitem(s, dir)
+          .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+          .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg((coalesce(sum(when(col("p_type") === "PROMO", revD)),
+              lit(0).cast("decimal(25,4)")).cast("double") * lit(100.0) /
+            sum(revD).cast("double")).as("share0"))
+          .select(round(col("share0"), 6).as("promo_share"))
+      },
+      Some("""SELECT ROUND(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+             |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) END),
+             |    CAST(0 AS DECIMAL(25,4))) AS DOUBLE) * 100.0 /
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+             |  AS promo_share
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)
+    ),
+
+    // ---- Q20 pattern: IN against a HAVING aggregate with a scalar
+    // threshold ("suppliers who moved well above the average volume of
+    // PROMO parts"). Two nested decorrelations: the scalar average joins
+    // as a 1-row broadcast into the HAVING filter, and the qualifying
+    // supplier keyset semi-joins supplier. Threshold is a multiple of the
+    // per-supplier average (scale-invariant).
+    QuerySpec(
+      "q20_heavy_suppliers",
+      (s, dir) => {
+        val perSupp = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).where(col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_quantity"))).as("q_d"))
+        val thr = perSupp.agg(
+          (sum(col("q_d")).cast("double") / count(lit(1)) * lit(1.05)).as("q_thr"))
+        val heavy = perSupp.join(broadcast(thr))
+          .where(col("q_d").cast("double") > col("q_thr"))
+          .select(col("l_suppkey"))
+        Tables.supplier(s, dir)
+          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH sq AS (
+             |  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q_d
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_type = 'PROMO' GROUP BY 1)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM sq
+             |  WHERE CAST(q_d AS DOUBLE) >
+             |    (SELECT CAST(SUM(q_d) AS DOUBLE) / COUNT(*) * 1.05 FROM sq))
+             |ORDER BY s_suppkey""".stripMargin)
     )
   )
 }

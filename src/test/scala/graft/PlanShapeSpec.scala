@@ -81,7 +81,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "f3_outlier_band", "e13_pct_of_total", "etl_malformed_gauntlet",
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_nprobe3", "ann_native_topk",
     "q22_dormant_customers", // 1-row average-balance threshold
-    "q11_value_concentration") // 1-row concentration threshold
+    "q11_value_concentration", // 1-row concentration threshold
+    "q20_heavy_suppliers") // 1-row volume threshold
 
   test("no registry query plans a cartesian product or unexpected nested-loop join") {
     // ml_* fit models and dedup_components iterates at plan-build time;

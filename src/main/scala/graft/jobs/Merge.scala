@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * upsert touching 3 of 5,000 date partitions must not rewrite (or even
   * read) the other 4,997.
   *
+  * Partitioning may be MULTI-LEVEL (e.g. the reference's curated table is
+  * `year/month` — `scripts/02_spark_etl.py:137`): a "partition" is then a
+  * tuple of values, touched-tuple pruning compiles to a literal
+  * OR-of-ANDs predicate (planning-time pruning; a semi join on partition
+  * columns would only prune at runtime via DPP), and cleanup deletes the
+  * nested `k1=v1/k2=v2` directory.
+  *
   * Touched = partitions RECEIVING source rows ∪ partitions LOSING a matched
   * row (an update may move a row across partitions, e.g. a status change on
   * a status-partitioned table). Detecting departures needs a key semi-join
@@ -64,57 +71,93 @@ object Merge {
       stagingPath: String,
       detectMoves: Boolean = true
   ): (DataFrame, Seq[Any]) = {
-    require(keyCols.nonEmpty && !keyCols.contains(partitionCol),
-      "keyCols must be non-empty and disjoint from the partition column")
+    val (df, touched) = mergeIntoPartitionedColsTouched(spark, targetPath,
+      source, keyCols, Seq(partitionCol), stagingPath, detectMoves)
+    (df, touched.map(_.head))
+  }
+
+  /** The general form: multi-level partitioning. Each touched partition is
+    * a tuple of values in `partitionCols` order. */
+  def mergeIntoPartitionedColsTouched(
+      spark: SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partitionCols: Seq[String],
+      stagingPath: String,
+      detectMoves: Boolean = true
+  ): (DataFrame, Seq[Seq[Any]]) = {
+    require(keyCols.nonEmpty && partitionCols.nonEmpty &&
+      keyCols.intersect(partitionCols).isEmpty,
+      "keyCols must be non-empty and disjoint from the partition columns")
     val target = spark.read.parquet(targetPath)
     // last-writer-wins within the batch would be nondeterministic; collapse
     // duplicate keys up front (callers with an ordering should pre-resolve)
     val src = source.dropDuplicates(keyCols)
     val srcKeys = src.select(keyCols.map(col): _*)
+    val pCols = partitionCols.map(col)
 
-    val receiving = src.select(col(partitionCol)).distinct()
+    val receiving = src.select(pCols: _*).distinct()
     val touchedDf =
       if (detectMoves) {
         val departing = target.join(srcKeys, keyCols, "left_semi")
-          .select(col(partitionCol)).distinct()
+          .select(pCols: _*).distinct()
         receiving.union(departing).distinct()
       } else receiving
-    val touched = touchedDf.collect().map(_.get(0)).toSeq
+    val touched: Seq[Seq[Any]] =
+      touchedDf.collect().map(r => partitionCols.indices.map(r.get).toList).toSeq
     if (touched.isEmpty) return (target, Nil)
 
-    val targetTouched = target.where(col(partitionCol).isin(touched: _*))
+    // literal OR-of-ANDs so pruning happens at PLANNING time
+    val prunePred = touched.map { tuple =>
+      partitionCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val targetTouched = target.where(prunePred)
     val kept = targetTouched.join(srcKeys, keyCols, "left_anti")
     val merged = kept.unionByName(src.select(target.columns.map(col): _*))
 
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stagingPath)
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(stagingPath)
     spark.read.parquet(stagingPath).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic") // touched partitions only
-      .partitionBy(partitionCol)
+      .partitionBy(partitionCols: _*)
       .parquet(targetPath)
     // Dynamic overwrite only rewrites partitions PRESENT in the output — a
     // touched partition whose every row departed (moved or was upserted
     // away) is absent from `merged` and would keep its stale files. Those
     // must be deleted explicitly.
     val remaining = spark.read.parquet(stagingPath)
-      .select(col(partitionCol)).distinct().collect().map(_.get(0)).toSet
-    deletePartitions(spark, targetPath, partitionCol,
+      .select(pCols: _*).distinct().collect()
+      .map(r => partitionCols.indices.map(r.get).toList: Seq[Any]).toSet
+    deletePartitionDirs(spark, targetPath, partitionCols,
       touched.filterNot(remaining.contains))
     (spark.read.parquet(targetPath), touched)
   }
 
-  /** Remove the partition directories for `values` under `path` (escaped
-    * the same way Spark's file-source writer lays them out). */
-  private[jobs] def deletePartitions(
-      spark: SparkSession, path: String, partitionCol: String, values: Seq[Any]): Unit =
-    if (values.nonEmpty) {
+  /** Remove the (possibly nested) partition directories for the given
+    * value tuples under `path`, escaped the same way Spark's file-source
+    * writer lays them out. */
+  private[jobs] def deletePartitionDirs(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      tuples: Seq[Seq[Any]]): Unit =
+    if (tuples.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      values.foreach { v =>
-        val dir = new org.apache.hadoop.fs.Path(path,
+      tuples.foreach { tuple =>
+        val rel = partitionCols.zip(tuple).map { case (c, v) =>
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(partitionCol, String.valueOf(v)))
-        fs.delete(dir, true); ()
+            .getPartitionPathString(c, String.valueOf(v))
+        }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(path, rel), true); ()
       }
     }
+
+  /** Single-column convenience used by `jobs.Incremental`. */
+  private[jobs] def deletePartitions(
+      spark: SparkSession, path: String, partitionCol: String, values: Seq[Any]): Unit =
+    deletePartitionDirs(spark, path, Seq(partitionCol), values.map(Seq(_)))
 }

@@ -87,6 +87,60 @@ class MergeSpec extends AnyFunSuite {
     assert(merged.count() == 5)
   }
 
+  test("multi-level year/month partitioning: only the touched month is rewritten") {
+    val root = Files.createTempDirectory("merge-ym").toFile.getAbsolutePath
+    val staging = Files.createTempDirectory("merge-ym-stage").toFile.getAbsolutePath
+    Seq(("k1", 1.0, 2024, 1), ("k2", 2.0, 2024, 1),
+        ("k3", 3.0, 2024, 2), ("k4", 4.0, 2025, 1))
+      .toDF("k", "v", "year", "month")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("year", "month").parquet(root)
+    val before = fileBytes(new java.io.File(root))
+
+    // update k1 in 2024/01 and move k3 from 2024/02 -> 2025/01
+    val src = Seq(("k1", 10.0, 2024, 1), ("k3", 30.0, 2025, 1))
+      .toDF("k", "v", "year", "month")
+    val (merged, touched) = Merge.mergeIntoPartitionedColsTouched(spark, root, src,
+      Seq("k"), Seq("year", "month"), staging)
+
+    assert(touched.map(_.map(String.valueOf)).toSet ==
+      Set(Seq("2024", "1"), Seq("2024", "2"), Seq("2025", "1")))
+    val got = merged.select("k", "v", "year", "month")
+      .as[(String, Double, Int, Int)].collect().toSet
+    assert(got == Set(("k1", 10.0, 2024, 1), ("k2", 2.0, 2024, 1),
+      ("k3", 30.0, 2025, 1), ("k4", 4.0, 2025, 1)))
+    // 2024/02 emptied out entirely -> its nested dir is gone
+    assert(!new java.io.File(root, "year=2024/month=2").exists())
+    // nothing else exists outside the three touched partitions... and had
+    // any partition NOT been touched, it would be byte-identical:
+    val after = fileBytes(new java.io.File(root))
+    before.filter(_._1.contains("year=2025")).foreach { case (path, sig) =>
+      // 2025/01 WAS touched (receives k3) so it must differ or be replaced
+      assert(!after.get(path).contains(sig) || !after.contains(path))
+    }
+  }
+
+  test("untouched sibling months stay byte-identical under multi-level merge") {
+    val root = Files.createTempDirectory("merge-ym2").toFile.getAbsolutePath
+    val staging = Files.createTempDirectory("merge-ym2-stage").toFile.getAbsolutePath
+    Seq(("k1", 1.0, 2024, 1), ("k2", 2.0, 2024, 2), ("k3", 3.0, 2025, 1))
+      .toDF("k", "v", "year", "month")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("year", "month").parquet(root)
+    val before = fileBytes(new java.io.File(root))
+
+    val src = Seq(("k9", 9.0, 2024, 1)).toDF("k", "v", "year", "month")
+    Merge.mergeIntoPartitionedColsTouched(spark, root, src,
+      Seq("k"), Seq("year", "month"), staging, detectMoves = false)
+
+    val after = fileBytes(new java.io.File(root))
+    val untouched = before.filterNot(_._1.contains("year=2024/month=1"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (path, sig) =>
+      assert(after.get(path).contains(sig), s"untouched month rewritten: $path")
+    }
+  }
+
   test("empty source is a no-op") {
     val root = Files.createTempDirectory("merge").toFile.getAbsolutePath
     val staging = Files.createTempDirectory("merge-stage").toFile.getAbsolutePath

@@ -36,22 +36,42 @@ object Incremental {
       partitionCol: String,
       touched: Seq[Any],
       agg: DataFrame => DataFrame
+  ): Unit =
+    refreshPartitionCols(spark, factPath, martPath, Seq(partitionCol),
+      touched.map(Seq(_)), agg)
+
+  /** The general form: multi-level partitioning (e.g. a year/month mart
+    * over a year/month fact — the reference's curated layout). Each
+    * touched partition is a tuple in `partitionCols` order, as returned by
+    * `Merge.mergeIntoPartitionedColsTouched`. */
+  def refreshPartitionCols(
+      spark: SparkSession,
+      factPath: String,
+      martPath: String,
+      partitionCols: Seq[String],
+      touched: Seq[Seq[Any]],
+      agg: DataFrame => DataFrame
   ): Unit = {
     if (touched.isEmpty) return
-    val slice = spark.read.parquet(factPath)
-      .where(col(partitionCol).isin(touched: _*))
+    // literal OR-of-ANDs: partition pruning at planning time
+    val prunePred = touched.map { tuple =>
+      partitionCols.zip(tuple).map { case (c, v) => col(c) === lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val slice = spark.read.parquet(factPath).where(prunePred)
     val refreshed = agg(slice)
-    require(refreshed.columns.contains(partitionCol),
-      s"mart aggregation must carry the partition column $partitionCol")
+    partitionCols.foreach(c => require(refreshed.columns.contains(c),
+      s"mart aggregation must carry the partition column $c"))
     refreshed.persist()
     try {
       refreshed.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol).parquet(martPath)
-      val remaining = refreshed.select(col(partitionCol))
-        .distinct().collect().map(_.get(0)).toSet
-      Merge.deletePartitions(spark, martPath, partitionCol,
-        touched.filterNot(remaining.contains))
+        .partitionBy(partitionCols: _*).parquet(martPath)
+      val remaining = refreshed.select(partitionCols.map(col): _*)
+        .distinct().collect()
+        .map(r => partitionCols.indices.map(r.get).toList: Seq[Any]).toSet
+      Merge.deletePartitionDirs(spark, martPath, partitionCols,
+        touched.map(_.toList: Seq[Any]).filterNot(remaining.contains))
     } finally { refreshed.unpersist(); () }
   }
 }

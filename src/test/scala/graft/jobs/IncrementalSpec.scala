@@ -74,6 +74,42 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!new java.io.File(mart, "p=p2").exists())
   }
 
+  test("multi-level year/month mart refresh follows a cross-month merge exactly") {
+    val fact = Files.createTempDirectory("incr-ym-fact").toFile.getAbsolutePath
+    val mart = Files.createTempDirectory("incr-ym-mart").toFile.getAbsolutePath
+    val staging = Files.createTempDirectory("incr-ym-stage").toFile.getAbsolutePath
+    val ymAgg = (df: DataFrame) =>
+      df.groupBy("year", "month")
+        .agg(count(lit(1)).as("n"), sum("v").cast("double").as("v_sum"))
+    Seq(("k1", 1.0, 2024, 1), ("k2", 2.0, 2024, 2), ("k3", 3.0, 2025, 1))
+      .toDF("k", "v", "year", "month")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("year", "month").parquet(fact)
+    ymAgg(spark.read.parquet(fact)).write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("year", "month").parquet(mart)
+    val before = fileSigs(new java.io.File(mart))
+
+    // k2 moves 2024/02 -> 2024/01: 02's fact (and mart) partition empties
+    val src = Seq(("k2", 20.0, 2024, 1)).toDF("k", "v", "year", "month")
+    val (_, touched) = Merge.mergeIntoPartitionedColsTouched(spark, fact, src,
+      Seq("k"), Seq("year", "month"), staging)
+    Incremental.refreshPartitionCols(spark, fact, mart,
+      Seq("year", "month"), touched, ymAgg)
+
+    val got = spark.read.parquet(mart).select("year", "month", "n", "v_sum")
+      .as[(Int, Int, Long, Double)].collect().toSet
+    val scratch = ymAgg(spark.read.parquet(fact)).select("year", "month", "n", "v_sum")
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(got == scratch)
+    assert(got == Set((2024, 1, 2L, 21.0), (2025, 1, 1L, 3.0)))
+    assert(!new java.io.File(mart, "year=2024/month=2").exists())
+    // 2025/01 untouched by the merge: its mart files survive byte-identical
+    before.filter(_._1.contains("year=2025")).foreach { case (path, sig) =>
+      assert(fileSigs(new java.io.File(mart)).get(path).contains(sig))
+    }
+  }
+
   test("an aggregation that drops the partition column is rejected") {
     val (fact, mart, staging) = setup()
     intercept[IllegalArgumentException] {

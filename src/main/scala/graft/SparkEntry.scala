@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries, MlQueries, MoreQueries, OpQueries, QuerySpec, ShapeQueries, WarehouseQueries}
+import graft.queries.{CoreQueries, ExtQueries, LifecycleQueries, MlQueries, MoreQueries, OpQueries, QuerySpec, ShapeQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   def registry: Seq[QuerySpec] =
     CoreQueries.all ++ MoreQueries.all ++ OpQueries.all ++ ShapeQueries.all ++
-      WarehouseQueries.all ++ ExtQueries.all ++ MlQueries.all
+      WarehouseQueries.all ++ LifecycleQueries.all ++ ExtQueries.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,306 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Column, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.{Dumps, Skipping, Tables}
+import graft.functions.ZOrder
+import graft.jobs.{ChangeFeed, Lifecycle}
+import graft.streaming.StreamingJobs
+
+/** Round-6 tier: table lifecycle (key-delete, compaction, change feed) and
+  * physical-layout optimization (min/max file skipping, Z-order
+  * clustering), plus time-series gap-fill and the stream-stream join.
+  *
+  * Scale notes (the 100 TB shapes):
+  *   - delete_keys / compact_small_files rewrite only the partitions that
+  *     need it — work scales with the change / the fragmentation, never
+  *     with the table (jobs/Lifecycle scaladoc has the full reasoning).
+  *   - skip_minmax_scan / zorder_codes: the scan cost of a selective range
+  *     query over a clustered layout is O(matching files), not O(table) —
+  *     file envelopes come from parquet FOOTERS (metadata-only). Z-order
+  *     makes that hold for BOTH key dimensions at once.
+  *   - ts_gapfill_ffill: the grid explode is per-user and the fill is one
+  *     window pass over the user partitioning — one Exchange end to end.
+  *   - stream_stream_join: watermarks bound join state on both sides; the
+  *     time-interval condition lets Spark expire buffered rows, so state
+  *     is O(watermark window), not O(stream).
+  */
+object LifecycleQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private val streamRun = new AtomicInteger(0)
+
+  private def eventsSlim(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+
+  def all: Seq[QuerySpec] = Seq(
+
+    // ---- Key-delete (GDPR / right-to-erasure): build an event_type-
+    // partitioned table, delete every row whose key matches the doomed
+    // keyset, rewriting only partitions that held one. The oracle
+    // recomputes the survivor set relationally, so a row deleted too many
+    // or too few anywhere in the rewrite flips the hash. LifecycleSpec
+    // additionally proves untouched partitions stay byte-identical and an
+    // emptied partition's directory is removed.
+    QuerySpec(
+      "delete_keys",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/del"
+        val e = eventsSlim(s, dir)
+        e.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("event_type").parquet(s"$root/target")
+        val doomed = e.where(col("event_id") % 13 === 4).select(col("event_id"))
+        val (after, _) = Lifecycle.deleteKeys(s, s"$root/target", doomed,
+          Seq("event_id"), Seq("event_type"), s"$root/staging")
+        after.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM events WHERE NOT (event_id % 13 = 4)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Small-file compaction (OPTIMIZE): fragment a partitioned table
+    // into ~24 files per partition, compact partitions down to their
+    // byte-justified file count, and prove the row set survived exactly
+    // (the oracle recomputes it from the source). The `compacted` flag is
+    // engine-measured (files strictly decreased over the compacted set)
+    // and oracle-pinned TRUE.
+    QuerySpec(
+      "compact_small_files",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/compact"
+        val e = eventsSlim(s, dir)
+        e.repartition(24).write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("event_type").parquet(s"$root/target")
+        val (nparts, before, after) = Lifecycle.compactPartitions(
+          s, s"$root/target", Seq("event_type"),
+          targetFileBytes = 64L * 1024 * 1024, s"$root/staging")
+        s.read.parquet(s"$root/target")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("compacted", lit(nparts > 0 && after < before))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS compacted
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Change-data-feed from MERGE: the row-level change set (insert /
+    // update_preimage / update_postimage) a whole-row-update merge
+    // produces, summarized per (op, partition). The oracle rebuilds each
+    // feed leg relationally; ChangeFeedSpec proves replaying the feed onto
+    // the old snapshot yields exactly the post-merge table.
+    QuerySpec(
+      "merge_changefeed",
+      (s, dir) => {
+        val e = eventsSlim(s, dir)
+        val updates = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+        val inserts = e.where(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("value", col("value") + 1)
+        ChangeFeed.mergeFeed(e, updates.unionByName(inserts), Seq("event_id"))
+          .groupBy(col(ChangeFeed.opCol), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col(ChangeFeed.opCol), col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (
+             |  SELECT event_id, user_id, value * 2 AS value, event_type FROM e WHERE event_id % 10 = 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type FROM e WHERE event_id % 10 = 7),
+             |feed AS (
+             |  SELECT *, 'insert' AS _op FROM src
+             |  WHERE event_id NOT IN (SELECT event_id FROM e)
+             |  UNION ALL
+             |  SELECT *, 'update_postimage' AS _op FROM src
+             |  WHERE event_id IN (SELECT event_id FROM e)
+             |  UNION ALL
+             |  SELECT *, 'update_preimage' AS _op FROM e
+             |  WHERE event_id IN (SELECT event_id FROM src))
+             |SELECT _op, event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- Min/max file skipping over a range-clustered layout: write the
+    // fact range-clustered by user_id, roll parquet footer stats up to a
+    // file-grain index, and answer a selective range query reading ONLY
+    // the files whose envelope intersects it. The aggregate is
+    // oracle-checked against a plain filter (pruning must be invisible to
+    // results); `pruned` is engine-measured (strictly fewer files than the
+    // table has) and oracle-pinned TRUE.
+    QuerySpec(
+      "skip_minmax_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/skip"
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+        e.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/data")
+        val idx = Skipping.buildIndex(s, s"$root/data")
+        val kept = Skipping.pruneFiles(idx, "user_id", 10L, 39L)
+        Skipping.scanPruned(s, idx, "user_id", 10L, 39L)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("pruned", lit(kept.size < idx.size))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS pruned
+             |FROM events WHERE user_id BETWEEN 10 AND 39""".stripMargin)
+    ),
+
+    // ---- Z-order clustering: Morton-interleave two scattered 8-bit keys
+    // (multiplicative scatter fills the domain at every SF), lay the table
+    // out by explicit Z-cell (zcode DIV 4096 — 16 axis-aligned rectangles,
+    // exact by construction, no sampled boundaries), and prove a range
+    // predicate on EITHER dimension skips files via the same footer index.
+    // Z-codes themselves are bit-exact cross-engine (pure 64-bit shifts
+    // and masks), so the per-bucket checksums are hash-checked too.
+    QuerySpec(
+      "zorder_codes",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/zorder"
+        val ux = pmod(col("user_id") * 131, lit(256))
+        val ex = pmod(col("event_id") * 137, lit(256))
+        val d = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            ux.cast("long").as("ux"), ex.cast("long").as("ex"))
+          .withColumn("zcode", ZOrder.interleave16(col("ux"), col("ex")))
+          .withColumn("zcell", expr("zcode DIV 4096"))
+        d.repartition(16, col("zcell"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("zcell").parquet(s"$root/data")
+        val idx = Skipping.buildIndex(s, s"$root/data", recursive = true)
+        val prunedU = Skipping.pruneFiles(idx, "ux", 0L, 63L).size < idx.size
+        val prunedE = Skipping.pruneFiles(idx, "ex", 0L, 63L).size < idx.size
+        s.read.parquet(s"$root/data")
+          .groupBy(pmod(col("zcode"), lit(16)).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("zcode")).cast("bigint").as("z_sum"),
+            sum(col("event_id")).cast("bigint").as("id_sum"))
+          .withColumn("pruned_u", lit(prunedU))
+          .withColumn("pruned_e", lit(prunedE))
+          .orderBy(col("zbucket"))
+      },
+      Some(s"""WITH z AS (
+              |  SELECT event_id,
+              |    ${ZOrder.interleaveSql("((user_id * 131) % 256)", "((event_id * 137) % 256)")} AS zcode
+              |  FROM events)
+              |SELECT zcode % 16 AS zbucket, COUNT(*) AS n,
+              |  CAST(SUM(zcode) AS BIGINT) AS z_sum,
+              |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              |  TRUE AS pruned_u, TRUE AS pruned_e
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Time-series gap-fill: resample each user's event stream to an
+    // hourly grid (sequence + explode between observed bounds) and
+    // forward-fill the per-hour average. Averages are decimal-summed then
+    // rounded BEFORE the fill, so the carried value is bit-identical on
+    // both engines. One window pass over the user partitioning.
+    QuerySpec(
+      "ts_gapfill_ffill",
+      (s, dir) => {
+        val hr = expr("unix_micros(ts) DIV 3600000000")
+        val b = Tables.events(s, dir)
+          .groupBy(col("user_id"), hr.as("hr"))
+          .agg(round(sum(dec(col("value"))).cast("double") / count(lit(1)), 4).as("v"))
+        val grid = b.groupBy(col("user_id"))
+          .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(b, Seq("user_id", "hr"), "left")
+          .select(col("user_id"), col("hr"),
+            when(col("v").isNull, 0L).otherwise(1L).as("is_observed"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+          .orderBy(col("user_id"), col("hr"))
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+             |    ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS v
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM b GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hr FROM bounds)
+             |SELECT g.user_id, g.hr,
+             |  CAST(CASE WHEN b.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_observed,
+             |  last_value(b.v IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+             |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.hr = b.hr
+             |ORDER BY g.user_id, g.hr""".stripMargin)
+    ),
+
+    // ---- Stream-stream join (the remaining Structured Streaming tier):
+    // clicks joined to purchases by the same user within the following 30
+    // minutes, both sides watermarked, event-time interval condition. An
+    // AvailableNow run must hash-match the batch interval join over the
+    // same files — exact watermark/join parity, same mechanism as the
+    // stream_tumbling/session oracles.
+    QuerySpec(
+      "stream_stream_join",
+      (s, dir) => {
+        try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        catch { case _: Throwable => () }
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        def src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("ts"),
+            col("event_type"), col("value"))
+        val clicks = src.where(col("event_type") === "click")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+            col("ts").as("c_ts"))
+        val purchases = src.where(col("event_type") === "purchase")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            col("ts").as("p_ts"), col("value"))
+        val joined = clicks.join(purchases,
+          expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+        val name = s"stream_stream_join_${streamRun.incrementAndGet()}"
+        StreamingJobs.runAvailableNow(joined, name, OutputMode.Append())
+        s.table(name)
+          .groupBy(col("c_user").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("c_id") + col("p_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id, COUNT(*) AS n_pairs,
+             |  CAST(SUM(c.event_id + p.event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    )
+  )
+}

@@ -370,6 +370,73 @@ object ExtSql {
     )
   }
 
+  /** Product quantization ANN (the IVF/LSH companion for memory-bound
+    * scale): split each 64-dim vector into 8 subspaces of 8 dims, learn an
+    * 8-centroid codebook per subspace with a DETERMINISTIC distributed
+    * Lloyd's iteration (init = the first 8 vectors' subvectors, 2 update
+    * rounds, every averaged centroid and every distance ROUNDED before it
+    * feeds a comparison — so cross-engine float summation order cannot
+    * flip an argmin), encode every vector to 8 one-byte codes, and answer
+    * the query via the classic ADC scan: an 8x8 query-to-centroid distance
+    * table joined to the code table.
+    *
+    * Scale shape: the codebook fit is groupBy aggregates over the
+    * position-exploded vectors (same primitive as IVF centroid build); the
+    * ADC scan touches 8 small codes per vector instead of 64 floats — at
+    * 100 TB that is the difference between an in-memory index and one that
+    * thrashes. Every join key is (sub, code) or (sub, dim): tiny
+    * broadcast-able dimension tables against one narrow fact. */
+  def annPqTopKStaged(k: Int = 10): Staged = {
+    // argmin assignment of every (vec_id, sub) subvector to `cents`
+    def assign(cents: String): String =
+      s"""SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |  FROM (
+         |    SELECT e.vec_id, e.sub, c.code,
+         |      ROUND(SUM((e.v - c.c) * (e.v - c.c)), 6) AS d2
+         |    FROM pq_e e JOIN $cents c ON e.sub = c.sub AND e.dim = c.dim
+         |    GROUP BY e.vec_id, e.sub, c.code) d) r
+         |WHERE rn = 1""".stripMargin
+    // centroid update from an assignment (empty clusters drop out — same
+    // groups exist on both engines, so this is deterministic too)
+    def update(asg: String): String =
+      s"""SELECT a.sub, a.code, e.dim, ROUND(AVG(e.v), 6) AS c
+         |FROM $asg a JOIN pq_e e ON a.vec_id = e.vec_id AND a.sub = e.sub
+         |GROUP BY a.sub, a.code, e.dim""".stripMargin
+    Staged(
+      Seq(
+        "pq_e" -> { d: Sql =>
+          s"""SELECT vec_id, ${d.intDiv("(pos - 1)", "8")} AS sub,
+             |  ((pos - 1) % 8) AS dim, CAST(val AS DOUBLE) AS v
+             |FROM (${d.posExplodeSelect("vec_id", "embedding", "embeddings")}) pe""".stripMargin
+        },
+        "pq_c0" -> { _: Sql =>
+          "SELECT sub, vec_id AS code, dim, ROUND(v, 6) AS c FROM pq_e WHERE vec_id < 8"
+        },
+        "pq_a1" -> { _: Sql => assign("pq_c0") },
+        "pq_c1" -> { _: Sql => update("pq_a1") },
+        "pq_a2" -> { _: Sql => assign("pq_c1") },
+        "pq_c2" -> { _: Sql => update("pq_a2") },
+        "pq_code" -> { _: Sql => assign("pq_c2") },
+        // ADC distance table: query (vec_id 0) subvector -> every centroid
+        "pq_qd" -> { _: Sql =>
+          s"""SELECT c.sub, c.code, ROUND(SUM((q.v - c.c) * (q.v - c.c)), 6) AS qd
+             |FROM pq_c2 c JOIN pq_e q ON q.sub = c.sub AND q.dim = c.dim
+             |WHERE q.vec_id = 0
+             |GROUP BY c.sub, c.code""".stripMargin
+        }
+      ),
+      { _: Sql =>
+        s"""SELECT a.vec_id, ROUND(SUM(d.qd), 5) AS approx_d2
+           |FROM pq_code a JOIN pq_qd d ON a.sub = d.sub AND a.code = d.code
+           |WHERE a.vec_id <> 0
+           |GROUP BY a.vec_id
+           |ORDER BY approx_d2, vec_id LIMIT $k""".stripMargin
+      }
+    )
+  }
+
   // ------------------------------------------------- LLM sequence prep ----
 
   /** Fixed-size token chunking with overlap — the standard LLM context-prep

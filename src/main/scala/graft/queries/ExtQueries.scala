@@ -71,6 +71,7 @@ object ExtQueries {
     // never a full scan; oracle-checked because the whole pipeline is
     // dialect-templated SQL.
     staged("ann_ivf_nprobe3", ExtSql.annIvfTopKStaged(5, nprobe = 3)),
+    staged("ann_pq_topk", ExtSql.annPqTopKStaged(10)),
     staged("text_tfidf_topterms", ExtSql.textTfidfStaged),
     // Native codegen'd Catalyst expression (graft.functions.CosineSimilarity)
     // replacing the interpreted HOF dot products — float->double promotion and

@@ -363,6 +363,35 @@ object MoreQueries {
              |FROM events""".stripMargin)
     ),
 
+    // ---- Stratified sampling (sampleBy): per-stratum Bernoulli fractions —
+    // the training-data mixture primitive (sample each source at its own
+    // rate). Same bound-check mechanism as f4: exact stratum totals are
+    // hash-checked, the sampled counts are pinned inside a 6σ binomial
+    // band per stratum (deterministically true for any sane RNG).
+    QuerySpec(
+      "f_stratified_sample",
+      (s, dir) => {
+        val fr = Map("click" -> 0.2, "view" -> 0.1, "purchase" -> 0.5,
+          "signup" -> 0.3, "error" -> 0.05)
+        val e = Tables.events(s, dir)
+        val sampled = e.stat.sampleBy("event_type", fr, 42L)
+        val frac = fr.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("event_type") === k, v).otherwise(acc)
+        }
+        val tot = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        val smp = sampled.groupBy(col("event_type")).agg(count(lit(1)).as("n_sample"))
+        tot.join(smp, Seq("event_type"), "left")
+          .na.fill(0L, Seq("n_sample"))
+          .select(col("event_type"), col("n_total"),
+            (abs(col("n_sample") - frac * col("n_total")) <=
+              lit(6.0) * sqrt(col("n_total") * frac * (lit(1.0) - frac)))
+              .as("stratum_in_band"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_total, TRUE AS stratum_in_band
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- §2.12 promoted set ops: INTERSECT / EXCEPT with oracle parity ------
     QuerySpec(
       "set_intersect_except",

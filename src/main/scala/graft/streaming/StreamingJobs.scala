@@ -223,6 +223,51 @@ object StreamingJobs {
     q.stop()
   }
 
+  /** Append-mode streaming ingest into a partitioned parquet table with
+    * PERIODIC AUTO-COMPACTION — the bronze-layer shape: every micro-batch
+    * appends a few small files to its partitions, and every
+    * `compactEvery`-th batch folds the accreted fragments back to their
+    * byte-justified file count (jobs/Lifecycle.compactPartitions —
+    * metadata-only listing picks the fragmented partitions; healthy ones
+    * are never rewritten).
+    *
+    * At 100 TB this composition is what keeps a continuously-ingested
+    * table scannable: without it a 1-minute trigger writes ~1,440 files
+    * per partition per day and scan planning drowns in footers. Running
+    * compaction inside foreachBatch serializes it with ingest, so no
+    * append races the rewrite (single-writer discipline — the same
+    * guarantee a table-format transaction log provides). */
+  def streamingIngestWithAutoCompact(
+      spark: SparkSession,
+      srcDir: String,
+      tablePath: String,
+      partitionCol: String,
+      stagingPath: String,
+      checkpoint: String,
+      compactEvery: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFilesPerTrigger: Int = 1
+  ): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").partitionBy(partitionCol).parquet(tablePath)
+        if (batchId % compactEvery == compactEvery - 1) {
+          graft.jobs.Lifecycle.compactPartitions(
+            spark, tablePath, Seq(partitionCol), targetFileBytes, stagingPath)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+  }
+
   /** Run a streaming frame to a memory sink until all available data is
     * processed (Trigger.AvailableNow — the batch-parity execution mode). */
   def runAvailableNow(df: DataFrame, queryName: String, outputMode: OutputMode): StreamingQuery = {

@@ -60,4 +60,51 @@ object ChangeFeed {
     snapshot.join(dropKeys, keyCols, "left_anti")
       .unionByName(adds.select(snapshot.columns.map(col): _*))
   }
+
+  /** Incremental view maintenance for SUM/COUNT marts, driven by the feed
+    * ALONE: pre-images and deletes contribute with sign -1, post-images and
+    * inserts with +1, so grouping the signed feed by the mart keys yields
+    * exactly the delta each mart row needs — no fact partition is re-read
+    * at all. This is the delta algebra a materialized-view engine applies;
+    * it beats partition-level refresh (`jobs.Incremental`) whenever a
+    * partition is large but its change is small, which at 100 TB is the
+    * common case (a daily merge touching 0.1% of a date partition still
+    * forces that whole partition through refreshPartitions).
+    *
+    * `sumCols` are decimal-accumulated (exact, order-independent) and the
+    * count delta rides along as `_dn`; IvmSpec proves feed-driven
+    * maintenance equals from-scratch recomputation, including rows whose
+    * group empties (count drops to zero -> row removed). */
+  def martDelta(feed: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val sign = when(col(opCol).isin("insert", "update_postimage"), 1)
+      .otherwise(-1)
+    feed
+      .select((groupCols.map(col) :+ sign.as("_sign")) ++
+        sumCols.map(c => col(c).cast("decimal(20,2)").as(c)): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("_sign")).cast("bigint").as("_dn"),
+        sumCols.map(c => sum(col(c) * col("_sign")).as(s"_d_$c")): _*)
+  }
+
+  /** Apply a `martDelta` to a (n, sum...) mart: add the deltas, drop rows
+    * whose count reaches zero. The mart must carry `countCol` and the
+    * corresponding sums as decimal-exact doubles. */
+  def applyMartDelta(
+      mart: DataFrame,
+      delta: DataFrame,
+      groupCols: Seq[String],
+      countCol: String,
+      sumCols: Map[String, String]): DataFrame = {
+    val joined = mart.join(delta, groupCols, "full_outer")
+    val newN = coalesce(col(countCol), lit(0L)) + coalesce(col("_dn"), lit(0L))
+    val sums = sumCols.map { case (martCol, srcCol) =>
+      (coalesce(col(martCol).cast("decimal(20,2)"), lit(0).cast("decimal(20,2)")) +
+        coalesce(col(s"_d_$srcCol"), lit(0).cast("decimal(20,2)")))
+        .cast("double").as(martCol)
+    }.toSeq
+    joined
+      .select((groupCols.map(col) :+ newN.as(countCol)) ++ sums: _*)
+      .where(col(countCol) > 0)
+  }
 }

@@ -167,6 +167,33 @@ object Lifecycle {
     (todo.size, todo.map(_.files).sum, after.map(_.files).sum)
   }
 
+  /** Remove writer debris under `path`: `_temporary` directories (left by
+    * crashed or killed jobs — the committer only cleans them on success)
+    * and orphaned `.*.tmp` in-progress files. Committed data, partition
+    * dirs and `_SUCCESS` markers are untouched. Returns the number of
+    * entries deleted.
+    *
+    * At 100 TB debris is not cosmetic: a `_temporary` tree from a crashed
+    * writer can hold a full copy of the job's output, and some listers
+    * (schema inference, naive globs) trip over it. Vacuum is metadata-only
+    * work, O(directory entries). */
+  def vacuumOrphans(spark: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var deleted = 0
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name == "_temporary") {
+          fs.delete(s.getPath, true); deleted += 1
+        } else if (s.isFile && name.startsWith(".") && name.endsWith(".tmp")) {
+          fs.delete(s.getPath, false); deleted += 1
+        } else if (s.isDirectory) walk(s.getPath)
+      }
+    walk(root)
+    deleted
+  }
+
   private implicit class SeqAsJava[A](s: Seq[A]) {
     def asJava: java.util.List[A] = {
       val l = new java.util.ArrayList[A](s.size)

@@ -146,6 +146,46 @@ object LifecycleQueries {
              |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // ---- Incremental view maintenance from the feed ALONE: maintain a
+    // (count, sum) mart by applying the change feed's signed deltas
+    // (pre-images/deletes at -1, post-images/inserts at +1) — zero fact
+    // re-reads, unlike partition-level refresh. The oracle recomputes the
+    // mart from scratch over the merged table, so the hash proves the
+    // delta algebra is exact (decimal accumulation keeps it
+    // order-independent).
+    QuerySpec(
+      "mart_ivm_from_feed",
+      (s, dir) => {
+        val e = eventsSlim(s, dir)
+        val bucket = (col("user_id") % 10).cast("bigint").as("bucket")
+        val mart0 = e.groupBy(col("event_type"), bucket)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        val updates = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+        val inserts = e.where(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("value", col("value") + 1)
+        val feed = ChangeFeed.mergeFeed(e, updates.unionByName(inserts), Seq("event_id"))
+          .withColumn("bucket", (col("user_id") % 10).cast("bigint"))
+        val delta = ChangeFeed.martDelta(feed, Seq("event_type", "bucket"), Seq("value"))
+        ChangeFeed.applyMartDelta(mart0, delta, Seq("event_type", "bucket"),
+            "n", Map("value_sum" -> "value"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (
+             |  SELECT event_id, user_id, value * 2 AS value, event_type FROM e WHERE event_id % 10 = 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type FROM e WHERE event_id % 10 = 7),
+             |merged AS (
+             |  SELECT * FROM e WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src)
+             |SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // ---- Min/max file skipping over a range-clustered layout: write the
     // fact range-clustered by user_id, roll parquet footer stats up to a
     // file-grain index, and answer a selective range query reading ONLY

@@ -144,6 +144,37 @@ object MoreQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // ---- Sketch MERGEABILITY — the 100 TB pre-aggregation contract: build
+    // one DataSketches HLL per day-partition (what a daily rollup job
+    // materializes), union the partials, and the estimate must EQUAL the
+    // single-pass sketch over the raw data (HLL registers are maxes, so
+    // union is exact and order/partitioning-independent) — that equality
+    // plus the 3σ accuracy band are hash-pinned next to the exact count.
+    // This is what lets a year-long distinct-users query read 365 sketch
+    // rows instead of re-scanning a year of raw events.
+    QuerySpec(
+      "agg_hll_merge_rollup",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val daily = e.groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        val direct = e.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"))
+        val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.crossJoin(merged).crossJoin(direct)
+          .select(
+            col("n_exact"),
+            (col("est_merged") === col("est_direct")).as("merge_is_lossless"),
+            (abs(col("est_merged") - col("n_exact")).cast("double") /
+              col("n_exact") <= lit(0.05)).as("hll_in_band"))
+      },
+      Some("""SELECT COUNT(DISTINCT user_id) AS n_exact,
+             |  TRUE AS merge_is_lossless, TRUE AS hll_in_band
+             |FROM events""".stripMargin)
+    ),
+
     // ---- E9 + A8 faithful shape: percentile ARRAY then getItem unpack ------
     QuerySpec(
       "e9_percentile_unpack",

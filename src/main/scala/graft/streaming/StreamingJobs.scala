@@ -223,6 +223,50 @@ object StreamingJobs {
     q.stop()
   }
 
+  /** Streaming MERGE that also PUBLISHES its change feed: each micro-batch
+    * first materializes the row-level change set (graft.jobs.ChangeFeed)
+    * against the pre-merge target into `feedDir/` (tagged with the batch
+    * id), then applies the merge. Downstream consumers replay the feed —
+    * 1000x smaller than the table for a typical daily change rate —
+    * instead of re-reading snapshots; ChangeFeedReplaySpec proves the
+    * concatenated feeds reconstruct the final table exactly.
+    *
+    * The feed write MUST complete before the merge mutates the target
+    * (the feed's pre-images read the target): sequencing inside
+    * foreachBatch guarantees it, and the checkpoint makes a re-run
+    * idempotent (same batch -> same feed rows, overwritten by batch id). */
+  def streamingMergeWithChangeFeed(
+      spark: SparkSession,
+      updatesDir: String,
+      factPath: String,
+      feedDir: String,
+      stagingPath: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      partitionCol: String,
+      maxFilesPerTrigger: Int = 1
+  ): Unit = {
+    val schema = spark.read.parquet(factPath).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(updatesDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = spark.read.parquet(factPath)
+        graft.jobs.ChangeFeed.mergeFeed(target, batch, keyCols)
+          .write.mode("overwrite")
+          .parquet(s"$feedDir/batch=$batchId")
+        graft.jobs.Merge.mergeIntoPartitioned(
+          spark, factPath, batch, keyCols, partitionCol, stagingPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+  }
+
   /** Append-mode streaming ingest into a partitioned parquet table with
     * PERIODIC AUTO-COMPACTION — the bronze-layer shape: every micro-batch
     * appends a few small files to its partitions, and every

@@ -81,6 +81,31 @@ object Skipping {
     }
   }
 
+  /** Persist an index as a parquet table (file, rows, col, min, max) —
+    * the form a production deployment maintains NEXT TO the data (built
+    * once at write time, consulted at planning time; re-reading footers
+    * per query would be O(files) round trips from the driver). */
+  def writeIndex(spark: SparkSession, index: Seq[FileStats], path: String): Unit = {
+    import spark.implicits._
+    index.flatMap { f =>
+      if (f.mins.isEmpty) Seq((f.path, f.rows, null.asInstanceOf[String], 0L, 0L))
+      else f.mins.keys.toSeq.map(c => (f.path, f.rows, c, f.mins(c), f.maxs(c)))
+    }.toDF("file", "rows", "col", "min", "max")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted index back to the in-memory pruning form. */
+  def readIndex(spark: SparkSession, path: String): Seq[FileStats] = {
+    spark.read.parquet(path).collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((file, rows), rs) =>
+        val cols = rs.filter(!_.isNullAt(2))
+        FileStats(file, rows,
+          cols.map(r => r.getString(2) -> r.getLong(3)).toMap,
+          cols.map(r => r.getString(2) -> r.getLong(4)).toMap)
+      }.toSeq
+  }
+
   /** Files whose [min,max] envelope on `col` intersects [lo, hi]. A file
     * with no stats for `col` cannot be skipped (must be kept). */
   def pruneFiles(index: Seq[FileStats], col: String, lo: Long, hi: Long): Seq[String] =
@@ -90,6 +115,45 @@ object Skipping {
         case _ => true
       }
     }.map(_.path)
+
+  /** Bloom-filter file pruning for STRING EQUALITY — the modality min/max
+    * envelopes cannot serve: a point lookup on a high-cardinality key over
+    * an UNCLUSTERED layout (every file's [min,max] spans the domain, so
+    * stats prune nothing, but each file's parquet bloom answers "might
+    * this file contain the value?" from the footer alone). Files whose
+    * bloom excludes the value are skipped with certainty (blooms have no
+    * false negatives); a missing bloom keeps the file. At 100 TB this is
+    * the needle-in-haystack path: one key among billions touches the
+    * O(1%) of files the bloom cannot rule out, metadata-only. Writers opt
+    * in per column: `parquet.bloom.filter.enabled#<col>=true`. */
+  def pruneFilesByBloomEquality(
+      spark: SparkSession, dir: String, colName: String, value: String,
+      recursive: Boolean = false): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dataFiles(spark, dir, recursive).filter { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var mightContain = false
+        blocks.forEach { b =>
+          if (!mightContain) {
+            var ccmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == colName) ccmd = c
+            }
+            if (ccmd == null) mightContain = true
+            else {
+              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(ccmd)
+              if (bf == null) mightContain = true
+              else mightContain = bf.findHash(
+                bf.hash(org.apache.parquet.io.api.Binary.fromString(value)))
+            }
+          }
+        }
+        mightContain
+      } finally reader.close()
+    }
+  }
 
   /** Index-pruned range scan: read only the surviving files, then apply
     * the exact predicate (stats pruning is a superset filter — the

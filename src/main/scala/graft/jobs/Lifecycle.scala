@@ -167,6 +167,26 @@ object Lifecycle {
     (todo.size, todo.map(_.files).sum, after.map(_.files).sum)
   }
 
+  /** Partition-level retention (TTL): drop every partition whose value
+    * tuple matches `expire` — a pure directory delete, NO data is read or
+    * rewritten. This is why time-partitioned tables put the retention key
+    * in the partitioning: expiring 90-day-old data from a 5,000-partition
+    * table is 90 metadata operations, while the same policy as a row
+    * filter (`deleteKeys`) would rewrite every file it touches. Returns
+    * the dropped partition tuples. */
+  def expirePartitions(
+      spark: SparkSession,
+      targetPath: String,
+      partitionCols: Seq[String],
+      expire: Seq[String] => Boolean
+  ): Seq[Seq[String]] = {
+    val doomed = listPartitionFiles(spark, targetPath, partitionCols)
+      .map(_.values).filter(expire)
+    Merge.deletePartitionDirs(spark, targetPath, partitionCols,
+      doomed.map(_.toList: Seq[Any]))
+    doomed
+  }
+
   /** Remove writer debris under `path`: `_temporary` directories (left by
     * crashed or killed jobs — the committer only cleans them on success)
     * and orphaned `.*.tmp` in-progress files. Committed data, partition

@@ -73,6 +73,35 @@ object LifecycleQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- Partition-level retention (TTL): drop whole partitions by
+    // value — a metadata-only directory delete, zero data read/rewritten
+    // (the reason time-partitioned tables carry the retention key in the
+    // partitioning; contrast delete_keys, which must rewrite files). The
+    // oracle recomputes the survivor set as a filter.
+    QuerySpec(
+      "retention_expire",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/retention"
+        val e = eventsSlim(s, dir)
+        e.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("event_type").parquet(s"$root/target")
+        Lifecycle.expirePartitions(s, s"$root/target", Seq("event_type"),
+          vs => vs.head == "error")
+        s.read.parquet(s"$root/target")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM events WHERE event_type <> 'error'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- Small-file compaction (OPTIMIZE): fragment a partitioned table
     // into ~24 files per partition, compact partitions down to their
     // byte-justified file count, and prove the row set survived exactly
@@ -212,6 +241,39 @@ object LifecycleQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
              |  TRUE AS pruned
              |FROM events WHERE user_id BETWEEN 10 AND 39""".stripMargin)
+    ),
+
+    // ---- Bloom-filter file skipping: a point lookup on a
+    // HIGH-CARDINALITY string key over an UNCLUSTERED layout — min/max
+    // envelopes span the domain and prune nothing (SkippingSpec proves
+    // that negative), but the per-file parquet bloom rules out files with
+    // certainty. The fetched row is hash-checked; `pruned` (strictly
+    // fewer files read) is oracle-pinned TRUE — false only if every other
+    // file false-positives at once (p ~ 1e-14).
+    QuerySpec(
+      "skip_bloom_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/bloomskip"
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("ekey", concat(lit("e"), col("event_id")))
+          .repartition(8)
+          .write.mode(SaveMode.Overwrite)
+          .option("parquet.bloom.filter.enabled#ekey", "true")
+          .option("parquet.bloom.filter.expected.ndv#ekey", "200000")
+          .parquet(s"$root/data")
+        val total = Skipping.dataFiles(s, s"$root/data").size
+        val kept = Skipping.pruneFilesByBloomEquality(s, s"$root/data", "ekey", "e424")
+        s.read.parquet(kept: _*)
+          .where(col("ekey") === "e424")
+          .select(col("event_id"), col("user_id"),
+            dec(col("value")).cast("double").as("value_2dp"))
+          .withColumn("pruned", lit(kept.size < total))
+      },
+      Some("""SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+             |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_2dp,
+             |  TRUE AS pruned
+             |FROM events WHERE event_id = 424""".stripMargin)
     ),
 
     // ---- Z-order clustering: Morton-interleave two scattered 8-bit keys

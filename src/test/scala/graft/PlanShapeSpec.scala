@@ -82,7 +82,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_nprobe3", "ann_native_topk",
     "q22_dormant_customers", // 1-row average-balance threshold
     "q11_value_concentration", // 1-row concentration threshold
-    "q20_heavy_suppliers") // 1-row volume threshold
+    "q20_heavy_suppliers", // 1-row volume threshold
+    "agg_hll_merge_rollup") // three 1-row sketch/exact aggregates composed
 
   test("no registry query plans a cartesian product or unexpected nested-loop join") {
     // ml_* fit models and dedup_components iterates at plan-build time;

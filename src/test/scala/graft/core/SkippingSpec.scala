@@ -65,4 +65,42 @@ class SkippingSpec extends AnyFunSuite {
     assert(kept.size == idx.size,
       "without clustering min/max skipping cannot help — the layout is the index")
   }
+
+  test("a persisted index round-trips and prunes identically to footer reads") {
+    val root = Files.createTempDirectory("skip").toFile.getAbsolutePath
+    val idxPath = Files.createTempDirectory("skip-idx").toFile.getAbsolutePath
+    clustered(root)
+    val idx = Skipping.buildIndex(spark, root)
+    Skipping.writeIndex(spark, idx, idxPath)
+    val loaded = Skipping.readIndex(spark, idxPath)
+    assert(loaded.toSet == idx.toSet)
+    assert(Skipping.pruneFiles(loaded, "id", 1000L, 1499L).toSet
+      == Skipping.pruneFiles(idx, "id", 1000L, 1499L).toSet)
+  }
+
+  test("bloom equality pruning works exactly where min/max cannot: unclustered point lookup") {
+    val root = Files.createTempDirectory("skip-bloom").toFile.getAbsolutePath
+    (0L until 4000L).map(i => (i, s"key$i")).toDF("id", "k")
+      .repartition(8)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "4000")
+      .parquet(root)
+    val total = Skipping.dataFiles(spark, root).size
+    assert(total == 8)
+    val kept = Skipping.pruneFilesByBloomEquality(spark, root, "k", "key2024")
+    assert(kept.size < total, "bloom must rule out files not holding the key")
+    val got = spark.read.parquet(kept: _*).where(col("k") === "key2024")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2024L), "pruning must be invisible to the lookup result")
+    // a value that exists nowhere: no false negatives allowed, and the
+    // lookup over whatever files survive finds nothing
+    val keptMissing = Skipping.pruneFilesByBloomEquality(spark, root, "k", "absent")
+    if (keptMissing.nonEmpty) {
+      assert(spark.read.parquet(keptMissing: _*)
+        .where(col("k") === "absent").count() == 0)
+    }
+    // a column without a bloom cannot prune
+    assert(Skipping.pruneFilesByBloomEquality(spark, root, "id", "7").size == total)
+  }
 }

@@ -126,6 +126,23 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("retention expiry drops matching partitions without touching survivors") {
+    val root = Files.createTempDirectory("ttl").toFile.getAbsolutePath
+    freshTarget(root)
+    val before = fileSigs(new java.io.File(root))
+
+    val dropped = Lifecycle.expirePartitions(spark, root, Seq("p"), _.head == "p0")
+
+    assert(dropped == Seq(Seq("p0")))
+    assert(!new java.io.File(root, "p=p0").exists())
+    val after = fileSigs(new java.io.File(root))
+    before.filterNot(_._1.contains("p=p0")).foreach { case (path, sig) =>
+      assert(after.get(path).contains(sig), s"survivor rewritten: $path")
+    }
+    assert(spark.read.parquet(root).select("k").as[String].collect().toSet
+      == Set("k3", "k4", "k5"))
+  }
+
   test("listPartitionFiles parses multi-level partition values") {
     val root = Files.createTempDirectory("list").toFile.getAbsolutePath
     Seq((1L, "2024", "1"), (2L, "2024", "2"), (3L, "2025", "1"))

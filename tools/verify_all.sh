@@ -17,8 +17,8 @@ CPUS=${SPARK_GRAFT_CPUS:-8}
 # Regression floors (VERDICT r4 item #7): the gate FAILS if the spec count
 # drops or any registry query loses its oracle SQL — a `None` oracle would
 # silently demote a query to the weaker rows-only check.
-ORACLE_FLOOR=${ORACLE_FLOOR:-114}
-SPEC_FLOOR=${SPEC_FLOOR:-266}
+ORACLE_FLOOR=${ORACLE_FLOOR:-126}
+SPEC_FLOOR=${SPEC_FLOOR:-300}
 
 echo "== compile =="
 sbt -batch compile | tail -1
@@ -37,6 +37,9 @@ echo "== correctness dump ($SF_VERIFY) =="
 rm -rf /tmp/verify_out
 SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $SF_VERIFY /tmp/verify_out" 2>&1 \
   | grep -E '\[verify\].*failed' && { echo "VERIFY FAILURES"; exit 1; } || true
+
+[[ -f /tmp/verify_out/oracle_sql.json ]] || {
+  echo "VERIFY DID NOT COMPLETE (no oracle_sql.json — compile failure?)"; exit 1; }
 
 echo "== oracle replica =="
 python3 tools/check_oracle.py "$SF_VERIFY" /tmp/verify_out | tail -3

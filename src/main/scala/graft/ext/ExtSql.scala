@@ -370,6 +370,55 @@ object ExtSql {
     )
   }
 
+  /** PageRank over the REAL near-duplicate graph (edges = the MinHash-LSH
+    * verified pairs): the weighted-iterative-aggregation class that
+    * complements dedup_components' unweighted label propagation — rank
+    * mass flows along edges for a FIXED number of rounds, so the oracle
+    * unrolls the identical iterations as a WITH chain and the whole
+    * computation hash-checks exactly (every per-round rank is ROUNDED to
+    * 8dp before it feeds the next join, so cross-engine float summation
+    * order cannot drift; the damping jump is CAST(… AS DOUBLE) because a
+    * bare 0.15 literal is DECIMAL in both engines).
+    *
+    * Scale shape: one round = edges ⋈ ranks ⋈ degrees then groupBy(dst) —
+    * all equi-joins/aggregations on the edge partitioning; the Spark
+    * runner materializes each round as a cached stage (the DataFrame twin
+    * of Pregel supersteps). Real deployments add localCheckpoint every
+    * few rounds (see dedup_components for why); 5 unrolled rounds keep
+    * planning cost trivial here. */
+  def pagerankStaged(iters: Int = 5): Staged = {
+    val iterStages = (1 to iters).map { k =>
+      s"pr_r$k" -> { (_: Sql) =>
+        s"""SELECT e.dst AS id,
+           |  ROUND(MAX(j.jump) + 0.85 * SUM(p.r / d.deg), 8) AS r
+           |FROM pr_edges e
+           |JOIN pr_r${k - 1} p ON e.src = p.id
+           |JOIN pr_deg d ON e.src = d.src
+           |CROSS JOIN pr_jump j
+           |GROUP BY e.dst""".stripMargin
+      }
+    }
+    Staged(
+      dedupMinhashLshStaged.stages ++ Seq(
+        "pr_pairs" -> { d: Sql => dedupComponents.pairsSql(d) },
+        "pr_edges" -> { _: Sql =>
+          "SELECT i AS src, j AS dst FROM pr_pairs UNION ALL SELECT j AS src, i AS dst FROM pr_pairs"
+        },
+        "pr_deg" -> { _: Sql => "SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src" },
+        "pr_n" -> { _: Sql => "SELECT COUNT(*) AS n FROM pr_deg" },
+        "pr_jump" -> { _: Sql =>
+          "SELECT CAST(0.15 AS DOUBLE) / n AS jump, n FROM pr_n"
+        },
+        "pr_r0" -> { _: Sql =>
+          "SELECT src AS id, ROUND(CAST(1.0 AS DOUBLE) / n, 8) AS r FROM pr_deg CROSS JOIN pr_n"
+        }) ++ iterStages,
+      { _: Sql =>
+        s"""SELECT id AS doc_id, ROUND(r, 6) AS pagerank
+           |FROM pr_r$iters ORDER BY doc_id""".stripMargin
+      }
+    )
+  }
+
   /** Product quantization ANN (the IVF/LSH companion for memory-bound
     * scale): split each 64-dim vector into 8 subspaces of 8 dims, learn an
     * 8-centroid codebook per subspace with a DETERMINISTIC distributed

@@ -72,6 +72,42 @@ object ExtQueries {
     // dialect-templated SQL.
     staged("ann_ivf_nprobe3", ExtSql.annIvfTopKStaged(5, nprobe = 3)),
     staged("ann_pq_topk", ExtSql.annPqTopKStaged(10)),
+    // PageRank runs its 5 rounds as a DataFrame loop with localCheckpoint
+    // per round — the staged-SQL form would embed the full MinHash lineage
+    // into every round's analysis plan (the dedup_components gotcha:
+    // cache() does not truncate lineage, and plan size grows ~3x per
+    // round until analysis itself exhausts the heap). Arithmetic is
+    // identical to the oracle's unrolled WITH chain: each round's rank is
+    // ROUND(jump + 0.85 * SUM(r/deg), 8).
+    QuerySpec(
+      "graph_pagerank",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pairsStaged = ExtSql.Staged(
+          ExtSql.dedupMinhashLshStaged.stages,
+          ExtSql.dedupComponents.pairsSql)
+        val pairs = runStaged(pairsStaged)(s, dir).localCheckpoint()
+        val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+          .union(pairs.select(col("j"), col("i"))).localCheckpoint()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val n = deg.count()
+        val jump = 0.15 / n
+        var ranks = deg.select(col("src").as("id"),
+          round(lit(1.0 / n), 8).as("r")).localCheckpoint()
+        (1 to 5).foreach { _ =>
+          ranks = edges.join(ranks, edges("src") === ranks("id"))
+            .join(deg, "src")
+            .groupBy(col("dst"))
+            .agg(round(lit(jump) + lit(0.85) * sum(col("r") / col("deg")), 8).as("r"))
+            .select(col("dst").as("id"), col("r"))
+            .localCheckpoint()
+        }
+        ranks.select(col("id").as("doc_id"), round(col("r"), 6).as("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(ExtSql.pagerankStaged(5).oracle(graft.ext.DuckSql))
+    ),
     staged("text_tfidf_topterms", ExtSql.textTfidfStaged),
     // Native codegen'd Catalyst expression (graft.functions.CosineSimilarity)
     // replacing the interpreted HOF dot products — float->double promotion and

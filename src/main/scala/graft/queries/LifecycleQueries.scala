@@ -359,6 +359,35 @@ object LifecycleQueries {
              |ORDER BY g.user_id, g.hr""".stripMargin)
     ),
 
+    // ---- Streaming deduplication parity: dropDuplicates over the stream
+    // (state keyed by the dedup columns) drained with AvailableNow must
+    // equal batch DISTINCT — the exactly-once ingest primitive when
+    // upstream retries duplicate events. State is bounded by key
+    // cardinality here; production uses dropDuplicatesWithinWatermark
+    // (spec'd in StreamingJobsSpec) to bound it by time instead.
+    QuerySpec(
+      "stream_dedup_distinct",
+      (s, dir) => {
+        try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        catch { case _: Throwable => () }
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val dd = src.select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+        val name = s"stream_dedup_distinct_${streamRun.incrementAndGet()}"
+        StreamingJobs.runAvailableNow(dd, name, OutputMode.Append())
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_distinct_users"),
+            sum(col("user_id")).cast("bigint").as("user_id_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users,
+             |  CAST(SUM(DISTINCT user_id) AS BIGINT) AS user_id_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- Stream-stream join (the remaining Structured Streaming tier):
     // clicks joined to purchases by the same user within the following 30
     // minutes, both sides watermarked, event-time interval condition. An

@@ -140,6 +140,71 @@ object WarehouseQueries {
              |ORDER BY metric""".stripMargin)
     ),
 
+    // ---- Cohort retention — the product-analytics staple: assign every
+    // user to the cohort of their first-active day, then count distinct
+    // users active at each day-offset from their cohort. Two shuffles
+    // total (user-grain first-seen, then the cohort×offset rollup); the
+    // cohort join broadcasts at dim scale and shuffle-joins at 100 TB —
+    // either way it is an equi-join on user_id.
+    QuerySpec(
+      "cohort_retention",
+      (s, dir) => {
+        val day = expr("unix_micros(ts) DIV 86400000000")
+        val act = Tables.events(s, dir)
+          .select(col("user_id"), day.as("day")).distinct()
+        val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        act.join(first, Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_day"), col("offset_days"))
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+             |first AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1)
+             |SELECT f.cohort_day, a.day - f.cohort_day AS offset_days,
+             |  COUNT(DISTINCT a.user_id) AS n_active
+             |FROM act a JOIN first f ON a.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- Ordered funnel — strictly-sequential step matching: first view,
+    // then the first click AFTER it, then the first purchase AFTER that.
+    // Each stage is a per-user MIN over a time-bounded equi-join with the
+    // previous stage (never a cross join); emitting per-stage user counts
+    // plus decimal-exact conversion ratios.
+    QuerySpec(
+      "funnel_steps",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = e.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val c = e.where(col("event_type") === "click")
+          .join(v, Seq("user_id")).where(col("us") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val p = e.where(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).where(col("us") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            round(col("n_click").cast("double") / col("n_view"), 4).as("view_to_click"),
+            round(col("n_purchase").cast("double") / col("n_click"), 4).as("click_to_purchase"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+             |v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1)
+             |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             |  (SELECT COUNT(*) FROM c) AS n_click,
+             |  (SELECT COUNT(*) FROM p) AS n_purchase,
+             |  ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM v), 4) AS view_to_click,
+             |  ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c), 4) AS click_to_purchase""".stripMargin)
+    ),
+
     // ---- Batch MERGE/upsert (VERDICT r4 item #4): build an event_type-
     // partitioned target from `events`, merge a source of whole-row updates
     // (value doubled), partition-moving updates (event_type -> 'relocated')

@@ -83,7 +83,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q22_dormant_customers", // 1-row average-balance threshold
     "q11_value_concentration", // 1-row concentration threshold
     "q20_heavy_suppliers", // 1-row volume threshold
-    "agg_hll_merge_rollup") // three 1-row sketch/exact aggregates composed
+    "agg_hll_merge_rollup", // three 1-row sketch/exact aggregates composed
+    "funnel_steps", // three 1-row per-stage counts composed
+    "graph_pagerank") // 1-row jump/n scalar crossed into each round
 
   test("no registry query plans a cartesian product or unexpected nested-loop join") {
     // ml_* fit models and dedup_components iterates at plan-build time;

@@ -140,6 +140,79 @@ object WarehouseQueries {
              |ORDER BY metric""".stripMargin)
     ),
 
+    // ---- SCD2 point-in-time join — THE warehouse read pattern the SCD2
+    // build exists for: give every fact event the dimension version that
+    // was valid at its timestamp. Planned as an equi-join on user_id with
+    // the interval bounds as post-join filters (never a nested loop); at
+    // 100 TB both sides co-partition on user_id. The hash pins exact
+    // interval semantics: half-open [from, to), NULL-open current rows —
+    // one version per event, no duplicates, no gaps.
+    QuerySpec(
+      "j_scd2_pointintime",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+        val chg = e
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        val dim = chg.select(col("user_id").as("d_user"),
+          col("us").as("valid_from_us"),
+          lead(col("us"), 1).over(w).as("valid_to_us"),
+          row_number().over(w).as("version"))
+        val fact = e.select(col("user_id"), col("event_id"), col("us"))
+        fact.join(dim,
+            fact("user_id") === dim("d_user") &&
+              fact("us") >= dim("valid_from_us") &&
+              (dim("valid_to_us").isNull || fact("us") < dim("valid_to_us")))
+          .groupBy(col("version").cast("bigint").as("version"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"))
+          .orderBy(col("version"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |chg AS (SELECT user_id, ts, event_id, event_type FROM o
+             |        WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id, epoch_us(ts) AS valid_from_us,
+             |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+             |  FROM chg)
+             |SELECT CAST(v.version AS BIGINT) AS version, COUNT(*) AS n,
+             |  CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+             |FROM events e JOIN v ON e.user_id = v.user_id
+             |  AND epoch_us(e.ts) >= v.valid_from_us
+             |  AND (v.valid_to_us IS NULL OR epoch_us(e.ts) < v.valid_to_us)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Data-quality expectations as a first-class query: the whole
+    // report is ONE conditional-aggregate pass (etl/Quality) — no
+    // per-check scans. The oracle recomputes every boolean from scratch,
+    // so a broken check (wrong null handling, wrong range edge) flips the
+    // hash even when the data happens to be clean.
+    QuerySpec(
+      "dq_expectations",
+      (s, dir) =>
+        graft.etl.Quality.report(Tables.events(s, dir), Seq(
+          graft.etl.Quality.NotNull("user_id"),
+          graft.etl.Quality.NotNull("event_type"),
+          graft.etl.Quality.Unique("event_id"),
+          graft.etl.Quality.InRange("value", 0.0, 1000000.0),
+          graft.etl.Quality.Holds("ts_in_range",
+            col("ts") >= lit("2024-01-01").cast("timestamp")))),
+      Some("""SELECT COUNT(*) AS n_rows,
+             |  (SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) / COUNT(*)) <= 0.0 AS "not_null:user_id",
+             |  (SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) / COUNT(*)) <= 0.0 AS "not_null:event_type",
+             |  COUNT(event_id) = COUNT(DISTINCT event_id) AS "unique:event_id",
+             |  SUM(CASE WHEN value < 0.0 OR value > 1000000.0 THEN 1 ELSE 0 END) = 0 AS "in_range:value",
+             |  SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' THEN 0 ELSE 1 END) = 0 AS "holds:ts_in_range"
+             |FROM events""".stripMargin)
+    ),
+
     // ---- Cohort retention — the product-analytics staple: assign every
     // user to the cohort of their first-active day, then count distinct
     // users active at each day-offset from their cohort. Two shuffles

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.core.{Dumps, Skipping, Tables}
 import graft.functions.ZOrder
-import graft.jobs.{ChangeFeed, Lifecycle}
+import graft.jobs.{ChangeFeed, Lifecycle, Snapshots}
 import graft.streaming.StreamingJobs
 
 /** Round-6 tier: table lifecycle (key-delete, compaction, change feed) and
@@ -173,6 +173,55 @@ object LifecycleQueries {
              |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
              |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // ---- Time travel over a copy-on-write snapshot log (jobs/Snapshots):
+    // three committed versions — initial load, an append, a FILE-granular
+    // COW delete — each read back BY VERSION from its manifest's explicit
+    // file list and checksummed. The oracle recomputes all three states
+    // relationally, so a commit that tore a reader, lost a carried-over
+    // file, or leaked a doomed row into history flips the hash.
+    // SnapshotsSpec additionally proves old versions stay byte-identical
+    // and vacuum reclaims exactly the unreferenced files.
+    QuerySpec(
+      "time_travel_versions",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/snapshots"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e)
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 10 === 7)
+            .withColumn("event_id", col("event_id") + 10000000L)
+            .withColumn("value", col("value") + 1))
+        Snapshots.deleteKeysCow(s, root,
+          e.where(col("event_id") % 13 === 4).select(col("event_id")),
+          Seq("event_id"))
+        (0L to 2L).map { v =>
+          Snapshots.readVersion(s, root, v)
+            .agg(count(lit(1)).as("n"),
+              sum(col("event_id")).cast("bigint").as("id_sum"),
+              dsum(col("value")).as("value_sum"))
+            .select(lit(v).as("version"), col("n"), col("id_sum"), col("value_sum"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value FROM events),
+             |v1 AS (SELECT * FROM e UNION ALL
+             |       SELECT event_id + 10000000, user_id, value + 1 FROM e WHERE event_id % 10 = 7),
+             |v2 AS (SELECT * FROM v1 WHERE event_id NOT IN
+             |       (SELECT event_id FROM e WHERE event_id % 13 = 4))
+             |SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum FROM e
+             |UNION ALL
+             |SELECT 1, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) FROM v1
+             |UNION ALL
+             |SELECT 2, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) FROM v2
+             |ORDER BY version""".stripMargin)
     ),
 
     // ---- Incremental view maintenance from the feed ALONE: maintain a

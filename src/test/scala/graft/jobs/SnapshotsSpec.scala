@@ -1,0 +1,99 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The snapshot-log contract: historical versions are immutable and
+  * readable after later commits, COW deletes rewrite only the files that
+  * hold a doomed key, and vacuum reclaims exactly the unreferenced
+  * files. */
+class SnapshotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fileSigs(dir: java.io.File): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet")).map { f =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+      f.getAbsolutePath -> md5
+    }.toMap
+  }
+
+  test("append and COW delete preserve every prior version bit-for-bit") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    // two files in v0 so the COW delete can demonstrate file granularity
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    val v0Rows = Snapshots.readVersion(spark, root, 0).count()
+    assert(v0Rows == 100)
+    val sigsAfterV0 = fileSigs(new java.io.File(root, "data"))
+
+    Snapshots.append(spark, root, Seq((101L, 101.0)).toDF("k", "v"))
+    val v2 = Snapshots.deleteKeysCow(spark, root, Seq(5L).toDF("k"), Seq("k"))
+    assert(v2 == 2)
+
+    // time travel: every version readable, with its exact historical rows
+    assert(Snapshots.readVersion(spark, root, 0).count() == 100)
+    assert(Snapshots.readVersion(spark, root, 1).count() == 101)
+    assert(Snapshots.readVersion(spark, root, 2).count() == 100)
+    assert(Snapshots.readVersion(spark, root, 0)
+      .where(col("k") === 5).count() == 1, "history must still hold the deleted row")
+    assert(Snapshots.readVersion(spark, root, 2)
+      .where(col("k") === 5).count() == 0)
+
+    // v0's physical files were never touched by later commits
+    val sigsNow = fileSigs(new java.io.File(root, "data"))
+    sigsAfterV0.foreach { case (path, md5) =>
+      assert(sigsNow.get(path).contains(md5), s"v0 file mutated: $path")
+    }
+  }
+
+  test("COW delete rewrites only the file holding the key") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    // k=1..50 in one file, k=51..100 in another (range-partitioned)
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    def manifest(v: Long): Set[String] = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(root, f"_log/v$v%08d.list"))
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+    val m0 = manifest(0)
+    assert(m0.size == 2)
+    Snapshots.deleteKeysCow(spark, root, Seq(7L).toDF("k"), Seq("k"))
+    val m1 = manifest(1)
+    // exactly one v0 file carried over by reference
+    assert((m0 & m1).size == 1, s"expected 1 carried file, got ${m0 & m1}")
+    assert(Snapshots.readVersion(spark, root, 1).count() == 99)
+  }
+
+  test("deleting an absent key commits a no-op version") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    val v = Snapshots.deleteKeysCow(spark, root, Seq(999L).toDF("k"), Seq("k"))
+    assert(v == 1 && Snapshots.readVersion(spark, root, 1).count() == 1)
+  }
+
+  test("vacuum reclaims exactly the files no retained version references") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    Snapshots.append(spark, root, Seq((101L, 101.0)).toDF("k", "v"))
+    Snapshots.deleteKeysCow(spark, root, (1L to 100L).map(Tuple1(_)).toDF("k"), Seq("k"))
+
+    val deleted = Snapshots.vacuum(spark, root, keepFrom = 2L)
+    assert(deleted == 2, s"both fully-rewritten v0 files should be reclaimed, got $deleted")
+    assert(Snapshots.versions(spark, root) == Seq(2L))
+    // the retained version still reads (the append's file was carried over)
+    assert(Snapshots.readVersion(spark, root, 2)
+      .select("k").as[Long].collect().toSeq == Seq(101L))
+    intercept[Exception](Snapshots.readVersion(spark, root, 0))
+  }
+}

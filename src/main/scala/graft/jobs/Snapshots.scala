@@ -152,6 +152,52 @@ object Snapshots {
     v
   }
 
+  /** Copy-on-write MERGE (whole-row update-else-insert, the Merge
+    * semantics): files holding a MATCHED key are rewritten without those
+    * rows, and one commit's worth of new files carries the full source
+    * batch; everything else carries over by reference. History intact —
+    * the pre-merge version still reads exactly. */
+  def mergeCow(
+      spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String]): Long = {
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val (_, qroot) = fsOf(spark, root)
+    val prevFiles = readManifest(spark, root, prev)
+    val src = source.dropDuplicates(keyCols)
+    val srcKeys = src.select(keyCols.map(col): _*)
+    val current = readVersion(spark, root, prev).withColumn("__file", input_file_name())
+    val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toString).toSet
+    val rewritten = prevFiles.filter(f => matchedFiles.contains(new Path(qroot, f).toString))
+    val carried = prevFiles.filterNot(rewritten.contains)
+    val schemaCols = readVersion(spark, root, prev).columns.map(col).toSeq
+    val kept =
+      if (rewritten.isEmpty) src.select(schemaCols: _*)
+      else spark.read.parquet(rewritten.map(f => new Path(qroot, f).toString): _*)
+        .join(srcKeys, keyCols, "left_anti")
+        .select(schemaCols: _*)
+        .unionByName(src.select(schemaCols: _*))
+    val newFiles = writeCommitFiles(spark, root, v, kept)
+    writeManifest(spark, root, v, carried ++ newFiles)
+    v
+  }
+
+  /** OPTIMIZE as a commit: rewrite the CURRENT version into `numFiles`
+    * files clustered by `clusterBy` (range-partitioned + sorted, so
+    * min/max file skipping works afterwards — pair with core/Skipping).
+    * Prior versions keep reading their own files. */
+  def optimizeCow(
+      spark: SparkSession, root: String, clusterBy: Seq[String], numFiles: Int): Long = {
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val clustered = readVersion(spark, root, prev)
+      .repartitionByRange(numFiles, clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
+    writeManifest(spark, root, v, writeCommitFiles(spark, root, v, clustered))
+    v
+  }
+
   /** Drop versions < `keepFrom` and physically delete every file no
     * retained manifest references. After this, time travel reaches back
     * only to `keepFrom`. Returns the number of data files deleted. */

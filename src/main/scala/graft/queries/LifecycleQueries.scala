@@ -199,7 +199,13 @@ object LifecycleQueries {
         Snapshots.deleteKeysCow(s, root,
           e.where(col("event_id") % 13 === 4).select(col("event_id")),
           Seq("event_id"))
-        (0L to 2L).map { v =>
+        Snapshots.mergeCow(s, root,
+          e.where(col("event_id") % 10 === 0)
+            .withColumn("value", col("value") * 2),
+          Seq("event_id"))
+        // OPTIMIZE is content-preserving: v4 must checksum identically to v3
+        Snapshots.optimizeCow(s, root, Seq("user_id"), 4)
+        (0L to 4L).map { v =>
           Snapshots.readVersion(s, root, v)
             .agg(count(lit(1)).as("n"),
               sum(col("event_id")).cast("bigint").as("id_sum"),
@@ -211,7 +217,11 @@ object LifecycleQueries {
              |v1 AS (SELECT * FROM e UNION ALL
              |       SELECT event_id + 10000000, user_id, value + 1 FROM e WHERE event_id % 10 = 7),
              |v2 AS (SELECT * FROM v1 WHERE event_id NOT IN
-             |       (SELECT event_id FROM e WHERE event_id % 13 = 4))
+             |       (SELECT event_id FROM e WHERE event_id % 13 = 4)),
+             |v3 AS (SELECT * FROM v2 WHERE event_id NOT IN
+             |       (SELECT event_id FROM e WHERE event_id % 10 = 0)
+             |       UNION ALL
+             |       SELECT event_id, user_id, value * 2 FROM e WHERE event_id % 10 = 0)
              |SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n,
              |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum FROM e
@@ -221,6 +231,12 @@ object LifecycleQueries {
              |UNION ALL
              |SELECT 2, COUNT(*), CAST(SUM(event_id) AS BIGINT),
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) FROM v2
+             |UNION ALL
+             |SELECT 3, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) FROM v3
+             |UNION ALL
+             |SELECT 4, COUNT(*), CAST(SUM(event_id) AS BIGINT),
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) FROM v3
              |ORDER BY version""".stripMargin)
     ),
 

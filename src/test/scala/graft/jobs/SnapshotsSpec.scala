@@ -81,6 +81,42 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(v == 1 && Snapshots.readVersion(spark, root, 1).count() == 1)
   }
 
+  test("COW merge updates matched rows, inserts the rest, leaves history intact") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    val src = Seq((7L, 700.0), (200L, 200.0)).toDF("k", "v")
+    val v1 = Snapshots.mergeCow(spark, root, src, Seq("k"))
+    assert(v1 == 1)
+    val now = Snapshots.readVersion(spark, root, 1)
+    assert(now.count() == 101)
+    assert(now.where(col("k") === 7).select("v").as[Double].head() == 700.0)
+    assert(now.where(col("k") === 200).count() == 1)
+    // history: v0 still has the pre-update row and no insert
+    val old = Snapshots.readVersion(spark, root, 0)
+    assert(old.where(col("k") === 7).select("v").as[Double].head() == 7.0)
+    assert(old.count() == 100)
+  }
+
+  test("OPTIMIZE commits a clustered rewrite whose content is identical") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 1000L).map(i => (i, (i * 37 % 1000).toDouble)).toDF("k", "v")
+        .repartition(8))
+    val v1 = Snapshots.optimizeCow(spark, root, Seq("k"), 4)
+    val before = Snapshots.readVersion(spark, root, 0)
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    val after = Snapshots.readVersion(spark, root, v1)
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    assert(after == before, "optimize must not change content")
+    // the clustered layout now min/max-prunes on k where the old one couldn't
+    val files = Snapshots.readVersion(spark, root, v1)
+      .withColumn("__f", org.apache.spark.sql.functions.input_file_name())
+      .select("__f").distinct().count()
+    assert(files <= 4)
+  }
+
   test("vacuum reclaims exactly the files no retained version references") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root,

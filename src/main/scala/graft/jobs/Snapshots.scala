@@ -198,6 +198,42 @@ object Snapshots {
     v
   }
 
+  /** Highest streaming batch id already committed (see
+    * `commitStreamingBatch`), or -1. */
+  def lastCommittedBatch(spark: SparkSession, root: String): Long = {
+    val (fs, qroot) = fsOf(spark, root)
+    val marker = new Path(qroot, "_log/_lastbatch")
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Idempotent streaming append: commit `batch` as a new version unless
+    * this `batchId` already committed (a foreachBatch re-run after a
+    * crash between sink commit and checkpoint advance re-delivers the
+    * same batch — the marker turns at-least-once delivery into an
+    * exactly-once LOG). The marker is advanced only after the manifest
+    * rename, so a crash between the two re-runs the batch and the
+    * manifest rename's no-overwrite check makes the duplicate commit
+    * fail loudly rather than double-append silently. */
+  def commitStreamingBatch(
+      spark: SparkSession, root: String, batch: DataFrame, batchId: Long): Boolean = {
+    if (batchId <= lastCommittedBatch(spark, root)) return false
+    if (versions(spark, root).isEmpty) init(spark, root, batch)
+    else append(spark, root, batch)
+    val (fs, qroot) = fsOf(spark, root)
+    val marker = new Path(qroot, "_log/_lastbatch")
+    val tmp = new Path(qroot, "_log/._lastbatch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(marker, false)
+    require(fs.rename(tmp, marker), s"failed to advance batch marker at $root")
+    true
+  }
+
   /** Drop versions < `keepFrom` and physically delete every file no
     * retained manifest references. After this, time travel reaches back
     * only to `keepFrom`. Returns the number of data files deleted. */

@@ -223,6 +223,36 @@ object StreamingJobs {
     q.stop()
   }
 
+  /** Streaming ingest committing every micro-batch as a VERSION of a
+    * snapshot-logged table (jobs/Snapshots): the stream's history becomes
+    * queryable time travel (version N = state after batch N), and the
+    * batch-id marker makes foreachBatch's at-least-once delivery an
+    * exactly-once log — a checkpoint-replayed batch is recognized and
+    * skipped. The streaming twin of the bronze-ingest pattern, with a
+    * transaction log instead of bare appends. */
+  def streamingSnapshotIngest(
+      spark: SparkSession,
+      srcDir: String,
+      root: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 1
+  ): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.jobs.Snapshots.commitStreamingBatch(spark, root, batch, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+  }
+
   /** Streaming MERGE that also PUBLISHES its change feed: each micro-batch
     * first materializes the row-level change set (graft.jobs.ChangeFeed)
     * against the pre-merge target into `feedDir/` (tagged with the batch

@@ -117,6 +117,26 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(files <= 4)
   }
 
+  test("streaming ingest commits one version per batch, replay-idempotent") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    val src = Files.createTempDirectory("snap-src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("snap-ckpt").toFile.getAbsolutePath
+    (1 to 3).foreach { b =>
+      Seq((b.toLong, b * 1.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    graft.streaming.StreamingJobs.streamingSnapshotIngest(
+      TestSpark.spark, src, root, ckpt)
+    assert(Snapshots.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(Snapshots.readVersion(spark, root, 0).count() == 1)
+    assert(Snapshots.readVersion(spark, root, 2).count() == 3)
+    assert(Snapshots.lastCommittedBatch(spark, root) == 2L)
+    // a replayed batch (same id) is skipped, not double-appended
+    assert(!Snapshots.commitStreamingBatch(spark, root,
+      Seq((9L, 9.0)).toDF("k", "v"), batchId = 1L))
+    assert(Snapshots.readVersion(spark, root).count() == 3)
+  }
+
   test("vacuum reclaims exactly the files no retained version references") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root,

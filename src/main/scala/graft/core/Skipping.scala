@@ -49,9 +49,14 @@ object Skipping {
   }
 
   /** Roll each file's parquet footer statistics up to file grain. */
-  def buildIndex(spark: SparkSession, dir: String, recursive: Boolean = false): Seq[FileStats] = {
+  def buildIndex(spark: SparkSession, dir: String, recursive: Boolean = false): Seq[FileStats] =
+    buildIndexForFiles(spark, dataFiles(spark, dir, recursive))
+
+  /** Index an explicit file list — the form a snapshot-logged table uses
+    * (its manifest IS the file list; no directory involved). */
+  def buildIndexForFiles(spark: SparkSession, files: Seq[String]): Seq[FileStats] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    dataFiles(spark, dir, recursive).map { f =>
+    files.map { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
       try {
         val blocks = reader.getFooter.getBlocks

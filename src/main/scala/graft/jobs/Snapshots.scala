@@ -72,15 +72,25 @@ object Snapshots {
     finally in.close()
   }
 
-  private def writeManifest(spark: SparkSession, root: String, v: Long, files: Seq[String]): Unit = {
+  private[jobs] def writeManifest(spark: SparkSession, root: String, v: Long, files: Seq[String]): Unit = {
     val (fs, qroot) = fsOf(spark, root)
-    // write-then-rename: the rename is the atomic commit point
+    // write-then-rename: the rename publishes the manifest atomically
+    // (readers never see a partial file). POSIX rename REPLACES an
+    // existing destination, so losing a race must be detected explicitly;
+    // true multi-writer mutual exclusion is an external concern (the
+    // scaladoc's single-writer contract) — this check turns a lost race
+    // into a loud failure instead of silent history corruption.
+    val dest = manifestPath(qroot, v)
     val tmp = new Path(qroot, f"_log/.v$v%08d.tmp")
     val out = fs.create(tmp, false)
     try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, manifestPath(qroot, v)),
-      s"commit race: version $v already exists at $root")
+    if (fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"commit race: version $v already exists at $root")
+    }
+    require(fs.rename(tmp, dest), s"commit race: version $v already exists at $root")
   }
 
   /** Write `df` into a fresh commit dir, returning the new files'
@@ -100,6 +110,15 @@ object Snapshots {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
     writeManifest(spark, root, 0L, writeCommitFiles(spark, root, 0L, df))
     0L
+  }
+
+  /** A version's absolute data-file paths — the input a file-skipping
+    * index build (core/Skipping.buildIndexForFiles) or any external
+    * reader needs; the manifest IS the listing. */
+  def versionFiles(spark: SparkSession, root: String, version: Long = -1L): Seq[String] = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    val (_, qroot) = fsOf(spark, root)
+    readManifest(spark, root, v).map(f => new Path(qroot, f).toString)
   }
 
   /** Read a specific version (default: latest). Plans from the manifest's

@@ -117,6 +117,38 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(files <= 4)
   }
 
+  test("OPTIMIZE + footer index: a snapshot version min/max-prunes from its manifest") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 4000L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(8))
+    // unclustered v0: no pruning possible
+    val idx0 = graft.core.Skipping.buildIndexForFiles(
+      spark, Snapshots.versionFiles(spark, root, 0))
+    assert(graft.core.Skipping.pruneFiles(idx0, "k", 100L, 199L).size == idx0.size)
+    // optimized v1: the same query touches a fraction of the files
+    val v1 = Snapshots.optimizeCow(spark, root, Seq("k"), 8)
+    val idx1 = graft.core.Skipping.buildIndexForFiles(
+      spark, Snapshots.versionFiles(spark, root, v1))
+    val kept = graft.core.Skipping.pruneFiles(idx1, "k", 100L, 199L)
+    assert(kept.size < idx1.size)
+    assert(spark.read.parquet(kept: _*).where(col("k").between(100, 199)).count() == 100)
+  }
+
+  test("a racing commit at the same version fails loudly, never tears the log") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // simulate the race: a concurrent writer committed version 1 between
+    // this writer reading latest=0 and publishing its own version 1
+    val log = new java.io.File(root, "_log")
+    Files.writeString(new java.io.File(log, "v00000001.list").toPath, "data/commit-0/fake\n")
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.writeManifest(spark, root, 1L, Seq("data/commit-1/loser")))
+    assert(ex.getMessage.contains("commit race"))
+    // the loser's failure left version 1 exactly as the winner wrote it
+    assert(Files.readString(new java.io.File(log, "v00000001.list").toPath)
+      == "data/commit-0/fake\n")
+  }
+
   test("streaming ingest commits one version per batch, replay-idempotent") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     val src = Files.createTempDirectory("snap-src").toFile.getAbsolutePath

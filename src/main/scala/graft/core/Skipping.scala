@@ -52,38 +52,71 @@ object Skipping {
   def buildIndex(spark: SparkSession, dir: String, recursive: Boolean = false): Seq[FileStats] =
     buildIndexForFiles(spark, dataFiles(spark, dir, recursive))
 
+  /** One column chunk's contribution to a file envelope: `covered` means
+    * the chunk RECORDED statistics (an all-null chunk counts — it cannot
+    * contribute a non-null value, so the other blocks' envelope stays
+    * valid for it); min/max are set only for integral chunks with values. */
+  private[core] final case class ChunkStat(
+      col: String, covered: Boolean, min: Option[Long], max: Option[Long])
+
+  /** Roll per-block chunk stats up to a file envelope. A column whose
+    * stats are MISSING in any block that has rows must be dropped
+    * entirely: keeping the partial envelope would under-cover (the
+    * stats-less block may hold values outside it) and `pruneFiles` would
+    * incorrectly skip a file holding matching rows. */
+  private[core] def rollUpEnvelope(
+      blocks: Seq[Seq[ChunkStat]]): (Map[String, Long], Map[String, Long]) = {
+    val mins = scala.collection.mutable.Map[String, Long]()
+    val maxs = scala.collection.mutable.Map[String, Long]()
+    val tainted = scala.collection.mutable.Set[String]()
+    blocks.foreach(_.foreach { c =>
+      if (!c.covered) tainted += c.col
+      for (l <- c.min) mins.update(c.col, math.min(mins.getOrElse(c.col, l), l))
+      for (h <- c.max) maxs.update(c.col, math.max(maxs.getOrElse(c.col, h), h))
+    })
+    ((mins -- tainted).toMap, (maxs -- tainted).toMap)
+  }
+
   /** Index an explicit file list — the form a snapshot-logged table uses
     * (its manifest IS the file list; no directory involved). */
   def buildIndexForFiles(spark: SparkSession, files: Seq[String]): Seq[FileStats] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-      try {
-        val blocks = reader.getFooter.getBlocks
-        var rows = 0L
-        val mins = scala.collection.mutable.Map[String, Long]()
-        val maxs = scala.collection.mutable.Map[String, Long]()
-        blocks.forEach { b =>
-          rows += b.getRowCount
+    files.map(f => statsOfFile(conf, f))
+  }
+
+  /** One file's footer → FileStats (metadata-only; runs wherever the
+    * caller is — see `buildIndexDistributed` for the executor form). */
+  private def statsOfFile(
+      conf: org.apache.hadoop.conf.Configuration, f: String): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var rows = 0L
+      val chunkStats = scala.collection.mutable.ArrayBuffer[Seq[ChunkStat]]()
+      blocks.forEach { b =>
+        rows += b.getRowCount
+        if (b.getRowCount > 0) {
+          val cs = scala.collection.mutable.ArrayBuffer[ChunkStat]()
           b.getColumns.forEach { c =>
             val name = c.getPath.toDotString
             val st = c.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) => (Some(mn.longValue), Some(mx.longValue))
-                case (mn: java.lang.Integer, mx: java.lang.Integer) => (Some(mn.longValue), Some(mx.longValue))
-                case _ => (None, None)
-              }
-              for (l <- lo; h <- hi) {
-                mins.update(name, math.min(mins.getOrElse(name, l), l))
-                maxs.update(name, math.max(maxs.getOrElse(name, h), h))
-              }
+            if (st == null || st.isEmpty) cs += ChunkStat(name, covered = false, None, None)
+            else if (!st.hasNonNullValue) cs += ChunkStat(name, covered = true, None, None)
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
+              case _ => // non-integral: never enters the envelope (unprunable anyway)
+                cs += ChunkStat(name, covered = true, None, None)
             }
           }
+          chunkStats += cs.toSeq
         }
-        FileStats(f, rows, mins.toMap, maxs.toMap)
-      } finally reader.close()
-    }
+      }
+      val (mins, maxs) = rollUpEnvelope(chunkStats.toSeq)
+      FileStats(f, rows, mins, maxs)
+    } finally reader.close()
   }
 
   /** Persist an index as a parquet table (file, rows, col, min, max) —
@@ -135,29 +168,85 @@ object Skipping {
       spark: SparkSession, dir: String, colName: String, value: String,
       recursive: Boolean = false): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    dataFiles(spark, dir, recursive).filter { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
-      try {
-        val blocks = reader.getFooter.getBlocks
-        var mightContain = false
-        blocks.forEach { b =>
-          if (!mightContain) {
-            var ccmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
-            b.getColumns.forEach { c =>
-              if (c.getPath.toDotString == colName) ccmd = c
-            }
-            if (ccmd == null) mightContain = true
-            else {
-              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(ccmd)
-              if (bf == null) mightContain = true
-              else mightContain = bf.findHash(
-                bf.hash(org.apache.parquet.io.api.Binary.fromString(value)))
-            }
+    dataFiles(spark, dir, recursive).filter(f => bloomMightContain(conf, f, colName, value))
+  }
+
+  /** One file's bloom verdict for `col = value` — footer + bloom pages
+    * only, no data pages. Runs wherever the caller is. */
+  private def bloomMightContain(
+      conf: org.apache.hadoop.conf.Configuration,
+      f: String, colName: String, value: String): Boolean = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var mightContain = false
+      blocks.forEach { b =>
+        if (!mightContain) {
+          var ccmd: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == colName) ccmd = c
+          }
+          if (ccmd == null) mightContain = true
+          else {
+            val bf = reader.getBloomFilterDataReader(b).readBloomFilter(ccmd)
+            if (bf == null) mightContain = true
+            else mightContain = bf.findHash(
+              bf.hash(org.apache.parquet.io.api.Binary.fromString(value)))
           }
         }
-        mightContain
-      } finally reader.close()
-    }
+      }
+      mightContain
+    } finally reader.close()
+  }
+
+  /** Hadoop conf as a broadcastable property list (Configuration itself
+    * is not serializable); executors rebuild it with defaults loaded so
+    * filesystem bindings resolve. */
+  private def confProps(conf: org.apache.hadoop.conf.Configuration): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    conf.iterator().forEachRemaining(e => out += (e.getKey -> e.getValue))
+    out.toSeq
+  }
+
+  private def confOf(props: Seq[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** EXECUTOR-DISTRIBUTED bloom pruning over an explicit file list (the
+    * snapshot-manifest form): the per-file footer+bloom probes fan out as
+    * a `mapPartitions` over the file list, so a point lookup on a
+    * 10⁵–10⁶-file table costs O(files / executors) wall-clock instead of
+    * a driver-serial footer loop — the scale gap the driver-side
+    * `pruneFilesByBloomEquality` has. Identical pruning by construction
+    * (same per-file probe; SkippingSpec pins the equivalence). */
+  def pruneFilesByBloomEqualityDistributed(
+      spark: SparkSession, files: Seq[String], colName: String, value: String): Seq[String] = {
+    import spark.implicits._
+    val props = spark.sparkContext.broadcast(confProps(spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, files.size))
+    spark.createDataset(files).repartition(slices)
+      .mapPartitions { fs =>
+        val conf = confOf(props.value)
+        fs.filter(f => bloomMightContain(conf, f, colName, value))
+      }
+      .collect().toSeq.sorted
+  }
+
+  /** EXECUTOR-DISTRIBUTED footer-stats index build over an explicit file
+    * list — the backfill path at real file counts (the driver loop in
+    * `buildIndexForFiles` is the small-table form). */
+  def buildIndexDistributed(spark: SparkSession, files: Seq[String]): Seq[FileStats] = {
+    import spark.implicits._
+    val props = spark.sparkContext.broadcast(confProps(spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, files.size))
+    spark.createDataset(files).repartition(slices)
+      .mapPartitions { fs =>
+        val conf = confOf(props.value)
+        fs.map(f => statsOfFile(conf, f))
+      }
+      .collect().toSeq.sortBy(_.path)
   }
 
   /** Index-pruned range scan: read only the surviving files, then apply

@@ -127,8 +127,17 @@ object Lifecycle {
     val todo = all.filter(p => p.files > desired(p.bytes))
     if (todo.isEmpty) return (0, 0, 0)
 
+    // directory names spell null as __HIVE_DEFAULT_PARTITION__; matching
+    // must be null-safe (<=>) or the null partition silently never matches
+    // and stays fragmented while being counted as compacted
+    def pv(v: String): String =
+      if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+    def eqPv(c: String, v: String): org.apache.spark.sql.Column = {
+      val mapped = pv(v)
+      if (mapped == null) col(c).isNull else col(c) === lit(mapped)
+    }
     val prunePred = todo.map { p =>
-      partitionCols.zip(p.values).map { case (c, v) => col(c) === lit(v) }
+      partitionCols.zip(p.values).map { case (c, v) => eqPv(c, v) }
         .reduce(_ && _)
     }.reduce(_ || _)
     val slice = spark.read.parquet(targetPath).where(prunePred)
@@ -139,7 +148,7 @@ object Lifecycle {
     // the row SET per partition is preserved exactly.
     val budgets = todo.map(p => p.values -> desired(p.bytes)).toMap
     val budgetDf = spark.createDataFrame(
-      budgets.toSeq.map { case (vs, n) => org.apache.spark.sql.Row.fromSeq(vs :+ n) }
+      budgets.toSeq.map { case (vs, n) => org.apache.spark.sql.Row.fromSeq(vs.map(pv) :+ n) }
         .asJava,
       org.apache.spark.sql.types.StructType(
         partitionCols.map(c => org.apache.spark.sql.types.StructField(
@@ -147,8 +156,18 @@ object Lifecycle {
           org.apache.spark.sql.types.StructField("__nfiles",
             org.apache.spark.sql.types.IntegerType)))
     val joinCond = partitionCols.map(c =>
-      col(c).cast("string") === col(s"__pv_$c")).reduce(_ && _)
-    val bucketed = slice.join(broadcast(budgetDf), joinCond)
+      col(c).cast("string") <=> col(s"__pv_$c")).reduce(_ && _)
+    val joined = slice.join(broadcast(budgetDf), joinCond, "left")
+    // a partition value whose string cast round-trips differently from its
+    // escaped dir-name parse would silently drop on an inner join — left
+    // join + one counting pass turns the mismatch into a loud failure
+    val chk = joined.agg(
+      count(lit(1)).as("total"), count(col("__nfiles")).as("matched")).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"compaction partition-value mismatch: ${chk.getLong(0)} rows in " +
+        s"fragmented partitions but only ${chk.getLong(1)} matched a budget " +
+        s"— dir-name parse vs column value disagree for some partition")
+    val bucketed = joined
       .withColumn("__bucket", pmod(spark_partition_id() + monotonically_increasing_id(),
         col("__nfiles").cast("long")))
     val nShuffle = math.max(budgets.values.sum, 1)

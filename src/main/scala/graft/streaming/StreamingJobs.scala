@@ -263,8 +263,14 @@ object StreamingJobs {
     *
     * The feed write MUST complete before the merge mutates the target
     * (the feed's pre-images read the target): sequencing inside
-    * foreachBatch guarantees it, and the checkpoint makes a re-run
-    * idempotent (same batch -> same feed rows, overwritten by batch id). */
+    * foreachBatch guarantees it. Crash-replay is the subtle case: a batch
+    * re-delivered AFTER its merge already applied would recompute the feed
+    * against the post-merge target (pre-images carrying post-merge values,
+    * inserts reclassified as updates) and overwrite the correct feed — so
+    * the feed write is gated on its own `_SUCCESS` commit marker: once a
+    * batch's feed directory committed, a replay skips the recompute and
+    * only re-applies the merge, which is idempotent (whole-row upsert by
+    * key). StreamingJobsSpec replays a batch to pin this. */
   def streamingMergeWithChangeFeed(
       spark: SparkSession,
       updatesDir: String,
@@ -282,12 +288,8 @@ object StreamingJobs {
       .parquet(updatesDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val target = spark.read.parquet(factPath)
-        graft.jobs.ChangeFeed.mergeFeed(target, batch, keyCols)
-          .write.mode("overwrite")
-          .parquet(s"$feedDir/batch=$batchId")
-        graft.jobs.Merge.mergeIntoPartitioned(
-          spark, factPath, batch, keyCols, partitionCol, stagingPath)
+        mergeWithFeedBatch(spark, batch, batchId, factPath, feedDir, stagingPath,
+          keyCols, partitionCol)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -295,6 +297,33 @@ object StreamingJobs {
       .start()
     q.awaitTermination()
     q.stop()
+  }
+
+  /** One micro-batch of `streamingMergeWithChangeFeed`, exposed so a spec
+    * can replay a batch id deterministically. Returns true if the feed was
+    * computed, false if this batch's feed had already committed (replay). */
+  private[streaming] def mergeWithFeedBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      factPath: String,
+      feedDir: String,
+      stagingPath: String,
+      keyCols: Seq[String],
+      partitionCol: String
+  ): Boolean = {
+    val batchDir = new org.apache.hadoop.fs.Path(s"$feedDir/batch=$batchId")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val feedCommitted = fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))
+    if (!feedCommitted) {
+      val target = spark.read.parquet(factPath)
+      graft.jobs.ChangeFeed.mergeFeed(target, batch, keyCols)
+        .write.mode("overwrite")
+        .parquet(batchDir.toString)
+    }
+    graft.jobs.Merge.mergeIntoPartitioned(
+      spark, factPath, batch, keyCols, partitionCol, stagingPath)
+    !feedCommitted
   }
 
   /** Append-mode streaming ingest into a partitioned parquet table with

@@ -103,4 +103,49 @@ class SkippingSpec extends AnyFunSuite {
     // a column without a bloom cannot prune
     assert(Skipping.pruneFilesByBloomEquality(spark, root, "id", "7").size == total)
   }
+
+  test("distributed bloom pruning matches the driver-serial path exactly") {
+    val root = Files.createTempDirectory("skip-bloom-dist").toFile.getAbsolutePath
+    (0L until 4000L).map(i => (i, s"key$i")).toDF("id", "k")
+      .repartition(8)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "4000")
+      .parquet(root)
+    val files = Skipping.dataFiles(spark, root)
+    for (value <- Seq("key2024", "key0", "absent")) {
+      val serial = Skipping.pruneFilesByBloomEquality(spark, root, "k", value).toSet
+      val dist = Skipping.pruneFilesByBloomEqualityDistributed(spark, files, "k", value).toSet
+      assert(dist == serial, s"distributed and serial bloom pruning diverge for $value")
+    }
+  }
+
+  test("distributed index build matches the driver-serial footers") {
+    val root = Files.createTempDirectory("skip-dist").toFile.getAbsolutePath
+    clustered(root)
+    val files = Skipping.dataFiles(spark, root)
+    val serial = Skipping.buildIndexForFiles(spark, files).toSet
+    val dist = Skipping.buildIndexDistributed(spark, files).toSet
+    assert(dist == serial)
+  }
+
+  test("a column missing stats in any populated block is dropped from the envelope") {
+    // block 1 covers k:[1,10]; block 2 holds rows but recorded no stats
+    // for k — keeping [1,10] would under-cover and mis-skip, so k must go
+    val blocks = Seq(
+      Seq(Skipping.ChunkStat("k", covered = true, Some(1L), Some(10L)),
+        Skipping.ChunkStat("j", covered = true, Some(5L), Some(6L))),
+      Seq(Skipping.ChunkStat("k", covered = false, None, None),
+        Skipping.ChunkStat("j", covered = true, Some(1L), Some(2L))))
+    val (mins, maxs) = Skipping.rollUpEnvelope(blocks)
+    assert(!mins.contains("k") && !maxs.contains("k"))
+    assert(mins("j") == 1L && maxs("j") == 6L)
+    // an all-null chunk (stats recorded, no values) does NOT taint: it
+    // cannot contribute a non-null value, the other blocks' envelope holds
+    val withNullChunk = Seq(
+      Seq(Skipping.ChunkStat("k", covered = true, Some(1L), Some(10L))),
+      Seq(Skipping.ChunkStat("k", covered = true, None, None)))
+    val (m2, x2) = Skipping.rollUpEnvelope(withNullChunk)
+    assert(m2("k") == 1L && x2("k") == 10L)
+  }
 }

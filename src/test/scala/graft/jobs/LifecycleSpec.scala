@@ -126,6 +126,33 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction handles the null partition (__HIVE_DEFAULT_PARTITION__)") {
+    val root = Files.createTempDirectory("compact-null").toFile.getAbsolutePath
+    val staging = Files.createTempDirectory("compact-null-stage").toFile.getAbsolutePath
+    // fragment BOTH a real partition and the null partition
+    (1 to 40).map(i => (s"k$i", i * 1.0, if (i % 2 == 0) "p0" else null))
+      .toDF("k", "v", "p")
+      .repartition(10)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("p").parquet(root)
+    val before = Lifecycle.listPartitionFiles(spark, root, Seq("p"))
+    assert(before.exists(_.values == Seq("__HIVE_DEFAULT_PARTITION__")),
+      "setup must produce a null partition")
+    assert(before.forall(_.files > 1), s"both partitions must be fragmented: $before")
+
+    val (nparts, nBefore, nAfter) = Lifecycle.compactPartitions(
+      spark, root, Seq("p"), targetFileBytes = 64L * 1024 * 1024, staging)
+
+    assert(nparts == 2 && nBefore == before.map(_.files).sum && nAfter == 2,
+      s"both partitions incl. the null one must compact: ($nparts, $nBefore, $nAfter)")
+    val after = Lifecycle.listPartitionFiles(spark, root, Seq("p"))
+    assert(after.forall(_.files == 1),
+      s"the null partition must not silently stay fragmented: $after")
+    // and the row set survived exactly, nulls intact
+    val rows = spark.read.parquet(root)
+    assert(rows.count() == 40 && rows.where(col("p").isNull).count() == 20)
+  }
+
   test("retention expiry drops matching partitions without touching survivors") {
     val root = Files.createTempDirectory("ttl").toFile.getAbsolutePath
     freshTarget(root)

@@ -60,4 +60,43 @@ class ChangeFeedReplaySpec extends AnyFunSuite {
     assert(rows(b1.where(b1(ChangeFeed.opCol) === "update_preimage"))
       == Set(("k5", 50.0, "p2")))
   }
+
+  test("a crash-replayed batch does not corrupt its already-committed feed") {
+    val fact = Files.createTempDirectory("cdc2-fact").toFile.getAbsolutePath
+    val feed = Files.createTempDirectory("cdc2-feed").toFile.getAbsolutePath
+    val staging = Files.createTempDirectory("cdc2-stage").toFile.getAbsolutePath
+
+    Seq(("k1", 10.0, "p0"), ("k2", 20.0, "p0")).toDF("k", "v", "p")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("p").parquet(fact)
+    val batch = Seq(("k1", 11.0, "p0"), ("k9", 90.0, "p1")).toDF("k", "v", "p")
+
+    // first delivery: feed computed against the pre-merge target
+    assert(StreamingJobs.mergeWithFeedBatch(spark, batch, 0L, fact, feed,
+      staging, Seq("k"), "p"))
+    val feedAfterFirst = spark.read.parquet(s"$feed/batch=0")
+    val firstOps = feedAfterFirst.select("k", ChangeFeed.opCol)
+      .as[(String, String)].collect().toSet
+    assert(firstOps == Set(("k1", "update_preimage"), ("k1", "update_postimage"),
+      ("k9", "insert")))
+    val preImage = rows(feedAfterFirst
+      .where(feedAfterFirst(ChangeFeed.opCol) === "update_preimage"))
+
+    // crash-replay: the merge already applied, checkpoint never advanced.
+    // Without the _SUCCESS gate the recompute would read the POST-merge
+    // target: k9 reclassified insert -> update, k1's pre-image = 11.0.
+    assert(!StreamingJobs.mergeWithFeedBatch(spark, batch, 0L, fact, feed,
+      staging, Seq("k"), "p"), "replay must skip the feed recompute")
+    val feedAfterReplay = spark.read.parquet(s"$feed/batch=0")
+    assert(feedAfterReplay.select("k", ChangeFeed.opCol)
+      .as[(String, String)].collect().toSet == firstOps,
+      "replay must not reclassify ops against the merged target")
+    assert(rows(feedAfterReplay
+      .where(feedAfterReplay(ChangeFeed.opCol) === "update_preimage")) == preImage
+      && preImage == Set(("k1", 10.0, "p0")),
+      "pre-images must keep pre-merge values across a replay")
+    // and the re-applied merge is a no-op on the target
+    assert(rows(spark.read.parquet(fact)) ==
+      Set(("k1", 11.0, "p0"), ("k2", 20.0, "p0"), ("k9", 90.0, "p1")))
+  }
 }

@@ -31,6 +31,7 @@ object Bench {
     // Optional local-iteration filter (comma-separated substrings); the
     // driver sets no filter and benches everything.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     // Incremental per-query emission (VERDICT r4 item #1): every timing is
@@ -40,7 +41,7 @@ object Bench {
     Option(Paths.get(progressPath).getParent).foreach(Files.createDirectories(_))
     val progress = new PrintWriter(new FileWriter(progressPath, false), true) // autoflush per line
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -51,12 +52,24 @@ object Bench {
       progress.println(s"""{"query":"$name","sec":${times.min},"runs":[${times.mkString(",")}]}""")
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(d: Double): String = f"$d%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     progress.println(line) // the full line lives on disk even if stdout truncates
     progress.close()
+    // the full line also goes to its own tiny file BEFORE stdout: the
+    // driver's capture keeps only a ~1.5 KB stdout TAIL, which beheaded the
+    // single big JSON line in rounds 4 and 6 (parsed: null)
+    val totalWriter = new PrintWriter(new FileWriter("target/bench_total.json", false), true)
+    totalWriter.println(line)
+    totalWriter.close()
     println(line)
+    // and a LAST compact line (few hundred bytes: totals + the 10 slowest)
+    // that always survives a tail capture intact and parses on its own
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","note":"slowest 10 of ${results.size}; full map in target/bench_total.json"}""")
     spark.stop()
   }
 }

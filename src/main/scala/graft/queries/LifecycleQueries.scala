@@ -134,21 +134,30 @@ object LifecycleQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
-    // ---- Change-data-feed from MERGE: the row-level change set (insert /
-    // update_preimage / update_postimage) a whole-row-update merge
-    // produces, summarized per (op, partition). The oracle rebuilds each
-    // feed leg relationally; ChangeFeedSpec proves replaying the feed onto
-    // the old snapshot yields exactly the post-merge table.
+    // ---- Change-data-feed from MERGE, THROUGH THE SNAPSHOT LOG: the COW
+    // merge commits with `changeFeed = true` (the Delta-CDF shape — the
+    // feed is published atomically with its version) and the consumer
+    // replays it via the unified table API's `changesBetween`, never
+    // touching the table itself. The oracle rebuilds each feed leg
+    // relationally; SnapshotsSpec proves feed replay onto the old version
+    // reconstructs the new one.
     QuerySpec(
       "merge_changefeed",
       (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/cdfsnap"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
         val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e)
         val updates = e.where(col("event_id") % 10 === 0)
           .withColumn("value", col("value") * 2)
         val inserts = e.where(col("event_id") % 10 === 7)
           .withColumn("event_id", col("event_id") + 10000000L)
           .withColumn("value", col("value") + 1)
-        ChangeFeed.mergeFeed(e, updates.unionByName(inserts), Seq("event_id"))
+        Snapshots.mergeCow(s, root, updates.unionByName(inserts),
+          Seq("event_id"), changeFeed = true)
+        Snapshots.table(s, root).changesBetween(0, 1).load()
           .groupBy(col(ChangeFeed.opCol), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("event_id")).cast("bigint").as("id_sum"),
@@ -206,7 +215,8 @@ object LifecycleQueries {
         // OPTIMIZE is content-preserving: v4 must checksum identically to v3
         Snapshots.optimizeCow(s, root, Seq("user_id"), 4)
         (0L to 4L).map { v =>
-          Snapshots.readVersion(s, root, v)
+          // the unified table API's time-travel read (versionAsOf)
+          Snapshots.table(s, root).versionAsOf(v).load()
             .agg(count(lit(1)).as("n"),
               sum(col("event_id")).cast("bigint").as("id_sum"),
               dsum(col("value")).as("value_sum"))
@@ -290,13 +300,19 @@ object LifecycleQueries {
     QuerySpec(
       "skip_minmax_scan",
       (s, dir) => {
-        val root = s"${Dumps.forSf(dir)}/skip"
+        val root = s"${Dumps.forSf(dir)}/skipsnap"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
         val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
-        e.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
-          .write.mode(SaveMode.Overwrite).parquet(s"$root/data")
-        val idx = Skipping.buildIndex(s, s"$root/data")
+        // range-clustered layout committed to a snapshot log; the pruned
+        // scan plans from the version's explicit file list via the unified
+        // table API (executor-distributed footer reads — no dir listing)
+        Snapshots.init(s, root,
+          e.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id"))
+        val idx = Skipping.buildIndexDistributed(s, Snapshots.versionFiles(s, root))
         val kept = Skipping.pruneFiles(idx, "user_id", 10L, 39L)
-        Skipping.scanPruned(s, idx, "user_id", 10L, 39L)
+        Snapshots.table(s, root).pruneOn("user_id", 10L, 39L).load()
           .agg(count(lit(1)).as("n"),
             sum(col("event_id")).cast("bigint").as("id_sum"),
             dsum(col("value")).as("value_sum"))
@@ -327,8 +343,11 @@ object LifecycleQueries {
           .option("parquet.bloom.filter.enabled#ekey", "true")
           .option("parquet.bloom.filter.expected.ndv#ekey", "200000")
           .parquet(s"$root/data")
-        val total = Skipping.dataFiles(s, s"$root/data").size
-        val kept = Skipping.pruneFilesByBloomEquality(s, s"$root/data", "ekey", "e424")
+        // the query path fans the per-file footer+bloom probes out over
+        // executors (O(files/executors), no driver-serial loop)
+        val files = Skipping.dataFiles(s, s"$root/data")
+        val total = files.size
+        val kept = Skipping.pruneFilesByBloomEqualityDistributed(s, files, "ekey", "e424")
         s.read.parquet(kept: _*)
           .where(col("ekey") === "e424")
           .select(col("event_id"), col("user_id"),
@@ -384,6 +403,45 @@ object LifecycleQueries {
               |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
               |  TRUE AS pruned_u, TRUE AS pruned_e
               |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- OPTIMIZE ZORDER over the snapshot log: rewrite the current
+    // version laid out by explicit Morton cell of two scattered 8-bit
+    // dims, then prove a range predicate on EITHER dimension prunes files
+    // through the snapshot read path (versionAsOf + pruneOn — footer
+    // index over the version's explicit file list). The aggregate is
+    // oracle-checked against a plain filter; `pruned_u`/`pruned_e` are
+    // engine-measured and oracle-pinned TRUE. Contrast `zorder_codes`,
+    // which proves the code/layout math outside the log.
+    QuerySpec(
+      "zorder_optimize_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/zordersnap"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val ux = pmod(col("user_id") * 131, lit(256)).cast("long")
+        val ex = pmod(col("event_id") * 137, lit(256)).cast("long")
+        Snapshots.init(s, root,
+          Tables.events(s, dir)
+            .select(col("event_id"), ux.as("ux"), ex.as("ex"))
+            .repartition(8))
+        val v1 = Snapshots.optimizeZorderCow(s, root, "ux", "ex",
+          cellDiv = 4096L, numFiles = 16)
+        val idx = Skipping.buildIndexDistributed(s, Snapshots.versionFiles(s, root, v1))
+        val prunedU = Skipping.pruneFiles(idx, "ux", 0L, 63L).size < idx.size
+        val prunedE = Skipping.pruneFiles(idx, "ex", 0L, 63L).size < idx.size
+        Snapshots.table(s, root).versionAsOf(v1).pruneOn("ux", 0L, 63L).load()
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            sum(col("ex")).cast("bigint").as("ex_sum"))
+          .withColumn("pruned_u", lit(prunedU))
+          .withColumn("pruned_e", lit(prunedE))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM((event_id * 137) % 256) AS BIGINT) AS ex_sum,
+             |  TRUE AS pruned_u, TRUE AS pruned_e
+             |FROM events WHERE (user_id * 131) % 256 BETWEEN 0 AND 63""".stripMargin)
     ),
 
     // ---- Time-series gap-fill: resample each user's event stream to an

@@ -54,24 +54,25 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
-  test("COW delete rewrites only the file holding the key") {
+  test("COW delete rewrites only the file holding the key; delta metadata is O(change)") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     // k=1..50 in one file, k=51..100 in another (range-partitioned)
     Snapshots.init(spark, root,
       (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
         .repartitionByRange(2, col("k")).sortWithinPartitions("k"))
-    def manifest(v: Long): Set[String] = {
-      val src = scala.io.Source.fromFile(
-        new java.io.File(root, f"_log/v$v%08d.list"))
-      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
-    }
-    val m0 = manifest(0)
+    val m0 = Snapshots.versionFiles(spark, root, 0).toSet
     assert(m0.size == 2)
     Snapshots.deleteKeysCow(spark, root, Seq(7L).toDF("k"), Seq("k"))
-    val m1 = manifest(1)
+    val m1 = Snapshots.versionFiles(spark, root, 1).toSet
     // exactly one v0 file carried over by reference
     assert((m0 & m1).size == 1, s"expected 1 carried file, got ${m0 & m1}")
     assert(Snapshots.readVersion(spark, root, 1).count() == 99)
+    // the commit's delta records ONLY the changed files (one removed, the
+    // rewrite's adds) — never the table's full listing
+    val d1 = Snapshots.readDelta(spark, root, 1)
+    assert(d1.removes.size == 1, s"delta must remove exactly the rewritten file: $d1")
+    assert(!d1.adds.exists(a => m0.exists(_.endsWith(a))),
+      "carried-over files must not reappear in the delta")
   }
 
   test("deleting an absent key commits a no-op version") {
@@ -134,19 +135,140 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(spark.read.parquet(kept: _*).where(col("k").between(100, 199)).count() == 100)
   }
 
-  test("a racing commit at the same version fails loudly, never tears the log") {
+  test("a racing COW rewrite at the same version fails loudly, never tears the log") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
     // simulate the race: a concurrent writer committed version 1 between
     // this writer reading latest=0 and publishing its own version 1
     val log = new java.io.File(root, "_log")
-    Files.writeString(new java.io.File(log, "v00000001.list").toPath, "data/commit-0/fake\n")
+    Files.writeString(new java.io.File(log, "v00000001.commit").toPath, "+data/commit-0/fake\n")
     val ex = intercept[IllegalArgumentException](
-      Snapshots.writeManifest(spark, root, 1L, Seq("data/commit-1/loser")))
+      Snapshots.writeDelta(spark, root, 1L,
+        Snapshots.Delta(Seq("data/commit-1/loser"), Seq("data/commit-0/old"))))
     assert(ex.getMessage.contains("commit race"))
     // the loser's failure left version 1 exactly as the winner wrote it
-    assert(Files.readString(new java.io.File(log, "v00000001.list").toPath)
-      == "data/commit-0/fake\n")
+    assert(Files.readString(new java.io.File(log, "v00000001.commit").toPath)
+      == "+data/commit-0/fake\n")
+  }
+
+  test("two interleaved appenders both land: pure appends rebase and retry") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // writer A wrote its data files against base version 0…
+    val winnerV = Snapshots.append(spark, root, Seq((2L, 2.0)).toDF("k", "v"))
+    assert(winnerV == 1)
+    // …and writer B, ALSO computed against base 0, attempts the same
+    // version — the stale startV simulates the lost race deterministically
+    val fakeAdds = {
+      val dataDir = new java.io.File(root, "data/commit-b-races0")
+      Seq((3L, 3.0)).toDF("k", "v").coalesce(1).write.parquet(dataDir.getAbsolutePath)
+      dataDir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
+        .map(f => s"data/commit-b-races0/${f.getName}").toSeq
+    }
+    val rebasedV = Snapshots.commitAdds(spark, root, fakeAdds, None, startV = 1L)
+    assert(rebasedV == 2, s"the loser must rebase onto the winner, got $rebasedV")
+    assert(Snapshots.versions(spark, root) == Seq(0L, 1L, 2L), "versions stay linear")
+    // both appends' rows are present; neither clobbered the other
+    assert(Snapshots.readVersion(spark, root, 2)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(Snapshots.readVersion(spark, root, 1)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("checkpoint + delta replay reconstructs every version; checkpoints are derived") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"))
+    (1L to 12L).foreach(i => Snapshots.append(spark, root, Seq((i, i * 1.0)).toDF("k", "v")))
+    // v0 and v10 checkpointed; v11 replays from the v10 checkpoint + 1 delta
+    val log = new java.io.File(root, "_log")
+    assert(new java.io.File(log, "v00000000.checkpoint").exists())
+    assert(new java.io.File(log, "v00000010.checkpoint").exists())
+    assert(Snapshots.readVersion(spark, root, 12).count() == 13)
+    assert(Snapshots.readVersion(spark, root, 7).count() == 8)
+    // losing a checkpoint only lengthens the replay — never loses data
+    assert(new java.io.File(log, "v00000010.checkpoint").delete())
+    assert(Snapshots.readVersion(spark, root, 12).count() == 13)
+    assert(Snapshots.versionFiles(spark, root, 12).size == 13)
+  }
+
+  test("streaming batch ids live in the deltas: crash-replay is a recognized no-op") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    assert(Snapshots.commitStreamingBatch(spark, root, Seq((1L, 1.0)).toDF("k", "v"), 0L))
+    assert(Snapshots.commitStreamingBatch(spark, root, Seq((2L, 2.0)).toDF("k", "v"), 1L))
+    // the ADVICE crash window: the commit landed but NO separate marker
+    // exists to advance — the batch id must come back from the delta alone
+    assert(!new java.io.File(root, "_log/_lastbatch").exists(),
+      "no marker file may exist — the delta IS the bookkeeping")
+    assert(Snapshots.lastCommittedBatch(spark, root) == 1L)
+    assert(!Snapshots.commitStreamingBatch(spark, root, Seq((9L, 9.0)).toDF("k", "v"), 1L),
+      "a crash-replayed batch must be recognized from the committed delta")
+    assert(Snapshots.readVersion(spark, root).count() == 2)
+    // an interleaved NON-streaming commit does not hide the streaming id
+    Snapshots.append(spark, root, Seq((3L, 3.0)).toDF("k", "v"))
+    assert(Snapshots.lastCommittedBatch(spark, root) == 1L)
+    assert(Snapshots.commitStreamingBatch(spark, root, Seq((4L, 4.0)).toDF("k", "v"), 2L))
+    assert(Snapshots.readVersion(spark, root).count() == 4)
+  }
+
+  test("mergeCow publishes a change feed; changesBetween replays it") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    Snapshots.mergeCow(spark, root,
+      Seq((2L, 22.0), (3L, 30.0)).toDF("k", "v"), Seq("k"), changeFeed = true)
+    val feed = Snapshots.table(spark, root).changesBetween(0, 1).load()
+    val ops = feed.select("k", ChangeFeed.opCol).as[(Long, String)].collect().toSet
+    assert(ops == Set((3L, "insert"), (2L, "update_postimage"), (2L, "update_preimage")))
+    // replaying the feed onto v0 reconstructs v1 exactly
+    val replayed = ChangeFeed.applyChangeFeed(
+      Snapshots.readVersion(spark, root, 0), feed, Seq("k"))
+    assert(replayed.select("k", "v").as[(Long, Double)].collect().toSet
+      == Snapshots.readVersion(spark, root, 1)
+        .select("k", "v").as[(Long, Double)].collect().toSet)
+    // a commit that did not publish a feed fails the CDC read loudly
+    Snapshots.append(spark, root, Seq((4L, 40.0)).toDF("k", "v"))
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.changesBetween(spark, root, 1, 2))
+    assert(ex.getMessage.contains("no change feed"))
+  }
+
+  test("OPTIMIZE ZORDER: content identical, BOTH dimensions prune through the snapshot path") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    // two independent 8-bit dims, scattered so every cell is populated
+    Snapshots.init(spark, root,
+      (0L until 4096L).map(i => (i, (i * 131) % 256, (i * 137) % 256))
+        .toDF("id", "a", "b").repartition(8))
+    val v1 = Snapshots.optimizeZorderCow(spark, root, "a", "b",
+      cellDiv = 4096L, numFiles = 16)
+    val before = Snapshots.readVersion(spark, root, 0)
+      .select("id").as[Long].collect().toSet
+    val after = Snapshots.readVersion(spark, root, v1)
+      .select("id").as[Long].collect().toSet
+    assert(after == before, "optimize must not change content")
+    val idx = graft.core.Skipping.buildIndexDistributed(
+      spark, Snapshots.versionFiles(spark, root, v1))
+    assert(graft.core.Skipping.pruneFiles(idx, "a", 0L, 63L).size < idx.size,
+      "dimension a must prune")
+    assert(graft.core.Skipping.pruneFiles(idx, "b", 0L, 63L).size < idx.size,
+      "dimension b must prune")
+    // the pruned scan through the unified reader returns exactly the range
+    val got = Snapshots.table(spark, root).versionAsOf(v1).pruneOn("a", 0L, 63L)
+      .load().select("a").as[Long].collect()
+    assert(got.forall(_ <= 63) && got.length ==
+      Snapshots.readVersion(spark, root, v1).where(col("a") <= 63).count())
+  }
+
+  test("unified reader: versionAsOf and pruneOn agree with the long-hand calls") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    Snapshots.append(spark, root, Seq((2000L, 2.0)).toDF("k", "v"))
+    assert(Snapshots.table(spark, root).versionAsOf(0).load().count()
+      == Snapshots.readVersion(spark, root, 0).count())
+    assert(Snapshots.table(spark, root).load().count() == 1001)
+    val pruned = Snapshots.table(spark, root).versionAsOf(0)
+      .pruneOn("k", 100L, 199L).load()
+    assert(pruned.select("k").as[Long].collect().toSet == (100L to 199L).toSet)
   }
 
   test("streaming ingest commits one version per batch, replay-idempotent") {

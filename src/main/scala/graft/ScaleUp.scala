@@ -45,9 +45,17 @@ object ScaleUp {
     }.write.mode("overwrite").parquet(s"$out/events.parquet")
 
     replicate(spark.read.parquet(s"$src/documents.parquet")) { (df, k) =>
+      // salt EVERY shingle, not just the tail: a suffix token leaves the
+      // body's shingle set intact, making each replica a genuine 10-way
+      // near-duplicate family — the scaled corpus would then have ~45×
+      // the true near-dup pairs and the dedup queries would (correctly!)
+      // pay for them, measuring the data instead of the algorithm.
+      // Interleaving a replica token between words gives every shingle a
+      // replica-specific member, so replicas are genuinely distinct docs.
       val salted =
         if (k == 0) df
-        else df.withColumn("text", concat(col("text"), lit(s" replica$k")))
+        else df.withColumn("text",
+          regexp_replace(col("text"), lit(" "), lit(s" z$k ")))
       salted.withColumn("doc_id", col("doc_id") + lit(k * keyStep))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 

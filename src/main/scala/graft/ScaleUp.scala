@@ -17,13 +17,24 @@ import org.apache.spark.sql.functions._
   * algorithm). Timestamps are kept, so time-window state grows with
   * per-window density — the streaming scale dimension that matters.
   *
-  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> [factor=10]
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> [factor=10] [saltMode=translate]
+  *
+  * saltMode picks the document-replica model:
+  *   - `translate` (default): every word gets a replica suffix — 10
+  *     disjoint sub-corpora whose shingle-df DISTRIBUTION matches the
+  *     base corpus (the faithful model of a bigger crawl).
+  *   - `stress`: a replica token interleaved between words — every
+  *     common word becomes a per-replica BOILERPLATE shingle shared by
+  *     thousands of docs. This is the adversarial hot-shingle corpus a
+  *     real crawl's boilerplate produces; it exists to prove candidate
+  *     generation stays bounded under it (the nj_hot absolute df cap).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val saltMode = if (args.length > 3) args(3) else "translate"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,17 +56,17 @@ object ScaleUp {
     }.write.mode("overwrite").parquet(s"$out/events.parquet")
 
     replicate(spark.read.parquet(s"$src/documents.parquet")) { (df, k) =>
-      // salt EVERY shingle, not just the tail: a suffix token leaves the
-      // body's shingle set intact, making each replica a genuine 10-way
-      // near-duplicate family — the scaled corpus would then have ~45×
-      // the true near-dup pairs and the dedup queries would (correctly!)
-      // pay for them, measuring the data instead of the algorithm.
-      // Interleaving a replica token between words gives every shingle a
-      // replica-specific member, so replicas are genuinely distinct docs.
+      // (a rejected third salt — a suffix token only — left replicas as
+      // genuine 10-way near-dup families, ~45× true pairs: it measured
+      // the data, not the algorithm)
       val salted =
         if (k == 0) df
-        else df.withColumn("text",
-          regexp_replace(col("text"), lit(" "), lit(s" z$k ")))
+        else if (saltMode == "stress")
+          df.withColumn("text",
+            regexp_replace(col("text"), lit(" "), lit(s" z$k ")))
+        else
+          df.withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"), lit(s"$$1z$k")))
       salted.withColumn("doc_id", col("doc_id") + lit(k * keyStep))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 

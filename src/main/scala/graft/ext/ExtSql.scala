@@ -154,11 +154,15 @@ object ExtSql {
     * candidate floor reads MIN(LEAST(len)) off the aggregation itself, so
     * the two pre-aggregation nj_len broadcast joins are retired outright.
     *
-    * Candidate floor (ADVICE r1 fix): a pair at Jaccard >= 0.5 with
-    * m = min(|sh_a|, |sh_b|) shares s >= (|sh_a|+|sh_b|)/3 >= 2m/3
-    * shingles, so the floor is per-pair ceil(2m/3) capped at 3 — short
-    * documents (m <= 4) are no longer dropped for sharing only 1-2
-    * shingles, while normal-length docs keep the >= 3 pruning power. */
+    * Candidate floor (r1 ADVICE fix, tightened to its exact form in r7):
+    * a pair at Jaccard >= 0.5 shares s >= (la+lb)/3 shingles, of which at
+    * most hot_a + hot_b can be hot — so the RARE-shared count the
+    * candidate join observes is floored at ceil((la+lb)/3) - hot_a -
+    * hot_b, per pair. Long mostly-rare documents now need ~2m/3 shared
+    * rare shingles (not an unconditional 3) to reach verification, which
+    * is what keeps the verified-pair stream linear on corpora whose docs
+    * share many mid-frequency shingles; docs whose evidence is mostly hot
+    * keep a floor of 1 (the old unconditional 3 could drop those). */
   val dedupNgramJaccardStaged: Staged = {
     Staged(
       Seq(
@@ -176,22 +180,63 @@ object ExtSql {
         // hot-shingle pruning as an ANTI join against the HOT list (usually
         // tiny or empty -> broadcast), not an equi-join against the full df
         // table (which shuffles the whole index to keep almost all of it)
+        // the hot threshold is corpus-scaled BUT absolutely capped at 500:
+        // a purely proportional cap lets bucket sizes grow linearly with
+        // the corpus, so per-shingle candidate pairs (df^2) grow
+        // QUADRATICALLY — at crawl scale one boilerplate shingle shared by
+        // 10M docs would emit 10^13 pairs and still pass a 1% cap. A
+        // shingle shared by >500 docs carries no near-dup evidence
+        // (boilerplate); dropping it bounds per-shingle work by a constant
+        // while exact verification keeps precision. At the gate SFs the
+        // LEAST is inactive (sf0.01: 50, sf0.1: 500), so results are
+        // unchanged there; the 10x ScaleUp corpus measures the difference
         "nj_hot" -> { d: Sql =>
           s"""SELECT h FROM nj_e GROUP BY h
-             |HAVING COUNT(*) > GREATEST(50, ${d.intDiv("(SELECT COUNT(*) FROM nj_t)", "10")})""".stripMargin
+             |HAVING COUNT(*) > LEAST(500, GREATEST(50, ${d.intDiv("(SELECT COUNT(*) FROM nj_t)", "10")}))""".stripMargin
         },
+        // per-doc HOT-shingle counts for the exact candidate floor below —
+        // computed by joining the exploded index against the (tiny,
+        // broadcastable) hot list, so the common no-hot-shingles case
+        // costs a map-side probe that emits nothing, not a second
+        // full-index shuffle (a rare-count group-by over nj_rare would)
+        "nj_hotcnt" -> { _: Sql =>
+          s"""SELECT e.doc_id, COUNT(*) AS hcnt
+             |FROM nj_e e JOIN nj_hot x ON x.h = e.h
+             |GROUP BY e.doc_id""".stripMargin
+        },
+        // the index rows carry their doc's hot count (map-side broadcast
+        // left join — nj_hotcnt is doc-grain tiny), so the candidate
+        // aggregation reads the floor's inputs off its own group instead
+        // of re-joining the pair table afterwards
         "nj_rare" -> { _: Sql =>
-          "SELECT e.doc_id, e.len, e.h FROM nj_e e WHERE NOT EXISTS (SELECT 1 FROM nj_hot x WHERE x.h = e.h)"
+          s"""SELECT e.doc_id, e.len, e.h, COALESCE(hc.hcnt, 0) AS hcnt
+             |FROM nj_e e LEFT JOIN nj_hotcnt hc ON hc.doc_id = e.doc_id
+             |WHERE NOT EXISTS (SELECT 1 FROM nj_hot x WHERE x.h = e.h)""".stripMargin
         },
+        // candidate floor, EXACT form: jac(a,b) >= 0.5 implies
+        // shared_total >= (la+lb)/3, and shared hot shingles cannot exceed
+        // hot_a + hot_b, so shared_RARE >= ceil((la+lb)/3) - hot_a - hot_b.
+        // This replaces the old `LEAST(3, ceil(2m/3))` floor, which was
+        // BOTH too loose (a 100-shingle doc pair needed only 3 shared rare
+        // shingles, letting boilerplate-heavy corpora flood verification
+        // with candidates that can never reach 0.5) and subtly unsound
+        // under hot pruning (a true pair whose shared evidence was mostly
+        // hot shingles could sit below the unconditional 3). Floor-pruned
+        // candidates provably fail exact verification, so results are
+        // unchanged — only the verified-pair stream shrinks.
         "nj_cand" -> { d: Sql =>
           s"""SELECT p.i, p.j FROM (
              |  SELECT ea.doc_id AS i, eb.doc_id AS j,
-             |    MIN(LEAST(ea.len, eb.len)) AS m, COUNT(*) AS shared
+             |    MIN(LEAST(ea.len, eb.len)) AS m,
+             |    MAX(GREATEST(ea.len, eb.len)) AS mx,
+             |    MIN(ea.hcnt + eb.hcnt) AS hsum,
+             |    COUNT(*) AS shared
              |  FROM nj_rare ea JOIN nj_rare eb
              |    ON ea.h = eb.h AND ea.doc_id < eb.doc_id
              |    AND eb.len <= 2 * ea.len AND ea.len <= 2 * eb.len
              |  GROUP BY ea.doc_id, eb.doc_id) p
-             |WHERE p.shared >= LEAST(3, GREATEST(1, ${d.intDiv("(2 * p.m + 2)", "3")}))""".stripMargin
+             |WHERE p.shared >= GREATEST(1,
+             |  ${d.intDiv("(p.m + p.mx + 2)", "3")} - p.hsum)""".stripMargin
         }
       ),
       // exact-Jaccard verification; inter/len factored into a subquery so

@@ -208,8 +208,12 @@ object ExtSql {
         // left join — nj_hotcnt is doc-grain tiny), so the candidate
         // aggregation reads the floor's inputs off its own group instead
         // of re-joining the pair table afterwards
+        // the BROADCAST hint pins the doc-grain hotcnt build side (its
+        // grouped-subquery stats are unknown at planning time, which
+        // otherwise costs a full-index SortMergeJoin); DuckDB reads the
+        // hint as a plain comment
         "nj_rare" -> { _: Sql =>
-          s"""SELECT e.doc_id, e.len, e.h, COALESCE(hc.hcnt, 0) AS hcnt
+          s"""SELECT /*+ BROADCAST(hc) */ e.doc_id, e.len, e.h, COALESCE(hc.hcnt, 0) AS hcnt
              |FROM nj_e e LEFT JOIN nj_hotcnt hc ON hc.doc_id = e.doc_id
              |WHERE NOT EXISTS (SELECT 1 FROM nj_hot x WHERE x.h = e.h)""".stripMargin
         },

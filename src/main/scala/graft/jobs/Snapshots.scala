@@ -284,9 +284,14 @@ object Snapshots {
   }
 
   /** File-granular copy-on-write delete: rewrite ONLY the files holding a
-    * doomed key; every other file carries over by reference. */
+    * doomed key; every other file carries over by reference. With
+    * `changeFeed = true` the commit publishes its `_op = delete` rows
+    * under `_changes/` (computed against the pre-delete version), so a
+    * log whose writers opt in carries a complete CRUD feed for
+    * `changesBetween`. */
   def deleteKeysCow(
-      spark: SparkSession, root: String, keys: DataFrame, keyCols: Seq[String]): Long = {
+      spark: SparkSession, root: String, keys: DataFrame, keyCols: Seq[String],
+      changeFeed: Boolean = false): Long = {
     val prev = latestVersion(spark, root)
     val v = prev + 1
     val (_, qroot) = fsOf(spark, root)
@@ -294,6 +299,10 @@ object Snapshots {
     val current = readVersion(spark, root, prev)
       .withColumn("__file", input_file_name())
     val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    if (changeFeed) {
+      ChangeFeed.deleteFeed(readVersion(spark, root, prev), keySet, keyCols)
+        .write.mode("overwrite").parquet(changesPath(qroot, v).toString)
+    }
     // input_file_name() yields URI spellings (file:///x) that differ from
     // Path.toString (file:/x) — normalize through Path before comparing
     val doomedFiles = current.join(keySet, keyCols, "left_semi")

@@ -162,7 +162,7 @@ class SnapshotsSpec extends AnyFunSuite {
     val fakeAdds = {
       val dataDir = new java.io.File(root, "data/commit-b-races0")
       Seq((3L, 3.0)).toDF("k", "v").coalesce(1).write.parquet(dataDir.getAbsolutePath)
-      dataDir.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
+      dataDir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
         .map(f => s"data/commit-b-races0/${f.getName}").toSeq
     }
     val rebasedV = Snapshots.commitAdds(spark, root, fakeAdds, None, startV = 1L)
@@ -229,6 +229,56 @@ class SnapshotsSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       Snapshots.changesBetween(spark, root, 1, 2))
     assert(ex.getMessage.contains("no change feed"))
+  }
+
+  test("delete feed completes the CRUD CDC: replaying merge+delete feeds reconstructs head") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    Snapshots.mergeCow(spark, root,
+      Seq((2L, 22.0), (4L, 40.0)).toDF("k", "v"), Seq("k"), changeFeed = true)
+    Snapshots.deleteKeysCow(spark, root, Seq(1L).toDF("k"), Seq("k"), changeFeed = true)
+    val feed01 = Snapshots.changesBetween(spark, root, 0, 2)
+    assert(feed01.where(col(ChangeFeed.opCol) === "delete")
+      .select("k", "v").as[(Long, Double)].collect().toSet == Set((1L, 10.0)),
+      "the delete feed must carry the doomed PRE-delete rows")
+    // folding both feeds over v0 reconstructs the head version exactly
+    val replayed = Seq(1L, 2L).foldLeft(Snapshots.readVersion(spark, root, 0)) {
+      (snap, v) => ChangeFeed.applyChangeFeed(
+        snap, Snapshots.changesBetween(spark, root, v - 1, v), Seq("k"))
+    }
+    assert(replayed.select("k", "v").as[(Long, Double)].collect().toSet
+      == Snapshots.readVersion(spark, root)
+        .select("k", "v").as[(Long, Double)].collect().toSet)
+    // vacuum drops the dropped versions' feeds with them
+    Snapshots.vacuum(spark, root, keepFrom = 2L)
+    assert(!new java.io.File(root, "_changes/v00000001").exists(),
+      "vacuum must reclaim change feeds of dropped versions")
+    assert(new java.io.File(root, "_changes/v00000002").exists(),
+      "retained versions keep their feeds")
+  }
+
+  test("an append that loses the race to an OPTIMIZE rebases cleanly on top of it") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(4))
+    // appender writes its files against base 0…
+    val adds = {
+      val dataDir = new java.io.File(root, "data/commit-app-races0")
+      Seq((500L, 5.0)).toDF("k", "v").coalesce(1).write.parquet(dataDir.getAbsolutePath)
+      dataDir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(f => s"data/commit-app-races0/${f.getName}").toSeq
+    }
+    // …but an OPTIMIZE lands first (complete rewrite: removes all v0 files)
+    val vOpt = Snapshots.optimizeCow(spark, root, Seq("k"), 2)
+    assert(vOpt == 1)
+    val vApp = Snapshots.commitAdds(spark, root, adds, None, startV = 1L)
+    assert(vApp == 2)
+    // the rebased append sits on the OPTIMIZED file set: all rows present,
+    // and the appended row rides the new layout
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.count() == 101)
+    assert(head.where(col("k") === 500L).count() == 1)
+    assert(Snapshots.versionFiles(spark, root).size == 3, "2 optimized files + 1 appended")
   }
 
   test("OPTIMIZE ZORDER: content identical, BOTH dimensions prune through the snapshot path") {

@@ -250,6 +250,61 @@ object LifecycleQueries {
              |ORDER BY version""".stripMargin)
     ),
 
+    // ---- Full CRUD CDC replay through the snapshot log: a merge commit
+    // and a delete commit each publish their change feed atomically with
+    // their version; the consumer reconstructs the head state from v0 +
+    // THE FEEDS ALONE (never reading v1/v2), and the oracle recomputes
+    // the merged-then-deleted state relationally — a feed that carried a
+    // wrong pre-image, missed a delete, or replayed out of order flips
+    // the hash. The 100 TB contract: downstream consumers follow a table
+    // via its feed (1000x smaller than snapshots), and this query IS that
+    // consumer.
+    QuerySpec(
+      "table_changes_replay",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/crudsnap"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e)
+        val updates = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+        val inserts = e.where(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("value", col("value") + 1)
+        Snapshots.mergeCow(s, root, updates.unionByName(inserts),
+          Seq("event_id"), changeFeed = true)
+        Snapshots.deleteKeysCow(s, root,
+          e.where(col("event_id") % 13 === 4).select(col("event_id")),
+          Seq("event_id"), changeFeed = true)
+        val replayed = (1L to 2L).foldLeft(Snapshots.readVersion(s, root, 0)) {
+          (snap, v) => ChangeFeed.applyChangeFeed(snap,
+            Snapshots.table(s, root).changesBetween(v - 1, v).load(), Seq("event_id"))
+        }
+        replayed.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (
+             |  SELECT event_id, user_id, value * 2 AS value, event_type FROM e WHERE event_id % 10 = 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type FROM e WHERE event_id % 10 = 7),
+             |merged AS (
+             |  SELECT * FROM e WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src),
+             |final AS (
+             |  SELECT * FROM merged WHERE event_id NOT IN
+             |    (SELECT event_id FROM e WHERE event_id % 13 = 4))
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- Incremental view maintenance from the feed ALONE: maintain a
     // (count, sum) mart by applying the change feed's signed deltas
     // (pre-images/deletes at -1, post-images/inserts at +1) — zero fact

@@ -482,6 +482,45 @@ object Snapshots {
     orphans.size
   }
 
+  /** Reclaim UNCOMMITTED debris: tmp manifests from crashed delta writes
+    * and data files no version references (a writer that died between
+    * `writeCommitFiles` and its delta rename, or an OCC loser that never
+    * retried). Only debris older than `olderThanMs` is touched — an
+    * IN-FLIGHT writer's staged files look identical to a dead one's, so
+    * the age gate is the safety margin (same contract as a table
+    * format's tombstone retention; pick it ≫ the longest running
+    * commit). Committed history is never touched — this is the
+    * complement of `vacuum`, which reclaims files of DROPPED versions. */
+  def vacuumDebris(spark: SparkSession, root: String, olderThanMs: Long): Int = {
+    val (fs, qroot) = fsOf(spark, root)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var removed = 0
+    val log = new Path(qroot, "_log")
+    if (fs.exists(log)) fs.listStatus(log).foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".tmp") && s.getModificationTime < cutoff) {
+        fs.delete(s.getPath, false); removed += 1
+      }
+    }
+    val referenced = versions(spark, root)
+      .flatMap(v => versionFileList(spark, root, v)).toSet
+    // whole-commit-dir granularity: a committed dir has referenced data
+    // files and is never touched; an uncommitted dir (no file referenced
+    // by ANY version) goes entirely once every file in it is old enough
+    val data = new Path(qroot, "data")
+    if (fs.exists(data)) fs.listStatus(data).filter(_.isDirectory).foreach { dir =>
+      val files = fs.listStatus(dir.getPath).toSeq
+      val anyReferenced = files.exists(f =>
+        referenced.contains(s"data/${dir.getPath.getName}/${f.getPath.getName}"))
+      if (!anyReferenced && files.nonEmpty && files.forall(_.getModificationTime < cutoff)) {
+        removed += files.count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        fs.delete(dir.getPath, true)
+      }
+    }
+    removed
+  }
+
   /** The unified table-read entry point: one call site for time travel
     * (`versionAsOf`), CDC replay (`changesBetween`) and stats-pruned scans
     * (`pruneOn`) — what a user reaches for instead of wiring

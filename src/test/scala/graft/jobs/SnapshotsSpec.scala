@@ -341,6 +341,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root).count() == 3)
   }
 
+  test("debris vacuum reclaims crashed-writer leftovers, never committed history") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // a crashed commit: data files written, delta never renamed
+    val dead = new java.io.File(root, "data/commit-9-deadbeef")
+    Seq((9L, 9.0)).toDF("k", "v").coalesce(1).write.parquet(dead.getAbsolutePath)
+    val tmp = new java.io.File(root, "_log/.v00000009-deadbeef.tmp")
+    Files.writeString(tmp.toPath, "+data/commit-9-deadbeef/whatever\n")
+    // fresh debris survives (could be an in-flight writer)…
+    assert(Snapshots.vacuumDebris(spark, root, olderThanMs = 60000L) == 0)
+    assert(dead.exists() && tmp.exists())
+    // …aged debris goes; committed history untouched
+    (dead.listFiles() :+ dead :+ tmp).foreach(_.setLastModified(1000L))
+    val removed = Snapshots.vacuumDebris(spark, root, olderThanMs = 60000L)
+    assert(removed >= 2, s"expected data file + tmp manifest reclaimed, got $removed")
+    assert(!dead.exists() && !tmp.exists())
+    assert(Snapshots.readVersion(spark, root, 0).count() == 1)
+    assert(Snapshots.vacuumDebris(spark, root, olderThanMs = 0L) == 0,
+      "idempotent, and committed dirs are never candidates")
+  }
+
   test("vacuum reclaims exactly the files no retained version references") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root,

@@ -124,12 +124,20 @@ object Snapshots {
       txn = lines.find(_.startsWith("#txn:")).map(_.stripPrefix("#txn:").toLong))
   }
 
-  /** Publish version `v`'s delta atomically (write-then-rename; the rename
-    * is the commit point, so readers never see a partial file). POSIX
-    * rename REPLACES an existing destination, so losing a race must be
-    * detected explicitly — this check turns a lost race into a loud
-    * failure instead of silent history corruption; `commitAdds` catches it
-    * and rebases when the commit is a pure append. */
+  /** Publish version `v`'s delta atomically: write a tmp file, then
+    * claim the destination with an ATOMIC no-replace publish, so readers
+    * never see a partial file AND two racing writers can never both
+    * think they won.
+    *
+    * The publish primitive is filesystem-specific because POSIX rename
+    * REPLACES an existing destination — a bare exists-check + rename has
+    * a window where two writers both pass the check and the second
+    * SILENTLY overwrites the first (a lost commit, the one corruption a
+    * log must never allow). On `file:` schemes a HARD LINK is the atomic
+    * no-replace primitive (link(2) fails with EEXIST); on HDFS-like
+    * filesystems `rename` itself refuses an existing destination
+    * atomically. Either way a lost race surfaces as the loud
+    * "commit race" failure `commitAdds` rebases on. */
   private[jobs] def writeDelta(spark: SparkSession, root: String, v: Long, d: Delta): Unit = {
     val (fs, qroot) = fsOf(spark, root)
     val dest = deltaPath(qroot, v)
@@ -141,12 +149,21 @@ object Snapshots {
     val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(dest)) {
+    def lose(): Nothing = {
       fs.delete(tmp, false)
       throw new IllegalArgumentException(
         s"commit race: version $v already exists at $root")
     }
-    require(fs.rename(tmp, dest), s"commit race: version $v already exists at $root")
+    if ("file" == dest.toUri.getScheme) {
+      val destFile = java.nio.file.Paths.get(dest.toUri)
+      val tmpFile = java.nio.file.Paths.get(tmp.toUri)
+      try java.nio.file.Files.createLink(destFile, tmpFile)
+      catch { case _: java.nio.file.FileAlreadyExistsException => lose() }
+      fs.delete(tmp, false)
+    } else {
+      if (fs.exists(dest)) lose()
+      if (!fs.rename(tmp, dest)) lose()
+    }
   }
 
   /** Checkpoints are derived (a pure function of the deltas), so the write

@@ -175,6 +175,31 @@ class SnapshotsSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("truly concurrent appenders: every commit lands exactly once, versions linear") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"))
+    // 4 threads x 3 appends racing on the atomic no-replace publish: a
+    // lost-commit bug (POSIX rename replacing a winner) would silently
+    // drop rows; a broken rebase would duplicate versions or deadlock
+    val keys = (1 to 12).map(_.toLong)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = keys.map { k =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            Snapshots.append(spark, root, Seq((k, k * 1.0)).toDF("k", "v"))
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 12, s"every append must take a distinct version: $versions")
+    } finally pool.shutdown()
+    assert(Snapshots.versions(spark, root) == (0L to 12L),
+      "versions must be gapless and linear")
+    assert(Snapshots.readVersion(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq == (0L to 12L),
+      "every appended row must be present exactly once")
+  }
+
   test("checkpoint + delta replay reconstructs every version; checkpoints are derived") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"))

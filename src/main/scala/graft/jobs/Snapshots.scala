@@ -41,8 +41,10 @@ import org.apache.spark.sql.functions._
   *                                   true)`) — the Delta-CDF shape
   *                                   `changesBetween` replays.
   *
-  * Concurrency: the delta rename's no-overwrite check turns a lost commit
-  * race into a loud failure instead of silent history corruption — and a
+  * Concurrency: the delta publish is an ATOMIC no-replace claim (hard
+  * link on `file:`, no-replace rename on HDFS-like filesystems — see
+  * `writeDelta`), so a lost commit race is a loud failure instead of
+  * silent history corruption — and a
   * PURE APPEND (adds only) is automatically REBASED onto the winner and
   * retried, because appends commute: two interleaved appenders both land,
   * versions stay linear. COW rewrites (delete/merge/optimize) never

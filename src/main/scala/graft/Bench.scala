@@ -58,15 +58,15 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     progress.println(line) // the full line lives on disk even if stdout truncates
     progress.close()
-    // the full line also goes to its own tiny file BEFORE stdout: the
-    // driver's capture keeps only a ~1.5 KB stdout TAIL, which beheaded the
-    // single big JSON line in rounds 4 and 6 (parsed: null)
+    // The full per-query map goes ONLY to files (bench_total.json + the
+    // progress JSONL): the driver's capture keeps a ~1.5 KB stdout tail, and
+    // any >1.5 KB stdout line gets beheaded mid-JSON, which then breaks the
+    // driver's parse of the whole capture (rounds 4, 6, 7: parsed null).
     val totalWriter = new PrintWriter(new FileWriter("target/bench_total.json", false), true)
     totalWriter.println(line)
     totalWriter.close()
-    println(line)
-    // and a LAST compact line (few hundred bytes: totals + the 10 slowest)
-    // that always survives a tail capture intact and parses on its own
+    // stdout gets EXACTLY ONE compact line (<1 KB: totals + the 10 slowest)
+    // so the captured tail is the entire output and parses as-is.
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","note":"slowest 10 of ${results.size}; full map in target/bench_total.json"}""")

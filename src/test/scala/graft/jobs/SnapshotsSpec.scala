@@ -274,12 +274,152 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(replayed.select("k", "v").as[(Long, Double)].collect().toSet
       == Snapshots.readVersion(spark, root)
         .select("k", "v").as[(Long, Double)].collect().toSet)
-    // vacuum drops the dropped versions' feeds with them
+    // vacuum drops the dropped versions' feeds with them (feed dirs are
+    // uniquely suffixed — locate them by version prefix)
+    def feedDirs(prefix: String): Seq[String] =
+      Option(new java.io.File(root, "_changes").list()).toSeq.flatten
+        .filter(_.startsWith(prefix))
     Snapshots.vacuum(spark, root, keepFrom = 2L)
-    assert(!new java.io.File(root, "_changes/v00000001").exists(),
+    assert(feedDirs("v00000001").isEmpty,
       "vacuum must reclaim change feeds of dropped versions")
-    assert(new java.io.File(root, "_changes/v00000002").exists(),
-      "retained versions keep their feeds")
+    assert(feedDirs("v00000002").nonEmpty, "retained versions keep their feeds")
+  }
+
+  test("an orphan _changes dir from a failed commit is invisible to changesBetween") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    // a crashed/raced writer staged a feed for version 1 but never
+    // committed — then a DIFFERENT commit (no feed) lands at version 1
+    val orphan = new java.io.File(root, "_changes/v00000001-deadbeef")
+    Seq((1L, 10.0, "delete")).toDF("k", "v", ChangeFeed.opCol)
+      .coalesce(1).write.parquet(orphan.getAbsolutePath)
+    Snapshots.append(spark, root, Seq((3L, 30.0)).toDF("k", "v"))
+    // the r7 ADVICE hazard: an fs.exists-based feed probe would serve the
+    // stale orphan as version 1's changes; the #cdf: header refuses
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.changesBetween(spark, root, 0, 1))
+    assert(ex.getMessage.contains("no change feed"))
+    // and vacuumDebris reclaims the orphan once aged (a real commit's
+    // feed, reachable via its delta header, is never touched)
+    val v2 = Snapshots.mergeCow(spark, root,
+      Seq((2L, 22.0)).toDF("k", "v"), Seq("k"), changeFeed = true)
+    assert(Snapshots.vacuumDebris(spark, root, olderThanMs = 60000L) == 0,
+      "fresh orphan survives the age gate")
+    orphan.listFiles().foreach(_.setLastModified(1000L))
+    assert(Snapshots.vacuumDebris(spark, root, olderThanMs = 60000L) >= 1)
+    assert(!orphan.exists(), "aged orphan feed must be reclaimed")
+    assert(Snapshots.changesBetween(spark, root, 1, v2).count() > 0,
+      "the committed feed survives debris vacuum")
+  }
+
+  test("schema evolution: an append with a new column widens head, old versions keep their shape") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((3L, 3.0, "en")).toDF("k", "v", "lang"))
+    // head: evolved 3-column schema; pre-evolution files null-fill lang
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.columns.toSeq == Seq("k", "v", "lang"))
+    assert(head.where(col("lang").isNull).select("k").as[Long].collect().toSet
+      == Set(1L, 2L), "pre-evolution rows must null-fill the new column")
+    assert(head.where(col("lang") === "en").count() == 1)
+    // time travel: version 0 reads under ITS schema — no lang column
+    assert(Snapshots.readVersion(spark, root, 0).columns.toSeq == Seq("k", "v"))
+    // a COW rewrite carries the evolved schema forward
+    Snapshots.deleteKeysCow(spark, root, Seq(1L).toDF("k"), Seq("k"))
+    assert(Snapshots.readVersion(spark, root).columns.toSeq == Seq("k", "v", "lang"))
+    // changing an existing column's TYPE is refused loudly
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.append(spark, root, Seq((9L, "oops", "fr")).toDF("k", "v", "lang")))
+    assert(ex.getMessage.contains("schema evolution cannot change column"))
+  }
+
+  test("a COW rewrite whose removed files are untouched by the winner rebases; true overlap fails") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    // two range-clustered files: k=1..50 and k=51..100
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    val v0Files = Snapshots.readDelta(spark, root, 0).adds
+    // a rewrite of file A (computed against v0) loses the race to an
+    // APPEND at v1: the append touched no existing file, so the rewrite
+    // rebases onto v2 — file-disjoint, content still exact
+    Snapshots.append(spark, root, Seq((500L, 5.0)).toDF("k", "v"))
+    val rewriteDir = new java.io.File(root, "data/commit-rw-races0")
+    spark.read.parquet(s"$root/${v0Files.head}").where(col("k") =!= 7L)
+      .coalesce(1).write.parquet(rewriteDir.getAbsolutePath)
+    val rwAdds = rewriteDir.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => s"data/commit-rw-races0/${f.getName}").toSeq
+    val vRebased = Snapshots.commitRewriteRetry(spark, root, 1L,
+      Snapshots.Delta(rwAdds, Seq(v0Files.head)))
+    assert(vRebased == 2, s"disjoint rewrite must rebase onto the winner, got $vRebased")
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.count() == 100, "100 - deleted k=7 + appended k=500")
+    assert(head.where(col("k") === 7).count() == 0)
+    // true overlap: a second rewrite claiming the SAME file the rebased
+    // rewrite already removed must fail loudly, never land
+    val loser = intercept[IllegalStateException](
+      Snapshots.commitRewriteRetry(spark, root, 2L,
+        Snapshots.Delta(Nil, Seq(v0Files.head))))
+    assert(loser.getMessage.contains("rewrite conflict"),
+      s"overlapping rewrite must fail loudly, got: ${loser.getMessage}")
+    assert(Snapshots.latestVersion(spark, root) == 2L, "the loser left no version behind")
+  }
+
+  test("truly concurrent append + COW delete on disjoint files: both land") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val del = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = Snapshots.deleteKeysCow(spark, root, Seq(7L).toDF("k"), Seq("k"))
+      })
+      val app = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = Snapshots.append(spark, root, Seq((500L, 5.0)).toDF("k", "v"))
+      })
+      val (vd, va) = (del.get(120, java.util.concurrent.TimeUnit.SECONDS),
+        app.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(Set(vd, va) == Set(1L, 2L), s"both must land on distinct versions: $vd, $va")
+    } finally pool.shutdown()
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.count() == 100, "100 - deleted k=7 + appended k=500")
+    assert(head.where(col("k") === 7).count() == 0)
+    assert(head.where(col("k") === 500).count() == 1)
+  }
+
+  test("vacuumRetain honors both the version-count and the age window") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"))
+    (1L to 4L).foreach(i => Snapshots.append(spark, root, Seq((i, i * 1.0)).toDF("k", "v")))
+    // everything is seconds old: a 1-hour window refuses to drop anything,
+    // even though retainLast=2 alone would drop versions 0..2 — the reader
+    // protection window wins
+    assert(Snapshots.vacuumRetain(spark, root, retainLast = 2, olderThanMs = 3600000L) == 0)
+    assert(Snapshots.versions(spark, root) == (0L to 4L))
+    assert(Snapshots.readVersion(spark, root, 0).count() == 1,
+      "an old-version reader inside the window survives the vacuum")
+    // age the early commits out of the window: now retainLast governs
+    (0L to 2L).foreach { v =>
+      new java.io.File(root, f"_log/v$v%08d.commit").setLastModified(1000L)
+    }
+    Snapshots.vacuumRetain(spark, root, retainLast = 2, olderThanMs = 3600000L)
+    assert(Snapshots.versions(spark, root) == Seq(3L, 4L))
+    assert(Snapshots.readVersion(spark, root, 3).count() == 4)
+  }
+
+  test("lastCommittedBatch stops at the checkpoint: the #maxtxn header answers for vacuumed-age history") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    assert(Snapshots.commitStreamingBatch(spark, root, Seq((1L, 1.0)).toDF("k", "v"), 5L))
+    // 14 non-streaming commits bury the streaming delta below checkpoint 10
+    (1L to 14L).foreach(i => Snapshots.append(spark, root, Seq((i + 1, i * 1.0)).toDF("k", "v")))
+    assert(new java.io.File(root, "_log/v00000010.checkpoint").exists())
+    // delete the delta that held #txn:5 — if lastCommittedBatch still
+    // answers, it PROVABLY read the checkpoint header, not the old delta
+    assert(new java.io.File(root, "_log/v00000000.commit").delete())
+    assert(Snapshots.lastCommittedBatch(spark, root) == 5L,
+      "the checkpoint #maxtxn header must answer without replaying old deltas")
   }
 
   test("an append that loses the race to an OPTIMIZE rebases cleanly on top of it") {

@@ -59,4 +59,63 @@ class SnapshotSourceSpec extends AnyFunSuite {
       .where(col("k") % 2 === 1).count()
     assert(odd == 50)
   }
+
+  test("the front door FILE-prunes from the stats index: the planned set shrinks") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 4000L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(8))
+    val v1 = Snapshots.optimizeCow(spark, root, Seq("k"), 8)
+    val all = Snapshots.versionFiles(spark, root, v1)
+    val rel = new SnapshotVersionRelation(spark.sqlContext, root, v1, None)
+    // range predicate over the clustered layout: the PLANNED file list —
+    // not just the row result — must shrink to the matching slice
+    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual => SGte, LessThanOrEqual => SLte}
+    val surviving = rel.survivingFiles(Array(SAnd(SGte("k", 100L), SLte("k", 199L))))
+    assert(surviving.nonEmpty && surviving.size < all.size,
+      s"expected a pruned plan, got ${surviving.size} of ${all.size} files")
+    assert(surviving.toSet.subsetOf(all.toSet))
+    // end to end through spark.read: exact rows, unsatisfiable → empty
+    val got = spark.read.format(fmt).load(root)
+      .where(col("k").between(100, 199)).select("k").as[Long].collect().toSet
+    assert(got == (100L to 199L).toSet)
+    assert(rel.survivingFiles(Array(SAnd(SGte("k", 10L), SLte("k", 5L)))).isEmpty)
+    assert(spark.read.format(fmt).load(root)
+      .where(col("k") > 100000L).count() == 0, "unsatisfiable range reads no file")
+  }
+
+  test("table-property blooms + bloomOn: string point lookups file-prune through spark.read") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    // blooms recorded as TABLE PROPERTIES at init: every commit's writer
+    // (init AND the later append) inherits them from the log
+    Snapshots.init(spark, root,
+      (0L until 2000L).map(i => (i, s"key$i")).toDF("id", "s").repartition(4),
+      props = Map(
+        "parquet.bloom.filter.enabled#s" -> "true",
+        "parquet.bloom.filter.expected.ndv#s" -> "4000"))
+    Snapshots.append(spark, root,
+      (2000L until 4000L).map(i => (i, s"key$i")).toDF("id", "s").repartition(4))
+    assert(Snapshots.tableProperties(spark, root)
+      .contains("parquet.bloom.filter.enabled#s"), "props must survive the append")
+    val all = Snapshots.versionFiles(spark, root)
+    val rel = new SnapshotVersionRelation(spark.sqlContext, root,
+      Snapshots.latestVersion(spark, root), Some("s"))
+    import org.apache.spark.sql.sources.{EqualTo => SEq}
+    val surviving = rel.survivingFiles(Array(SEq("s", "key1234")))
+    assert(surviving.size < all.size,
+      s"bloom must exclude most files: ${surviving.size} of ${all.size}")
+    val got = spark.read.format(fmt).option("bloomOn", "s").load(root)
+      .where(col("s") === "key1234").select("id").as[Long].collect().toSeq
+    assert(got == Seq(1234L))
+  }
+
+  test("schema evolution is visible through the front door") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((2L, 2.0, "en")).toDF("k", "v", "lang"))
+    val head = spark.read.format(fmt).load(root)
+    assert(head.columns.toSeq == Seq("k", "v", "lang"))
+    assert(head.where(col("lang").isNull).select("k").as[Long].collect().toSeq == Seq(1L))
+    val v0 = spark.read.format(fmt).option("versionAsOf", 0).load(root)
+    assert(v0.columns.toSeq == Seq("k", "v"))
+  }
 }

@@ -360,14 +360,19 @@ object LifecycleQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
         val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value"))
-        // range-clustered layout committed to a snapshot log; the pruned
-        // scan plans from the version's explicit file list via the unified
-        // table API (executor-distributed footer reads — no dir listing)
+        // range-clustered layout committed to a snapshot log; the DEFAULT
+        // spark.read front door file-prunes the range predicate against
+        // the version's cached footer-stats index at plan time (the same
+        // skipping the explicit pruneOn API does — r8: the default path
+        // plans only surviving files). The index is built distributed
+        // ONCE per immutable version (Snapshots.statsIndex) — the flag
+        // below reuses it, no second footer sweep.
         Snapshots.init(s, root,
           e.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id"))
-        val idx = Skipping.buildIndexDistributed(s, Snapshots.versionFiles(s, root))
+        val idx = Snapshots.statsIndex(s, root)
         val kept = Skipping.pruneFiles(idx, "user_id", 10L, 39L)
-        Snapshots.table(s, root).pruneOn("user_id", 10L, 39L).load()
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .where(col("user_id").between(10L, 39L))
           .agg(count(lit(1)).as("n"),
             sum(col("event_id")).cast("bigint").as("id_sum"),
             dsum(col("value")).as("value_sum"))
@@ -483,10 +488,16 @@ object LifecycleQueries {
             .repartition(8))
         val v1 = Snapshots.optimizeZorderCow(s, root, "ux", "ex",
           cellDiv = 4096L, numFiles = 16)
-        val idx = Skipping.buildIndexDistributed(s, Snapshots.versionFiles(s, root, v1))
+        // cached per-version index serves both the engine-measured flags
+        // and the front-door scan below — one footer sweep total
+        val idx = Snapshots.statsIndex(s, root, v1)
         val prunedU = Skipping.pruneFiles(idx, "ux", 0L, 63L).size < idx.size
         val prunedE = Skipping.pruneFiles(idx, "ex", 0L, 63L).size < idx.size
-        Snapshots.table(s, root).versionAsOf(v1).pruneOn("ux", 0L, 63L).load()
+        // the DEFAULT read path: spark.read plans only the files whose
+        // z-cell envelope intersects ux ∈ [0, 63] (r8 front-door pruning)
+        s.read.format("graft.sources.SnapshotSource")
+          .option("versionAsOf", v1).load(root)
+          .where(col("ux").between(0L, 63L))
           .agg(count(lit(1)).as("n"),
             sum(col("event_id")).cast("bigint").as("id_sum"),
             sum(col("ex")).cast("bigint").as("ex_sum"))
@@ -497,6 +508,52 @@ object LifecycleQueries {
              |  CAST(SUM((event_id * 137) % 256) AS BIGINT) AS ex_sum,
              |  TRUE AS pruned_u, TRUE AS pruned_e
              |FROM events WHERE (user_id * 131) % 256 BETWEEN 0 AND 63""".stripMargin)
+    ),
+
+    // ---- Schema evolution on the snapshot log (r8): an append whose
+    // frame carries a NEW column widens the table schema recorded in the
+    // delta header; the head read (through the spark.read front door)
+    // returns the evolved 4-column shape with pre-evolution rows
+    // null-filling the new column, while versionAsOf(0) still reads the
+    // original 3-column shape. The src=-1 group is EXACTLY the
+    // pre-evolution rows (null backfill hash-checked); `v0_cols`/
+    // `head_cols` pin both versions' column counts, oracle-pinned 3/4.
+    // A long-lived 100 TB table evolves — without this, every column add
+    // forces a full rewrite.
+    QuerySpec(
+      "schema_evolution",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/schemaevo"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e)
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 10 === 7)
+            .withColumn("event_id", col("event_id") + 10000000L)
+            .withColumn("src_round", lit(8L)))
+        val v0Cols = Snapshots.readVersion(s, root, 0).columns.length
+        val head = s.read.format("graft.sources.SnapshotSource").load(root)
+        head.groupBy(coalesce(col("src_round"), lit(-1L)).as("src"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("v0_cols", lit(v0Cols).cast("long"))
+          .withColumn("head_cols", lit(head.columns.length).cast("long"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value FROM events),
+             |evolved AS (
+             |  SELECT event_id, user_id, value, CAST(NULL AS BIGINT) AS src_round FROM e
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value, CAST(8 AS BIGINT) FROM e
+             |  WHERE event_id % 10 = 7)
+             |SELECT COALESCE(src_round, -1) AS src, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  CAST(3 AS BIGINT) AS v0_cols, CAST(4 AS BIGINT) AS head_cols
+             |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
     // ---- Time-series gap-fill: resample each user's event stream to an

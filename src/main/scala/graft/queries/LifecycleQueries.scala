@@ -605,9 +605,7 @@ object LifecycleQueries {
       (s, dir) => {
         try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         catch { case _: Throwable => () }
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val src = StreamingJobs.tableStream(s, dir)
         val dd = src.select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
         val name = s"stream_dedup_distinct_${streamRun.incrementAndGet()}"
@@ -634,9 +632,7 @@ object LifecycleQueries {
       (s, dir) => {
         try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         catch { case _: Throwable => () }
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        def src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        def src = StreamingJobs.tableStream(s, dir)
           .select(col("user_id"), col("event_id"),
             timestamp_micros(expr("ts DIV 1000")).as("ts"),
             col("event_type"), col("value"))

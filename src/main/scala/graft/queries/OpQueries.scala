@@ -183,12 +183,8 @@ object OpQueries {
       (s, dir) => {
         try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         catch { case _: Throwable => () }
-        // streaming file sources require a directory: stream the sf dir,
-        // glob-filtered to the events table
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        // layout-agnostic streaming source (file-in-dir or directory table)
+        val src = StreamingJobs.tableStream(s, dir)
         val counts = src
           .select(expr("(ts DIV 1000) DIV 21600000000").as("win_id"), col("event_type"))
           .groupBy(col("win_id"), col("event_type"))
@@ -454,9 +450,9 @@ object OpQueries {
         catch { case _: Throwable => () }
         val batch = s.read.parquet(s"$dir/events.parquet")
         val maxUs = batch.selectExpr("max(ts DIV 1000)").first().getLong(0)
-        val src = s.readStream.schema(batch.schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
+        // layout-agnostic source: file-in-dir (test data) or directory
+        // table (10x scale corpora) — see StreamingJobs.tableStream
+        val src = StreamingJobs.tableStream(s, dir)
         val sess = src
           .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
           .withWatermark("ets", "0 seconds")

@@ -25,6 +25,28 @@ object StreamingJobs {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Streaming source over one TABLE of an sf directory, agnostic to the
+    * table's physical layout: a single `<table>.parquet` FILE (the test
+    * data's layout — a streaming file source needs a directory, so stream
+    * the parent glob-filtered to that name) or a `<table>.parquet`
+    * DIRECTORY tree (any Spark-written table, e.g. the 10× scale corpora —
+    * stream the directory itself, descending into partition subdirs).
+    * Before r8 the glob-only form matched NO files on a directory table
+    * and the stream silently drained empty (BENCH.md's 10× harness gap). */
+  def tableStream(spark: SparkSession, dir: String, table: String = "events"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = spark.read.parquet(p.toString).schema
+    if (fs.getFileStatus(p).isDirectory)
+      // the batch-peeked schema includes any partition columns, so the
+      // stream discovers partition subdirs (recursiveFileLookup would
+      // DISABLE partition inference and null the partition column)
+      spark.readStream.schema(schema).parquet(p.toString)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Watermarked tumbling-window count+avg per event_type — the canonical
     * streaming aggregation (1h windows, 2h late-data bound). */
   def windowedCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =

@@ -33,6 +33,37 @@ class StreamingJobsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("tableStream reads BOTH table layouts: single file and partitioned directory tree") {
+    import spark.implicits._
+    // layout A — the test-data shape: events.parquet is a single FILE
+    // inside the sf dir (glob-filtered parent stream)
+    val fileDir = java.nio.file.Files.createTempDirectory("ts-file").toString
+    val rows = (1L to 300L).map(i => (i, i % 7, s"t${i % 3}", i * 1.0))
+    val df = rows.toDF("event_id", "user_id", "event_type", "value")
+    df.coalesce(1).write.parquet(s"$fileDir/stage")
+    val part = new java.io.File(s"$fileDir/stage").listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$fileDir/events.parquet"))
+    val a = StreamingJobs.runAvailableNow(
+      StreamingJobs.tableStream(spark, fileDir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")), "ts_file", OutputMode.Complete())
+    a.stop()
+    // layout B — any Spark-written table (the 10x scale corpora): a
+    // PARTITIONED directory tree under events.parquet/ (the shape the
+    // pathGlobFilter-only source silently matched nothing on)
+    val dirDir = java.nio.file.Files.createTempDirectory("ts-dir").toString
+    df.write.partitionBy("event_type").parquet(s"$dirDir/events.parquet")
+    val b = StreamingJobs.runAvailableNow(
+      StreamingJobs.tableStream(spark, dirDir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")), "ts_dir", OutputMode.Complete())
+    b.stop()
+    val expected = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    def got(t: String) = spark.table(t).as[(String, Long)].collect().toMap
+    assert(got("ts_file") == expected, "file layout must stream every row")
+    assert(got("ts_dir") == expected, "directory layout must stream every row")
+  }
+
   test("streaming ETL to parquet sink equals the batch transform (incl. restart idempotence)") {
     val src = java.nio.file.Files.createTempDirectory("setl-src").toString
     val out = java.nio.file.Files.createTempDirectory("setl-out").toString

@@ -482,7 +482,7 @@ object Snapshots {
     * only through the committed delta's `#cdf:` header. */
   def deleteKeysCow(
       spark: SparkSession, root: String, keys: DataFrame, keyCols: Seq[String],
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false, txn: Option[Long] = None): Long = {
     val prev = latestVersion(spark, root)
     val v = prev + 1
     val (fs, qroot) = fsOf(spark, root)
@@ -506,7 +506,7 @@ object Snapshots {
       .select(col("__file")).distinct()
       .collect().map(r => new Path(r.getString(0)).toString).toSet
     if (doomedFiles.isEmpty) {
-      return commitOrCleanFeed(Delta(Nil, Nil, cdf = cdfDir,
+      return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
         schema = prevDelta.schema, props = prevDelta.props))
     }
     val rewritten = prevFiles.filter(f => doomedFiles.contains(new Path(qroot, f).toString))
@@ -520,7 +520,7 @@ object Snapshots {
       .parquet(rewritten.map(f => new Path(qroot, f).toString): _*)
       .join(keySet, keyCols, "left_anti")
     val newFiles = writeCommitFiles(spark, root, v, kept, prevDelta.props)
-    commitOrCleanFeed(Delta(newFiles, rewritten, cdf = cdfDir,
+    commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props))
   }
 
@@ -537,7 +537,7 @@ object Snapshots {
     * header — the Delta-CDF shape `changesBetween` replays. */
   def mergeCow(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false, txn: Option[Long] = None): Long = {
     val prev = latestVersion(spark, root)
     val v = prev + 1
     val (fs, qroot) = fsOf(spark, root)
@@ -568,7 +568,7 @@ object Snapshots {
         .select(schemaCols: _*)
         .unionByName(src.select(schemaCols: _*))
     val newFiles = writeCommitFiles(spark, root, v, kept, prevDelta.props)
-    try commitRewrite(spark, root, v, Delta(newFiles, rewritten, cdf = cdfDir,
+    try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props))
     catch { case e: Throwable =>
       cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e

@@ -43,6 +43,46 @@ class AnnSpec extends AnyFunSuite {
     assert(fromDisk.sameElements(fromMem))
   }
 
+  test("feed-driven refresh of a snapshot-logged KMeans index == full rebuild, same top-k") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val (srcRoot, idxRoot) = (s"$base/src", s"$base/idx")
+    graft.jobs.Snapshots.init(spark, srcRoot, emb)
+    // real quantizer: the KMeans model fit on v0 stays FIXED across
+    // refreshes (incremental maintenance re-assigns, never re-fits)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Ann.ivfAssign(model, df)
+    graft.jobs.Snapshots.commitStreamingBatch(spark, idxRoot, assign(emb), 0L)
+    // the store evolves: some vectors re-embedded, some new, some deleted
+    val updates = emb.where(col("vec_id") % 5 === 2)
+      .withColumn("embedding", expr("transform(embedding, x -> -x)"))
+    val inserts = emb.where(col("vec_id") % 9 === 4)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    graft.jobs.Snapshots.mergeCow(spark, srcRoot,
+      updates.unionByName(inserts), Seq("vec_id"), changeFeed = true)
+    graft.jobs.Snapshots.deleteKeysCow(spark, srcRoot,
+      emb.where(col("vec_id") % 13 === 6).select("vec_id"),
+      Seq("vec_id"), changeFeed = true)
+    val indexedTo = Ann.refreshIvfIndex(spark, srcRoot, idxRoot)(assign)
+    assert(indexedTo == 2L)
+    assert(graft.jobs.Snapshots.lastCommittedBatch(spark, idxRoot) == 2L,
+      "the index log must record the source version it reflects")
+    // refreshed content == rebuilt content (same fixed quantizer)
+    val rebuilt = assign(graft.jobs.Snapshots.readVersion(spark, srcRoot))
+    val refreshed = graft.jobs.Snapshots.readVersion(spark, idxRoot)
+      .select(rebuilt.columns.map(col): _*)
+    assert(refreshed.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(refreshed).isEmpty,
+      "feed-driven refresh must equal a full rebuild")
+    // and the search surface agrees end to end
+    val a = Ann.ivfSearch(spark, refreshed, model, query, nprobe = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = Ann.ivfSearch(spark, rebuilt, model, query, nprobe = 3, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b, "refreshed-index top-k must equal rebuilt-index top-k")
+    // a second refresh with nothing new is a no-op at the same version
+    assert(Ann.refreshIvfIndex(spark, srcRoot, idxRoot)(assign) == 2L)
+  }
+
   test("nprobe = 1 scans one cluster and still finds the query vector first") {
     val top = Ann.ivfSearch(spark, index, model, query, nprobe = 1, topK = 5).collect()
     assert(top.nonEmpty && top.head.getLong(0) == 0L)

@@ -80,6 +80,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val scalarBroadcastAllowed = Set(
     "f3_outlier_band", "e13_pct_of_total", "etl_malformed_gauntlet",
     "ann_brute_topk", "ann_ivf_topk", "ann_ivf_nprobe3", "ann_native_topk",
+    "ann_ivf_refresh_topk", // 1-row query-vector frame crossed into the probe scan
     "q22_dormant_customers", // 1-row average-balance threshold
     "q11_value_concentration", // 1-row concentration threshold
     "q20_heavy_suppliers", // 1-row volume threshold

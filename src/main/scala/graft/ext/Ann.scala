@@ -89,7 +89,9 @@ object Ann {
     // before that version's deletes (ChangeFeed semantics within one
     // commit: a key appears as either upsert or delete, never both)
     ((from + 1) to srcV).foreach { v =>
-      val feed = Snapshots.changesBetween(spark, srcRoot, v - 1, v)
+      // O(change) feed, read once: the isEmpty probes and the commits
+      // below would each re-scan it otherwise
+      val feed = Snapshots.changesBetween(spark, srcRoot, v - 1, v).localCheckpoint()
       val ups = feed.where(col(ChangeFeed.opCol)
         .isin("insert", "update_postimage")).drop(ChangeFeed.opCol)
       val dels = feed.where(col(ChangeFeed.opCol) === "delete")

@@ -94,12 +94,16 @@ object Snapshots {
     * root-relative), the streaming batch id when the commit came from
     * `commitStreamingBatch`, the change-feed directory name when the
     * commit published one, the table schema (json) as of this version,
-    * and the table properties (writer options — e.g. parquet bloom
+    * the table properties (writer options — e.g. parquet bloom
     * opt-ins — carried forward by every commit so vacuum can never lose
-    * them). */
+    * them), and per-added-file column statistics (`#stats:` lines —
+    * rows + integral [min,max] envelopes keyed by root-relative path,
+    * collected at COMMIT time so plan-time file pruning never has to
+    * sweep footers; see `statsIndex`). */
   final case class Delta(adds: Seq[String], removes: Seq[String],
       txn: Option[Long] = None, cdf: Option[String] = None,
-      schema: Option[String] = None, props: Map[String, String] = Map.empty)
+      schema: Option[String] = None, props: Map[String, String] = Map.empty,
+      stats: Map[String, graft.core.Skipping.FileStats] = Map.empty)
 
   private def fsOf(spark: SparkSession, root: String) = {
     val p = new Path(root)
@@ -143,6 +147,30 @@ object Snapshots {
     finally in.close()
   }
 
+  /** `#stats:` line codec: `path|rows|col=min:max;col2=min:max` (cols
+    * sorted; a column whose NAME contains a separator simply doesn't ride
+    * — it stays unprunable, which is always sound). Shared by deltas and
+    * checkpoints. */
+  private def renderStats(rel: String, s: graft.core.Skipping.FileStats): String = {
+    val cols = s.mins.keys.toSeq.sorted
+      .filterNot(c => c.exists("|;=:\n".contains(_)))
+      .map(c => s"$c=${s.mins(c)}:${s.maxs(c)}")
+    s"#stats:$rel|${s.rows}|${cols.mkString(";")}"
+  }
+
+  private def parseStats(line: String): (String, graft.core.Skipping.FileStats) = {
+    val body = line.stripPrefix("#stats:")
+    val i = body.indexOf('|'); val j = body.indexOf('|', i + 1)
+    val rel = body.take(i)
+    val rows = body.substring(i + 1, j).toLong
+    val cols = body.drop(j + 1).split(';').toSeq.filter(_.nonEmpty).map { kv =>
+      val e = kv.indexOf('='); val c = kv.indexOf(':', e)
+      (kv.take(e), kv.substring(e + 1, c).toLong, kv.drop(c + 1).toLong)
+    }
+    rel -> graft.core.Skipping.FileStats(rel, rows,
+      cols.map(t => t._1 -> t._2).toMap, cols.map(t => t._1 -> t._3).toMap)
+  }
+
   private[jobs] def readDelta(spark: SparkSession, root: String, v: Long): Delta = {
     val (_, qroot) = fsOf(spark, root)
     val lines = readLines(spark, root, deltaPath(qroot, v))
@@ -156,7 +184,8 @@ object Snapshots {
         val kv = l.stripPrefix("#prop:")
         val i = kv.indexOf('=')
         kv.take(i) -> kv.drop(i + 1)
-      }.toMap)
+      }.toMap,
+      stats = lines.filter(_.startsWith("#stats:")).map(parseStats).toMap)
   }
 
   /** Table properties as of `version` (default: latest) — writer options
@@ -223,6 +252,7 @@ object Snapshots {
         d.cdf.map(c => s"#cdf:$c").toSeq ++
         d.schema.map(s => s"#schema:$s").toSeq ++
         d.props.toSeq.sorted.map { case (k, v2) => s"#prop:$k=$v2" } ++
+        d.stats.toSeq.sortBy(_._1).map { case (rel, s) => renderStats(rel, s) } ++
         d.adds.sorted.map("+" + _) ++ d.removes.sorted.map("-" + _)
     val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -256,9 +286,13 @@ object Snapshots {
     val (fs, qroot) = fsOf(spark, root)
     val dest = checkpointPath(qroot, v)
     if (fs.exists(dest)) return
+    // surviving files' stats ride the checkpoint so vacuum dropping the
+    // adding deltas never loses them (the checkpoint is already O(table))
+    val stats = reconstruct(spark, root, v)._2
     val headers =
-      versionSchema(spark, root, v).map(s => s"#schema:${s.json}").toSeq :+
-        s"#maxtxn:${lastTxnUpTo(spark, root, v)}"
+      versionSchema(spark, root, v).map(s => s"#schema:${s.json}").toSeq ++
+        Seq(s"#maxtxn:${lastTxnUpTo(spark, root, v)}") ++
+        stats.toSeq.sortBy(_._1).map { case (rel, s) => renderStats(rel, s) }
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-ckpt-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
@@ -273,31 +307,39 @@ object Snapshots {
     if (v % checkpointEvery == 0L)
       writeCheckpoint(spark, root, v, versionFileList(spark, root, v))
 
-  /** Version `v`'s root-relative file list: nearest checkpoint at-or-below
-    * `v`, plus the (at most `checkpointEvery`) deltas after it — O(change
-    * since checkpoint), never O(commits since birth). A checkpoint that
-    * vanishes mid-read (vacuum reclaiming below its new floor) falls back
-    * to the next-lower checkpoint or a from-v0 replay — checkpoints are
-    * derived, so every fallback is exact. */
-  private def versionFileList(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  /** Version `v`'s root-relative file list AND the per-file stats the log
+    * recorded for the surviving files: nearest checkpoint at-or-below
+    * `v` (file lines + `#stats:` headers), plus the (at most
+    * `checkpointEvery`) deltas after it — O(change since checkpoint),
+    * never O(commits since birth). A checkpoint that vanishes mid-read
+    * (vacuum reclaiming below its new floor) falls back to the next-lower
+    * checkpoint or a from-v0 replay — checkpoints are derived, so every
+    * fallback is exact. Files committed before stats rode the log simply
+    * have no entry in the map (readers footer-read exactly those). */
+  private def reconstruct(
+      spark: SparkSession, root: String, v: Long): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
     val (_, qroot) = fsOf(spark, root)
     val ckpts = checkpointVersions(spark, root).filter(_ <= v).reverse
-    def attempt(candidates: Seq[Long]): Seq[String] = {
+    def attempt(candidates: Seq[Long]): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
       val base = candidates.headOption
       try {
-        val initial: Seq[String] = base match {
+        val lines: Seq[String] = base match {
           case Some(cv) => readLines(spark, root, checkpointPath(qroot, cv))
-            .filterNot(_.startsWith("#"))
           case None => Seq.empty
         }
         val start = base.map(_ + 1).getOrElse(0L)
-        val files = scala.collection.mutable.LinkedHashSet[String](initial: _*)
+        val files = scala.collection.mutable.LinkedHashSet[String](
+          lines.filterNot(_.startsWith("#")): _*)
+        val stats = scala.collection.mutable.Map[String, graft.core.Skipping.FileStats](
+          lines.filter(_.startsWith("#stats:")).map(parseStats): _*)
         (start to v).foreach { w =>
           val d = readDelta(spark, root, w)
           files ++= d.adds
+          stats ++= d.stats
           files --= d.removes
+          stats --= d.removes
         }
-        files.toSeq.sorted
+        (files.toSeq.sorted, stats.toMap.filter(kv => files.contains(kv._1)))
       } catch {
         case _: java.io.FileNotFoundException if base.isDefined =>
           attempt(candidates.tail)
@@ -305,6 +347,9 @@ object Snapshots {
     }
     attempt(ckpts)
   }
+
+  private def versionFileList(spark: SparkSession, root: String, v: Long): Seq[String] =
+    reconstruct(spark, root, v)._1
 
   /** A version's absolute data-file paths — the input a file-skipping
     * index build (core/Skipping) or any external reader needs; the log IS
@@ -330,19 +375,38 @@ object Snapshots {
   }
 
   /** Write `df` into a fresh uniquely-suffixed commit dir, returning the
-    * new files' root-relative paths. The suffix keeps two optimistic
-    * appenders' data writes from colliding before the delta-rename race
-    * decides their versions. */
+    * new files' root-relative paths AND their column statistics (one
+    * footer read per NEW file — O(files changed), never O(table); this is
+    * the write-time stats collection a transaction log owes its readers,
+    * so plan-time pruning consults the log instead of sweeping footers).
+    * The suffix keeps two optimistic appenders' data writes from
+    * colliding before the delta-rename race decides their versions. */
   private def writeCommitFiles(
       spark: SparkSession, root: String, v: Long, df: DataFrame,
-      props: Map[String, String] = Map.empty): Seq[String] = {
+      props: Map[String, String] = Map.empty): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
     val (fs, qroot) = fsOf(spark, root)
     val dir = new Path(qroot,
       s"data/commit-$v-${java.util.UUID.randomUUID.toString.take(8)}")
     df.write.options(props).parquet(dir.toString)
-    fs.listStatus(dir).toSeq
+    val rels = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(s => s"data/${dir.getName}/${s.getPath.getName}")
+    (rels, statsForNewFiles(spark, qroot, rels))
+  }
+
+  /** Footer-read ONLY the just-written files (driver loop at test-table
+    * counts, executor-distributed past that), keyed back to root-relative
+    * paths for the delta's `#stats:` lines. */
+  private def statsForNewFiles(
+      spark: SparkSession, qroot: Path, rels: Seq[String]): Map[String, graft.core.Skipping.FileStats] = {
+    val abs = rels.map(r => new Path(qroot, r).toString)
+    val built =
+      if (rels.size <= 16) graft.core.Skipping.buildIndexForFiles(spark, abs)
+      else graft.core.Skipping.buildIndexDistributed(spark, abs)
+    val byAbs = built.map(s => s.path -> s).toMap
+    rels.zip(abs).flatMap { case (r, a) =>
+      byAbs.get(a).map(s => r -> s.copy(path = r))
+    }.toMap
   }
 
   /** Create version 0 from `df`. Fails if a log already exists.
@@ -357,9 +421,10 @@ object Snapshots {
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long],
       props: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
+    val (adds, stats) = writeCommitFiles(spark, root, 0L, df, props)
     writeDelta(spark, root, 0L,
-      Delta(writeCommitFiles(spark, root, 0L, df, props), Nil, txn,
-        schema = Some(nullable(df.schema).json), props = props))
+      Delta(adds, Nil, txn,
+        schema = Some(nullable(df.schema).json), props = props, stats = stats))
     maybeCheckpoint(spark, root, 0L)
     0L
   }
@@ -376,8 +441,8 @@ object Snapshots {
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long]): Long = {
     val base = latestVersion(spark, root)
     val props = readDelta(spark, root, base).props
-    commitAdds(spark, root, writeCommitFiles(spark, root, base + 1, df, props), txn,
-      base + 1, Some(df.schema))
+    val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props)
+    commitAdds(spark, root, adds, txn, base + 1, Some(df.schema), stats)
   }
 
   /** Optimistic-concurrency commit of a PURE APPEND: attempt `startV`; on a
@@ -389,7 +454,8 @@ object Snapshots {
     * the spec to exercise the collision branch deterministically. */
   private[jobs] def commitAdds(
       spark: SparkSession, root: String, adds: Seq[String],
-      txn: Option[Long], startV: Long, addSchema: Option[StructType] = None): Long = {
+      txn: Option[Long], startV: Long, addSchema: Option[StructType] = None,
+      stats: Map[String, graft.core.Skipping.FileStats] = Map.empty): Long = {
     var v = startV
     var attempts = 0
     var committed = false
@@ -399,7 +465,7 @@ object Snapshots {
         mergedSchema(prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), s).json)
       try {
         writeDelta(spark, root, v,
-          Delta(adds, Nil, txn, schema = schema, props = prevDelta.props))
+          Delta(adds, Nil, txn, schema = schema, props = prevDelta.props, stats = stats))
         committed = true
       } catch {
         case e: IllegalArgumentException if e.getMessage.contains("commit race") =>
@@ -519,9 +585,9 @@ object Snapshots {
     val kept = spark.read
       .parquet(rewritten.map(f => new Path(qroot, f).toString): _*)
       .join(keySet, keyCols, "left_anti")
-    val newFiles = writeCommitFiles(spark, root, v, kept, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
     commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = prevDelta.schema, props = prevDelta.props))
+      schema = prevDelta.schema, props = prevDelta.props, stats = stats))
   }
 
   /** Copy-on-write MERGE (whole-row update-else-insert, the Merge
@@ -567,9 +633,9 @@ object Snapshots {
         .join(srcKeys, keyCols, "left_anti")
         .select(schemaCols: _*)
         .unionByName(src.select(schemaCols: _*))
-    val newFiles = writeCommitFiles(spark, root, v, kept, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
     try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = prevDelta.schema, props = prevDelta.props))
+      schema = prevDelta.schema, props = prevDelta.props, stats = stats))
     catch { case e: Throwable =>
       cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
     }
@@ -591,6 +657,50 @@ object Snapshots {
       new Path(qroot, s"_changes/${d.cdf.get}").toString
     }
     spark.read.parquet(dirs: _*)
+  }
+
+  /** `COUNT(*)` of a version answered from the LOG alone when every live
+    * file recorded `#stats:` rows (None on a legacy log — the caller
+    * falls back to counting the data). At 100 TB this is the difference
+    * between a metadata read and a table scan. */
+  def rowCount(spark: SparkSession, root: String, version: Long = -1L): Option[Long] = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    val (files, stats) = reconstruct(spark, root, v)
+    if (files.forall(stats.contains)) Some(files.map(stats(_).rows).sum) else None
+  }
+
+  /** Bin-packing small-file compaction as a commit: rewrite ONLY the
+    * live files smaller than `smallerThanBytes` into ~`targetFileBytes`
+    * outputs; every right-sized file carries over by reference. This is
+    * the maintenance OPTIMIZE a streaming-ingested table needs — each
+    * micro-batch commit lands a few small files, and compacting them
+    * must not rewrite the accumulated terabytes next to them (contrast
+    * `optimizeCow`, which re-clusters the WHOLE version). The removed
+    * set is exactly the small files, so a concurrent append interleaves
+    * via the file-disjoint rebase; returns the new version, or -1 when
+    * fewer than two files qualify (nothing to pack). */
+  def optimizeCompact(
+      spark: SparkSession, root: String,
+      smallerThanBytes: Long, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val prev = latestVersion(spark, root)
+    val (fs, qroot) = fsOf(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    val sized = versionFileList(spark, root, prev)
+      .map(f => f -> fs.getFileStatus(new Path(qroot, f)).getLen)
+    val small = sized.filter(_._2 < smallerThanBytes)
+    if (small.size < 2) return -1L
+    val v = prev + 1
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    val packed = (versionSchema(spark, root, prev) match {
+      case Some(sc) => spark.read.schema(sc)
+        .parquet(small.map(f => new Path(qroot, f._1).toString): _*)
+      case None => spark.read
+        .parquet(small.map(f => new Path(qroot, f._1).toString): _*)
+    }).coalesce(nOut)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, packed, prevDelta.props)
+    commitRewrite(spark, root, v,
+      Delta(newFiles, small.map(_._1), schema = prevDelta.schema,
+        props = prevDelta.props, stats = stats))
   }
 
   /** OPTIMIZE as a commit: rewrite the CURRENT version into `numFiles`
@@ -634,9 +744,10 @@ object Snapshots {
     val v = prev + 1
     val prevFiles = versionFileList(spark, root, prev)
     val prevDelta = readDelta(spark, root, prev)
-    val newFiles = writeCommitFiles(spark, root, v, clustered, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, clustered, prevDelta.props)
     commitRewrite(spark, root, v,
-      Delta(newFiles, prevFiles, schema = prevDelta.schema, props = prevDelta.props))
+      Delta(newFiles, prevFiles, schema = prevDelta.schema, props = prevDelta.props,
+        stats = stats))
   }
 
   /** Highest streaming batch id at-or-below version `upTo`, scanning
@@ -808,10 +919,17 @@ object Snapshots {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[graft.core.Skipping.FileStats]]()
 
-  /** The footer-stats index of (root, version), built distributed on
-    * first use and cached — the planning-time input for file-level
-    * pruning in both `SnapshotReader.pruneOn` and the `spark.read` front
-    * door (sources/SnapshotSource). */
+  /** The file-stats index of (root, version) — the planning-time input
+    * for file-level pruning in both `SnapshotReader.pruneOn` and the
+    * `spark.read` front door (sources/SnapshotSource).
+    *
+    * Source of truth is the LOG: every commit since stats rode the deltas
+    * recorded its new files' envelopes at write time, so planning reads
+    * ZERO parquet footers — the index assembles from the same O(change)
+    * delta replay the file list does. Only files committed before
+    * `#stats:` lines existed (legacy logs) fall back to a footer sweep,
+    * and only for exactly those files (executor-distributed). Cached per
+    * immutable version either way. */
   def statsIndex(spark: SparkSession, root: String, version: Long = -1L): Seq[graft.core.Skipping.FileStats] = {
     val v = if (version < 0) latestVersion(spark, root) else version
     val (_, qroot) = fsOf(spark, root)
@@ -819,12 +937,28 @@ object Snapshots {
     val hit = indexCache.get(key)
     if (hit != null) hit
     else {
-      val idx = graft.core.Skipping.buildIndexDistributed(
-        spark, versionFiles(spark, root, v))
+      val (files, logStats) = reconstruct(spark, root, v)
+      val (have, missing) = files.partition(logStats.contains)
+      val fromLog = have.map(f => logStats(f).copy(path = new Path(qroot, f).toString))
+      val fromFooters =
+        if (missing.isEmpty) Nil
+        else graft.core.Skipping.buildIndexDistributed(
+          spark, missing.map(f => new Path(qroot, f).toString))
+      val idx = (fromLog ++ fromFooters).sortBy(_.path)
       if (indexCache.size > 64) indexCache.clear()
       indexCache.put(key, idx)
       idx
     }
+  }
+
+  /** Files of `version` whose stats are NOT in the log (would need a
+    * footer read) — empty on any table whose commits all wrote `#stats:`
+    * lines. Test hook: pins the zero-footer-read property. */
+  private[graft] def statsMissingFromLog(
+      spark: SparkSession, root: String, version: Long = -1L): Seq[String] = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    val (files, logStats) = reconstruct(spark, root, v)
+    files.filterNot(logStats.contains)
   }
 
   /** The unified table-read entry point: one call site for time travel

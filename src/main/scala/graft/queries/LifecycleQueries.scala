@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.core.{Dumps, Skipping, Tables}
 import graft.functions.ZOrder
-import graft.jobs.{ChangeFeed, Lifecycle, Snapshots}
+import graft.jobs.{ChangeFeed, Lifecycle, Snapshots, TableSync}
 import graft.streaming.StreamingJobs
 
 /** Round-6 tier: table lifecycle (key-delete, compaction, change feed) and
@@ -407,6 +407,52 @@ object LifecycleQueries {
              |FROM events WHERE user_id BETWEEN 10 AND 39""".stripMargin)
     ),
 
+    // ---- Stats-in-the-log pruning (r8): a table built by FOUR range-
+    // disjoint commits (init + three appends) is range-scanned through
+    // the spark.read front door. Every commit recorded its new files'
+    // column envelopes IN ITS DELTA at write time (`#stats:` lines), so
+    // the plan-time file pruning reads ZERO parquet footers — the index
+    // assembles from the same O(change) log replay as the file list.
+    // `stats_from_log` (no file missing log stats) and `pruned` (planned
+    // set strictly smaller than the table) are oracle-pinned TRUE; the
+    // aggregate is hash-checked against a plain filter. 100 TB shape:
+    // this is the Delta/Iceberg stats design — planning a selective scan
+    // on a million-file table costs a log replay, not a million footer
+    // round trips (even distributed, a footer sweep per cold version is
+    // the object-store bill this removes).
+    QuerySpec(
+      "stats_log_prune_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/statslog"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("ebin", pmod(col("event_id"), lit(400)).cast("long"))
+        def slice(lo: Int, hi: Int) =
+          e.where(col("ebin").between(lo, hi)).repartition(2)
+        Snapshots.init(s, root, slice(0, 99))
+        Snapshots.append(s, root, slice(100, 199))
+        Snapshots.append(s, root, slice(200, 299))
+        Snapshots.append(s, root, slice(300, 399))
+        val statsFromLog = Snapshots.statsMissingFromLog(s, root).isEmpty
+        val idx = Snapshots.statsIndex(s, root)
+        val kept = Skipping.pruneFiles(idx, "ebin", 120L, 199L)
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .where(col("ebin").between(120L, 199L))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("stats_from_log", lit(statsFromLog))
+          .withColumn("pruned", lit(kept.size < idx.size))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS stats_from_log, TRUE AS pruned
+             |FROM events WHERE event_id % 400 BETWEEN 120 AND 199""".stripMargin)
+    ),
+
     // ---- Bloom-filter file skipping: a point lookup on a
     // HIGH-CARDINALITY string key over an UNCLUSTERED layout — min/max
     // envelopes span the domain and prune nothing (SkippingSpec proves
@@ -621,8 +667,14 @@ object LifecycleQueries {
         val rebuilt = assign(Snapshots.readVersion(s, srcRoot))
         val refreshed = Snapshots.readVersion(s, idxRoot)
           .select(rebuilt.columns.map(col): _*)
-        val matches = indexedTo == 2L &&
-          refreshed.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(refreshed).isEmpty
+        // multiset equality in ONE pass: signed counts sum to zero per row
+        // group ⟺ both exceptAll directions are empty — one shuffle and one
+        // read of each side instead of two of each
+        val diffEmpty = rebuilt.withColumn("__s", lit(1L))
+          .unionByName(refreshed.withColumn("__s", lit(-1L)))
+          .groupBy(rebuilt.columns.map(col): _*).agg(sum(col("__s")).as("__d"))
+          .where(col("__d") =!= 0L).isEmpty
+        val matches = indexedTo == 2L && diffEmpty
         refreshed.createOrReplaceTempView("ann_refreshed_idx")
         s.sql(annProbeSql(graft.ext.SparkSql,
             "SELECT vec_id, cluster AS label, embedding FROM ann_refreshed_idx"))
@@ -644,6 +696,95 @@ object LifecycleQueries {
            |${annProbeSql(graft.ext.DuckSql, merged)}
            |) ORDER BY cos DESC, vec_id""".stripMargin
       }
+    ),
+
+    // ---- Snapshot-log small-file compaction (r8): five commits land a
+    // right-sized file plus a dozen micro-batch-shaped small files;
+    // `optimizeCompact` bin-packs ONLY the small ones into one commit —
+    // the right-sized file carries over by reference (engine-pinned
+    // `carried`), the head plans fewer files (`packed`), and COUNT(*)
+    // still answers from the log's `#stats:` rows alone
+    // (`rows_from_log` — metadata, no data scan). The full-table
+    // aggregate is hash-checked: compaction must be invisible to
+    // results. 100 TB shape: streaming ingest accretes small files
+    // forever; maintenance must cost O(small files), never O(table).
+    QuerySpec(
+      "compact_log_smallfiles",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/compactlog"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 5 === 0).coalesce(1))
+        (1 to 4).foreach(i =>
+          Snapshots.append(s, root, e.where(col("event_id") % 5 === i).repartition(3)))
+        val v0File = Snapshots.versionFiles(s, root, 0).head
+        val preCount = Snapshots.versionFiles(s, root).size
+        val bigLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(v0File)).getLen
+        Snapshots.optimizeCompact(s, root, smallerThanBytes = bigLen)
+        val headFiles = Snapshots.versionFiles(s, root)
+        val fromLog = Snapshots.rowCount(s, root)
+        val head = Snapshots.readVersion(s, root)
+        head.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("carried", lit(headFiles.contains(v0File)))
+          .withColumn("packed", lit(headFiles.size < preCount))
+          .withColumn("rows_from_log",
+            lit(fromLog.contains(head.count())))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS carried, TRUE AS packed, TRUE AS rows_from_log
+             |FROM events WHERE event_id % 5 IN (0, 1, 2, 3, 4)""".stripMargin)
+    ),
+
+    // ---- Incremental table sync / streaming-source tailing (r8): a
+    // downstream snapshot table is materialized from an upstream one by
+    // tailing the log's APPENDS — each sync reads only the files added
+    // past the destination's `#txn:` watermark (the batch id IS the
+    // source version, so progress and data commit in one atomic rename —
+    // jobs/TableSync). Engine-measured `incremental` (the second sync
+    // consumed exactly the one new version and exactly its files) and
+    // `exactly_once` (a replayed sync commits nothing) are oracle-pinned
+    // TRUE; the downstream content is hash-checked against a relational
+    // recompute. 100 TB shape: tail cost is O(appended files since the
+    // watermark) — the log names them, no directory diffing — so a busy
+    // ingest table feeds its downstreams in seconds regardless of size.
+    QuerySpec(
+      "table_tail_sync",
+      (s, dir) => {
+        val srcRoot = s"${Dumps.forSf(dir)}/tailsrc"
+        val dstRoot = s"${Dumps.forSf(dir)}/taildst"
+        val fs = new org.apache.hadoop.fs.Path(srcRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(srcRoot), true)
+        fs.delete(new org.apache.hadoop.fs.Path(dstRoot), true)
+        val e = eventsSlim(s, dir).drop("event_type")
+        val double = (df: org.apache.spark.sql.DataFrame) =>
+          df.withColumn("value2", col("value") * 2)
+        Snapshots.init(s, srcRoot, e.where(col("event_id") % 3 === 0))
+        Snapshots.append(s, srcRoot, e.where(col("event_id") % 3 === 1))
+        TableSync.syncIncremental(s, srcRoot, dstRoot, double)
+        Snapshots.append(s, srcRoot, e.where(col("event_id") % 3 === 2))
+        val v2Files = (Snapshots.versionFiles(s, srcRoot, 2).toSet --
+          Snapshots.versionFiles(s, srcRoot, 1).toSet).size
+        val r2 = TableSync.syncIncremental(s, srcRoot, dstRoot, double)
+        val r3 = TableSync.syncIncremental(s, srcRoot, dstRoot, double)
+        val incremental = r2.committed && r2.versionsConsumed == 1 &&
+          r2.filesRead == v2Files
+        Snapshots.readVersion(s, dstRoot)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value2")).as("value2_sum"))
+          .withColumn("incremental", lit(incremental))
+          .withColumn("exactly_once", lit(!r3.committed))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value * 2 AS DECIMAL(12,2))) AS DOUBLE) AS value2_sum,
+             |  TRUE AS incremental, TRUE AS exactly_once
+             |FROM events""".stripMargin)
     ),
 
     // ---- Time-series gap-fill: resample each user's event stream to an

@@ -527,6 +527,85 @@ class SnapshotsSpec extends AnyFunSuite {
       "idempotent, and committed dirs are never candidates")
   }
 
+  test("stats ride the log: every commit kind records them, index == footer truth") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    Snapshots.append(spark, root, Seq((101L, 101.0)).toDF("k", "v"))
+    Snapshots.mergeCow(spark, root, Seq((7L, 700.0)).toDF("k", "v"), Seq("k"))
+    Snapshots.optimizeCow(spark, root, Seq("k"), numFiles = 3)
+    // every live file's stats came from the log — zero footer reads at plan
+    assert(Snapshots.statsMissingFromLog(spark, root).isEmpty,
+      "a freshly written table must never need a footer sweep")
+    // and the log's envelopes are exactly what the footers say
+    val fromLog = Snapshots.statsIndex(spark, root)
+    val fromFooters = graft.core.Skipping.buildIndexDistributed(
+      spark, Snapshots.versionFiles(spark, root))
+    assert(fromLog.sortBy(_.path) == fromFooters.sortBy(_.path),
+      "log-recorded stats must equal a footer rebuild")
+    // pruning equality on a real range
+    assert(graft.core.Skipping.pruneFiles(fromLog, "k", 1L, 30L).sorted ==
+      graft.core.Skipping.pruneFiles(fromFooters, "k", 1L, 30L).sorted)
+  }
+
+  test("checkpoints carry stats: vacuum dropping the adding deltas loses nothing") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"))
+    (1L to 10L).foreach(i =>
+      Snapshots.append(spark, root, Seq((i, i * 1.0)).toDF("k", "v")))
+    // v10 checkpoint exists; drop all history below it (deltas 0..9 gone)
+    Snapshots.vacuum(spark, root, keepFrom = 10L)
+    assert(Snapshots.statsMissingFromLog(spark, root).isEmpty,
+      "stats of files added before the vacuum floor must survive in the checkpoint")
+    val idx = Snapshots.statsIndex(spark, root)
+    assert(idx.size == 11 && idx.forall(s => s.mins.contains("k")))
+  }
+
+  test("legacy log without #stats lines falls back to footers, same index") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    // simulate a pre-stats log: strip the #stats lines from the delta AND
+    // drop the v0 checkpoint that also carries them (derived — safe)
+    val d0 = new java.io.File(root, "_log/v00000000.commit")
+    val stripped = Files.readAllLines(d0.toPath).stream()
+      .filter(l => !l.startsWith("#stats:")).toArray.mkString("\n") + "\n"
+    Files.writeString(d0.toPath, stripped)
+    assert(new java.io.File(root, "_log/v00000000.checkpoint").delete())
+    assert(Snapshots.statsMissingFromLog(spark, root).size == 2)
+    val idx = Snapshots.statsIndex(spark, root)
+    val truth = graft.core.Skipping.buildIndexDistributed(
+      spark, Snapshots.versionFiles(spark, root))
+    assert(idx.sortBy(_.path) == truth.sortBy(_.path),
+      "footer fallback must reproduce the full index")
+  }
+
+  test("rowCount answers from the log; optimizeCompact packs only small files") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    (1L to 5L).foreach(i =>
+      Snapshots.append(spark, root, Seq((1000L + i, 0.0)).toDF("k", "v")))
+    assert(Snapshots.rowCount(spark, root) == Some(1005L))
+
+    val qroot = new org.apache.hadoop.fs.Path(root)
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigLen = Snapshots.versionFiles(spark, root, 0)
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).max
+    val v = Snapshots.optimizeCompact(spark, root, smallerThanBytes = bigLen)
+    assert(v == 6)
+    val files = Snapshots.versionFiles(spark, root)
+    assert(files.size == 2, s"big file carried + one packed file, got $files")
+    assert(files.exists(Snapshots.versionFiles(spark, root, 0).contains),
+      "the right-sized file must carry over by reference, not be rewritten")
+    assert(Snapshots.readVersion(spark, root).count() == 1005)
+    assert(Snapshots.rowCount(spark, root) == Some(1005L),
+      "packed files' stats ride their commit — count stays metadata-only")
+    // idempotent: one small file left (< 2) means nothing to pack
+    assert(Snapshots.optimizeCompact(spark, root, smallerThanBytes = bigLen) == -1L)
+  }
+
   test("vacuum reclaims exactly the files no retained version references") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root,

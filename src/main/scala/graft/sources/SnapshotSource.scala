@@ -90,11 +90,21 @@ private[sources] object SnapshotFilters {
     case _ => None
   }
 
+  /** A literal's position on the integral stats axis. DATE literals map
+    * to epoch days — parquet's ONLY physical DATE encoding (INT32 days),
+    * so the translation is sound by format definition. TIMESTAMP
+    * literals are deliberately NOT translated: the stats envelope keeps
+    * raw INT64 values whose unit (micros/millis/nanos — or INT96 with no
+    * stats at all) the index doesn't record, and a unit mismatch would
+    * prune files that match. Timestamps stored as plain longs (e.g.
+    * `unix_micros`ed columns) prune fine as longs. */
   private def integral(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
     case _ => None
   }
 

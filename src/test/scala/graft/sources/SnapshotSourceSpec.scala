@@ -83,6 +83,31 @@ class SnapshotSourceSpec extends AnyFunSuite {
       .where(col("k") > 100000L).count() == 0, "unsatisfiable range reads no file")
   }
 
+  test("DATE predicates file-prune: epoch-day translation against INT32 date stats") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    // a year of daily rows, clustered by date — the time-series layout
+    Snapshots.init(spark, root,
+      (0 until 360).map(i => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)), i.toLong))
+        .toDF("d", "x")
+        .repartitionByRange(6, col("d")).sortWithinPartitions("d"))
+    val all = Snapshots.versionFiles(spark, root)
+    val rel = new SnapshotVersionRelation(spark.sqlContext, root,
+      Snapshots.latestVersion(spark, root), None)
+    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual => SGte, LessThan => SLt}
+    val surviving = rel.survivingFiles(Array(SAnd(
+      SGte("d", java.sql.Date.valueOf("2024-03-01")),
+      SLt("d", java.sql.Date.valueOf("2024-04-01")))))
+    assert(surviving.nonEmpty && surviving.size < all.size,
+      s"a one-month slice of a date-clustered year must prune: ${surviving.size} of ${all.size}")
+    // end to end: exact rows for the month
+    val got = spark.read.format(fmt).load(root)
+      .where(col("d") >= lit("2024-03-01").cast("date") &&
+        col("d") < lit("2024-04-01").cast("date"))
+      .count()
+    assert(got == 31)
+  }
+
   test("table-property blooms + bloomOn: string point lookups file-prune through spark.read") {
     val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
     // blooms recorded as TABLE PROPERTIES at init: every commit's writer

@@ -103,7 +103,8 @@ object Snapshots {
   final case class Delta(adds: Seq[String], removes: Seq[String],
       txn: Option[Long] = None, cdf: Option[String] = None,
       schema: Option[String] = None, props: Map[String, String] = Map.empty,
-      stats: Map[String, graft.core.Skipping.FileStats] = Map.empty)
+      stats: Map[String, graft.core.Skipping.FileStats] = Map.empty,
+      op: Option[String] = None)
 
   private def fsOf(spark: SparkSession, root: String) = {
     val p = new Path(root)
@@ -185,7 +186,8 @@ object Snapshots {
         val i = kv.indexOf('=')
         kv.take(i) -> kv.drop(i + 1)
       }.toMap,
-      stats = lines.filter(_.startsWith("#stats:")).map(parseStats).toMap)
+      stats = lines.filter(_.startsWith("#stats:")).map(parseStats).toMap,
+      op = lines.find(_.startsWith("#op:")).map(_.stripPrefix("#op:")))
   }
 
   /** Table properties as of `version` (default: latest) — writer options
@@ -248,7 +250,8 @@ object Snapshots {
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val lines =
-      d.txn.map(b => s"#txn:$b").toSeq ++
+      d.op.map(o => s"#op:$o").toSeq ++
+        d.txn.map(b => s"#txn:$b").toSeq ++
         d.cdf.map(c => s"#cdf:$c").toSeq ++
         d.schema.map(s => s"#schema:$s").toSeq ++
         d.props.toSeq.sorted.map { case (k, v2) => s"#prop:$k=$v2" } ++
@@ -424,7 +427,8 @@ object Snapshots {
     val (adds, stats) = writeCommitFiles(spark, root, 0L, df, props)
     writeDelta(spark, root, 0L,
       Delta(adds, Nil, txn,
-        schema = Some(nullable(df.schema).json), props = props, stats = stats))
+        schema = Some(nullable(df.schema).json), props = props, stats = stats,
+        op = Some("init")))
     maybeCheckpoint(spark, root, 0L)
     0L
   }
@@ -465,7 +469,8 @@ object Snapshots {
         mergedSchema(prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), s).json)
       try {
         writeDelta(spark, root, v,
-          Delta(adds, Nil, txn, schema = schema, props = prevDelta.props, stats = stats))
+          Delta(adds, Nil, txn, schema = schema, props = prevDelta.props,
+            stats = stats, op = Some("append")))
         committed = true
       } catch {
         case e: IllegalArgumentException if e.getMessage.contains("commit race") =>
@@ -573,7 +578,7 @@ object Snapshots {
       .collect().map(r => new Path(r.getString(0)).toString).toSet
     if (doomedFiles.isEmpty) {
       return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
-        schema = prevDelta.schema, props = prevDelta.props))
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete")))
     }
     val rewritten = prevFiles.filter(f => doomedFiles.contains(new Path(qroot, f).toString))
     // EVERY doomed path must resolve to a manifest entry: a partial
@@ -587,7 +592,19 @@ object Snapshots {
       .join(keySet, keyCols, "left_anti")
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
     commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = prevDelta.schema, props = prevDelta.props, stats = stats))
+      schema = prevDelta.schema, props = prevDelta.props, stats = stats,
+      op = Some("delete")))
+  }
+
+  /** Project `df` onto `target`: columns in order, absent ones
+    * null-filled (types of present columns already validated by
+    * `mergedSchema`). Identity when the shapes agree. */
+  private def conform(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   /** Copy-on-write MERGE (whole-row update-else-insert, the Merge
@@ -596,11 +613,18 @@ object Snapshots {
     * batch; everything else carries over by reference. History intact —
     * the pre-merge version still reads exactly.
     *
+    * Schema evolution (the autoMerge admission): a source carrying NEW
+    * columns widens the table — carried-over files null-fill them at
+    * read time under the commit's recorded schema; a source MISSING
+    * table columns null-fills those on its inserted/updated rows; a
+    * column type change is refused loudly.
+    *
     * With `changeFeed = true` the commit also publishes its row-level
     * change set (jobs/ChangeFeed semantics: insert / update_preimage /
     * update_postimage) under `_changes/`, computed against the PRE-merge
-    * version and reachable only through the committed delta's `#cdf:`
-    * header — the Delta-CDF shape `changesBetween` replays. */
+    * version (conformed to the evolved schema) and reachable only
+    * through the committed delta's `#cdf:` header — the Delta-CDF shape
+    * `changesBetween` replays. */
   def mergeCow(
       spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
       changeFeed: Boolean = false, txn: Option[Long] = None): Long = {
@@ -611,6 +635,10 @@ object Snapshots {
     val prevDelta = readDelta(spark, root, prev)
     val src = source.dropDuplicates(keyCols)
     val srcKeys = src.select(keyCols.map(col): _*)
+    val prevSchema = prevDelta.schema
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(readVersion(spark, root, prev).schema)
+    val merged = mergedSchema(Some(prevSchema), src.schema)
     val current = readVersion(spark, root, prev).withColumn("__file", input_file_name())
     val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
       .select(col("__file")).distinct()
@@ -622,41 +650,77 @@ object Snapshots {
     require(rewritten.size == matchedFiles.size,
       s"${matchedFiles.size} files hold matched keys but only ${rewritten.size} " +
         s"resolved to log entries — path normalization bug? $matchedFiles")
-    val schemaCols = readVersion(spark, root, prev).columns.map(col).toSeq
     val cdfDir =
       if (changeFeed) Some(stageChangeFeed(spark, qroot, v,
-        ChangeFeed.mergeFeed(readVersion(spark, root, prev), src, keyCols)))
+        ChangeFeed.mergeFeed(
+          conform(readVersion(spark, root, prev), merged),
+          conform(src, merged), keyCols)))
       else None
     val kept =
-      if (rewritten.isEmpty) src.select(schemaCols: _*)
-      else spark.read.parquet(rewritten.map(f => new Path(qroot, f).toString): _*)
-        .join(srcKeys, keyCols, "left_anti")
-        .select(schemaCols: _*)
-        .unionByName(src.select(schemaCols: _*))
+      if (rewritten.isEmpty) conform(src, merged)
+      else conform(
+          spark.read.parquet(rewritten.map(f => new Path(qroot, f).toString): _*)
+            .join(srcKeys, keyCols, "left_anti"), merged)
+        .unionByName(conform(src, merged))
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
     try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = prevDelta.schema, props = prevDelta.props, stats = stats))
+      schema = Some(merged.json), props = prevDelta.props, stats = stats,
+      op = Some("merge")))
     catch { case e: Throwable =>
       cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
     }
   }
 
-  /** The change feed of versions (`fromV`, `toV`] — every commit in the
-    * range must have published one (`mergeCow(changeFeed = true)`). Feed
-    * presence and location come from each version's COMMITTED delta
-    * header (`#cdf:`), never from `fs.exists` on a well-known path — an
-    * orphan directory staged by a failed commit is invisible here. */
+  /** The change feed of versions (`fromV`, `toV`] — complete CDC over a
+    * MIXED history, not just the commits that staged a feed:
+    *
+    *   - a commit that published a feed (`mergeCow(changeFeed = true)`)
+    *     contributes it. Feed presence and location come from the
+    *     COMMITTED delta header (`#cdf:`), never from `fs.exists` on a
+    *     well-known path — an orphan directory staged by a failed commit
+    *     is invisible here.
+    *   - a PURE APPEND (or init) contributes its added files read as
+    *     `_op = insert` rows — synthesized from the data the log already
+    *     names, no extra copy written (Delta-CDF's admission for
+    *     append-only commits). Before `#op:` headers, any adds-only
+    *     delta gets the same treatment (an append is the only commit
+    *     shape that produces one).
+    *   - an OPTIMIZE (compaction / re-clustering) is a LOGICAL NO-OP —
+    *     same rows, different files — and contributes nothing.
+    *   - a rewrite that changed rows WITHOUT publishing a feed
+    *     (merge/delete with `changeFeed = false`) fails loudly: its
+    *     row-level changes are genuinely unrecoverable from the file
+    *     grain.
+    *
+    * Schemas may differ across the range (evolution): frames union by
+    * name with null backfill. */
   def changesBetween(
       spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"empty change range ($fromV, $toV]")
     val (_, qroot) = fsOf(spark, root)
-    val dirs = ((fromV + 1) to toV).map { v =>
+    val frames = ((fromV + 1) to toV).flatMap { v =>
       val d = readDelta(spark, root, v)
-      require(d.cdf.isDefined,
-        s"version $v of $root has no change feed — commit with changeFeed = true")
-      new Path(qroot, s"_changes/${d.cdf.get}").toString
+      if (d.cdf.isDefined)
+        Some(spark.read.parquet(new Path(qroot, s"_changes/${d.cdf.get}").toString))
+      else if (d.op.contains("optimize")) None // same rows, different files
+      else if (d.removes.isEmpty) {
+        if (d.adds.isEmpty) None // no-op commit (e.g. delete of absent keys)
+        else {
+          val files = d.adds.map(f => new Path(qroot, f).toString)
+          val inserts = versionSchema(spark, root, v) match {
+            case Some(s) => spark.read.schema(s).parquet(files: _*)
+            case None => spark.read.parquet(files: _*)
+          }
+          Some(inserts.withColumn(ChangeFeed.opCol, lit("insert")))
+        }
+      } else throw new IllegalArgumentException(
+        s"version $v of $root changed rows without a change feed — " +
+          "commit with changeFeed = true")
     }
-    spark.read.parquet(dirs: _*)
+    if (frames.isEmpty) // e.g. an all-OPTIMIZE range: zero changes, typed
+      readVersion(spark, root, toV).limit(0)
+        .withColumn(ChangeFeed.opCol, lit("insert"))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** `COUNT(*)` of a version answered from the LOG alone when every live
@@ -700,7 +764,7 @@ object Snapshots {
     val (newFiles, stats) = writeCommitFiles(spark, root, v, packed, prevDelta.props)
     commitRewrite(spark, root, v,
       Delta(newFiles, small.map(_._1), schema = prevDelta.schema,
-        props = prevDelta.props, stats = stats))
+        props = prevDelta.props, stats = stats, op = Some("optimize")))
   }
 
   /** OPTIMIZE as a commit: rewrite the CURRENT version into `numFiles`
@@ -747,7 +811,7 @@ object Snapshots {
     val (newFiles, stats) = writeCommitFiles(spark, root, v, clustered, prevDelta.props)
     commitRewrite(spark, root, v,
       Delta(newFiles, prevFiles, schema = prevDelta.schema, props = prevDelta.props,
-        stats = stats))
+        stats = stats, op = Some("optimize")))
   }
 
   /** Highest streaming batch id at-or-below version `upTo`, scanning

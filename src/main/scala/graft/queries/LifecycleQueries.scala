@@ -698,6 +698,71 @@ object LifecycleQueries {
       }
     ),
 
+    // ---- Complete CDC over a MIXED history (r8): append → merge →
+    // OPTIMIZE → delete, then ONE `changesBetween` range read over all of
+    // it. The append never staged a feed — its adds ARE the inserts, so
+    // the feed is synthesized from the data files the log names (no extra
+    // copy; Delta-CDF's append admission). The OPTIMIZE is a logical
+    // no-op and contributes zero rows. Sequentially replaying the ranges
+    // onto v0 reconstructs head exactly (engine-pinned `replay_exact`);
+    // the op-grouped feed aggregate is hash-checked against a relational
+    // recompute. 100 TB shape: CDC consumers survive real histories —
+    // compactions interleaved with ingest — without the table copying
+    // every appended row into a feed dir.
+    QuerySpec(
+      "changes_mixed_history",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/mixedcdc"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 4 === 0))
+        Snapshots.append(s, root, e.where(col("event_id") % 4 === 1))
+        val src = e.where(col("event_id") % 8 === 0)
+            .withColumn("value", col("value") * 2)
+          .unionByName(e.where(col("event_id") % 4 === 2)
+            .withColumn("event_id", col("event_id") + 10000000L))
+        Snapshots.mergeCow(s, root, src, Seq("event_id"), changeFeed = true)
+        Snapshots.optimizeCow(s, root, Seq("event_id"), numFiles = 4)
+        Snapshots.deleteKeysCow(s, root,
+          e.where(col("event_id") % 16 === 4).select(col("event_id")),
+          Seq("event_id"), changeFeed = true)
+        val head = Snapshots.latestVersion(s, root)
+        val replayed = (1L to head).foldLeft(Snapshots.readVersion(s, root, 0)) {
+          (snap, v) => ChangeFeed.applyChangeFeed(
+            snap, Snapshots.changesBetween(s, root, v - 1, v), Seq("event_id"))
+        }
+        val want = Snapshots.readVersion(s, root)
+        val replayExact = replayed.withColumn("__s", lit(1L))
+          .unionByName(want.withColumn("__s", lit(-1L)))
+          .groupBy(want.columns.map(col): _*).agg(sum(col("__s")).as("__d"))
+          .where(col("__d") =!= 0L).isEmpty
+        Snapshots.changesBetween(s, root, 0, head)
+          .groupBy(col(ChangeFeed.opCol).as("op"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("replay_exact", lit(replayExact))
+          .orderBy(col("op"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value FROM events),
+             |feed AS (
+             |  SELECT event_id, value, 'insert' AS op FROM e WHERE event_id % 4 = 1
+             |  UNION ALL
+             |  SELECT event_id + 10000000, value, 'insert' FROM e WHERE event_id % 4 = 2
+             |  UNION ALL
+             |  SELECT event_id, value * 2, 'update_postimage' FROM e WHERE event_id % 8 = 0
+             |  UNION ALL
+             |  SELECT event_id, value, 'update_preimage' FROM e WHERE event_id % 8 = 0
+             |  UNION ALL
+             |  SELECT event_id, value, 'delete' FROM e WHERE event_id % 16 = 4)
+             |SELECT op, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS replay_exact
+             |FROM feed GROUP BY op ORDER BY op""".stripMargin)
+    ),
+
     // ---- Snapshot-log small-file compaction (r8): five commits land a
     // right-sized file plus a dozen micro-batch-shaped small files;
     // `optimizeCompact` bin-packs ONLY the small ones into one commit —

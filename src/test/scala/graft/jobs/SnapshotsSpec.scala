@@ -249,11 +249,45 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(replayed.select("k", "v").as[(Long, Double)].collect().toSet
       == Snapshots.readVersion(spark, root, 1)
         .select("k", "v").as[(Long, Double)].collect().toSet)
-    // a commit that did not publish a feed fails the CDC read loudly
+    // a pure append never staged a feed — its adds ARE the inserts, so
+    // CDC synthesizes them from the data files the log names (r8)
     Snapshots.append(spark, root, Seq((4L, 40.0)).toDF("k", "v"))
+    assert(Snapshots.changesBetween(spark, root, 1, 2)
+      .select("k", ChangeFeed.opCol).as[(Long, String)].collect().toSet
+      == Set((4L, "insert")))
+    // a rewrite that changed rows without a feed stays a loud failure
+    Snapshots.deleteKeysCow(spark, root, Seq(4L).toDF("k"), Seq("k"))
     val ex = intercept[IllegalArgumentException](
-      Snapshots.changesBetween(spark, root, 1, 2))
-    assert(ex.getMessage.contains("no change feed"))
+      Snapshots.changesBetween(spark, root, 2, 3))
+    assert(ex.getMessage.contains("change feed"))
+  }
+
+  test("CDC over a mixed history: feeds + synthesized appends, optimize contributes nothing") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((3L, 30.0)).toDF("k", "v"))          // v1
+    Snapshots.mergeCow(spark, root,
+      Seq((2L, 22.0), (4L, 40.0)).toDF("k", "v"), Seq("k"), changeFeed = true) // v2
+    Snapshots.optimizeCow(spark, root, Seq("k"), numFiles = 1)             // v3
+    Snapshots.deleteKeysCow(spark, root, Seq(1L).toDF("k"), Seq("k"),
+      changeFeed = true)                                                   // v4
+    val head = Snapshots.latestVersion(spark, root)
+    // sequential replay of the COMPLETE range reconstructs head from v0
+    val replayed = (1L to head).foldLeft(Snapshots.readVersion(spark, root, 0)) {
+      (snap, v) => ChangeFeed.applyChangeFeed(
+        snap, Snapshots.changesBetween(spark, root, v - 1, v), Seq("k"))
+    }
+    assert(replayed.select("k", "v").as[(Long, Double)].collect().toSet
+      == Snapshots.readVersion(spark, root)
+        .select("k", "v").as[(Long, Double)].collect().toSet)
+    // the optimize version alone is an EMPTY typed feed, not a failure
+    assert(Snapshots.changesBetween(spark, root, 2, 3).count() == 0)
+    // and the one-shot range read carries every change with its op
+    val ops = Snapshots.changesBetween(spark, root, 0, head)
+      .groupBy(col(ChangeFeed.opCol)).count()
+      .as[(String, Long)].collect().toMap
+    assert(ops == Map("insert" -> 2L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L), s"got $ops")
   }
 
   test("delete feed completes the CRUD CDC: replaying merge+delete feeds reconstructs head") {
@@ -295,10 +329,12 @@ class SnapshotsSpec extends AnyFunSuite {
       .coalesce(1).write.parquet(orphan.getAbsolutePath)
     Snapshots.append(spark, root, Seq((3L, 30.0)).toDF("k", "v"))
     // the r7 ADVICE hazard: an fs.exists-based feed probe would serve the
-    // stale orphan as version 1's changes; the #cdf: header refuses
-    val ex = intercept[IllegalArgumentException](
-      Snapshots.changesBetween(spark, root, 0, 1))
-    assert(ex.getMessage.contains("no change feed"))
+    // stale orphan as version 1's changes; the #cdf: header never reaches
+    // it — version 1 is an append, so CDC yields ITS synthesized inserts,
+    // not the orphan's rows
+    assert(Snapshots.changesBetween(spark, root, 0, 1)
+      .select("k", ChangeFeed.opCol).as[(Long, String)].collect().toSet
+      == Set((3L, "insert")))
     // and vacuumDebris reclaims the orphan once aged (a real commit's
     // feed, reachable via its delta header, is never touched)
     val v2 = Snapshots.mergeCow(spark, root,
@@ -330,6 +366,39 @@ class SnapshotsSpec extends AnyFunSuite {
     // changing an existing column's TYPE is refused loudly
     val ex = intercept[IllegalArgumentException](
       Snapshots.append(spark, root, Seq((9L, "oops", "fr")).toDF("k", "v", "lang")))
+    assert(ex.getMessage.contains("schema evolution cannot change column"))
+  }
+
+  test("schema evolution on MERGE: new source columns widen, missing ones null-fill") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1))
+    // source carries a NEW column: update k=5, insert k=20 — with a feed
+    Snapshots.mergeCow(spark, root,
+      Seq((5L, 500.0, "x"), (20L, 20.0, "y")).toDF("k", "v", "tag"),
+      Seq("k"), changeFeed = true)
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.columns.toSeq == Seq("k", "v", "tag"))
+    assert(head.where(col("k") === 5L).select("v", "tag")
+      .as[(Double, String)].head() == ((500.0, "x")))
+    assert(head.where(col("k") === 20L).count() == 1)
+    assert(head.where(col("tag").isNull).count() == 9,
+      "unmatched rows must null-fill the new column")
+    assert(Snapshots.readVersion(spark, root, 0).columns.toSeq == Seq("k", "v"))
+    // the change feed carries the EVOLVED schema
+    val feed = Snapshots.changesBetween(spark, root, 0, 1)
+    assert(feed.columns.contains("tag"))
+    assert(feed.where(col(ChangeFeed.opCol) === "insert")
+      .select("tag").as[String].collect().toSeq == Seq("y"))
+    // a source MISSING a table column null-fills it on its own rows only
+    Snapshots.mergeCow(spark, root, Seq((3L, "z")).toDF("k", "tag"), Seq("k"))
+    val h2 = Snapshots.readVersion(spark, root)
+    assert(h2.where(col("k") === 3L).select("v").as[java.lang.Double].head() == null)
+    assert(h2.where(col("k") === 4L).select("v").as[Double].head() == 4.0,
+      "rows the source didn't touch keep their values")
+    // a type change is refused loudly
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.mergeCow(spark, root, Seq((1L, "oops")).toDF("k", "v"), Seq("k")))
     assert(ex.getMessage.contains("schema evolution cannot change column"))
   }
 

@@ -41,7 +41,10 @@ object TableSync {
 
   /** The appended files of source versions (fromV, toV], as one batch
     * DataFrame under the source HEAD schema (evolution null-fills older
-    * files). Versions with removes throw unless `skipRewrites`. */
+    * files). OPTIMIZE commits are skipped automatically — same rows,
+    * different files, so tailing their adds would double-count and
+    * skipping them loses nothing. Other rewrites (merge/delete) throw
+    * unless `skipRewrites`. */
   def appendsBetween(
       spark: SparkSession, srcRoot: String, fromV: Long, toV: Long,
       skipRewrites: Boolean = false): (DataFrame, Int) = {
@@ -51,7 +54,8 @@ object TableSync {
     }
     val files = ((fromV + 1) to toV).flatMap { v =>
       val d = Snapshots.readDelta(spark, srcRoot, v)
-      if (d.removes.nonEmpty) {
+      if (d.op.contains("optimize")) Nil // logical no-op: rows unchanged
+      else if (d.removes.nonEmpty) {
         if (!skipRewrites) throw new IllegalStateException(
           s"version $v of $srcRoot is a rewrite (has removes) — appends-only " +
             "tailing would double-count carried rows; pass skipRewrites = true " +

@@ -66,4 +66,18 @@ class TableSyncSpec extends AnyFunSuite {
     assert(r2.committed && r2.versionsConsumed == 1)
     assert(Snapshots.readVersion(spark, dst).count() == 51)
   }
+
+  test("OPTIMIZE commits are auto-skipped: same rows, no skipRewrites needed") {
+    val base = tmp()
+    val src = s"$base/src"; val dst = s"$base/dst"
+    Snapshots.init(spark, src, (1L to 40L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    TableSync.syncIncremental(spark, src, dst)
+    Snapshots.optimizeCow(spark, src, Seq("k"), numFiles = 2)
+    Snapshots.append(spark, src, Seq((41L, 41.0)).toDF("k", "v"))
+    // no flag: the compaction contributes nothing, the append flows
+    val r = TableSync.syncIncremental(spark, src, dst)
+    assert(r.committed && r.versionsConsumed == 2)
+    assert(Snapshots.readVersion(spark, dst).count() == 41,
+      "compaction must not double-count rewritten rows downstream")
+  }
 }

@@ -390,7 +390,8 @@ object Snapshots {
     val (fs, qroot) = fsOf(spark, root)
     val dir = new Path(qroot,
       s"data/commit-$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.write.options(props).parquet(dir.toString)
+    df.write.options(props.filterNot(_._1.startsWith(constraintPrefix)))
+      .parquet(dir.toString)
     val rels = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(s => s"data/${dir.getName}/${s.getPath.getName}")
@@ -424,6 +425,7 @@ object Snapshots {
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long],
       props: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
+    checkConstraints(df, props)
     val (adds, stats) = writeCommitFiles(spark, root, 0L, df, props)
     writeDelta(spark, root, 0L,
       Delta(adds, Nil, txn,
@@ -445,6 +447,7 @@ object Snapshots {
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long]): Long = {
     val base = latestVersion(spark, root)
     val props = readDelta(spark, root, base).props
+    checkConstraints(df, props)
     val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props)
     commitAdds(spark, root, adds, txn, base + 1, Some(df.schema), stats)
   }
@@ -639,6 +642,7 @@ object Snapshots {
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(readVersion(spark, root, prev).schema)
     val merged = mergedSchema(Some(prevSchema), src.schema)
+    checkConstraints(conform(src, merged), prevDelta.props)
     val current = readVersion(spark, root, prev).withColumn("__file", input_file_name())
     val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
       .select(col("__file")).distinct()
@@ -721,6 +725,82 @@ object Snapshots {
       readVersion(spark, root, toV).limit(0)
         .withColumn(ChangeFeed.opCol, lit("insert"))
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private val constraintPrefix = "constraint."
+
+  /** SQL-CHECK semantics: a row violates when the expression is FALSE
+    * (NULL passes, as in standard CHECK). Only NEW rows are validated —
+    * carried/rewritten rows were validated by the commits that added
+    * them, so the gate costs O(batch), never O(table). */
+  private def checkConstraints(df: DataFrame, props: Map[String, String]): Unit =
+    props.foreach {
+      case (k, e) if k.startsWith(constraintPrefix) =>
+        val bad = df.where(coalesce(expr(e), lit(true)) === false).take(1)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"CHECK constraint ${k.stripPrefix(constraintPrefix)} ($e) " +
+            s"violated by the batch, e.g. ${bad.head}")
+      case _ => ()
+    }
+
+  /** Add a named CHECK constraint (`exprSql` over the table's columns) —
+    * a metadata-only commit carrying the new `constraint.<name>` table
+    * property, which every future append/merge/streaming batch is
+    * validated against (bad batches are REFUSED before anything is
+    * committed — the ingest-gate a 100 TB pipeline needs, because a bad
+    * batch found later costs a rewrite). The CURRENT data must already
+    * satisfy it, like Delta's ADD CONSTRAINT. */
+  def addCheckConstraint(
+      spark: SparkSession, root: String, name: String, exprSql: String): Long = {
+    require(!name.exists("=\n|".contains(_)), s"constraint name unrepresentable: $name")
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    checkConstraints(readVersion(spark, root, head),
+      Map(constraintPrefix + name -> exprSql))
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil, schema = prevDelta.schema,
+        props = prevDelta.props + (constraintPrefix + name -> exprSql),
+        op = Some("metadata")))
+  }
+
+  /** Drop a CHECK constraint — a metadata-only commit without it. */
+  def dropCheckConstraint(spark: SparkSession, root: String, name: String): Long = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil, schema = prevDelta.schema,
+        props = prevDelta.props - (constraintPrefix + name),
+        op = Some("metadata")))
+  }
+
+  /** RESTORE as a commit: make the head's logical content equal version
+    * `toVersion` again — a NEW version whose delta re-adds the files the
+    * old version had and removes the ones it didn't (pure metadata,
+    * O(difference), no data rewritten; the restored-to files still exist
+    * because only `vacuum` deletes data). History stays intact — the
+    * mis-merged versions remain readable, which is what makes restore an
+    * audit-friendly undo rather than a rollback that rewrites history.
+    * Stats for re-added files are recovered from the old version's log
+    * entries. Fails loudly if `toVersion`'s files were vacuumed away. */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val (fs, qroot) = fsOf(spark, root)
+    val head = latestVersion(spark, root)
+    require(toVersion < head, s"restore target $toVersion is not before head $head")
+    val (oldFiles, oldStats) = reconstruct(spark, root, toVersion)
+    val current = versionFileList(spark, root, head).toSet
+    oldFiles.filterNot(current.contains).foreach { f =>
+      require(fs.exists(new Path(qroot, f)),
+        s"cannot restore $root to $toVersion: $f was vacuumed away")
+    }
+    val readds = oldFiles.filterNot(current.contains)
+    val removes = (current -- oldFiles).toSeq.sorted
+    val oldDelta = readDelta(spark, root, toVersion)
+    commitRewrite(spark, root, head + 1,
+      Delta(readds, removes,
+        schema = oldDelta.schema.orElse(readDelta(spark, root, head).schema),
+        props = readDelta(spark, root, head).props,
+        stats = readds.flatMap(f => oldStats.get(f).map(f -> _)).toMap,
+        op = Some("restore")))
   }
 
   /** `COUNT(*)` of a version answered from the LOG alone when every live

@@ -698,6 +698,46 @@ object LifecycleQueries {
       }
     ),
 
+    // ---- RESTORE as an O(difference) metadata commit (r8): a bad
+    // delete is undone by restoring the pre-delete version — the new
+    // head re-references the old files; NOTHING is rewritten (engine-
+    // pinned `metadata_only`: the physical file set under data/ is
+    // byte-identical before and after) and the bad version stays
+    // readable for audit (`history_intact`). The restored head's
+    // aggregate is hash-checked against the full relational recompute.
+    // 100 TB shape: undoing a fat-finger delete costs one delta write,
+    // not a table rewrite — the difference between an incident and an
+    // outage.
+    QuerySpec(
+      "restore_rollback",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/restorelog"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 2 === 0).repartition(2))
+        Snapshots.append(s, root, e.where(col("event_id") % 2 === 1))
+        Snapshots.deleteKeysCow(s, root,
+          e.where(col("event_id") % 3 === 0).select(col("event_id")), Seq("event_id"))
+        val before = Skipping.dataFiles(s, s"$root/data", recursive = true).toSet
+        Snapshots.restore(s, root, 1L)
+        val after = Skipping.dataFiles(s, s"$root/data", recursive = true).toSet
+        val historyIntact =
+          Snapshots.readVersion(s, root, 2).count() < Snapshots.readVersion(s, root).count()
+        Snapshots.readVersion(s, root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("metadata_only", lit(after == before))
+          .withColumn("history_intact", lit(historyIntact))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS metadata_only, TRUE AS history_intact
+             |FROM events""".stripMargin)
+    ),
+
     // ---- Complete CDC over a MIXED history (r8): append → merge →
     // OPTIMIZE → delete, then ONE `changesBetween` range read over all of
     // it. The append never staged a feed — its adds ARE the inserts, so

@@ -650,6 +650,105 @@ class SnapshotsSpec extends AnyFunSuite {
       "footer fallback must reproduce the full index")
   }
 
+  test("writer storm: racing appenders + a compactor all land, no row lost or doubled") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((-1L, 0.0)).toDF("k", "v"))
+    val writers = 4; val batches = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.CountDownLatch(writers + 1)
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable { def run(): Unit = try {
+        (0 until batches).foreach { b =>
+          val base = (w * batches + b) * 100L
+          Snapshots.append(spark, root,
+            (base until base + 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+        }
+      } catch { case t: Throwable => failures.add(t) } finally done.countDown() })
+    }
+    pool.submit(new Runnable { def run(): Unit = try {
+      (0 until 2).foreach { _ =>
+        Thread.sleep(50)
+        // compaction racing the appenders: rebases or packs, never corrupts
+        try Snapshots.optimizeCompact(spark, root, smallerThanBytes = 1L << 20)
+        catch { case e: IllegalStateException
+          if e.getMessage.contains("conflict") => () } // admissible loud loss
+      }
+    } catch { case t: Throwable => failures.add(t) } finally done.countDown() })
+    assert(done.await(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    // versions are contiguous — no torn or skipped commit
+    val vs = Snapshots.versions(spark, root)
+    assert(vs == (0L until vs.size).toSeq, s"non-contiguous log: $vs")
+    // every appended row present EXACTLY once at head
+    val head = Snapshots.readVersion(spark, root).where(col("k") >= 0)
+    assert(head.count() == writers * batches * 100L)
+    assert(head.select("k").distinct().count() == writers * batches * 100L)
+    // and every historical version still reads
+    vs.foreach(v => Snapshots.readVersion(spark, root, v).count())
+  }
+
+  test("RESTORE is an O(difference) metadata commit; history stays readable") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    Snapshots.append(spark, root, Seq((101L, 101.0)).toDF("k", "v"))   // v1
+    Snapshots.deleteKeysCow(spark, root,
+      (1L to 50L).map(Tuple1(_)).toDF("k"), Seq("k"))                  // v2: bad delete
+    val dataBytesBefore = fileSigs(new java.io.File(root, "data")).keySet
+    val v3 = Snapshots.restore(spark, root, 1L)
+    assert(v3 == 3)
+    // no data was written or rewritten — pure metadata
+    assert(fileSigs(new java.io.File(root, "data")).keySet == dataBytesBefore)
+    // head content == v1 exactly; the bad version is STILL readable
+    assert(Snapshots.readVersion(spark, root).count() == 101)
+    assert(Snapshots.readVersion(spark, root, 2).count() == 51)
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("k") === 7L).count() == 1, "deleted rows are back")
+    // stats were recovered from the log, not re-read from footers
+    assert(Snapshots.statsMissingFromLog(spark, root).isEmpty)
+    // restoring past vacuumed data fails loudly
+    Snapshots.deleteKeysCow(spark, root,
+      (1L to 100L).map(Tuple1(_)).toDF("k"), Seq("k"))
+    Snapshots.vacuum(spark, root, keepFrom = 4L)
+    intercept[Exception](Snapshots.restore(spark, root, 3L))
+  }
+
+  test("CHECK constraints gate every ingest path; NULL passes; drop lifts the gate") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 10.0)).toDF("k", "v"),
+      props = Map("constraint.v_pos" -> "v > 0"))
+    // violating append REFUSED, table untouched
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.append(spark, root, Seq((2L, -5.0)).toDF("k", "v")))
+    assert(ex.getMessage.contains("v_pos"))
+    assert(Snapshots.latestVersion(spark, root) == 0)
+    // NULL passes (SQL CHECK semantics); valid rows land
+    Snapshots.append(spark, root,
+      Seq((2L, Some(2.0)), (3L, None)).toDF("k", "v"))
+    assert(Snapshots.readVersion(spark, root).count() == 3)
+    // merge is gated too
+    intercept[IllegalArgumentException](
+      Snapshots.mergeCow(spark, root, Seq((4L, -1.0)).toDF("k", "v"), Seq("k")))
+    // adding a constraint the EXISTING data violates is refused
+    intercept[IllegalArgumentException](
+      Snapshots.addCheckConstraint(spark, root, "k_small", "k < 3"))
+    // a satisfiable one lands as a metadata commit and gates from then on
+    Snapshots.addCheckConstraint(spark, root, "k_bound", "k < 1000")
+    intercept[IllegalArgumentException](
+      Snapshots.append(spark, root, Seq((5000L, 1.0)).toDF("k", "v")))
+    // init with a violating frame is refused before any log exists
+    val root2 = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t2"
+    intercept[IllegalArgumentException](
+      Snapshots.init(spark, root2, Seq((1L, -1.0)).toDF("k", "v"),
+        props = Map("constraint.v_pos" -> "v > 0")))
+    // drop lifts the gate
+    Snapshots.dropCheckConstraint(spark, root, "k_bound")
+    Snapshots.append(spark, root, Seq((5000L, 1.0)).toDF("k", "v"))
+    assert(Snapshots.readVersion(spark, root).count() == 4)
+  }
+
   test("rowCount answers from the log; optimizeCompact packs only small files") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root,

@@ -84,6 +84,22 @@ object Skipping {
     files.map(f => statsOfFile(conf, f))
   }
 
+  /** An INT64 timestamp chunk's envelope enters ONLY for
+    * MICROS-and-adjusted-to-UTC annotations: a Timestamp literal
+    * translates to epoch micros (sources/SnapshotFilters), so an
+    * envelope in any OTHER unit (millis, nanos, local-semantics NTZ)
+    * would mis-prune. Excluded units stay covered-but-valueless —
+    * unprunable, always sound. INT96 timestamps (Spark's default)
+    * record no stats at all and land in the same bucket. */
+  private def timestampEnvelopeSafe(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+    c.getPrimitiveType.getLogicalTypeAnnotation match {
+      case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.isAdjustedToUTC &&
+          t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+      case _ => true // not a timestamp: raw integral semantics
+    }
+
   /** One file's footer → FileStats (metadata-only; runs wherever the
     * caller is — see `buildIndexDistributed` for the executor form). */
   private def statsOfFile(
@@ -103,11 +119,11 @@ object Skipping {
             if (st == null || st.isEmpty) cs += ChunkStat(name, covered = false, None, None)
             else if (!st.hasNonNullValue) cs += ChunkStat(name, covered = true, None, None)
             else (st.genericGetMin, st.genericGetMax) match {
-              case (mn: java.lang.Long, mx: java.lang.Long) =>
+              case (mn: java.lang.Long, mx: java.lang.Long) if timestampEnvelopeSafe(c) =>
                 cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
               case (mn: java.lang.Integer, mx: java.lang.Integer) =>
                 cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
-              case _ => // non-integral: never enters the envelope (unprunable anyway)
+              case _ => // non-integral or unit-unsafe: stays unprunable
                 cs += ChunkStat(name, covered = true, None, None)
             }
           }

@@ -384,14 +384,26 @@ object Snapshots {
     * so plan-time pruning consults the log instead of sweeping footers).
     * The suffix keeps two optimistic appenders' data writes from
     * colliding before the delta-rename race decides their versions. */
+  /** Table property: commits write timestamps as INT64 micros instead of
+    * Spark's default INT96 — INT96 records NO footer statistics, so only
+    * opted-in tables get timestamp file pruning (the stats builder
+    * admits exactly this encoding; see core/Skipping). */
+  private val tsMicrosProp = "graft.parquet.timestampMicros"
+
   private def writeCommitFiles(
       spark: SparkSession, root: String, v: Long, df: DataFrame,
       props: Map[String, String] = Map.empty): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
     val (fs, qroot) = fsOf(spark, root)
     val dir = new Path(qroot,
       s"data/commit-$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    df.write.options(props.filterNot(_._1.startsWith(constraintPrefix)))
-      .parquet(dir.toString)
+    val writerOpts = props.filterNot { case (k, _) =>
+      k.startsWith(constraintPrefix) || k.startsWith("graft.") }
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.get(tsConf)
+    if (props.get(tsMicrosProp).contains("true"))
+      spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try df.write.options(writerOpts).parquet(dir.toString)
+    finally spark.conf.set(tsConf, prevTs)
     val rels = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .map(s => s"data/${dir.getName}/${s.getPath.getName}")

@@ -93,11 +93,14 @@ private[sources] object SnapshotFilters {
   /** A literal's position on the integral stats axis. DATE literals map
     * to epoch days — parquet's ONLY physical DATE encoding (INT32 days),
     * so the translation is sound by format definition. TIMESTAMP
-    * literals are deliberately NOT translated: the stats envelope keeps
-    * raw INT64 values whose unit (micros/millis/nanos — or INT96 with no
-    * stats at all) the index doesn't record, and a unit mismatch would
-    * prune files that match. Timestamps stored as plain longs (e.g.
-    * `unix_micros`ed columns) prune fine as longs. */
+    * literals map to epoch MICROS, which is sound because the stats
+    * builder (core/Skipping) admits an INT64 timestamp chunk's envelope
+    * ONLY when its annotation is MICROS-adjusted-to-UTC — any other unit
+    * (millis/nanos/NTZ, or INT96 which records no stats) never enters
+    * the index, so a unit mismatch cannot mis-prune; those columns are
+    * simply unprunable. Spark's default INT96 output gives no stats —
+    * snapshot tables opt into prunable timestamps with the
+    * `graft.parquet.timestampMicros` table property. */
   private def integral(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
@@ -105,6 +108,10 @@ private[sources] object SnapshotFilters {
     case b: Byte => Some(b.toLong)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _ => None
   }
 

@@ -108,6 +108,46 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(got == 31)
   }
 
+  test("TIMESTAMP predicates file-prune on micros-opted tables; INT96 default stays sound") {
+    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual => SGte, LessThan => SLt}
+    def yearOfHours(root: String, props: Map[String, String]): Unit =
+      Snapshots.init(spark, root,
+        (0 until 360 * 24).map(i => (java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(i)), i.toLong))
+          .toDF("ts", "x")
+          .repartitionByRange(6, col("ts")).sortWithinPartitions("ts"),
+        props = props)
+    val filters: Array[org.apache.spark.sql.sources.Filter] = Array(SAnd(
+      SGte("ts", java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
+      SLt("ts", java.sql.Timestamp.valueOf("2024-04-01 00:00:00"))))
+
+    // opted-in table: INT64 micros stats → the planned file set shrinks
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    yearOfHours(root, Map("graft.parquet.timestampMicros" -> "true"))
+    val all = Snapshots.versionFiles(spark, root)
+    val rel = new SnapshotVersionRelation(spark.sqlContext, root,
+      Snapshots.latestVersion(spark, root), None)
+    val surviving = rel.survivingFiles(filters)
+    assert(surviving.nonEmpty && surviving.size < all.size,
+      s"a one-month slice of a ts-clustered year must prune: ${surviving.size} of ${all.size}")
+    val got = spark.read.format(fmt).load(root)
+      .where(col("ts") >= lit("2024-03-01").cast("timestamp") &&
+        col("ts") < lit("2024-04-01").cast("timestamp")).count()
+    assert(got == 31 * 24)
+
+    // default table (INT96, no stats): nothing prunes, results still exact
+    val root2 = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t2"
+    yearOfHours(root2, Map.empty)
+    val rel2 = new SnapshotVersionRelation(spark.sqlContext, root2,
+      Snapshots.latestVersion(spark, root2), None)
+    assert(rel2.survivingFiles(filters).size
+      == Snapshots.versionFiles(spark, root2).size,
+      "INT96 timestamps record no stats — pruning must keep every file")
+    assert(spark.read.format(fmt).load(root2)
+      .where(col("ts") >= lit("2024-03-01").cast("timestamp") &&
+        col("ts") < lit("2024-04-01").cast("timestamp")).count() == 31 * 24)
+  }
+
   test("table-property blooms + bloomOn: string point lookups file-prune through spark.read") {
     val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
     // blooms recorded as TABLE PROPERTIES at init: every commit's writer

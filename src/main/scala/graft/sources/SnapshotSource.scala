@@ -26,30 +26,20 @@ import graft.jobs.Snapshots
   *     .load(root)
   * }}}
   *
-  * The version read is a DSv1 `PrunedFilteredScan` that prunes at BOTH
-  * granularities the log supports:
-  *
-  *  1. FILE-LEVEL, at plan time: translatable range/equality predicates
-  *     on integral columns are intersected with the version's
-  *     footer-stats index (`Snapshots.statsIndex` — built distributed
-  *     once per immutable version, then cached), so the parquet relation
-  *     is handed ONLY the surviving file list. This is the Delta/Iceberg
-  *     plan-time skipping shape: at 100× scale the default read path
-  *     plans O(matching files), not O(table files) — previously only the
-  *     explicit `Snapshots.table(...).pruneOn` API did this (r7 VERDICT
-  *     gap #1). With `bloomOn=<col>`, string-equality predicates on that
-  *     column additionally consult per-file parquet bloom filters
-  *     (executor-distributed probes; opt-in because each probe is a
-  *     footer round-trip per file per query, worth it exactly for the
-  *     needle-in-haystack point lookup).
-  *  2. ROW-GROUP-LEVEL, at scan time: the same predicates are re-applied
-  *     to the delegate DataFrame, so they reach the parquet reader as
-  *     `PushedFilters` (row-group stats) instead of dying at the RDD
-  *     boundary a plain `TableScan` would create.
-  *
-  * Both prunings are superset filters — the exact predicate still runs —
-  * and predicates outside the translatable set are returned to Spark via
-  * `unhandledFilters`, never dropped. */
+  * The version read is a NATIVE file-source relation: a
+  * `HadoopFsRelation` over `SnapshotFileIndex` (the log's explicit file
+  * list + stats/bloom pruning inside `listFiles`), planned by Spark's
+  * own FileSourceStrategy into a `FileSourceScanExec` — vectorized
+  * parquet reads, whole-stage codegen, row-group `PushedFilters` — the
+  * same integration shape Delta/Iceberg use. File-level pruning happens
+  * at PLAN time from the cached per-version stats index
+  * (`Snapshots.statsIndex`): the scan plans O(matching files), never
+  * O(table files). With `bloomOn=<col>`, string-equality predicates on
+  * that column additionally consult per-file parquet bloom filters
+  * (executor-distributed probes; opt-in because each probe is a footer
+  * round-trip per file per query, worth it exactly for the
+  * needle-in-haystack point lookup). All pruning is a superset filter —
+  * the exact predicate still runs in the scan. */
 class SnapshotSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
@@ -63,10 +53,21 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         new SnapshotRelation(sqlContext,
           Snapshots.changesBetween(spark, root, a.toLong, b.toLong))
       case (None, None) =>
-        val v = parameters.get("versionasof").map(_.toLong).getOrElse(-1L)
-        new SnapshotVersionRelation(sqlContext, root,
-          if (v < 0) Snapshots.latestVersion(spark, root) else v,
-          parameters.get("bloomon"))
+        val v0 = parameters.get("versionasof").map(_.toLong).getOrElse(-1L)
+        val v = if (v0 < 0) Snapshots.latestVersion(spark, root) else v0
+        val dataSchema = Snapshots.versionSchema(spark, root, v)
+          .getOrElse(Snapshots.readVersion(spark, root, v).schema)
+        // a NATIVE file-source relation over the log's FileIndex: planned
+        // by FileSourceStrategy into FileSourceScanExec — vectorized
+        // parquet reads, whole-stage codegen, row-group pushdown — with
+        // file-level stats/bloom pruning inside listFiles
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          new SnapshotFileIndex(spark, root, v, parameters.get("bloomon")),
+          partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+          dataSchema = dataSchema,
+          bucketSpec = None,
+          fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          options = Map.empty)(spark)
       case _ =>
         throw new IllegalArgumentException(
           "changesFrom and changesTo must be set together")
@@ -90,80 +91,6 @@ private[sources] object SnapshotFilters {
     case _ => None
   }
 
-  /** A literal's position on the integral stats axis. DATE literals map
-    * to epoch days — parquet's ONLY physical DATE encoding (INT32 days),
-    * so the translation is sound by format definition. TIMESTAMP
-    * literals map to epoch MICROS, which is sound because the stats
-    * builder (core/Skipping) admits an INT64 timestamp chunk's envelope
-    * ONLY when its annotation is MICROS-adjusted-to-UTC — any other unit
-    * (millis/nanos/NTZ, or INT96 which records no stats) never enters
-    * the index, so a unit mismatch cannot mis-prune; those columns are
-    * simply unprunable. Spark's default INT96 output gives no stats —
-    * snapshot tables opt into prunable timestamps with the
-    * `graft.parquet.timestampMicros` table property. */
-  private def integral(v: Any): Option[Long] = v match {
-    case i: Int => Some(i.toLong)
-    case l: Long => Some(l)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-    case d: java.time.LocalDate => Some(d.toEpochDay)
-    case t: java.sql.Timestamp =>
-      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
-    case i: java.time.Instant =>
-      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    case _ => None
-  }
-
-  /** Closed [lo, hi] bounds per column implied by `f` (None = no bound
-    * derivable — pruning simply keeps everything, always sound). Only
-    * integral literals bound: the stats index carries integral envelopes
-    * and a fractional literal's floor/ceil edge cases aren't worth the
-    * risk of an unsound prune. */
-  def bounds(f: Filter): Map[String, (Long, Long)] = f match {
-    case EqualTo(a, v) => integral(v).map(l => Map(a -> (l, l))).getOrElse(Map.empty)
-    case GreaterThan(a, v) => integral(v) match {
-      case Some(l) if l < Long.MaxValue => Map(a -> (l + 1, Long.MaxValue))
-      case Some(_) => Map(a -> (1L, 0L)) // > MaxValue: unsatisfiable
-      case None => Map.empty
-    }
-    case GreaterThanOrEqual(a, v) =>
-      integral(v).map(l => Map(a -> (l, Long.MaxValue))).getOrElse(Map.empty)
-    case LessThan(a, v) => integral(v) match {
-      case Some(l) if l > Long.MinValue => Map(a -> (Long.MinValue, l - 1))
-      case Some(_) => Map(a -> (1L, 0L))
-      case None => Map.empty
-    }
-    case LessThanOrEqual(a, v) =>
-      integral(v).map(l => Map(a -> (Long.MinValue, l))).getOrElse(Map.empty)
-    case In(a, vs) =>
-      val ls = vs.toSeq.map(integral)
-      if (ls.nonEmpty && ls.forall(_.isDefined)) {
-        val vals = ls.flatten
-        Map(a -> (vals.min, vals.max))
-      } else Map.empty
-    case And(l, r) => intersect(bounds(l), bounds(r))
-    case _ => Map.empty
-  }
-
-  /** Conjunction of two bound maps: ranges on the same column intersect. */
-  def intersect(a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
-    (a.keySet ++ b.keySet).map { k =>
-      (a.get(k), b.get(k)) match {
-        case (Some((lo1, hi1)), Some((lo2, hi2))) =>
-          k -> (math.max(lo1, lo2), math.min(hi1, hi2))
-        case (Some(r), None) => k -> r
-        case (None, Some(r)) => k -> r
-        case _ => throw new IllegalStateException("unreachable")
-      }
-    }.toMap
-
-  /** String-equality values on `colName` (the bloom-probe inputs). */
-  def stringEqualities(f: Filter, colName: String): Seq[String] = f match {
-    case EqualTo(a, v: String) if a == colName => Seq(v)
-    case And(l, r) => stringEqualities(l, colName) ++ stringEqualities(r, colName)
-    case _ => Nil
-  }
 }
 
 /** CDC-replay relation: delegates to the (small, already-explicit) feed
@@ -187,61 +114,3 @@ private[sources] class SnapshotRelation(
   }
 }
 
-/** Version read with PLAN-TIME file pruning: the scan is built over only
-  * the files whose stats envelope (and, opted in, bloom filter) can
-  * match the pushed predicates. */
-private[sources] class SnapshotVersionRelation(
-    val sqlContext: SQLContext, root: String, version: Long, bloomOn: Option[String])
-  extends BaseRelation with PrunedFilteredScan {
-
-  private def spark = sqlContext.sparkSession
-
-  override val schema: StructType =
-    Snapshots.versionSchema(spark, root, version)
-      .getOrElse(Snapshots.readVersion(spark, root, version).schema)
-
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-    filters.filter(f => SnapshotFilters.translate(f).isEmpty)
-
-  /** The version's file list after stats (and bloom) pruning — exposed
-    * so SnapshotSourceSpec can pin that the PLANNED set, not just the
-    * result, shrank. */
-  private[sources] def survivingFiles(filters: Array[Filter]): Seq[String] = {
-    val all = Snapshots.versionFiles(spark, root, version)
-    val bounds = filters.map(SnapshotFilters.bounds)
-      .foldLeft(Map.empty[String, (Long, Long)])(SnapshotFilters.intersect)
-    if (bounds.exists { case (_, (lo, hi)) => lo > hi }) return Nil
-    val statsPruned =
-      if (bounds.isEmpty) all
-      else {
-        val idx = Snapshots.statsIndex(spark, root, version)
-        bounds.foldLeft(all) { case (files, (c, (lo, hi))) =>
-          val keep = graft.core.Skipping.pruneFiles(
-            idx.filter(fs => files.contains(fs.path)), c, lo, hi).toSet
-          files.filter(keep.contains)
-        }
-      }
-    bloomOn match {
-      case Some(c) =>
-        val values = filters.flatMap(f => SnapshotFilters.stringEqualities(f, c)).distinct
-        values.foldLeft(statsPruned) { (files, v) =>
-          if (files.isEmpty) files
-          else graft.core.Skipping.pruneFilesByBloomEqualityDistributed(spark, files, c, v)
-        }
-      case None => statsPruned
-    }
-  }
-
-  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val files = survivingFiles(filters)
-    val wanted =
-      if (requiredColumns.isEmpty) schema.fieldNames.toSeq else requiredColumns.toSeq
-    if (files.isEmpty) {
-      return spark.sparkContext.emptyRDD[Row]
-    }
-    val base = spark.read.schema(schema).parquet(files: _*)
-    val filtered = filters.flatMap(SnapshotFilters.translate)
-      .foldLeft(base)((df, c) => df.where(c))
-    filtered.select(wanted.map(col): _*).rdd
-  }
-}

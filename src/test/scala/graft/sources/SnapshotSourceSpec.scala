@@ -2,15 +2,21 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, GreaterThanOrEqual => CGte, LessThan => CLt, LessThanOrEqual => CLte, Literal => CLit}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.jobs.{ChangeFeed, Snapshots}
 
 /** The `spark.read` front door to snapshot tables: versionAsOf time
-  * travel, CDC replay via changesFrom/changesTo, and filter/projection
-  * delegation that reaches the underlying parquet scan. */
+  * travel, CDC replay via changesFrom/changesTo, and a NATIVE
+  * file-source scan whose FileIndex prunes files from the log's stats
+  * at plan time. */
 class SnapshotSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -25,6 +31,19 @@ class SnapshotSourceSpec extends AnyFunSuite {
     Snapshots.mergeCow(spark, root,
       Seq((7L, 700.0), (200L, 200.0)).toDF("k", "v"), Seq("k"), changeFeed = true)
     root
+  }
+
+  /** The FileSourceScanExec the front-door query planned — its presence
+    * IS the native-path assertion (no DSv1 RDD[Row] bridge). */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect() // materialize so AQE finalizes the plan + metrics
+    val plan = df.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    finalPlan.collectLeaves().collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail(s"no FileSourceScanExec in:\n$finalPlan"))
   }
 
   test("versionAsOf reads the exact historical version; default is latest") {
@@ -48,16 +67,15 @@ class SnapshotSourceSpec extends AnyFunSuite {
       spark.read.format(fmt).option("changesFrom", 0).load(root).collect())
   }
 
-  test("filters and projections survive the source boundary") {
+  test("the scan is NATIVE: FileSourceScanExec with pushed filters, not an RDD bridge") {
     val root = freshLog()
-    val got = spark.read.format(fmt).option("versionAsOf", 0).load(root)
-      .where(col("k").between(10, 19)).select("k")
-      .as[Long].collect().toSet
-    assert(got == (10L to 19L).toSet)
+    val q = spark.read.format(fmt).load(root).where(col("k").between(10, 19)).select("k")
+    val scan = scanOf(q)
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(k,10)"),
+      s"row-group pushdown must reach the parquet scan: ${scan.metadata("PushedFilters")}")
+    assert(q.as[Long].collect().toSet == (10L to 19L).toSet)
     // a filter the source cannot translate is still applied (by Spark)
-    val odd = spark.read.format(fmt).option("versionAsOf", 0).load(root)
-      .where(col("k") % 2 === 1).count()
-    assert(odd == 50)
+    assert(spark.read.format(fmt).load(root).where(col("k") % 2 === 1).count() == 50)
   }
 
   test("the front door FILE-prunes from the stats index: the planned set shrinks") {
@@ -66,24 +84,25 @@ class SnapshotSourceSpec extends AnyFunSuite {
       (1L to 4000L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(8))
     val v1 = Snapshots.optimizeCow(spark, root, Seq("k"), 8)
     val all = Snapshots.versionFiles(spark, root, v1)
-    val rel = new SnapshotVersionRelation(spark.sqlContext, root, v1, None)
-    // range predicate over the clustered layout: the PLANNED file list —
-    // not just the row result — must shrink to the matching slice
-    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual => SGte, LessThanOrEqual => SLte}
-    val surviving = rel.survivingFiles(Array(SAnd(SGte("k", 100L), SLte("k", 199L))))
+    val idx = new SnapshotFileIndex(spark, root, v1, None)
+    val k = AttributeReference("k", LongType)()
+    val surviving = idx.survivingPaths(Seq(CAnd(CGte(k, CLit(100L)), CLte(k, CLit(199L)))))
     assert(surviving.nonEmpty && surviving.size < all.size,
       s"expected a pruned plan, got ${surviving.size} of ${all.size} files")
-    assert(surviving.toSet.subsetOf(all.toSet))
-    // end to end through spark.read: exact rows, unsatisfiable → empty
-    val got = spark.read.format(fmt).load(root)
-      .where(col("k").between(100, 199)).select("k").as[Long].collect().toSet
-    assert(got == (100L to 199L).toSet)
-    assert(rel.survivingFiles(Array(SAnd(SGte("k", 10L), SLte("k", 5L)))).isEmpty)
-    assert(spark.read.format(fmt).load(root)
-      .where(col("k") > 100000L).count() == 0, "unsatisfiable range reads no file")
+    assert(surviving.subsetOf(all.toSet))
+    // end to end: the PLANNED file count shrinks (scan metrics), rows exact
+    val q = spark.read.format(fmt).load(root)
+      .where(col("k").between(100, 199)).select("k")
+    val scan = scanOf(q)
+    assert(scan.metrics("numFiles").value < all.size,
+      s"planned ${scan.metrics("numFiles").value} files, table has ${all.size}")
+    assert(q.as[Long].collect().toSet == (100L to 199L).toSet)
+    // unsatisfiable range plans zero files
+    assert(idx.survivingPaths(Seq(CAnd(CGte(k, CLit(10L)), CLte(k, CLit(5L))))).isEmpty)
+    assert(spark.read.format(fmt).load(root).where(col("k") > 100000L).count() == 0)
   }
 
-  test("DATE predicates file-prune: epoch-day translation against INT32 date stats") {
+  test("DATE predicates file-prune: internal day literals against INT32 date stats") {
     val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
     // a year of daily rows, clustered by date — the time-series layout
     Snapshots.init(spark, root,
@@ -92,24 +111,24 @@ class SnapshotSourceSpec extends AnyFunSuite {
         .toDF("d", "x")
         .repartitionByRange(6, col("d")).sortWithinPartitions("d"))
     val all = Snapshots.versionFiles(spark, root)
-    val rel = new SnapshotVersionRelation(spark.sqlContext, root,
+    val idx = new SnapshotFileIndex(spark, root,
       Snapshots.latestVersion(spark, root), None)
-    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual => SGte, LessThan => SLt}
-    val surviving = rel.survivingFiles(Array(SAnd(
-      SGte("d", java.sql.Date.valueOf("2024-03-01")),
-      SLt("d", java.sql.Date.valueOf("2024-04-01")))))
+    val d = AttributeReference("d", DateType)()
+    def day(s: String) = CLit(java.time.LocalDate.parse(s).toEpochDay.toInt, DateType)
+    val surviving = idx.survivingPaths(
+      Seq(CAnd(CGte(d, day("2024-03-01")), CLt(d, day("2024-04-01")))))
     assert(surviving.nonEmpty && surviving.size < all.size,
       s"a one-month slice of a date-clustered year must prune: ${surviving.size} of ${all.size}")
-    // end to end: exact rows for the month
-    val got = spark.read.format(fmt).load(root)
+    // end to end through the REAL planner: scan metrics + exact rows
+    val q = spark.read.format(fmt).load(root)
       .where(col("d") >= lit("2024-03-01").cast("date") &&
         col("d") < lit("2024-04-01").cast("date"))
-      .count()
-    assert(got == 31)
+    val scan = scanOf(q)
+    assert(scan.metrics("numFiles").value < all.size)
+    assert(q.count() == 31)
   }
 
   test("TIMESTAMP predicates file-prune on micros-opted tables; INT96 default stays sound") {
-    import org.apache.spark.sql.sources.{And => SAnd, GreaterThanOrEqual => SGte, LessThan => SLt}
     def yearOfHours(root: String, props: Map[String, String]): Unit =
       Snapshots.init(spark, root,
         (0 until 360 * 24).map(i => (java.sql.Timestamp.valueOf(
@@ -117,17 +136,20 @@ class SnapshotSourceSpec extends AnyFunSuite {
           .toDF("ts", "x")
           .repartitionByRange(6, col("ts")).sortWithinPartitions("ts"),
         props = props)
-    val filters: Array[org.apache.spark.sql.sources.Filter] = Array(SAnd(
-      SGte("ts", java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
-      SLt("ts", java.sql.Timestamp.valueOf("2024-04-01 00:00:00"))))
+    val ts = AttributeReference("ts", TimestampType)()
+    def micros(s: String) = CLit(
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+        .getEpochSecond * 1000000L, TimestampType)
+    val filters = Seq(CAnd(
+      CGte(ts, micros("2024-03-01T00:00:00")), CLt(ts, micros("2024-04-01T00:00:00"))))
 
     // opted-in table: INT64 micros stats → the planned file set shrinks
     val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
     yearOfHours(root, Map("graft.parquet.timestampMicros" -> "true"))
     val all = Snapshots.versionFiles(spark, root)
-    val rel = new SnapshotVersionRelation(spark.sqlContext, root,
+    val idx = new SnapshotFileIndex(spark, root,
       Snapshots.latestVersion(spark, root), None)
-    val surviving = rel.survivingFiles(filters)
+    val surviving = idx.survivingPaths(filters)
     assert(surviving.nonEmpty && surviving.size < all.size,
       s"a one-month slice of a ts-clustered year must prune: ${surviving.size} of ${all.size}")
     val got = spark.read.format(fmt).load(root)
@@ -138,9 +160,9 @@ class SnapshotSourceSpec extends AnyFunSuite {
     // default table (INT96, no stats): nothing prunes, results still exact
     val root2 = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t2"
     yearOfHours(root2, Map.empty)
-    val rel2 = new SnapshotVersionRelation(spark.sqlContext, root2,
+    val idx2 = new SnapshotFileIndex(spark, root2,
       Snapshots.latestVersion(spark, root2), None)
-    assert(rel2.survivingFiles(filters).size
+    assert(idx2.survivingPaths(filters).size
       == Snapshots.versionFiles(spark, root2).size,
       "INT96 timestamps record no stats — pruning must keep every file")
     assert(spark.read.format(fmt).load(root2)
@@ -162,10 +184,11 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(Snapshots.tableProperties(spark, root)
       .contains("parquet.bloom.filter.enabled#s"), "props must survive the append")
     val all = Snapshots.versionFiles(spark, root)
-    val rel = new SnapshotVersionRelation(spark.sqlContext, root,
+    val idx = new SnapshotFileIndex(spark, root,
       Snapshots.latestVersion(spark, root), Some("s"))
-    import org.apache.spark.sql.sources.{EqualTo => SEq}
-    val surviving = rel.survivingFiles(Array(SEq("s", "key1234")))
+    val s = AttributeReference("s", StringType)()
+    val surviving = idx.survivingPaths(
+      Seq(CEq(s, CLit(UTF8String.fromString("key1234"), StringType))))
     assert(surviving.size < all.size,
       s"bloom must exclude most files: ${surviving.size} of ${all.size}")
     val got = spark.read.format(fmt).option("bloomOn", "s").load(root)

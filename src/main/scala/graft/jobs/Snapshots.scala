@@ -104,7 +104,7 @@ object Snapshots {
       txn: Option[Long] = None, cdf: Option[String] = None,
       schema: Option[String] = None, props: Map[String, String] = Map.empty,
       stats: Map[String, graft.core.Skipping.FileStats] = Map.empty,
-      op: Option[String] = None)
+      op: Option[String] = None, ts: Option[Long] = None)
 
   private def fsOf(spark: SparkSession, root: String) = {
     val p = new Path(root)
@@ -139,6 +139,38 @@ object Snapshots {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no snapshot log at $root")
     vs.last
+  }
+
+  /** When version `v` committed, epoch millis: the delta's `#ts:` header
+    * (strictly increasing by construction — `writeDelta` stamps
+    * `max(now, predecessor + 1)`), or the delta FILE's modification time
+    * on logs written before timestamps rode the deltas (Delta Lake's own
+    * legacy fallback). */
+  def commitTimestamp(spark: SparkSession, root: String, v: Long): Long =
+    readDelta(spark, root, v).ts.getOrElse {
+      val (fs, qroot) = fsOf(spark, root)
+      fs.getFileStatus(deltaPath(qroot, v)).getModificationTime
+    }
+
+  /** The version a reader at wall-clock `tsMillis` saw: the LATEST
+    * version whose commit timestamp is `<= tsMillis` — `timestampAsOf`
+    * time travel. Legacy mtime fallbacks are monotonized with a running
+    * max so a disturbed file time can't make resolution non-monotone.
+    * O(surviving versions) small metadata reads, once per query at plan
+    * time — never a data scan. */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot log at $root")
+    var acc = Long.MinValue
+    var ans = -1L
+    vs.foreach { v =>
+      acc = math.max(acc, commitTimestamp(spark, root, v))
+      if (acc <= tsMillis) ans = v
+    }
+    require(ans >= 0,
+      s"no version of $root committed at or before $tsMillis " +
+        s"(earliest surviving commit: ${commitTimestamp(spark, root, vs.head)})")
+    ans
   }
 
   private def readLines(spark: SparkSession, root: String, p: Path): Seq[String] = {
@@ -187,7 +219,8 @@ object Snapshots {
         kv.take(i) -> kv.drop(i + 1)
       }.toMap,
       stats = lines.filter(_.startsWith("#stats:")).map(parseStats).toMap,
-      op = lines.find(_.startsWith("#op:")).map(_.stripPrefix("#op:")))
+      op = lines.find(_.startsWith("#op:")).map(_.stripPrefix("#op:")),
+      ts = lines.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong))
   }
 
   /** Table properties as of `version` (default: latest) — writer options
@@ -249,8 +282,19 @@ object Snapshots {
     val dest = deltaPath(qroot, v)
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    // in-commit timestamp, STRICTLY increasing across the log: wall clock,
+    // floored at predecessor+1 so two commits inside one millisecond (or a
+    // skewed clock) can never make `versionAt` resolution ambiguous —
+    // Delta Lake's in-commit-timestamp discipline. Recomputed per OCC
+    // retry (the predecessor may have changed).
+    val ts = d.ts.getOrElse {
+      val floor = versions(spark, root).filter(_ < v).lastOption
+        .map(p => commitTimestamp(spark, root, p) + 1).getOrElse(Long.MinValue)
+      math.max(System.currentTimeMillis, floor)
+    }
     val lines =
-      d.op.map(o => s"#op:$o").toSeq ++
+      Seq(s"#ts:$ts") ++
+        d.op.map(o => s"#op:$o").toSeq ++
         d.txn.map(b => s"#txn:$b").toSeq ++
         d.cdf.map(c => s"#cdf:$c").toSeq ++
         d.schema.map(s => s"#schema:$s").toSeq ++
@@ -498,6 +542,29 @@ object Snapshots {
     }
     maybeCheckpoint(spark, root, v)
     v
+  }
+
+  /** Replace the table's entire live content with `df` as ONE commit —
+    * `SaveMode.Overwrite` on the log. The schema is REPLACED, not
+    * widened: the new head holds only new files, and every old version
+    * keeps reading under its own recorded schema, so dropping or
+    * retyping a column cannot corrupt time travel. CHECK constraints
+    * still gate the new rows. Concurrency is the file-disjoint rewrite
+    * contract (`commitRewrite`): a concurrent APPEND rebases on top —
+    * serialized after the replace, its rows survive (WriteSerializable)
+    * — while a concurrent rewrite claiming the same files fails loudly.
+    * CDC: an overwrite publishes no feed, so `changesBetween` over it
+    * fails loudly (replace has no row-grain diff short of comparing
+    * snapshots) and `TableSync` refuses/skips it like any rewrite. */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val base = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, base)
+    checkConstraints(df, prevDelta.props)
+    val removes = versionFileList(spark, root, base)
+    val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, prevDelta.props)
+    commitRewrite(spark, root, base + 1,
+      Delta(adds, removes, schema = Some(nullable(df.schema).json),
+        props = prevDelta.props, stats = stats, op = Some("overwrite")))
   }
 
   /** A COW rewrite commit (removes + adds computed against a base

@@ -892,6 +892,91 @@ object LifecycleQueries {
              |FROM events""".stripMargin)
     ),
 
+    // ---- The `df.write` front door (r8): a table CREATED, appended and
+    // then wholesale REPLACED purely through
+    // `df.write.format(…).mode(…).save(root)` — no graft.jobs import —
+    // exercising the full SaveMode dispatch onto the log's own commit
+    // paths (OCC append, one-commit overwrite with schema replace).
+    // The replaced head is hash-checked; the PRE-replace version's row
+    // count rides as a column (time travel across an overwrite), and
+    // `versions_linear` + `stats_in_log` pin that three commits landed
+    // linearly, each carrying write-time stats envelopes. 100 TB shape:
+    // the write path is the same distributed parquet write + O(change)
+    // metadata commit regardless of entry point — the front door adds
+    // zero driver-side data movement.
+    QuerySpec(
+      "write_front_door",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/writefd"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        val fmt = "graft.sources.SnapshotSource"
+        e.where(col("event_id") % 4 <= 1).write.format(fmt).save(root)
+        e.where(col("event_id") % 4 === 2)
+          .write.format(fmt).mode("append").save(root)
+        e.where(col("event_id") % 4 === 3).withColumn("value", col("value") * 3)
+          .write.format(fmt).mode("overwrite").save(root)
+        val v1n = s.read.format(fmt).option("versionAsOf", 1).load(root).count()
+        s.read.format(fmt).load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("v1_n", lit(v1n))
+          .withColumn("versions_linear",
+            lit(Snapshots.versions(s, root) == Seq(0L, 1L, 2L)))
+          .withColumn("stats_in_log",
+            lit(Snapshots.statsMissingFromLog(s, root).isEmpty))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value * 3 AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  (SELECT COUNT(*) FROM events WHERE event_id % 4 <= 2) AS v1_n,
+             |  TRUE AS versions_linear, TRUE AS stats_in_log
+             |FROM events WHERE event_id % 4 = 3""".stripMargin)
+    ),
+
+    // ---- timestampAsOf time travel (r8): every delta carries a
+    // STRICTLY increasing in-commit timestamp (`#ts:` — stamped
+    // max(now, predecessor+1), Delta's in-commit-timestamp discipline),
+    // so "the table as a reader at wall-clock T saw it" resolves to a
+    // unique version even for commits inside one millisecond.
+    // `boundary_exact` pins the resolution algebra (T(v1) → v1,
+    // T(v1)−1 → v0, T(head) → head); the v1-resolved read is
+    // hash-checked through the spark.read front door. 100 TB shape:
+    // resolution is O(surviving versions) small header reads at plan
+    // time — never a data scan — and audit queries ("what did the
+    // dashboard show at 9am?") need wall-clock, not version numbers.
+    QuerySpec(
+      "time_travel_timestamp",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/tstravel"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 3 === 0))
+        Snapshots.append(s, root, e.where(col("event_id") % 3 === 1))
+        Snapshots.append(s, root, e.where(col("event_id") % 3 === 2))
+        val t1 = Snapshots.commitTimestamp(s, root, 1)
+        val boundaryExact =
+          Snapshots.versionAt(s, root, t1) == 1L &&
+            Snapshots.versionAt(s, root, t1 - 1) == 0L &&
+            Snapshots.versionAt(s, root,
+              Snapshots.commitTimestamp(s, root, 2)) == 2L
+        s.read.format("graft.sources.SnapshotSource")
+          .option("timestampAsOf", t1.toString).load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("boundary_exact", lit(boundaryExact))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS boundary_exact
+             |FROM events WHERE event_id % 3 <= 1""".stripMargin)
+    ),
+
     // ---- Time-series gap-fill: resample each user's event stream to an
     // hourly grid (sequence + explode between observed bounds) and
     // forward-fill the per-hour average. Averages are decimal-summed then

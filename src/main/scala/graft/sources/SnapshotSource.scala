@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -18,6 +18,10 @@ import graft.jobs.Snapshots
   *     .load(root)
   *
   *   spark.read.format("graft.sources.SnapshotSource")
+  *     .option("timestampAsOf", "2026-08-13 12:00:00")  // or epoch millis
+  *     .load(root)
+  *
+  *   spark.read.format("graft.sources.SnapshotSource")
   *     .option("changesFrom", 0).option("changesTo", 2)   // CDC replay
   *     .load(root)
   *
@@ -25,6 +29,25 @@ import graft.jobs.Snapshots
   *     .option("bloomOn", "doc_id")     // + bloom file pruning on equality
   *     .load(root)
   * }}}
+  *
+  * …and the `df.write` front door onto the same log:
+  *
+  * {{{
+  *   df.write.format("graft.sources.SnapshotSource")
+  *     .mode("append")                  // append | overwrite | ignore |
+  *     .save(root)                      //   errorifexists (default)
+  * }}}
+  *
+  * A write against a root with no log CREATES the table (any mode —
+  * `SaveMode` only distinguishes behavior when the target exists, per
+  * its own contract): options other than this source's reserved keys
+  * ride along as table properties (e.g. parquet bloom opt-ins), recorded
+  * in the log and applied to every future commit. Against an existing
+  * table, `append` is the OCC rebasing append (schema widening rules),
+  * `overwrite` the one-commit full replace (schema replaced; concurrent
+  * appends serialize after it), `errorifexists` refuses, `ignore`
+  * no-ops. The incoming DataFrame is written executor-parallel by the
+  * log's own commit path — nothing is collected to the driver.
   *
   * The version read is a NATIVE file-source relation: a
   * `HadoopFsRelation` over `SnapshotFileIndex` (the log's explicit file
@@ -40,8 +63,20 @@ import graft.jobs.Snapshots
   * round-trip per file per query, worth it exactly for the
   * needle-in-haystack point lookup). All pruning is a superset filter —
   * the exact predicate still runs in the scan. */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  /** Option keys the source itself consumes — everything else a writer
+    * passes becomes a TABLE PROPERTY at create time. */
+  private val reservedKeys =
+    Set("path", "versionasof", "timestampasof", "changesfrom", "changesto", "bloomon")
+
+  /** Epoch millis from either a raw long or a `Timestamp.valueOf` string
+    * (`yyyy-mm-dd hh:mm:ss[.f…]`, session-local zone — the same spelling
+    * Delta's `timestampAsOf` takes). */
+  private def parseTsMillis(s: String): Long =
+    s.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s).getTime)
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
@@ -54,7 +89,13 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
           Snapshots.changesBetween(spark, root, a.toLong, b.toLong))
       case (None, None) =>
         val v0 = parameters.get("versionasof").map(_.toLong).getOrElse(-1L)
-        val v = if (v0 < 0) Snapshots.latestVersion(spark, root) else v0
+        val v = parameters.get("timestampasof") match {
+          case Some(t) =>
+            require(v0 < 0, "versionAsOf and timestampAsOf are mutually exclusive")
+            Snapshots.versionAt(spark, root, parseTsMillis(t))
+          case None =>
+            if (v0 < 0) Snapshots.latestVersion(spark, root) else v0
+        }
         val dataSchema = Snapshots.versionSchema(spark, root, v)
           .getOrElse(Snapshots.readVersion(spark, root, v).schema)
         // a NATIVE file-source relation over the log's FileIndex: planned
@@ -72,6 +113,39 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         throw new IllegalArgumentException(
           "changesFrom and changesTo must be set together")
     }
+  }
+
+  /** `df.write.format(…).mode(…).save(root)` — the write front door.
+    * Dispatches to the log's own commit paths (OCC append / one-commit
+    * overwrite / init), so every guarantee the programmatic API gives —
+    * atomic no-replace delta publish, write-time `#stats:` envelopes,
+    * CHECK-constraint gating, schema evolution rules — holds for writes
+    * that never import `graft.jobs`. The DataFrame is written by the
+    * normal distributed parquet path; the driver touches metadata only. */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("snapshot sink needs a path: .save(root)"))
+    val spark = sqlContext.sparkSession
+    if (Snapshots.versions(spark, root).isEmpty) {
+      // DSv1 lowercases option keys; re-canonicalize the one mixed-case
+      // graft property so the commit path's exact-key lookup finds it
+      val props = parameters
+        .filterNot { case (k, _) => reservedKeys.contains(k.toLowerCase) }
+        .map { case (k, v) =>
+          (if (k.equalsIgnoreCase("graft.parquet.timestampMicros"))
+            "graft.parquet.timestampMicros" else k) -> v
+        }
+      Snapshots.init(spark, root, data, props)
+    } else mode match {
+      case SaveMode.Append => Snapshots.append(spark, root, data)
+      case SaveMode.Overwrite => Snapshots.overwrite(spark, root, data)
+      case SaveMode.ErrorIfExists => throw new IllegalArgumentException(
+        s"snapshot log already exists at $root (mode ErrorIfExists)")
+      case SaveMode.Ignore => ()
+    }
+    createRelation(sqlContext, parameters)
   }
 }
 

@@ -774,6 +774,36 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.optimizeCompact(spark, root, smallerThanBytes = bigLen) == -1L)
   }
 
+  test("overwrite: one-commit full replace; history intact; CDC and tailing refuse it") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    Snapshots.append(spark, root, Seq((101L, 101.0)).toDF("k", "v"))
+    val baseFiles = Snapshots.versionFiles(spark, root, 1).toSet
+
+    val vOw = Snapshots.overwrite(spark, root,
+      (1L to 5L).map(i => (i, s"s$i")).toDF("k", "s"))
+    assert(vOw == 2L, "a replace must be exactly ONE commit")
+    // head is exactly the new frame, schema REPLACED (v is gone, s arrived)
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.columns.toSeq == Seq("k", "s") && head.count() == 5)
+    assert(Snapshots.versionFiles(spark, root, vOw).toSet.intersect(baseFiles).isEmpty,
+      "an overwrite head must reference none of the replaced files")
+    // history reads under its own recorded schema
+    val v1 = Snapshots.readVersion(spark, root, 1)
+    assert(v1.columns.toSeq == Seq("k", "v") && v1.count() == 101)
+    // the commit recorded write-time stats like any other
+    assert(Snapshots.statsMissingFromLog(spark, root).isEmpty)
+    // CDC cannot row-diff a replace: loud, not silent
+    intercept[IllegalArgumentException](
+      Snapshots.changesBetween(spark, root, 1, vOw).collect())
+    // appends-only tailing refuses (or skips wholesale) the rewrite
+    intercept[IllegalStateException](
+      TableSync.appendsBetween(spark, root, 1, vOw))
+    assert(TableSync.appendsBetween(spark, root, 1, vOw, skipRewrites = true)
+      ._1.isEmpty)
+  }
+
   test("vacuum reclaims exactly the files no retained version references") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root,

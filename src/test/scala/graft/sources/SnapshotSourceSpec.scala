@@ -206,4 +206,88 @@ class SnapshotSourceSpec extends AnyFunSuite {
     val v0 = spark.read.format(fmt).option("versionAsOf", 0).load(root)
     assert(v0.columns.toSeq == Seq("k", "v"))
   }
+
+  test("df.write front door: create, append, overwrite, ignore, errorIfExists") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    // a write against a log-less root CREATES the table (default mode)
+    (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .write.format(fmt).save(root)
+    assert(Snapshots.versions(spark, root) == Seq(0L))
+    // append lands as an OCC append commit
+    (51L to 80L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .write.format(fmt).mode("append").save(root)
+    assert(Snapshots.versions(spark, root) == Seq(0L, 1L))
+    assert(spark.read.format(fmt).load(root).count() == 80)
+    // default ErrorIfExists refuses an existing table…
+    intercept[Exception](
+      Seq((99L, 9.0)).toDF("k", "v").write.format(fmt).save(root))
+    // …ignore no-ops against one
+    Seq((99L, 9.0)).toDF("k", "v").write.format(fmt).mode("ignore").save(root)
+    assert(Snapshots.versions(spark, root) == Seq(0L, 1L))
+    assert(spark.read.format(fmt).load(root).count() == 80)
+    // overwrite is a ONE-commit full replace with schema REPLACE
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format(fmt).mode("overwrite").save(root)
+    assert(Snapshots.versions(spark, root) == Seq(0L, 1L, 2L))
+    val head = spark.read.format(fmt).load(root)
+    assert(head.columns.toSeq == Seq("k", "s") && head.count() == 2)
+    // …and time travel still reads the pre-overwrite shape
+    val v1 = spark.read.format(fmt).option("versionAsOf", 1).load(root)
+    assert(v1.columns.toSeq == Seq("k", "v") && v1.count() == 80)
+    // every front-door commit recorded write-time stats in its delta
+    assert(Snapshots.statsMissingFromLog(spark, root).isEmpty)
+  }
+
+  test("front-door create records table properties; CHECK constraints gate later writes") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    // non-reserved writer options become table properties at create
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .write.format(fmt)
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("constraint.pos", "v > 0")
+      .save(root)
+    val props = Snapshots.tableProperties(spark, root)
+    assert(props.contains("parquet.bloom.filter.enabled#k"))
+    assert(props.get("constraint.pos").contains("v > 0"))
+    // the recorded constraint refuses a violating front-door append…
+    intercept[Exception](
+      Seq((21L, -1.0)).toDF("k", "v").write.format(fmt).mode("append").save(root))
+    assert(Snapshots.versions(spark, root) == Seq(0L),
+      "a refused batch must leave the log untouched")
+    // …and a violating overwrite
+    intercept[Exception](
+      Seq((1L, -5.0)).toDF("k", "v").write.format(fmt).mode("overwrite").save(root))
+    assert(spark.read.format(fmt).load(root).count() == 20)
+  }
+
+  test("timestampAsOf resolves the version a reader at that wall-clock saw") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((2L, 2.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((3L, 3.0)).toDF("k", "v"))
+    val Seq(t0, t1, t2) =
+      (0L to 2L).map(Snapshots.commitTimestamp(spark, root, _))
+    // strictly increasing even when commits share a wall-clock millisecond
+    assert(t0 < t1 && t1 < t2)
+    assert(Snapshots.versionAt(spark, root, t1) == 1L)
+    assert(Snapshots.versionAt(spark, root, t1 - 1) == 0L)
+    assert(Snapshots.versionAt(spark, root, t2 + 3600000L) == 2L)
+    intercept[Exception](Snapshots.versionAt(spark, root, t0 - 1))
+    // the front-door option, both spellings (epoch millis + timestamp)
+    assert(spark.read.format(fmt)
+      .option("timestampAsOf", t1.toString).load(root).count() == 2)
+    assert(spark.read.format(fmt)
+      .option("timestampAsOf", "2999-01-01 00:00:00").load(root).count() == 3)
+    intercept[Exception](spark.read.format(fmt)
+      .option("timestampAsOf", t1.toString).option("versionAsOf", 0).load(root))
+    // a log written before `#ts:` headers resolves from delta-file mtime
+    import scala.jdk.CollectionConverters._
+    val d2 = new java.io.File(root, "_log/v00000002.commit")
+    val legacy = java.nio.file.Files.readAllLines(d2.toPath).asScala
+    java.nio.file.Files.write(d2.toPath,
+      (legacy.filterNot(_.startsWith("#ts:")).mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(d2.setLastModified(t2))
+    assert(Snapshots.versionAt(spark, root, t2) == 2L)
+    assert(Snapshots.versionAt(spark, root, t2 - 1) == 1L)
+  }
 }

@@ -936,6 +936,52 @@ object LifecycleQueries {
              |FROM events WHERE event_id % 4 = 3""".stripMargin)
     ),
 
+    // ---- The `writeStream` front door (r8): the events stream is
+    // ingested into a snapshot table purely through
+    // `df.writeStream.format(…).start(root)` — every micro-batch is one
+    // `commitStreamingBatch` whose batch id rides INSIDE the committed
+    // delta (`#txn:`), so the data commit and the progress bookkeeping
+    // are ONE atomic rename. The landed table is hash-checked against
+    // the batch relational recompute (stream==batch parity through the
+    // sink); `exactly_once` pins that a crash-replayed batch id is a
+    // recognized no-op. 100 TB shape: ingest exactly-once must not
+    // depend on a marker file that can lag the manifest — the r6/r7
+    // markerless design, now reachable without importing graft.jobs.
+    QuerySpec(
+      "stream_snapshot_sink",
+      (s, dir) => {
+        try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        catch { case _: Throwable => () }
+        val root = s"${Dumps.forSf(dir)}/streamsink"
+        val cp = s"${Dumps.forSf(dir)}/streamsink_cp"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        fs.delete(new org.apache.hadoop.fs.Path(cp), true) // fresh log per run
+        StreamingJobs.tableStream(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .writeStream.format("graft.sources.SnapshotSource")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(root)
+          .awaitTermination()
+        val exactlyOnce = !Snapshots.commitStreamingBatch(s, root,
+          Snapshots.readVersion(s, root).limit(1), 0L)
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("exactly_once", lit(exactlyOnce))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS exactly_once
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- timestampAsOf time travel (r8): every delta carries a
     // STRICTLY increasing in-commit timestamp (`#ts:` — stamped
     // max(now, predecessor+1), Delta's in-commit-timestamp discipline),

@@ -49,6 +49,22 @@ import graft.jobs.Snapshots
   * no-ops. The incoming DataFrame is written executor-parallel by the
   * log's own commit path — nothing is collected to the driver.
   *
+  * …and `writeStream` for exactly-once streaming ingest:
+  *
+  * {{{
+  *   df.writeStream.format("graft.sources.SnapshotSource")
+  *     .option("checkpointLocation", cp)
+  *     .trigger(Trigger.AvailableNow())   // or processing-time
+  *     .start(root)
+  * }}}
+  *
+  * Each micro-batch commits through `Snapshots.commitStreamingBatch`:
+  * the batch id rides INSIDE the committed delta (`#txn:`), so a batch
+  * re-delivered after a crash between sink commit and checkpoint
+  * advance is a recognized no-op — exactly-once without a marker file.
+  * Append output mode only (Update re-emits changed rows; appending
+  * them would double-count).
+  *
   * The version read is a NATIVE file-source relation: a
   * `HadoopFsRelation` over `SnapshotFileIndex` (the log's explicit file
   * list + stats/bloom pruning inside `listFiles`), planned by Spark's
@@ -64,7 +80,7 @@ import graft.jobs.Snapshots
   * needle-in-haystack point lookup). All pruning is a superset filter —
   * the exact predicate still runs in the scan. */
 class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
   /** Option keys the source itself consumes — everything else a writer
@@ -147,6 +163,55 @@ class SnapshotSource extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+
+  /** `df.writeStream.format(…).start(root)` — exactly-once streaming
+    * ingest onto the log (see class scaladoc). */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("snapshot sink needs a path: .start(root)"))
+    require(partitionColumns.isEmpty,
+      "snapshot sink does not take partitionBy (layout is the log's concern)")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"snapshot sink is append-only — each micro-batch is one #txn-tagged " +
+        s"commit; got $outputMode")
+    new SnapshotStreamSink(root)
+  }
+}
+
+/** Streaming sink half of the front door: every micro-batch is one
+  * `Snapshots.commitStreamingBatch` — data and batch-id bookkeeping in
+  * ONE atomic delta rename (`#txn:`), so crash-replayed batches are
+  * recognized no-ops (exactly-once, markerless).
+  *
+  * The DataFrame a DSv1 sink receives is backed by the STREAMING
+  * (incremental) plan — it cannot be handed to `df.write` directly. It
+  * is re-batched the way Spark's own `ForeachBatchSink` does: execute
+  * the incremental plan once (`toRdd`) and deserialize executor-side
+  * into an external batch frame. The per-row decode is micro-batch
+  * grain only — the table write underneath is the normal distributed
+  * vectorized parquet path, and the batch-vs-table size ratio makes the
+  * bridge cost noise at 100 TB (ingest batches are minutes of data).
+  * Pipelines that want the zero-copy shape use `foreachBatch` +
+  * `Snapshots.commitStreamingBatch` directly (streaming/StreamingJobs
+  * does) — the commit semantics are identical. */
+private[sources] class SnapshotStreamSink(root: String)
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val schema = data.schema
+    val deser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(schema)
+      .resolveAndBind().createDeserializer()
+    val rows = data.queryExecution.toRdd.mapPartitions(_.map(ir => deser(ir)))
+    val batch = spark.createDataFrame(rows, schema)
+    Snapshots.commitStreamingBatch(spark, root, batch, batchId)
+  }
+
+  override def toString: String = s"SnapshotStreamSink[$root]"
 }
 
 /** Shared filter translation: the predicate subset re-expressible on a

@@ -260,6 +260,49 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(spark.read.format(fmt).load(root).count() == 20)
   }
 
+  test("writeStream sink: exactly-once #txn commits onto the log") {
+    val base = Files.createTempDirectory("snapsink").toFile.getAbsolutePath
+    val srcDir = base + "/src"; val root = base + "/t"; val cp = base + "/cp"
+    (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartition(2).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream.format(fmt)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(root)
+        .awaitTermination()
+    run()
+    assert(spark.read.format(fmt).load(root).count() == 100)
+    assert(Snapshots.lastCommittedBatch(spark, root) >= 0L,
+      "the micro-batch id must ride the committed delta")
+    val vsAfterFirst = Snapshots.versions(spark, root)
+    // restart on the same checkpoint with no new data: nothing commits
+    run()
+    assert(Snapshots.versions(spark, root) == vsAfterFirst)
+    // new source files: exactly they land as the next commit(s)
+    (101L to 150L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .write.mode("append").parquet(srcDir)
+    run()
+    assert(spark.read.format(fmt).load(root).count() == 150)
+    // a crash-replayed batch id is a recognized no-op, not a double write
+    assert(!Snapshots.commitStreamingBatch(spark, root,
+      Seq((999L, 9.0)).toDF("k", "v"), 0L))
+    assert(spark.read.format(fmt).load(root).count() == 150)
+    // non-append output modes are refused at sink construction
+    intercept[Exception] {
+      spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy(col("k")).count()
+        .writeStream.format(fmt)
+        .option("checkpointLocation", base + "/cp2")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(base + "/t2")
+        .awaitTermination()
+    }
+  }
+
   test("timestampAsOf resolves the version a reader at that wall-clock saw") {
     val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))

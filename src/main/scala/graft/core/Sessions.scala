@@ -39,6 +39,10 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // testdata timestamps are `timestamp[us]` isAdjustedToUTC=false; infer
+      // them as the legacy LTZ type (exact under the UTC session timezone)
+      // so unix_micros/watermark contracts hold — see Tables.ensureTimestampCompat
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     val withMaster = master.fold(b)(b.master)
     val spark = withMaster.getOrCreate()

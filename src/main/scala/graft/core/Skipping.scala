@@ -84,19 +84,22 @@ object Skipping {
     files.map(f => statsOfFile(conf, f))
   }
 
-  /** An INT64 timestamp chunk's envelope enters ONLY for
-    * MICROS-and-adjusted-to-UTC annotations: a Timestamp literal
-    * translates to epoch micros (sources/SnapshotFilters), so an
-    * envelope in any OTHER unit (millis, nanos, local-semantics NTZ)
-    * would mis-prune. Excluded units stay covered-but-valueless —
-    * unprunable, always sound. INT96 timestamps (Spark's default)
-    * record no stats at all and land in the same bucket. */
+  /** An INT64 timestamp chunk's envelope enters ONLY for MICROS
+    * annotations: a Timestamp literal translates to epoch micros
+    * (sources/SnapshotFilters), so an envelope in any other UNIT
+    * (millis, nanos) would mis-prune. Excluded units stay
+    * covered-but-valueless — unprunable, always sound. INT96 timestamps
+    * (Spark's default) record no stats at all and land in the same
+    * bucket. isAdjustedToUTC does NOT gate admission: the engine reads
+    * parquet with `inferTimestampNTZ.enabled=false`
+    * (Tables.ensureTimestampCompat), so local-semantics micros are
+    * interpreted as the same raw epoch micros the envelope records —
+    * literal and stats compare in one unit space either way. */
   private def timestampEnvelopeSafe(
       c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
     c.getPrimitiveType.getLogicalTypeAnnotation match {
       case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-        t.isAdjustedToUTC &&
-          t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+        t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
       case _ => true // not a timestamp: raw integral semantics
     }
 

@@ -11,14 +11,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * declarative reads + predicates over hand-built partition paths).
   */
 object Tables {
-  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+
+  /** The r8 testdata regen switched every timestamp column to plain
+    * `timestamp[us]` with isAdjustedToUTC=false, which Spark 4 infers as
+    * TIMESTAMP_NTZ by default — breaking `unix_micros`, watermarks and every
+    * LTZ-typed downstream contract. The session timezone is pinned UTC
+    * (Sessions.build), so legacy LTZ inference reads the identical instants
+    * DuckDB (the oracle) sees; flipping the inference conf — rather than
+    * casting per column — keeps timestamp predicates pushable to the scan
+    * (a cast above the scan would block PushedFilters). */
+  def ensureTimestampCompat(spark: SparkSession): Unit =
+    try {
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    } catch { case _: Throwable => () }
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureTimestampCompat(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** S13 missing-input tolerance: the reference's skip-missing contract
     * (`/root/reference/scripts/02_spark_etl.py:80-86` — catch
     * AnalysisException, warn, continue with the next month). */
   def readOptional(spark: SparkSession, path: String): Option[DataFrame] =
-    try Some(spark.read.parquet(path))
+    try { ensureTimestampCompat(spark); Some(spark.read.parquet(path)) }
     catch {
       case e: org.apache.spark.sql.AnalysisException =>
         org.slf4j.LoggerFactory.getLogger(getClass)

@@ -1100,8 +1100,7 @@ object LifecycleQueries {
         try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         catch { case _: Throwable => () }
         def src = StreamingJobs.tableStream(s, dir)
-          .select(col("user_id"), col("event_id"),
-            timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          .select(col("user_id"), col("event_id"), col("ts"),
             col("event_type"), col("value"))
         val clicks = src.where(col("event_type") === "click")
           .withWatermark("ts", "1 hour")

@@ -175,9 +175,8 @@ object OpQueries {
     // ---- Structured Streaming batch parity, oracle-checked: an
     // AvailableNow run of a streaming aggregation must hash-match the batch
     // SQL over the same files. Buckets are integral 6h windows over
-    // micros-truncated event time (raw parquet ts is INT64 nanos with
-    // sub-microsecond parts; DuckDB timestamps are micros, so truncate
-    // BEFORE bucketing or boundary rows could land one window apart).
+    // event-time micros (parquet ts is timestamp[us]; both engines see
+    // the identical micros under the UTC session timezone).
     QuerySpec(
       "stream_tumbling_counts",
       (s, dir) => {
@@ -186,7 +185,7 @@ object OpQueries {
         // layout-agnostic streaming source (file-in-dir or directory table)
         val src = StreamingJobs.tableStream(s, dir)
         val counts = src
-          .select(expr("(ts DIV 1000) DIV 21600000000").as("win_id"), col("event_type"))
+          .select(expr("unix_micros(ts) DIV 21600000000").as("win_id"), col("event_type"))
           .groupBy(col("win_id"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val name = s"stream_tumbling_counts_${streamRun.incrementAndGet()}"
@@ -448,13 +447,13 @@ object OpQueries {
       (s, dir) => {
         try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         catch { case _: Throwable => () }
-        val batch = s.read.parquet(s"$dir/events.parquet")
-        val maxUs = batch.selectExpr("max(ts DIV 1000)").first().getLong(0)
+        val batch = Tables.events(s, dir)
+        val maxUs = batch.selectExpr("max(unix_micros(ts))").first().getLong(0)
         // layout-agnostic source: file-in-dir (test data) or directory
         // table (10x scale corpora) — see StreamingJobs.tableStream
         val src = StreamingJobs.tableStream(s, dir)
         val sess = src
-          .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+          .withColumn("ets", col("ts"))
           .withWatermark("ets", "0 seconds")
           .groupBy(col("user_id"), session_window(col("ets"), "4 hours"))
           .agg(count(lit(1)).as("n_events"))

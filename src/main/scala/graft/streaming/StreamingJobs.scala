@@ -21,6 +21,7 @@ object StreamingJobs {
   /** readStream over a parquet directory with a fixed schema (streaming
     * sources require one — inferred here from a batch peek at setup time). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.ensureTimestampCompat(spark)
     val schema = spark.read.parquet(dir).schema
     spark.readStream.schema(schema).parquet(dir)
   }
@@ -34,6 +35,7 @@ object StreamingJobs {
     * Before r8 the glob-only form matched NO files on a directory table
     * and the stream silently drained empty (BENCH.md's 10× harness gap). */
   def tableStream(spark: SparkSession, dir: String, table: String = "events"): DataFrame = {
+    graft.core.Tables.ensureTimestampCompat(spark)
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = spark.read.parquet(p.toString).schema

@@ -45,24 +45,37 @@ object TableSync {
     * different files, so tailing their adds would double-count and
     * skipping them loses nothing. Other rewrites (merge/delete) throw
     * unless `skipRewrites`. */
-  def appendsBetween(
+  /** The files appended by each source version in (fromV, toV], ascending,
+    * as fully-qualified paths. OPTIMIZE commits contribute nothing (same
+    * rows, different files); other rewrites throw unless `skipRewrites`.
+    * This is the shared tail primitive: `appendsBetween` batches it, and
+    * the `readStream` front door (sources/SnapshotStreamSource) paces
+    * micro-batches over it. */
+  def appendedFilesPerVersion(
       spark: SparkSession, srcRoot: String, fromV: Long, toV: Long,
-      skipRewrites: Boolean = false): (DataFrame, Int) = {
+      skipRewrites: Boolean = false): Seq[(Long, Seq[String])] = {
     val qroot = {
       val p = new Path(srcRoot)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
     }
-    val files = ((fromV + 1) to toV).flatMap { v =>
+    ((fromV + 1) to toV).map { v =>
       val d = Snapshots.readDelta(spark, srcRoot, v)
-      if (d.op.contains("optimize")) Nil // logical no-op: rows unchanged
+      if (d.op.contains("optimize")) v -> Nil // logical no-op: rows unchanged
       else if (d.removes.nonEmpty) {
         if (!skipRewrites) throw new IllegalStateException(
           s"version $v of $srcRoot is a rewrite (has removes) — appends-only " +
             "tailing would double-count carried rows; pass skipRewrites = true " +
             "to skip rewrite commits, or consume the change feed (changesBetween)")
-        Nil
-      } else d.adds.map(f => new Path(qroot, f).toString)
+        v -> Nil
+      } else v -> d.adds.map(f => new Path(qroot, f).toString)
     }
+  }
+
+  def appendsBetween(
+      spark: SparkSession, srcRoot: String, fromV: Long, toV: Long,
+      skipRewrites: Boolean = false): (DataFrame, Int) = {
+    val files =
+      appendedFilesPerVersion(spark, srcRoot, fromV, toV, skipRewrites).flatMap(_._2)
     val df =
       if (files.isEmpty) None
       else Some(Snapshots.versionSchema(spark, srcRoot, toV) match {

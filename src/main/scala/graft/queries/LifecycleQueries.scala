@@ -982,6 +982,46 @@ object LifecycleQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- readStream front door (r8): the log as a Structured Streaming
+    // SOURCE. Offsets are table versions; a 3-commit history (plus an
+    // OPTIMIZE that must stay transparent — same rows, different files)
+    // is drained AvailableNow with maxFilesPerTrigger pacing, and the
+    // tailed rows must aggregate to exactly the batch table — stream ==
+    // batch through the source, the mirror of stream_snapshot_sink's
+    // sink-side parity. 100 TB shape: each micro-batch plans O(files in
+    // the admitted commits) straight off the log — no listing, no diff —
+    // through the native vectorized scan (sources/SnapshotStreamSource).
+    QuerySpec(
+      "stream_log_tail",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/logtail"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        Snapshots.init(s, root, e.where(col("event_id") % 3 === 0))
+        Snapshots.append(s, root, e.where(col("event_id") % 3 === 1))
+        Snapshots.optimizeCompact(s, root, smallerThanBytes = 512L * 1024 * 1024)
+        Snapshots.append(s, root, e.where(col("event_id") % 3 === 2))
+        val tailed = s.readStream.format("graft.sources.SnapshotSource")
+          .option("maxFilesPerTrigger", "64")
+          .load(root)
+        val name = s"stream_log_tail_${streamRun.incrementAndGet()}"
+        StreamingJobs.runAvailableNow(tailed, name, OutputMode.Append())
+        s.table(name)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- timestampAsOf time travel (r8): every delta carries a
     // STRICTLY increasing in-commit timestamp (`#ts:` — stamped
     // max(now, predecessor+1), Delta's in-commit-timestamp discipline),

@@ -58,6 +58,17 @@ import graft.jobs.Snapshots
   *     .start(root)
   * }}}
   *
+  * …and `readStream` for tailing the log as a streaming SOURCE (offsets
+  * are table versions; see sources/SnapshotStreamSource for semantics):
+  *
+  * {{{
+  *   spark.readStream.format("graft.sources.SnapshotSource")
+  *     .option("maxFilesPerTrigger", 4)   // admission pacing (optional)
+  *     .option("skipRewrites", true)      // admit delete/merge histories
+  *     .option("startingVersion", 3)      // tail from after v3
+  *     .load(root)
+  * }}}
+  *
   * Each micro-batch commits through `Snapshots.commitStreamingBatch`:
   * the batch id rides INSIDE the committed delta (`#txn:`), so a batch
   * re-delivered after a crash between sink commit and checkpoint
@@ -80,13 +91,15 @@ import graft.jobs.Snapshots
   * needle-in-haystack point lookup). All pruning is a superset filter —
   * the exact predicate still runs in the scan. */
 class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
   /** Option keys the source itself consumes — everything else a writer
     * passes becomes a TABLE PROPERTY at create time. */
   private val reservedKeys =
-    Set("path", "versionasof", "timestampasof", "changesfrom", "changesto", "bloomon")
+    Set("path", "versionasof", "timestampasof", "changesfrom", "changesto",
+      "bloomon", "skiprewrites", "maxfilespertrigger", "startingversion")
 
   /** Epoch millis from either a raw long or a `Timestamp.valueOf` string
     * (`yyyy-mm-dd hh:mm:ss[.f…]`, session-local zone — the same spelling
@@ -179,6 +192,33 @@ class SnapshotSource extends RelationProvider
       s"snapshot sink is append-only — each micro-batch is one #txn-tagged " +
         s"commit; got $outputMode")
     new SnapshotStreamSink(root)
+  }
+
+  /** `spark.readStream.format(…).load(root)` — the log as a streaming
+    * source (see SnapshotStreamSource). The schema is resolved ONCE here
+    * at stream definition; Spark passes it back at createSource. */
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("snapshot stream source needs a path: .load(root)"))
+    val spark = sqlContext.sparkSession
+    val s = schema.getOrElse {
+      val v = Snapshots.latestVersion(spark, root)
+      Snapshots.versionSchema(spark, root, v)
+        .getOrElse(Snapshots.readVersion(spark, root, v).schema)
+    }
+    (shortName(), s)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("snapshot stream source needs a path: .load(root)"))
+    new SnapshotStreamSource(sqlContext.sparkSession, root, parameters)
   }
 }
 

@@ -1,0 +1,173 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+import graft.jobs.{Snapshots, TableSync}
+
+/** `spark.readStream` over a snapshot-logged table — the streaming SOURCE
+  * half of the front door (Delta's streaming source / Iceberg's
+  * incremental read, on this log). Offsets ARE table versions: each
+  * micro-batch is the files appended by versions (start, end], read by
+  * the native parquet scan path, so progress tracking needs no side
+  * state — the checkpoint stores a version number and the log names the
+  * files. Exactly-once follows from version immutability: re-processing
+  * a (start, end] range after a crash yields bit-identical input.
+  *
+  * Semantics mirror `jobs/TableSync` (the batch tail):
+  *   - OPTIMIZE commits are skipped automatically — same rows, different
+  *     files; tailing their adds would double-count.
+  *   - Other rewrites (delete / merge / restore) fail loudly unless
+  *     `.option("skipRewrites", true)` — Delta's `skipChangeCommits`
+  *     admission. Rewrite-aware consumers replay the change feed
+  *     instead (`changesFrom`/`changesTo` batch reads).
+  *   - `.option("maxFilesPerTrigger", n)` paces admission: getOffset
+  *     advances version-at-a-time until the next version would exceed
+  *     `n` files (always admitting at least one version — a single
+  *     commit is the atom; splitting it would tear commit atomicity).
+  *   - `.option("startingVersion", v)` tails from AFTER version `v`
+  *     (default: from table birth — v0's initial files included).
+  *
+  * Schema is fixed at stream start (the head schema when the source is
+  * created); files committed before an add-column evolution null-fill
+  * through the parquet reader's missing-column path. 100 TB shape: a
+  * micro-batch plans O(files appended since the last trigger) — the log
+  * names them outright, no directory listing or diffing — and the data
+  * moves through the same vectorized `FileSourceScanExec` as a batch
+  * read of the table. */
+private[sources] class SnapshotStreamSource(
+    spark: SparkSession, root: String, parameters: Map[String, String])
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val skipRewrites = parameters.get("skiprewrites").exists(_.toBoolean)
+  private val maxFiles = parameters.get("maxfilespertrigger").map(_.toInt)
+  private val startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(-1L)
+
+  private val qroot: Path = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+  }
+
+  override val schema: StructType = {
+    val v = Snapshots.latestVersion(spark, root)
+    Snapshots.versionSchema(spark, root, v)
+      .getOrElse(Snapshots.readVersion(spark, root, v).schema)
+  }
+
+  /** Highest version already offered to the engine; rate limiting counts
+    * forward from here. Re-derived from the engine's own offsets on
+    * restart (recovery calls `getBatch` for the last completed batch
+    * before asking for new offsets), so it is a cache, not state. */
+  @volatile private var posV: Long = startingVersion
+
+  private def asLong(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from the checkpoint
+  }
+
+  /** Under Trigger.AvailableNow the engine would otherwise WRAP this
+    * source and pin the run's terminal offset to the first getOffset —
+    * which is the PACED offset when maxFilesPerTrigger is set, silently
+    * dropping the unpaced remainder. Implementing the trait ourselves
+    * (Spark's FileStreamSource does the same) captures the true head
+    * here; getOffset then paces toward it batch by batch and the run
+    * terminates only when the head is reached. */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Snapshots.versions(spark, root).lastOption.getOrElse(-1L))
+
+  /** SupportsAdmissionControl entry (the engine prefers it over
+    * `getOffset` once the trait is mixed in): same pacing, connector-
+    * typed. ReadLimit is ignored — admission is the source's own
+    * `maxFilesPerTrigger`, applied inside `getOffset`. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[V1Offset] = {
+    val liveHead = Snapshots.versions(spark, root).lastOption.getOrElse(-1L)
+    val head = availableNowTarget.fold(liveHead)(math.min(liveHead, _))
+    if (head < 0) return None
+    if (head <= posV) return Some(LongOffset(math.min(posV, head)))
+    val bounded = maxFiles match {
+      case None => head
+      case Some(max) =>
+        var acc = 0
+        var last = posV
+        TableSync
+          .appendedFilesPerVersion(spark, root, posV, head, skipRewrites)
+          .foreach { case (v, fs) =>
+            // admit while under budget; a version is atomic, so the first
+            // one always enters even if it alone exceeds the cap
+            if (last == v - 1 && (acc == 0 || acc + fs.size <= max)) {
+              acc += fs.size; last = v
+            }
+          }
+        last
+    }
+    if (bounded <= posV) Some(LongOffset(posV)) else Some(LongOffset(bounded))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val fromV = start.map(asLong).getOrElse(startingVersion)
+    val toV = asLong(end)
+    if (toV > posV) posV = toV
+    val files = TableSync
+      .appendedFilesPerVersion(spark, root, fromV, toV, skipRewrites)
+      .flatMap(_._2)
+    val relation = HadoopFsRelation(
+      new ExplicitFileIndex(spark, qroot, files),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.classic.GraftSqlShim.ofRows(
+      spark, LogicalRelation(relation, isStreaming = true))
+  }
+
+  override def commit(end: V1Offset): Unit = {
+    val v = asLong(end)
+    if (v > posV) posV = v
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$root]"
+}
+
+/** A `FileIndex` over an explicit, already-final file list — the
+  * micro-batch form (the batch-read form, `SnapshotFileIndex`, prunes a
+  * VERSION's list by stats; a tail batch is already O(new files), so it
+  * lists exactly what the log named and lets row-group pushdown do the
+  * rest). */
+private[sources] class ExplicitFileIndex(
+    spark: SparkSession, qroot: Path, files: Seq[String]) extends FileIndex {
+
+  private lazy val statuses: Seq[FileStatus] = {
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val set = files.toSet
+    set.map(f => new Path(f).getParent).toSeq.distinct
+      .flatMap(dir => fs.listStatus(dir).toSeq)
+      .filter(s => s.isFile && set.contains(s.getPath.toString))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(qroot)
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def inputFiles: Array[String] = statuses.map(_.getPath.toString).toArray
+  override def refresh(): Unit = () // committed files are immutable
+
+  override def listFiles(
+      partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+}

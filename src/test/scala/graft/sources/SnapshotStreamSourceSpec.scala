@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.jobs.Snapshots
+
+/** The `spark.readStream` front door: tailing a snapshot-logged table as
+  * a Structured Streaming source. Offsets are table versions; OPTIMIZE
+  * commits are transparent; rewrites fail loudly unless admitted;
+  * `maxFilesPerTrigger` paces micro-batches at commit grain. */
+class SnapshotStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val fmt = "graft.sources.SnapshotSource"
+
+  private def dir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  /** Drain the stream AvailableNow through foreachBatch (the one test
+    * sink that supports checkpoint recovery), collecting (batchRows,
+    * batchCount) per micro-batch. */
+  private def drain(src: DataFrame, cp: String,
+                    sink: ConcurrentLinkedQueue[Seq[(Long, String)]]): Unit = {
+    val q = src.writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        sink.add(df.as[(Long, String)].collect().toSeq): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private def one(rows: (Long, String)*): DataFrame =
+    rows.toDF("k", "s").coalesce(1)
+
+  test("AvailableNow drains the whole log; a restarted run picks up only new commits") {
+    val root = dir("sstail") + "/t"
+    val cp = dir("sstail-cp")
+    Snapshots.init(spark, root, one(1L -> "a", 2L -> "b"))
+    Snapshots.append(spark, root, one(3L -> "c"))
+    val got1 = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).load(root), cp, got1)
+    assert(got1.asScala().flatten.toSet == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    Snapshots.append(spark, root, one(4L -> "d"))
+    val got2 = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).load(root), cp, got2)
+    assert(got2.asScala().flatten.toSet == Set(4L -> "d"),
+      "a resumed tail must replay nothing already committed")
+  }
+
+  test("OPTIMIZE commits are transparent: no double-counted rows") {
+    val root = dir("ssopt") + "/t"
+    val cp = dir("ssopt-cp")
+    Snapshots.init(spark, root, one(1L -> "a"))
+    Snapshots.append(spark, root, one(2L -> "b"))
+    assert(Snapshots.optimizeCompact(spark, root, smallerThanBytes = 10L * 1024 * 1024) >= 0)
+    Snapshots.append(spark, root, one(3L -> "c"))
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).load(root), cp, got)
+    val rows = got.asScala().flatten.toSeq
+    assert(rows.size == 3, s"optimize adds must not re-enter the tail: $rows")
+    assert(rows.toSet == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("a rewrite commit fails the stream loudly; skipRewrites admits the history") {
+    val root = dir("ssrw") + "/t"
+    Snapshots.init(spark, root, one(1L -> "a", 2L -> "b"))
+    Snapshots.deleteKeysCow(spark, root, Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+    Snapshots.append(spark, root, one(3L -> "c"))
+
+    val loud = intercept[StreamingQueryException] {
+      val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+      drain(spark.readStream.format(fmt).load(root), dir("ssrw-cp1"), got)
+    }
+    assert(Iterator.iterate(loud: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage != null && loud.toString.contains("rewrite") ||
+        Option(loud.getMessage).exists(_.contains("rewrite"))),
+      s"failure must name the rewrite: $loud")
+
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).option("skipRewrites", "true").load(root),
+      dir("ssrw-cp2"), got)
+    // inserts-only admission: the delete's rewrite is skipped wholesale,
+    // so the tail sees the ORIGINAL inserts plus later appends
+    assert(got.asScala().flatten.toSet == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("maxFilesPerTrigger paces micro-batches at commit grain") {
+    val root = dir("sspace") + "/t"
+    val cp = dir("sspace-cp")
+    Snapshots.init(spark, root, one(1L -> "a"))
+    (2L to 5L).foreach(i => Snapshots.append(spark, root, one(i -> s"r$i")))
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).option("maxFilesPerTrigger", "1").load(root), cp, got)
+    val batches = got.asScala()
+    assert(batches.size == 5, s"one 1-file commit per trigger: ${batches.size} batches")
+    assert(batches.flatten.toSet ==
+      (1L to 5L).map(i => i -> (if (i == 1L) "a" else s"r$i")).toSet)
+  }
+
+  test("startingVersion tails from after the named version") {
+    val root = dir("ssfrom") + "/t"
+    val cp = dir("ssfrom-cp")
+    Snapshots.init(spark, root, one(1L -> "a"))      // v0
+    Snapshots.append(spark, root, one(2L -> "b"))    // v1
+    Snapshots.append(spark, root, one(3L -> "c"))    // v2
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).option("startingVersion", "1").load(root), cp, got)
+    assert(got.asScala().flatten.toSet == Set(3L -> "c"))
+  }
+
+  private implicit class QueueOps(q: ConcurrentLinkedQueue[Seq[(Long, String)]]) {
+    def asScala(): Seq[Seq[(Long, String)]] = {
+      val b = Seq.newBuilder[Seq[(Long, String)]]
+      q.forEach(e => b += e)
+      b.result()
+    }
+  }
+}

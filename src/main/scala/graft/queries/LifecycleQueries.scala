@@ -1022,6 +1022,56 @@ object LifecycleQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- CDC streaming (r8): `readChangeFeed` turns the same source
+    // into a ROW-CHANGE stream — each micro-batch is the change feed of
+    // the admitted versions (v0/append inserts synthesized from the
+    // files the log names; merge/delete replay their atomic `#cdf:`
+    // feeds). The op-grain aggregate must equal the relational recompute
+    // of the exact change set — the streaming mirror of
+    // `changes_mixed_history`, from table birth. 100 TB shape: a CDC
+    // batch is O(changed rows), never O(table).
+    QuerySpec(
+      "stream_cdc_tail",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/cdctail"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 4 === 0))
+        Snapshots.append(s, root, e.where(col("event_id") % 4 === 1))
+        Snapshots.mergeCow(s, root,
+          e.where(col("event_id") % 8 === 0).withColumn("value", col("value") * 2),
+          Seq("event_id"), changeFeed = true)
+        Snapshots.deleteKeysCow(s, root,
+          e.where(col("event_id") % 16 === 4).select(col("event_id")),
+          Seq("event_id"), changeFeed = true)
+        val tailed = s.readStream.format("graft.sources.SnapshotSource")
+          .option("readChangeFeed", "true")
+          .load(root)
+        val name = s"stream_cdc_tail_${streamRun.incrementAndGet()}"
+        StreamingJobs.runAvailableNow(tailed, name, OutputMode.Append())
+        s.table(name)
+          .groupBy(col(ChangeFeed.opCol).as("op"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("op"))
+      },
+      Some("""WITH e AS (SELECT event_id, value FROM events),
+             |feed AS (
+             |  SELECT event_id, value, 'insert' AS op FROM e WHERE event_id % 4 IN (0, 1)
+             |  UNION ALL
+             |  SELECT event_id, value, 'update_preimage' FROM e WHERE event_id % 8 = 0
+             |  UNION ALL
+             |  SELECT event_id, value * 2, 'update_postimage' FROM e WHERE event_id % 8 = 0
+             |  UNION ALL
+             |  SELECT event_id, value, 'delete' FROM e WHERE event_id % 16 = 4)
+             |SELECT op, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM feed GROUP BY op ORDER BY op""".stripMargin)
+    ),
+
     // ---- timestampAsOf time travel (r8): every delta carries a
     // STRICTLY increasing in-commit timestamp (`#ts:` — stamped
     // max(now, predecessor+1), Delta's in-commit-timestamp discipline),

@@ -10,4 +10,15 @@ object GraftSqlShim {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** A computed batch frame re-expressed as a STREAMING micro-batch frame
+    * (isStreaming=true plan over the batch plan's lazily-executed RDD) —
+    * what a DSv1 `Source.getBatch` must hand the engine when the batch is
+    * not a plain file scan (e.g. a change-feed replay). Evaluation stays
+    * lazy: `toRdd` plans but does not run until the sink consumes it. */
+  def asStreaming(spark: org.apache.spark.sql.SparkSession,
+                  df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = spark.asInstanceOf[SparkSession]
+    s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

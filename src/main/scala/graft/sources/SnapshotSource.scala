@@ -67,6 +67,10 @@ import graft.jobs.Snapshots
   *     .option("skipRewrites", true)      // admit delete/merge histories
   *     .option("startingVersion", 3)      // tail from after v3
   *     .load(root)
+  *
+  *   spark.readStream.format("graft.sources.SnapshotSource")
+  *     .option("readChangeFeed", true)    // stream ROW CHANGES (_op col):
+  *     .load(root)                        //   the CDC view of each commit
   * }}}
   *
   * Each micro-batch commits through `Snapshots.commitStreamingBatch`:
@@ -99,7 +103,8 @@ class SnapshotSource extends RelationProvider
     * passes becomes a TABLE PROPERTY at create time. */
   private val reservedKeys =
     Set("path", "versionasof", "timestampasof", "changesfrom", "changesto",
-      "bloomon", "skiprewrites", "maxfilespertrigger", "startingversion")
+      "bloomon", "skiprewrites", "maxfilespertrigger", "startingversion",
+      "readchangefeed")
 
   /** Epoch millis from either a raw long or a `Timestamp.valueOf` string
     * (`yyyy-mm-dd hh:mm:ss[.f…]`, session-local zone — the same spelling
@@ -205,8 +210,12 @@ class SnapshotSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val s = schema.getOrElse {
       val v = Snapshots.latestVersion(spark, root)
-      Snapshots.versionSchema(spark, root, v)
+      val base = Snapshots.versionSchema(spark, root, v)
         .getOrElse(Snapshots.readVersion(spark, root, v).schema)
+      if (parameters.get("readchangefeed").exists(_.toBoolean))
+        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+          graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.types.StringType))
+      else base
     }
     (shortName(), s)
   }

@@ -108,6 +108,67 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       (1L to 5L).map(i => i -> (if (i == 1L) "a" else s"r$i")).toSet)
   }
 
+  test("readChangeFeed streams row-level changes: inserts synthesized, rewrites replayed") {
+    val root = dir("sscdf") + "/t"
+    val cp = dir("sscdf-cp")
+    Snapshots.init(spark, root, one(1L -> "a", 2L -> "b"))                 // v0: inserts
+    Snapshots.mergeCow(spark, root, one(2L -> "B", 3L -> "c"),
+      Seq("k"), changeFeed = true)                                          // v1: update + insert
+    Snapshots.deleteKeysCow(spark, root, Seq(Tuple1(1L)).toDF("k"),
+      Seq("k"), changeFeed = true)                                          // v2: delete
+
+    val src = spark.readStream.format(fmt).option("readChangeFeed", "true").load(root)
+    assert(src.columns.contains("_op"))
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String, String)]]()
+    val q = src.writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.add(df.select(col("k"), col("s"), col("_op"))
+          .as[(Long, String, String)].collect().toSeq): Unit
+      }
+      .start()
+    q.awaitTermination()
+    val changes = { val b = Seq.newBuilder[(Long, String, String)]; got.forEach(e => b ++= e); b.result() }
+    assert(changes.toSet == Set(
+      (1L, "a", "insert"), (2L, "b", "insert"),
+      (2L, "b", "update_preimage"), (2L, "B", "update_postimage"), (3L, "c", "insert"),
+      (1L, "a", "delete")), s"full CRUD feed expected: $changes")
+
+    // a resumed CDC tail replays nothing
+    Snapshots.append(spark, root, one(4L -> "d"))                           // v3: insert
+    val got2 = new ConcurrentLinkedQueue[Seq[(Long, String, String)]]()
+    val q2 = spark.readStream.format(fmt).option("readChangeFeed", "true").load(root)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got2.add(df.select(col("k"), col("s"), col("_op"))
+          .as[(Long, String, String)].collect().toSeq): Unit
+      }
+      .start()
+    q2.awaitTermination()
+    val tail = { val b = Seq.newBuilder[(Long, String, String)]; got2.forEach(e => b ++= e); b.result() }
+    assert(tail.toSet == Set((4L, "d", "insert")))
+  }
+
+  test("readChangeFeed refuses the contradictory options") {
+    val root = dir("sscdf-bad") + "/t"
+    Snapshots.init(spark, root, one(1L -> "a"))
+    def messagesOf(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .flatMap(e => Option(e.getMessage)).toSeq
+    def start(extra: (String, String)): Seq[String] = messagesOf(intercept[Throwable] {
+      val q = spark.readStream.format(fmt)
+        .option("readChangeFeed", "true").option(extra._1, extra._2).load(root)
+        .writeStream.option("checkpointLocation", dir("sscdf-bad-cp"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start()
+      q.awaitTermination()
+    })
+    assert(start("skipRewrites" -> "true").exists(_.contains("skipRewrites")))
+    assert(start("maxFilesPerTrigger" -> "2").exists(_.contains("maxFilesPerTrigger")))
+  }
+
   test("startingVersion tails from after the named version") {
     val root = dir("ssfrom") + "/t"
     val cp = dir("ssfrom-cp")

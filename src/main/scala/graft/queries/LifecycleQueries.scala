@@ -936,6 +936,40 @@ object LifecycleQueries {
              |FROM events WHERE event_id % 4 = 3""".stripMargin)
     ),
 
+    // ---- The SQL front door (r8): the snapshot table reached PURELY
+    // through SQL — `CREATE TEMPORARY VIEW … USING graft-snapshot`
+    // (short name via ServiceLoader registration) + a spark.sql
+    // aggregate over the view, with a second view pinning versionAsOf
+    // time travel in the same statement form. What a SQL-only consumer
+    // (BI tool, notebook) actually types; the view plans the same
+    // native pruned FileSourceScanExec as the programmatic read.
+    QuerySpec(
+      "sql_front_door",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/sqlfd"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 2 === 0))
+        Snapshots.append(s, root, e.where(col("event_id") % 2 === 1))
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqlfd_head
+                 |USING `graft-snapshot` OPTIONS (path '$root')""".stripMargin)
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW sqlfd_v0
+                 |USING `graft-snapshot`
+                 |OPTIONS (path '$root', versionAsOf '0')""".stripMargin)
+        s.sql("""SELECT COUNT(*) AS n,
+                |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+                |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+                |  (SELECT COUNT(*) FROM sqlfd_v0) AS v0_n
+                |FROM sqlfd_head""".stripMargin)
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 0) AS v0_n
+             |FROM events""".stripMargin)
+    ),
+
     // ---- The `writeStream` front door (r8): the events stream is
     // ingested into a snapshot table purely through
     // `df.writeStream.format(…).start(root)` — every micro-batch is one

@@ -103,8 +103,8 @@ class SnapshotSource extends RelationProvider
     * passes becomes a TABLE PROPERTY at create time. */
   private val reservedKeys =
     Set("path", "versionasof", "timestampasof", "changesfrom", "changesto",
-      "bloomon", "skiprewrites", "maxfilespertrigger", "startingversion",
-      "readchangefeed")
+      "bloomon", "skiprewrites", "maxfilespertrigger", "maxbytespertrigger",
+      "startingversion", "readchangefeed")
 
   /** Epoch millis from either a raw long or a `Timestamp.valueOf` string
     * (`yyyy-mm-dd hh:mm:ss[.f…]`, session-local zone — the same spelling

@@ -27,10 +27,11 @@ import graft.jobs.{Snapshots, TableSync}
   *     `.option("skipRewrites", true)` — Delta's `skipChangeCommits`
   *     admission. Rewrite-aware consumers replay the change feed
   *     instead (`changesFrom`/`changesTo` batch reads).
-  *   - `.option("maxFilesPerTrigger", n)` paces admission: getOffset
-  *     advances version-at-a-time until the next version would exceed
-  *     `n` files (always admitting at least one version — a single
-  *     commit is the atom; splitting it would tear commit atomicity).
+  *   - `.option("maxFilesPerTrigger", n)` / `.option("maxBytesPerTrigger",
+  *     b)` pace admission: getOffset advances version-at-a-time until the
+  *     next version would exceed a cap (always admitting at least one
+  *     version — a single commit is the atom; splitting it would tear
+  *     commit atomicity).
   *   - `.option("startingVersion", v)` tails from AFTER version `v`
   *     (default: from table birth — v0's initial files included).
   *
@@ -48,6 +49,7 @@ private[sources] class SnapshotStreamSource(
 
   private val skipRewrites = parameters.get("skiprewrites").exists(_.toBoolean)
   private val maxFiles = parameters.get("maxfilespertrigger").map(_.toInt)
+  private val maxBytes = parameters.get("maxbytespertrigger").map(_.toLong)
   private val startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(-1L)
 
   /** `.option("readChangeFeed", true)`: stream ROW-LEVEL CHANGES instead
@@ -60,8 +62,8 @@ private[sources] class SnapshotStreamSource(
   private val readChangeFeed = parameters.get("readchangefeed").exists(_.toBoolean)
   require(!readChangeFeed || !skipRewrites,
     "readChangeFeed streams rewrites as row changes — skipRewrites does not combine")
-  require(!readChangeFeed || maxFiles.isEmpty,
-    "maxFilesPerTrigger paces file-grain tailing, not the change feed")
+  require(!readChangeFeed || (maxFiles.isEmpty && maxBytes.isEmpty),
+    "maxFilesPerTrigger/maxBytesPerTrigger pace file-grain tailing, not the change feed")
 
   private val qroot: Path = {
     val p = new Path(root)
@@ -118,22 +120,34 @@ private[sources] class SnapshotStreamSource(
     val head = availableNowTarget.fold(liveHead)(math.min(liveHead, _))
     if (head < 0) return None
     if (head <= posV) return Some(LongOffset(math.min(posV, head)))
-    val bounded = maxFiles match {
-      case None => head
-      case Some(max) =>
-        var acc = 0
+    val bounded =
+      if (maxFiles.isEmpty && maxBytes.isEmpty) head
+      else {
+        val hfs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var accFiles = 0
+        var accBytes = 0L
         var last = posV
         TableSync
           .appendedFilesPerVersion(spark, root, posV, head, skipRewrites)
-          .foreach { case (v, fs) =>
-            // admit while under budget; a version is atomic, so the first
-            // one always enters even if it alone exceeds the cap
-            if (last == v - 1 && (acc == 0 || acc + fs.size <= max)) {
-              acc += fs.size; last = v
+          .foreach { case (v, paths) =>
+            // admit while under BOTH budgets; a version is atomic (one
+            // commit), so the first always enters even if it alone
+            // exceeds a cap. Byte sizes are per-file metadata RPCs, paid
+            // only over the unprocessed tail and only when the byte cap
+            // is set.
+            if (last == v - 1) {
+              val bytes =
+                if (maxBytes.isEmpty) 0L
+                else paths.map(p => hfs.getFileStatus(new Path(p)).getLen).sum
+              val first = accFiles == 0 && accBytes == 0L
+              val admit = first ||
+                (maxFiles.forall(accFiles + paths.size <= _) &&
+                  maxBytes.forall(accBytes + bytes <= _))
+              if (admit) { accFiles += paths.size; accBytes += bytes; last = v }
             }
           }
         last
-    }
+      }
     if (bounded <= posV) Some(LongOffset(posV)) else Some(LongOffset(bounded))
   }
 

@@ -333,4 +333,30 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(Snapshots.versionAt(spark, root, t2) == 2L)
     assert(Snapshots.versionAt(spark, root, t2 - 1) == 1L)
   }
+
+  test("short name resolves via ServiceLoader: format(\"graft-snapshot\") reads the log") {
+    val root = freshLog()
+    val byShort = spark.read.format("graft-snapshot").load(root)
+    val byClass = spark.read.format(fmt).load(root)
+    assert(byShort.count() == byClass.count())
+  }
+
+  test("SQL front door: CREATE TEMPORARY VIEW ... USING `graft-snapshot` + time travel") {
+    val root = freshLog() // v0: 100 rows; v1: merge (k=7 updated, k=200 inserted)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW snap_head
+                 |USING `graft-snapshot` OPTIONS (path '$root')""".stripMargin)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW snap_v0
+                 |USING `graft-snapshot` OPTIONS (path '$root', versionAsOf '0')""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM snap_head").head().getLong(0) == 101L)
+    assert(spark.sql("SELECT COUNT(*) FROM snap_v0").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT v FROM snap_head WHERE k = 7").head().getDouble(0) == 700.0)
+    assert(spark.sql("SELECT v FROM snap_v0 WHERE k = 7").head().getDouble(0) == 7.0)
+    // and the CDC view is SQL-reachable the same way
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW snap_changes
+                 |USING `graft-snapshot`
+                 |OPTIONS (path '$root', changesFrom '0', changesTo '1')""".stripMargin)
+    val ops = spark.sql("SELECT _op, COUNT(*) AS n FROM snap_changes GROUP BY _op")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops == Map("update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
+  }
 }

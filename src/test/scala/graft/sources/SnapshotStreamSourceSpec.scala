@@ -169,6 +169,20 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(start("maxFilesPerTrigger" -> "2").exists(_.contains("maxFilesPerTrigger")))
   }
 
+  test("maxBytesPerTrigger paces micro-batches at commit grain too") {
+    val root = dir("ssbytes") + "/t"
+    val cp = dir("ssbytes-cp")
+    Snapshots.init(spark, root, one(1L -> "a"))
+    (2L to 4L).foreach(i => Snapshots.append(spark, root, one(i -> s"r$i")))
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    // 1-byte cap: every commit alone exceeds it, so each is its own batch
+    drain(spark.readStream.format(fmt).option("maxBytesPerTrigger", "1").load(root), cp, got)
+    val batches = got.asScala()
+    assert(batches.size == 4, s"one commit per trigger under a 1-byte cap: ${batches.size}")
+    assert(batches.flatten.toSet ==
+      (1L to 4L).map(i => i -> (if (i == 1L) "a" else s"r$i")).toSet)
+  }
+
   test("startingVersion tails from after the named version") {
     val root = dir("ssfrom") + "/t"
     val cp = dir("ssfrom-cp")

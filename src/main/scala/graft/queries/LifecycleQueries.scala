@@ -1056,6 +1056,48 @@ object LifecycleQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- Composed streaming pipeline (r8): BOTH front doors in one
+    // flow — readStream tails a snapshot table, a transform runs in the
+    // micro-batch plan, writeStream commits exactly-once into a SECOND
+    // snapshot table; the landed table is hash-checked against the
+    // relational recompute. This is the continuous-ingest topology a
+    // lakehouse owes its users (Delta-to-Delta streaming): versions in,
+    // versions out, a checkpointed version number the only state between
+    // them. 100 TB shape: per trigger, O(new files) read + O(batch)
+    // committed — table size appears nowhere.
+    QuerySpec(
+      "stream_pipe_log_to_log",
+      (s, dir) => {
+        val base = Dumps.forSf(dir)
+        val srcRoot = s"$base/pipesrc"
+        val dstRoot = s"$base/pipedst"
+        val cp = s"$base/pipe_cp"
+        val fs = new org.apache.hadoop.fs.Path(srcRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(srcRoot, dstRoot, cp).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)) // fresh per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, srcRoot, e.where(col("event_id") % 2 === 0))
+        Snapshots.append(s, srcRoot, e.where(col("event_id") % 2 === 1))
+        s.readStream.format("graft-snapshot").load(srcRoot)
+          .where(col("value") > 10)
+          .select(col("event_id"), col("user_id"),
+            (col("value") * 2).as("value2"))
+          .writeStream.format("graft-snapshot")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dstRoot)
+          .awaitTermination()
+        s.read.format("graft-snapshot").load(dstRoot)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value2")).as("value2_sum"))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value * 2 AS DECIMAL(12,2))) AS DOUBLE) AS value2_sum
+             |FROM events WHERE value > 10""".stripMargin)
+    ),
+
     // ---- CDC streaming (r8): `readChangeFeed` turns the same source
     // into a ROW-CHANGE stream — each micro-batch is the change feed of
     // the admitted versions (v0/append inserts synthesized from the

@@ -141,6 +141,26 @@ object Snapshots {
     vs.last
   }
 
+  /** DESCRIBE HISTORY: one row per committed version, newest first —
+    * what a table operator asks before trusting a rollback, a vacuum, or
+    * a CDC range. Everything comes from the delta headers: the commit
+    * kind (`#op:`), its in-commit timestamp, add/remove file counts, the
+    * streaming batch id if one rode the commit (`#txn:`), whether a
+    * change feed was published (`#cdf:`) and whether the commit carried a
+    * schema (evolution or init). O(surviving versions) driver-side
+    * metadata reads — the same grain Delta's DESCRIBE HISTORY pays;
+    * never a data scan. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root).reverse.map { v =>
+      val d = readDelta(spark, root, v)
+      (v, d.ts.getOrElse(-1L), d.op.getOrElse("unknown"),
+        d.adds.size.toLong, d.removes.size.toLong,
+        d.txn.getOrElse(-1L), d.cdf.isDefined, d.schema.isDefined)
+    }.toDF("version", "commit_ts_ms", "op", "n_added", "n_removed",
+      "txn", "has_feed", "carries_schema")
+  }
+
   /** When version `v` committed, epoch millis: the delta's `#ts:` header
     * (strictly increasing by construction — `writeDelta` stamps
     * `max(now, predecessor + 1)`), or the delta FILE's modification time

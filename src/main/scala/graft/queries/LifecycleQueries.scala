@@ -738,6 +738,50 @@ object LifecycleQueries {
              |FROM events""".stripMargin)
     ),
 
+    // ---- DESCRIBE HISTORY (r8): `Snapshots.history` — one row per
+    // version, newest first, straight from the delta headers (commit
+    // kind, feed presence, add/remove counts). The oracle pins the full
+    // deterministic shape of a six-kind history (init, append, merge,
+    // optimize, delete, restore) as a literal table — what a table
+    // operator reads before trusting a rollback or a CDC range.
+    // Metadata-grain: O(versions) driver reads, never a data scan.
+    QuerySpec(
+      "table_history",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/historylog"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 2 === 0))      // v0
+        Snapshots.append(s, root, e.where(col("event_id") % 2 === 1))    // v1
+        Snapshots.mergeCow(s, root,
+          e.where(col("event_id") % 4 === 0).withColumn("value", col("value") + 1),
+          Seq("event_id"), changeFeed = true)                            // v2
+        Snapshots.optimizeCow(s, root, Seq("event_id"), numFiles = 2)    // v3
+        Snapshots.deleteKeysCow(s, root,
+          e.where(col("event_id") % 8 === 1).select(col("event_id")),
+          Seq("event_id"), changeFeed = true)                            // v4
+        Snapshots.restore(s, root, 1L)                                   // v5
+        Snapshots.history(s, root)
+          .select(col("version"), col("op"), col("has_feed"),
+            (col("n_added") > 0).as("any_added"),
+            (col("n_removed") > 0).as("any_removed"))
+          .orderBy(col("version").desc)
+      },
+      Some("""SELECT CAST(version AS BIGINT) AS version, op, has_feed,
+             |  any_added, any_removed
+             |FROM (VALUES
+             |  (5, 'restore',  FALSE, TRUE,  TRUE),
+             |  (4, 'delete',   TRUE,  TRUE,  TRUE),
+             |  (3, 'optimize', FALSE, TRUE,  TRUE),
+             |  (2, 'merge',    TRUE,  TRUE,  TRUE),
+             |  (1, 'append',   FALSE, TRUE,  FALSE),
+             |  (0, 'init',     FALSE, TRUE,  FALSE))
+             |  t(version, op, has_feed, any_added, any_removed)
+             |ORDER BY version DESC""".stripMargin)
+    ),
+
     // ---- Complete CDC over a MIXED history (r8): append → merge →
     // OPTIMIZE → delete, then ONE `changesBetween` range read over all of
     // it. The append never staged a feed — its adds ARE the inserts, so

@@ -819,4 +819,20 @@ class SnapshotsSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSeq == Seq(101L))
     intercept[Exception](Snapshots.readVersion(spark, root, 0))
   }
+
+  test("history: one row per version, newest first, headers faithful") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((3L, 3.0)).toDF("k", "v"))
+    Snapshots.commitStreamingBatch(spark, root, Seq((4L, 4.0)).toDF("k", "v"), batchId = 7L)
+    Snapshots.mergeCow(spark, root, Seq((1L, 10.0)).toDF("k", "v"), Seq("k"), changeFeed = true)
+    val h = Snapshots.history(spark, root).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_.getString(2)).toSeq == Seq("merge", "append", "append", "init"))
+    assert(h.find(_.getLong(0) == 2L).get.getLong(5) == 7L, "streaming batch id rides its row")
+    assert(h.map(_.getBoolean(6)).toSeq == Seq(true, false, false, false), "only the merge has a feed")
+    val ts = h.map(_.getLong(1)).reverse
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b }, "in-commit timestamps strictly increase")
+    assert(h.last.getBoolean(7), "init carries the schema")
+  }
 }

@@ -515,9 +515,31 @@ object Snapshots {
     * rebase on a lost commit race (appends commute — see `commitAdds`).
     * A `df` carrying columns the table lacks WIDENS the table schema
     * (schema evolution — old files null-fill at read time); a column
-    * type change is refused loudly. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long =
-    appendTxn(spark, root, df, None)
+    * type change is refused loudly.
+    *
+    * Auto-compaction (Delta's autoCompact, opt-in): with the table
+    * property `graft.autoCompact.smallBytes=<n>`, each append is
+    * followed by a best-effort bin-packing `optimizeCompact` of files
+    * smaller than n — a SEPARATE commit, so the append's atomicity and
+    * OCC rebase are untouched and a crash between the two leaves a
+    * valid, merely-uncompacted table. Opportunistic by design: a lost
+    * compaction race (another writer landed first) is swallowed — the
+    * next append simply compacts more. Steady small-batch ingest keeps
+    * O(1) files instead of O(appends), which is what keeps the
+    * per-query planning cost flat at 100 TB. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val v = appendTxn(spark, root, df, None)
+    readDelta(spark, root, v).props.get(autoCompactProp).foreach { n =>
+      try optimizeCompact(spark, root, smallerThanBytes = n.toLong)
+      catch {
+        case e: IllegalArgumentException if e.getMessage.contains("commit race") => ()
+        case e: IllegalStateException if e.getMessage.contains("commit race") => ()
+      }
+    }
+    v
+  }
+
+  private val autoCompactProp = "graft.autoCompact.smallBytes"
 
   private def appendTxn(
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long]): Long = {

@@ -889,6 +889,42 @@ object LifecycleQueries {
              |FROM events WHERE event_id % 5 IN (0, 1, 2, 3, 4)""".stripMargin)
     ),
 
+    // ---- Auto-compaction (r8): the `graft.autoCompact.smallBytes`
+    // table property makes every append opportunistically bin-pack the
+    // accumulated small files in a follow-up commit (Delta's
+    // autoCompact) — steady small-batch ingest keeps O(1) files instead
+    // of O(appends), the property that keeps planning cost flat at
+    // 100 TB. Six 1-file appends land; the head must read back exactly
+    // their union from a BOUNDED file set, with optimize commits visible
+    // as ordinary history rows.
+    QuerySpec(
+      "auto_compact_ingest",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/autocompact"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, root, e.where(col("event_id") % 7 === 0).coalesce(1),
+          Map("graft.autoCompact.smallBytes" -> (64L * 1024 * 1024).toString))
+        (1 to 6).foreach(i =>
+          Snapshots.append(s, root, e.where(col("event_id") % 7 === i).coalesce(1)))
+        val nFiles = Snapshots.versionFiles(s, root).size
+        val compactions = Snapshots.history(s, root)
+          .where(col("op") === "optimize").count()
+        Snapshots.readVersion(s, root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("files_bounded", lit(nFiles <= 2))
+          .withColumn("compacted_in_history", lit(compactions >= 1L))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS files_bounded, TRUE AS compacted_in_history
+             |FROM events""".stripMargin)
+    ),
+
     // ---- Incremental table sync / streaming-source tailing (r8): a
     // downstream snapshot table is materialized from an upstream one by
     // tailing the log's APPENDS — each sync reads only the files added

@@ -169,7 +169,10 @@ class SnapshotSource extends RelationProvider
         .filterNot { case (k, _) => reservedKeys.contains(k.toLowerCase) }
         .map { case (k, v) =>
           (if (k.equalsIgnoreCase("graft.parquet.timestampMicros"))
-            "graft.parquet.timestampMicros" else k) -> v
+            "graft.parquet.timestampMicros"
+          else if (k.equalsIgnoreCase("graft.autoCompact.smallBytes"))
+            "graft.autoCompact.smallBytes"
+          else k) -> v
         }
       Snapshots.init(spark, root, data, props)
     } else mode match {

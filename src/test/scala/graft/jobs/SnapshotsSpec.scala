@@ -820,6 +820,28 @@ class SnapshotsSpec extends AnyFunSuite {
     intercept[Exception](Snapshots.readVersion(spark, root, 0))
   }
 
+  test("autoCompact property: steady small appends keep O(1) files, rows intact") {
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v").coalesce(1),
+      Map("graft.autoCompact.smallBytes" -> (10L * 1024 * 1024).toString))
+    (1L to 6L).foreach(i =>
+      Snapshots.append(spark, root, Seq((i, i * 1.0)).toDF("k", "v").coalesce(1)))
+    val files = Snapshots.versionFiles(spark, root)
+    assert(files.size <= 2,
+      s"auto-compaction must bound the file count, got ${files.size}: $files")
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == (0L to 6L), "no row lost or doubled across compactions")
+    val ops = Snapshots.history(spark, root).select("op").as[String].collect()
+    assert(ops.contains("optimize"), "compactions are ordinary commits in the history")
+
+    // control: without the property the file count grows with appends
+    val root2 = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root2, Seq((0L, 0.0)).toDF("k", "v").coalesce(1))
+    (1L to 6L).foreach(i =>
+      Snapshots.append(spark, root2, Seq((i, i * 1.0)).toDF("k", "v").coalesce(1)))
+    assert(Snapshots.versionFiles(spark, root2).size == 7)
+  }
+
   test("history: one row per version, newest first, headers faithful") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))

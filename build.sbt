@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout as JSON. sbt's default LoggedOutput
+// prefixes every forked-process line with "[info] "/"[error] " and appends
+// a "[success] Total time ..." line after the run — both of which defeat a
+// last-line (or startswith('{')) JSON parse. StdoutOutput passes the forked
+// JVM's stdout/stderr through raw, and showSuccess drops the trailer, so
+// the final stdout line IS the bench JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

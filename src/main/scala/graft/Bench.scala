@@ -58,18 +58,16 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     progress.println(line) // the full line lives on disk even if stdout truncates
     progress.close()
-    // The full per-query map goes ONLY to files (bench_total.json + the
-    // progress JSONL): the driver's capture keeps a ~1.5 KB stdout tail, and
-    // any >1.5 KB stdout line gets beheaded mid-JSON, which then breaks the
-    // driver's parse of the whole capture (rounds 4, 6, 7: parsed null).
     val totalWriter = new PrintWriter(new FileWriter("target/bench_total.json", false), true)
     totalWriter.println(line)
     totalWriter.close()
-    // stdout gets EXACTLY ONE compact line (<1 KB: totals + the 10 slowest)
-    // so the captured tail is the entire output and parses as-is.
-    val slow = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","note":"slowest 10 of ${results.size}; full map in target/bench_total.json"}""")
+    // stdout: the FULL-map line, printed raw (build.sbt forces StdoutOutput —
+    // no sbt "[info] " prefix — and showSuccess=false — no trailing
+    // "[success] Total time" line). Printed once here and once again after
+    // spark.stop() so it is BOTH the first parseable line and the very last
+    // stdout line, whichever end the driver's parser reads from.
+    println(line)
     spark.stop()
+    println(line)
   }
 }

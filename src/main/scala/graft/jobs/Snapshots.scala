@@ -435,10 +435,9 @@ object Snapshots {
     val v = if (version < 0) latestVersion(spark, root) else version
     val files = versionFiles(spark, root, v)
     require(files.nonEmpty, s"version $v of $root is empty")
-    versionSchema(spark, root, v) match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
-    }
+    val (_, qroot) = fsOf(spark, root)
+    readFilesAs(spark, qroot, files, versionSchema(spark, root, v),
+      readDelta(spark, root, v).props)
   }
 
   /** Write `df` into a fresh uniquely-suffixed commit dir, returning the
@@ -466,12 +465,50 @@ object Snapshots {
     val prevTs = spark.conf.get(tsConf)
     if (props.get(tsMicrosProp).contains("true"))
       spark.conf.set(tsConf, "TIMESTAMP_MICROS")
-    try df.write.options(writerOpts).parquet(dir.toString)
-    finally spark.conf.set(tsConf, prevTs)
-    val rels = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(s => s"data/${dir.getName}/${s.getPath.getName}")
+    // a partitioned table (graft.partitionBy property) writes every
+    // commit in Hive layout: partition values move into the path — the
+    // same `data/commit-N-xxxx/year=…/month=…/part-…` shape under each
+    // commit's own directory, so the log's rel paths are self-describing
+    // (core/HivePartitions decodes them at plan time)
+    val partCols = graft.core.HivePartitions.columnsOf(props)
+    try {
+      val w = df.write.options(writerOpts)
+      (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(dir.toString)
+    } finally spark.conf.set(tsConf, prevTs)
+    val prefix = dir.toString + "/"
+    def filesUnder(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) filesUnder(s.getPath)
+        else Seq(s"data/${dir.getName}/" + s.getPath.toString.stripPrefix(prefix))
+      }
+    val rels = filesUnder(dir)
     (rels, statsForNewFiles(spark, qroot, rels))
+  }
+
+  /** Partition columns of the table (from its `graft.partitionBy`
+    * property) as of `version`. Empty = unpartitioned. */
+  def partitionColumns(spark: SparkSession, root: String, version: Long = -1L): Seq[String] =
+    graft.core.HivePartitions.columnsOf(tableProperties(spark, root, version))
+
+  /** Read an EXPLICIT list of the table's data files under `schema` —
+    * the one file-read primitive every log path shares. Partitioned
+    * tables (per `props`) plan through a partition-aware FileIndex so
+    * the path-encoded partition columns materialize; unpartitioned
+    * tables take the plain multi-path parquet read. */
+  private def readFilesAs(
+      spark: SparkSession, qroot: Path, absFiles: Seq[String],
+      schema: Option[StructType], props: Map[String, String]): DataFrame = {
+    val partCols = graft.core.HivePartitions.columnsOf(props)
+    if (partCols.isEmpty) schema match {
+      case Some(s) => spark.read.schema(s).parquet(absFiles: _*)
+      case None => spark.read.parquet(absFiles: _*)
+    } else {
+      val full = schema.getOrElse(throw new IllegalStateException(
+        s"partitioned table at $qroot has no recorded schema"))
+      graft.sources.PartitionedRead.frame(spark, qroot, absFiles, full, partCols)
+    }
   }
 
   /** Footer-read ONLY the just-written files (driver loop at test-table
@@ -501,6 +538,10 @@ object Snapshots {
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long],
       props: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
+    // a partitioned table's layout columns must exist up front (validated
+    // once here; every later commit writes the same Hive layout)
+    graft.core.HivePartitions.splitSchema(
+      df.schema, graft.core.HivePartitions.columnsOf(props))
     checkConstraints(df, props)
     val (adds, stats) = writeCommitFiles(spark, root, 0L, df, props)
     writeDelta(spark, root, 0L,
@@ -529,17 +570,29 @@ object Snapshots {
     * per-query planning cost flat at 100 TB. */
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val v = appendTxn(spark, root, df, None)
-    readDelta(spark, root, v).props.get(autoCompactProp).foreach { n =>
-      try optimizeCompact(spark, root, smallerThanBytes = n.toLong)
-      catch {
-        case e: IllegalArgumentException if e.getMessage.contains("commit race") => ()
-        case e: IllegalStateException if e.getMessage.contains("commit race") => ()
-      }
-    }
+    maybeAutoCompact(spark, root, v)
     v
   }
 
   private val autoCompactProp = "graft.autoCompact.smallBytes"
+
+  /** Best-effort post-append auto-compaction (see `append`). A malformed
+    * property value degrades to a warning — the data commit already
+    * landed, so failing HERE would fail every ingest AFTER its commit,
+    * the worst possible place for a config typo to surface. */
+  private def maybeAutoCompact(spark: SparkSession, root: String, v: Long): Unit =
+    readDelta(spark, root, v).props.get(autoCompactProp).foreach { n =>
+      n.toLongOption match {
+        case None => org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ignoring malformed $autoCompactProp='$n' on $root (not a long)")
+        case Some(bytes) =>
+          try optimizeCompact(spark, root, smallerThanBytes = bytes)
+          catch {
+            case e: IllegalArgumentException if e.getMessage.contains("commit race") => ()
+            case e: IllegalStateException if e.getMessage.contains("commit race") => ()
+          }
+      }
+    }
 
   private def appendTxn(
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long]): Long = {
@@ -607,6 +660,115 @@ object Snapshots {
     commitRewrite(spark, root, base + 1,
       Delta(adds, removes, schema = Some(nullable(df.schema).json),
         props = prevDelta.props, stats = stats, op = Some("overwrite")))
+  }
+
+  /** The live files of `version` with their TYPED partition values as a
+    * small driver-built frame (`__file` rel path + one column per
+    * partition column) — the O(files) metadata grain partition-targeted
+    * operations select their victims from. Never touches data. */
+  private def filePartitionsFrame(
+      spark: SparkSession, root: String, version: Long): DataFrame = {
+    val d = readDelta(spark, root, version)
+    val partCols = graft.core.HivePartitions.columnsOf(d.props)
+    require(partCols.nonEmpty, s"$root is not a partitioned table " +
+      s"(no ${graft.core.HivePartitions.prop} property)")
+    val full = d.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(s"no recorded schema at $root"))
+    val (_, pSchema) = graft.core.HivePartitions.splitSchema(full, partCols)
+    val files = versionFileList(spark, root, version)
+    import org.apache.spark.sql.{Row => SRow}
+    val rows = files.map { f =>
+      val vals = graft.core.HivePartitions.valuesOf(f, partCols)
+      SRow.fromSeq(f +: partCols.map(c => vals.getOrElse(c, None).orNull))
+    }
+    val strSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__file",
+        org.apache.spark.sql.types.StringType) +:
+        partCols.map(org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), strSchema)
+    partCols.foldLeft(raw)((df, c) =>
+      df.withColumn(c, col(c).cast(pSchema(c).dataType)))
+  }
+
+  /** Rel paths of `version`'s files whose PARTITION VALUES satisfy
+    * `predicateSql` — plan-time victim selection for `replaceWhere` and
+    * partition-scoped OPTIMIZE. The predicate may reference partition
+    * columns only (anything else fails resolution loudly — a data-column
+    * predicate can't be answered at file grain). */
+  private[jobs] def filesMatchingPartitionPredicate(
+      spark: SparkSession, root: String, version: Long,
+      predicateSql: String): Seq[String] = {
+    val partCols = partitionColumns(spark, root, version)
+    val refs = spark.sessionState.sqlParser.parseExpression(predicateSql)
+      .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
+    val alien = refs.filterNot(partCols.contains)
+    require(alien.isEmpty,
+      s"partition predicate may reference only partition columns " +
+        s"(${partCols.mkString(", ")}); got: ${alien.mkString(", ")}")
+    filePartitionsFrame(spark, root, version)
+      .where(expr(predicateSql))
+      .select(col("__file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Delta's `replaceWhere` as ONE commit: atomically replace exactly
+    * the partitions matching `predicateSql` (over partition columns)
+    * with `df`'s rows — the partition-grain dynamic overwrite the
+    * reference's own monthly-reprocess layout needs (ref
+    * `scripts/02_spark_etl.py:65,140-144`: `partitionBy("year","month")`
+    * + dynamic overwrite). Every incoming row must itself satisfy the
+    * predicate (refused loudly otherwise — rows silently landing in
+    * partitions the commit does not claim would corrupt the contract).
+    * Removes = files of matching partitions (selected from the LOG's
+    * paths, no data read); adds = `df` in Hive layout. History intact:
+    * the pre-replace version still reads exactly. O(changed partitions),
+    * never O(table). */
+  def replaceWhere(
+      spark: SparkSession, root: String, df: DataFrame, predicateSql: String): Long = {
+    val base = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, base)
+    checkConstraints(df, prevDelta.props)
+    val bad = df.where(coalesce(expr(predicateSql), lit(false)) === false).take(1)
+    require(bad.isEmpty,
+      s"replaceWhere($predicateSql): batch rows outside the predicate, " +
+        s"e.g. ${bad.headOption.getOrElse("")}")
+    val prevSchema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val merged = mergedSchema(prevSchema, df.schema)
+    val removes = filesMatchingPartitionPredicate(spark, root, base, predicateSql)
+    val (adds, stats) = writeCommitFiles(
+      spark, root, base + 1, conform(df, merged), prevDelta.props)
+    commitRewrite(spark, root, base + 1,
+      Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
+        stats = stats, op = Some("overwrite")))
+  }
+
+  /** Dynamic partition overwrite as ONE commit (Spark's
+    * `partitionOverwriteMode=dynamic` on the log): replace exactly the
+    * partitions PRESENT in `df`, leave every other partition untouched.
+    * The touched-partition set is O(partitions in the batch) driver
+    * metadata; victims are selected from the log's paths with
+    * null-safe equality (a null partition value replaces the
+    * `__HIVE_DEFAULT_PARTITION__` directory). */
+  def overwritePartitions(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val base = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, base)
+    val partCols = graft.core.HivePartitions.columnsOf(prevDelta.props)
+    require(partCols.nonEmpty, s"$root is not a partitioned table " +
+      s"(no ${graft.core.HivePartitions.prop} property)")
+    checkConstraints(df, prevDelta.props)
+    val prevSchema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val merged = mergedSchema(prevSchema, df.schema)
+    val touched = df.select(partCols.map(col): _*).distinct().alias("t")
+    val fileDf = filePartitionsFrame(spark, root, base).alias("f")
+    val cond = partCols.map(c => col(s"f.$c") <=> col(s"t.$c")).reduce(_ && _)
+    val removes = fileDf.join(touched, cond, "left_semi")
+      .select(col("__file")).collect().map(_.getString(0)).toSeq.sorted
+    val (adds, stats) = writeCommitFiles(
+      spark, root, base + 1, conform(df, merged), prevDelta.props)
+    commitRewrite(spark, root, base + 1,
+      Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
+        stats = stats, op = Some("overwrite")))
   }
 
   /** A COW rewrite commit (removes + adds computed against a base
@@ -711,13 +873,188 @@ object Snapshots {
     require(rewritten.size == doomedFiles.size,
       s"${doomedFiles.size} files hold doomed keys but only ${rewritten.size} " +
         s"resolved to log entries — path normalization bug? $doomedFiles")
-    val kept = spark.read
-      .parquet(rewritten.map(f => new Path(qroot, f).toString): _*)
+    val kept = readFilesAs(spark, qroot,
+        rewritten.map(f => new Path(qroot, f).toString),
+        prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
+        prevDelta.props)
       .join(keySet, keyCols, "left_anti")
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
     commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
       op = Some("delete")))
+  }
+
+  /** Candidate files for a predicate rewrite: the subset of `version`'s
+    * files whose recorded stats envelopes (write-time `#stats:` lines,
+    * via `statsIndex`) INTERSECT the predicate's integral bounds —
+    * every other file provably holds no matching row and carries over
+    * by reference without being read at all. Partitioned tables
+    * additionally contribute their path-encoded partition values as
+    * point envelopes (min = max = value for integral partition
+    * columns), so a predicate on the partition dimension prunes with
+    * zero stats in the log. Always a sound OVER-approximation: columns
+    * the bounds matcher can't constrain keep their files candidate. */
+  private[jobs] def statsCandidateFiles(
+      spark: SparkSession, root: String, version: Long,
+      predicateSql: String): Seq[String] = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val bs = graft.sources.StatsBounds.bounds(parsed)
+    val files = versionFileList(spark, root, version)
+    if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
+    if (bs.isEmpty) return files
+    val (_, qroot) = fsOf(spark, root)
+    val partCols = graft.core.HivePartitions.columnsOf(readDelta(spark, root, version).props)
+    val idxRaw = statsIndex(spark, root, version) // abs paths
+    val idx =
+      if (partCols.isEmpty) idxRaw
+      else idxRaw.map { s =>
+        val pv = graft.core.HivePartitions.valuesOf(s.path, partCols)
+          .collect { case (c, Some(v)) if v.toLongOption.isDefined => c -> v.toLong }
+        s.copy(mins = s.mins ++ pv, maxs = s.maxs ++ pv)
+      }
+    val relByAbs = files.map(f => new Path(qroot, f).toString -> f).toMap
+    bs.foldLeft(idx.map(_.path)) { case (fs0, (c, (lo, hi))) =>
+      val keep = graft.core.Skipping.pruneFiles(
+        idx.filter(s => fs0.contains(s.path)), c, lo, hi).toSet
+      fs0.filter(keep.contains)
+    }.flatMap(relByAbs.get).sorted
+  }
+
+  /** Predicate DELETE as a copy-on-write commit — SQL `DELETE FROM t
+    * WHERE p` on the log (Delta's deletion path, without deletion
+    * vectors): rows satisfying `predicateSql` are removed; every file
+    * the predicate provably misses carries over BY REFERENCE.
+    *
+    * Three-stage victim selection, each stage strictly cheaper than the
+    * last is wide:
+    *   1. stats-envelope pruning (`statsCandidateFiles`) — metadata
+    *      only, eliminates the bulk of a clustered table's files;
+    *   2. an exact scan of the CANDIDATES only, finding files that
+    *      actually hold a matching row (`input_file_name` grain);
+    *   3. a rewrite of exactly those files, keeping rows where the
+    *      predicate is FALSE or NULL (SQL DELETE semantics: only
+    *      pred=TRUE rows die).
+    *
+    * With `changeFeed = true` the commit publishes the doomed rows
+    * (`_op = delete`) computed from the candidate scan — O(matching
+    * rows), reachable only through the committed delta's `#cdf:`
+    * header. CHECK constraints don't re-validate (no new rows). At
+    * 100 TB a retention delete (`ts < cutoff`) on a time-clustered
+    * table rewrites only the expiring files. */
+  def deleteWhere(
+      spark: SparkSession, root: String, predicateSql: String,
+      changeFeed: Boolean = false, txn: Option[Long] = None): Long = {
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val (fs, qroot) = fsOf(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pred = expr(predicateSql)
+    val candidates = statsCandidateFiles(spark, root, prev, predicateSql)
+    def cand = readFilesAs(spark, qroot,
+      candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props)
+    val cdfDir =
+      if (!changeFeed) None
+      else if (candidates.isEmpty) None
+      else Some(stageChangeFeed(spark, qroot, v,
+        cand.where(pred).withColumn(ChangeFeed.opCol, lit("delete"))))
+    def commitOrCleanFeed(d: Delta): Long =
+      try commitRewrite(spark, root, v, d)
+      catch { case e: Throwable =>
+        cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
+      }
+    if (candidates.isEmpty)
+      return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete")))
+    val doomedAbs = cand.withColumn("__file", input_file_name())
+      .where(pred).select(col("__file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toString).toSet
+    val doomed = candidates.filter(f => doomedAbs.contains(new Path(qroot, f).toString))
+    require(doomed.size == doomedAbs.size,
+      s"${doomedAbs.size} files hold matching rows but only ${doomed.size} " +
+        s"resolved to log entries — path normalization bug? $doomedAbs")
+    if (doomed.isEmpty)
+      return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete")))
+    val kept = readFilesAs(spark, qroot,
+        doomed.map(f => new Path(qroot, f).toString), schema, prevDelta.props)
+      .where(not(coalesce(pred, lit(false))))
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
+    commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
+      schema = prevDelta.schema, props = prevDelta.props, stats = stats,
+      op = Some("delete")))
+  }
+
+  /** Predicate UPDATE as a copy-on-write commit — SQL `UPDATE t SET c =
+    * e, … WHERE p` on the log. Victim selection is `deleteWhere`'s
+    * three-stage shape (stats-pruned candidates → exact file scan →
+    * rewrite of exactly the files holding a matching row); the rewrite
+    * keeps every row, applying each SET expression only where the
+    * predicate is TRUE (NULL/FALSE rows pass through bit-unchanged up to
+    * re-encoding). SET expressions are cast back to the column's
+    * recorded type, so the table schema is invariant under UPDATE; the
+    * updated frame re-validates CHECK constraints (an UPDATE can
+    * introduce a violation). With `changeFeed = true` the commit
+    * publishes update_preimage/update_postimage rows. */
+  def updateWhere(
+      spark: SparkSession, root: String, set: Map[String, String],
+      predicateSql: String, changeFeed: Boolean = false,
+      txn: Option[Long] = None): Long = {
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val (fs, qroot) = fsOf(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(readVersion(spark, root, prev).schema)
+    val unknown = set.keys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE SET of unknown column(s): ${unknown.mkString(", ")}")
+    val partCols = graft.core.HivePartitions.columnsOf(prevDelta.props)
+    val partSet = set.keys.filter(partCols.contains)
+    require(partSet.isEmpty,
+      s"UPDATE cannot move rows across partitions (SET ${partSet.mkString(", ")}) — " +
+        "delete + insert instead")
+    val pred = expr(predicateSql)
+    def applySet(df: DataFrame): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        if (set.contains(f.name))
+          when(coalesce(pred, lit(false)),
+            expr(set(f.name)).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        else col(f.name)
+      }: _*)
+    val candidates = statsCandidateFiles(spark, root, prev, predicateSql)
+    def cand = readFilesAs(spark, qroot,
+      candidates.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props)
+    val cdfDir =
+      if (!changeFeed || candidates.isEmpty) None
+      else Some(stageChangeFeed(spark, qroot, v,
+        cand.where(pred).withColumn(ChangeFeed.opCol, lit("update_preimage"))
+          .unionByName(applySet(cand.where(pred))
+            .withColumn(ChangeFeed.opCol, lit("update_postimage")))))
+    def commitOrCleanFeed(d: Delta): Long =
+      try commitRewrite(spark, root, v, d)
+      catch { case e: Throwable =>
+        cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
+      }
+    if (candidates.isEmpty)
+      return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("update")))
+    val doomedAbs = cand.withColumn("__file", input_file_name())
+      .where(pred).select(col("__file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toString).toSet
+    val doomed = candidates.filter(f => doomedAbs.contains(new Path(qroot, f).toString))
+    require(doomed.size == doomedAbs.size,
+      s"${doomedAbs.size} files hold matching rows but only ${doomed.size} " +
+        s"resolved to log entries — path normalization bug? $doomedAbs")
+    if (doomed.isEmpty)
+      return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("update")))
+    val rewritten = applySet(readFilesAs(spark, qroot,
+      doomed.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props))
+    checkConstraints(rewritten, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, rewritten, prevDelta.props)
+    commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
+      schema = prevDelta.schema, props = prevDelta.props, stats = stats,
+      op = Some("update")))
   }
 
   /** Project `df` onto `target`: columns in order, absent ones
@@ -784,7 +1121,9 @@ object Snapshots {
     val kept =
       if (rewritten.isEmpty) conform(src, merged)
       else conform(
-          spark.read.parquet(rewritten.map(f => new Path(qroot, f).toString): _*)
+          readFilesAs(spark, qroot,
+              rewritten.map(f => new Path(qroot, f).toString),
+              Some(prevSchema), prevDelta.props)
             .join(srcKeys, keyCols, "left_anti"), merged)
         .unionByName(conform(src, merged))
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
@@ -832,10 +1171,8 @@ object Snapshots {
         if (d.adds.isEmpty) None // no-op commit (e.g. delete of absent keys)
         else {
           val files = d.adds.map(f => new Path(qroot, f).toString)
-          val inserts = versionSchema(spark, root, v) match {
-            case Some(s) => spark.read.schema(s).parquet(files: _*)
-            case None => spark.read.parquet(files: _*)
-          }
+          val inserts = readFilesAs(spark, qroot, files,
+            versionSchema(spark, root, v), d.props)
           Some(inserts.withColumn(ChangeFeed.opCol, lit("insert")))
         }
       } else throw new IllegalArgumentException(
@@ -956,12 +1293,16 @@ object Snapshots {
     if (small.size < 2) return -1L
     val v = prev + 1
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
-    val packed = (versionSchema(spark, root, prev) match {
-      case Some(sc) => spark.read.schema(sc)
-        .parquet(small.map(f => new Path(qroot, f._1).toString): _*)
-      case None => spark.read
-        .parquet(small.map(f => new Path(qroot, f._1).toString): _*)
-    }).coalesce(nOut)
+    val smallRead = readFilesAs(spark, qroot,
+      small.map(f => new Path(qroot, f._1).toString),
+      versionSchema(spark, root, prev), prevDelta.props)
+    // a partitioned table re-splits by partition value at write time
+    // (partitionBy) — cluster the pack by partition so each partition's
+    // small files bin into one output, not nOut shards of every file
+    val partCols = graft.core.HivePartitions.columnsOf(prevDelta.props)
+    val packed =
+      if (partCols.isEmpty) smallRead.coalesce(nOut)
+      else smallRead.repartition(nOut, partCols.map(col): _*)
     val (newFiles, stats) = writeCommitFiles(spark, root, v, packed, prevDelta.props)
     commitRewrite(spark, root, v,
       Delta(newFiles, small.map(_._1), schema = prevDelta.schema,
@@ -1064,7 +1405,13 @@ object Snapshots {
       spark: SparkSession, root: String, batch: DataFrame, batchId: Long): Boolean = {
     if (batchId <= lastCommittedBatch(spark, root)) return false
     if (versions(spark, root).isEmpty) initTxn(spark, root, batch, Some(batchId))
-    else appendTxn(spark, root, batch, Some(batchId))
+    else {
+      // auto-compaction applies HERE above all: steady small-batch
+      // streaming ingest is the workload that accretes O(batches) small
+      // files (same admission as Delta's autoCompact on streaming writes)
+      val v = appendTxn(spark, root, batch, Some(batchId))
+      maybeAutoCompact(spark, root, v)
+    }
     true
   }
 

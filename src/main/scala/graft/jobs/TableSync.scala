@@ -53,22 +53,31 @@ object TableSync {
     * micro-batches over it. */
   def appendedFilesPerVersion(
       spark: SparkSession, srcRoot: String, fromV: Long, toV: Long,
-      skipRewrites: Boolean = false): Seq[(Long, Seq[String])] = {
+      skipRewrites: Boolean = false): Seq[(Long, Seq[String])] =
+    ((fromV + 1) to toV).map(v =>
+      v -> appendedFilesOfVersion(spark, srcRoot, v, skipRewrites))
+
+  /** The files appended by ONE source version (fully-qualified) — the
+    * single-delta-read grain a paced streaming source needs: admission
+    * control can stop calling the moment a version is not admitted,
+    * paying O(versions admitted + 1) metadata reads per trigger instead
+    * of sweeping the whole backlog. */
+  def appendedFilesOfVersion(
+      spark: SparkSession, srcRoot: String, v: Long,
+      skipRewrites: Boolean = false): Seq[String] = {
     val qroot = {
       val p = new Path(srcRoot)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
     }
-    ((fromV + 1) to toV).map { v =>
-      val d = Snapshots.readDelta(spark, srcRoot, v)
-      if (d.op.contains("optimize")) v -> Nil // logical no-op: rows unchanged
-      else if (d.removes.nonEmpty) {
-        if (!skipRewrites) throw new IllegalStateException(
-          s"version $v of $srcRoot is a rewrite (has removes) — appends-only " +
-            "tailing would double-count carried rows; pass skipRewrites = true " +
-            "to skip rewrite commits, or consume the change feed (changesBetween)")
-        v -> Nil
-      } else v -> d.adds.map(f => new Path(qroot, f).toString)
-    }
+    val d = Snapshots.readDelta(spark, srcRoot, v)
+    if (d.op.contains("optimize")) Nil // logical no-op: rows unchanged
+    else if (d.removes.nonEmpty) {
+      if (!skipRewrites) throw new IllegalStateException(
+        s"version $v of $srcRoot is a rewrite (has removes) — appends-only " +
+          "tailing would double-count carried rows; pass skipRewrites = true " +
+          "to skip rewrite commits, or consume the change feed (changesBetween)")
+      Nil
+    } else d.adds.map(f => new Path(qroot, f).toString)
   }
 
   def appendsBetween(
@@ -76,9 +85,20 @@ object TableSync {
       skipRewrites: Boolean = false): (DataFrame, Int) = {
     val files =
       appendedFilesPerVersion(spark, srcRoot, fromV, toV, skipRewrites).flatMap(_._2)
+    val partCols = Snapshots.partitionColumns(spark, srcRoot, toV)
     val df =
       if (files.isEmpty) None
-      else Some(Snapshots.versionSchema(spark, srcRoot, toV) match {
+      else if (partCols.nonEmpty) {
+        // partitioned source: partition values ride the PATHS, so the
+        // tail read must plan through the partition-aware index
+        val qroot = {
+          val p = new Path(srcRoot)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+        }
+        val full = Snapshots.versionSchema(spark, srcRoot, toV).getOrElse(
+          throw new IllegalStateException(s"no recorded schema at $srcRoot"))
+        Some(graft.sources.PartitionedRead.frame(spark, qroot, files, full, partCols))
+      } else Some(Snapshots.versionSchema(spark, srcRoot, toV) match {
         case Some(s) => spark.read.schema(s).parquet(files: _*)
         case None => spark.read.parquet(files: _*)
       })

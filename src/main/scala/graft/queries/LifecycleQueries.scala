@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.core.{Dumps, Skipping, Tables}
 import graft.functions.ZOrder
-import graft.jobs.{ChangeFeed, Lifecycle, Snapshots, TableSync}
+import graft.jobs.{ChangeFeed, Lifecycle, Snapshots, SnapshotSql, TableSync}
 import graft.streaming.StreamingJobs
 
 /** Round-6 tier: table lifecycle (key-delete, compaction, change feed) and
@@ -39,6 +39,27 @@ object LifecycleQueries {
   private def eventsSlim(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+
+  /** Every `FileSourceScanExec` in an EXECUTED plan, descending into AQE
+    * query stages — the honest Catalyst-level measurement of what the
+    * planner actually scanned (metrics are populated post-execution). */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => fileScans(q.plan)
+      case _ => Nil
+    }
+
+  /** Files the executed query PLANNED (post AQE), summed over its scans. */
+  private def plannedFileCount(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // materialize so AQE finalizes the plan and metrics fill
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    fileScans(plan).map(_.metrics("numFiles").value).sum
+  }
 
   /** Dialect-shared IVF probe over a (vec_id, label, embedding) relation
     * `m`: per-label centroids, nearest-centroid probe for query vec 0,
@@ -736,6 +757,246 @@ object LifecycleQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
              |  TRUE AS metadata_only, TRUE AS history_intact
              |FROM events""".stripMargin)
+    ),
+
+    // ---- Partition columns in the snapshot log (r9, VERDICT task 1):
+    // a Hive-partitioned snapshot table (`graft.partitionBy` property —
+    // partition values ride the data-file PATHS, the reference's own
+    // storage model, ref scripts/02_spark_etl.py:140-144) read through
+    // the spark.read front door partition-prunes via Catalyst: the
+    // engine MEASURES the executed scan's numFiles metric and pins that
+    // exactly the matching partition's files were planned
+    // (`partition_pruned`, oracle-pinned TRUE). The filtered aggregate
+    // is hash-checked relationally. 100 TB shape: the dominant pruning
+    // dimension (time/category partitions) costs ZERO stats or data
+    // reads — non-matching partitions never enter the plan.
+    QuerySpec(
+      "partition_prune_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/partlog"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        Snapshots.init(s, root, eventsSlim(s, dir).repartition(4),
+          Map("graft.partitionBy" -> "event_type"))
+        val all = Snapshots.versionFiles(s, root)
+        val clickFiles = all.count(_.contains("event_type=click"))
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        val q = front.where(col("event_type") === "click")
+        val planned = plannedFileCount(
+          q.agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum")))
+        val prunedExactly = planned == clickFiles && clickFiles < all.size
+        q.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("partition_pruned", lit(prunedExactly))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS partition_pruned
+             |FROM events WHERE event_type = 'click'""".stripMargin)
+    ),
+
+    // ---- Partition-grain dynamic overwrite (r9, Delta's replaceWhere):
+    // reprocess ONE partition of a partitioned snapshot table — the
+    // reference's own monthly-reprocess shape (dynamic partitionOverwrite
+    // at ref scripts/02_spark_etl.py:65) — as one atomic commit: the
+    // 'click' partition's rows are replaced by a transformed batch,
+    // every other partition's files carry over BY REFERENCE (engine-
+    // pinned `untouched_carried`: identical manifest entries), and the
+    // pre-replace version still reads in full (`history_intact`). The
+    // post-replace per-type aggregate is hash-checked against the
+    // relational recompute. 100 TB: the commit costs O(one partition),
+    // and a batch row OUTSIDE the predicate is refused loudly.
+    QuerySpec(
+      "replace_where_partition",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/replwhere"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.repartition(2),
+          Map("graft.partitionBy" -> "event_type"))
+        val before = Snapshots.versionFiles(s, root).toSet
+        val repl = e.where(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .withColumn("user_id", col("user_id") + 1000000L)
+        Snapshots.replaceWhere(s, root, repl, "event_type = 'click'")
+        val after = Snapshots.versionFiles(s, root).toSet
+        val untouchedCarried =
+          before.filterNot(_.contains("event_type=click")).subsetOf(after) &&
+            after.forall(f => !f.contains("event_type=click") || !before.contains(f))
+        val historyIntact =
+          Snapshots.readVersion(s, root, 0).count() == Snapshots.readVersion(s, root).count()
+        Snapshots.readVersion(s, root)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).cast("bigint").as("uid_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("untouched_carried", lit(untouchedCarried))
+          .withColumn("history_intact", lit(historyIntact))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN event_type = 'click'
+             |    THEN user_id + 1000000 ELSE user_id END) AS BIGINT) AS uid_sum,
+             |  CAST(SUM(CAST(CASE WHEN event_type = 'click'
+             |    THEN value * 2 ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS untouched_carried, TRUE AS history_intact
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- Predicate DELETE (r9, VERDICT task 3): `DELETE WHERE id <
+    // 1000` on an id-clustered snapshot table — the retention-delete
+    // shape. Victim files are selected by STATS-ENVELOPE pruning first
+    // (write-time `#stats:` lines; only files whose [min,max] intersects
+    // the predicate are even read), so the commit's removes are a strict
+    // subset of the table (`files_pruned`, engine-measured from DESCRIBE
+    // HISTORY, oracle-pinned TRUE) and the deleted rows publish as a
+    // `_op = delete` change feed whose size rides the result. The
+    // surviving table is hash-checked against DuckDB's complement
+    // predicate. 100 TB: retention on a time-clustered table rewrites
+    // only the expiring files — metadata + O(expired) data, not a scan.
+    QuerySpec(
+      "delete_where",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/delwhere"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.repartitionByRange(6, col("event_id")).sortWithinPartitions("event_id"))
+        val filesBefore = Snapshots.versionFiles(s, root, 0).size
+        Snapshots.deleteWhere(s, root, "event_id < 1000", changeFeed = true)
+        val h = Snapshots.history(s, root).where(col("version") === 1).head()
+        val removed = h.getAs[Long]("n_removed")
+        val filesPruned = removed > 0 && removed < filesBefore
+        val feedDeletes = Snapshots.changesBetween(s, root, 0, 1)
+          .where(col(ChangeFeed.opCol) === "delete").count()
+        Snapshots.readVersion(s, root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("feed_deletes", lit(feedDeletes))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  (SELECT COUNT(*) FROM events WHERE event_id < 1000) AS feed_deletes,
+             |  TRUE AS files_pruned
+             |FROM events WHERE NOT (event_id < 1000)""".stripMargin)
+    ),
+
+    // ---- Predicate UPDATE through the SQL router (r9, VERDICT task 2+3):
+    // `UPDATE t SET value = value * 3 WHERE event_id < 500` parsed by
+    // SPARK'S OWN parser (SnapshotSql routes the catalyst UpdateTable
+    // node to the log's stats-pruned COW rewrite). Only files whose
+    // envelope intersects the predicate are rewritten (`files_pruned`
+    // pinned), update_preimage/update_postimage rows publish as the
+    // feed, and the full-table aggregate is hash-checked against the
+    // relational CASE recompute.
+    QuerySpec(
+      "update_where_sql",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/updwhere"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.repartitionByRange(6, col("event_id")).sortWithinPartitions("event_id"))
+        val filesBefore = Snapshots.versionFiles(s, root, 0).size
+        SnapshotSql.register("events_upd", root)
+        SnapshotSql.sql(s,
+          "UPDATE events_upd SET value = value * 3 WHERE event_id < 500",
+          changeFeed = true)
+        SnapshotSql.unregister("events_upd")
+        val h = Snapshots.history(s, root).where(col("version") === 1).head()
+        val removed = h.getAs[Long]("n_removed")
+        val filesPruned = removed > 0 && removed < filesBefore
+        val feedOps = Snapshots.changesBetween(s, root, 0, 1)
+          .where(col(ChangeFeed.opCol).isin("update_preimage", "update_postimage"))
+          .count()
+        Snapshots.readVersion(s, root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("feed_ops", lit(feedOps))
+          .withColumn("files_pruned", lit(filesPruned))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(CASE WHEN event_id < 500 THEN value * 3 ELSE value END
+             |    AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  2 * (SELECT COUNT(*) FROM events WHERE event_id < 500) AS feed_ops,
+             |  TRUE AS files_pruned
+             |FROM events""".stripMargin)
+    ),
+
+    // ---- SQL MERGE ≡ API merge (r9, VERDICT task 2): the same source
+    // merged into two identical snapshot tables — once via
+    // `Snapshots.mergeCow`, once via `MERGE INTO … WHEN MATCHED THEN
+    // UPDATE SET * WHEN NOT MATCHED THEN INSERT *` through SnapshotSql
+    // (Spark's parser → MergeIntoTable → mergeCow). The engine pins that
+    // the two heads AND the two change feeds are multiset-identical
+    // (one-pass signed-count diff), and the SQL-merged table is
+    // hash-checked against DuckDB's relational merge recompute.
+    QuerySpec(
+      "sql_merge_dml",
+      (s, dir) => {
+        val rootA = s"${Dumps.forSf(dir)}/dmlapi"
+        val rootS = s"${Dumps.forSf(dir)}/dmlsql"
+        val fs = new org.apache.hadoop.fs.Path(rootA)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(rootA), true)
+        fs.delete(new org.apache.hadoop.fs.Path(rootS), true)
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, rootA, e.repartition(4))
+        Snapshots.init(s, rootS, e.repartition(4))
+        val src = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+          .unionByName(e.where(col("event_id") % 10 === 7)
+            .withColumn("event_id", col("event_id") + 10000000L)
+            .withColumn("value", col("value") + 1))
+        src.createOrReplaceTempView("dml_merge_src")
+        Snapshots.mergeCow(s, rootA, src, Seq("event_id"), changeFeed = true)
+        SnapshotSql.sql(s,
+          s"""MERGE INTO graft.`$rootS` t USING dml_merge_src s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin, changeFeed = true)
+        // multiset equality in ONE pass (signed counts), for both the
+        // heads and the feeds
+        def multisetEqual(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame): Boolean =
+          a.withColumn("__s", lit(1L)).unionByName(b.withColumn("__s", lit(-1L)))
+            .groupBy(a.columns.map(col): _*).agg(sum(col("__s")).as("__d"))
+            .where(col("__d") =!= 0L).isEmpty
+        val same =
+          multisetEqual(Snapshots.readVersion(s, rootA), Snapshots.readVersion(s, rootS)) &&
+            multisetEqual(Snapshots.changesBetween(s, rootA, 0, 1),
+              Snapshots.changesBetween(s, rootS, 0, 1))
+        Snapshots.readVersion(s, rootS)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("sql_equals_api", lit(same))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (
+             |  SELECT event_id, user_id, value * 2 AS value, event_type FROM e WHERE event_id % 10 = 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type FROM e WHERE event_id % 10 = 7),
+             |merged AS (
+             |  SELECT * FROM e WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src)
+             |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS sql_equals_api
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
     // ---- DESCRIBE HISTORY (r8): `Snapshots.history` — one row per

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.HivePartitions
+
+/** Shared machinery for reading EXPLICIT file lists of a Hive-partitioned
+  * snapshot table through the native parquet scan path. Partition values
+  * come from the file paths the log names (core/HivePartitions); each
+  * distinct partition becomes one `PartitionDirectory` whose
+  * `InternalRow` Catalyst uses to (a) evaluate partitionFilters at plan
+  * time — files of non-matching partitions are never planned, the
+  * partition-pruning contract — and (b) materialize the partition
+  * columns without reading them from the files (they are not IN the
+  * files; `partitionBy` writes them into the path). */
+private[graft] object PartitionedRead {
+
+  /** Group `statuses` into one `PartitionDirectory` per distinct
+    * partition-values row, keeping only partitions every `partitionFilters`
+    * conjunct accepts. Filters referencing columns outside the partition
+    * schema (defensive — Catalyst should never send them) disable
+    * pruning rather than mis-prune. */
+  def partitionDirectories(
+      statuses: Seq[FileStatus], partitionSchema: StructType,
+      partitionFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    if (partitionSchema.isEmpty)
+      return Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+    val byPartition = statuses
+      .groupBy(s => HivePartitions.internalRowOf(s.getPath.toString, partitionSchema))
+    val keep = predicateOn(partitionFilters, partitionSchema)
+    byPartition.toSeq
+      .filter { case (row, _) => keep(row) }
+      .map { case (row, fs) => PartitionDirectory(row, fs.toArray) }
+  }
+
+  /** Bind `filters` (conjuncts over partition columns) against
+    * `partitionSchema` by attribute NAME and compile to an evaluable
+    * predicate over partition-values rows. */
+  private def predicateOn(
+      filters: Seq[Expression], partitionSchema: StructType): InternalRow => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val index = partitionSchema.fieldNames.zipWithIndex.toMap
+    val bindable = filters.filter(_.references.forall(a => index.contains(a.name)))
+    if (bindable.isEmpty) return _ => true
+    val bound = bindable.map(_.transform {
+      case a: Attribute if index.contains(a.name) =>
+        val i = index(a.name)
+        BoundReference(i, partitionSchema(i).dataType, nullable = true)
+    }).reduce(And(_, _))
+    val pred = Predicate.create(bound, Nil)
+    pred.initialize(0)
+    row => pred.eval(row)
+  }
+
+  /** An explicit file list of a (possibly partitioned) snapshot table as
+    * a DataFrame in the LOGICAL column order of `fullSchema` — the read
+    * primitive every log path that names files outright shares
+    * (`readVersion`, COW rewrite reads, CDC insert synthesis, streaming
+    * micro-batches). Unpartitioned tables take the plain multi-path
+    * parquet read; partitioned tables plan a `HadoopFsRelation` over the
+    * explicit list so partition columns come from the paths. */
+  def frame(
+      spark: SparkSession, qroot: Path, files: Seq[String],
+      fullSchema: StructType, partCols: Seq[String],
+      streaming: Boolean = false): DataFrame = {
+    val (dataSchema, partitionSchema) = HivePartitions.splitSchema(fullSchema, partCols)
+    val relation = HadoopFsRelation(
+      new ExplicitPartitionedFileIndex(spark, qroot, files, partitionSchema),
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    val df = org.apache.spark.sql.classic.GraftSqlShim.ofRows(
+      spark, LogicalRelation(relation, isStreaming = streaming))
+    // relation output is dataSchema ++ partitionSchema; restore the
+    // table's recorded logical order
+    df.select(fullSchema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+  }
+}
+
+/** A `FileIndex` over an explicit, already-final file list with
+  * partition awareness: statuses are stat-ed per NAMED file (the log
+  * names exactly the files — no directory listing, so the cost is
+  * O(files in this list) regardless of table size), and `listFiles`
+  * groups them by path-encoded partition values, honoring
+  * `partitionFilters`. */
+private[graft] class ExplicitPartitionedFileIndex(
+    spark: SparkSession, qroot: Path, files: Seq[String],
+    override val partitionSchema: StructType) extends FileIndex {
+
+  private lazy val statuses: Seq[FileStatus] = {
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.distinct.sorted.map(f => fs.getFileStatus(new Path(f)))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(qroot)
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def inputFiles: Array[String] = statuses.map(_.getPath.toString).toArray
+  override def refresh(): Unit = () // committed files are immutable
+
+  override def listFiles(
+      partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    PartitionedRead.partitionDirectories(statuses, partitionSchema, partitionFilters)
+}

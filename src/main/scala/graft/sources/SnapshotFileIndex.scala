@@ -49,58 +49,27 @@ private[sources] class SnapshotFileIndex(
       .filter(s => s.isFile && files.contains(s.getPath.toString))
   }
 
+  /** Hive-partitioned tables (the `graft.partitionBy` property) expose
+    * their REAL partition schema, so Catalyst routes partition-column
+    * predicates in as `partitionFilters` and `listFiles` prunes whole
+    * partitions from the path-encoded values — zero data and zero stats
+    * reads for the dominant pruning dimension. */
+  private lazy val partCols: Seq[String] =
+    graft.core.HivePartitions.columnsOf(
+      Snapshots.tableProperties(spark, root, version))
+
+  private lazy val schemas: (StructType, StructType) =
+    graft.core.HivePartitions.splitSchema(
+      Snapshots.versionSchema(spark, root, version).getOrElse(StructType(Nil)),
+      partCols)
+
+  private[sources] def dataSchema: StructType = schemas._1
+
   override def rootPaths: Seq[Path] = Seq(qroot)
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = schemas._2
   override def sizeInBytes: Long = statuses.map(_.getLen).sum
   override def inputFiles: Array[String] = statuses.map(_.getPath.toString).toArray
   override def refresh(): Unit = () // versions are immutable
-
-  /** Closed [lo, hi] bounds per column implied by one conjunct. Literals
-    * arrive in catalyst internal form (Int/Long/days/micros), matching
-    * the envelope units by construction. */
-  private def bounds(e: Expression): Map[String, (Long, Long)] = {
-    def lit(v: Any): Option[Long] = v match {
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
-    def range(a: String, lo: Long, hi: Long) = Map(a -> (lo, hi))
-    e match {
-      case EqualTo(a: Attribute, Literal(v, _)) => lit(v).map(l => range(a.name, l, l)).getOrElse(Map.empty)
-      case EqualTo(Literal(v, _), a: Attribute) => lit(v).map(l => range(a.name, l, l)).getOrElse(Map.empty)
-      case GreaterThan(a: Attribute, Literal(v, _)) =>
-        lit(v).map(l => if (l < Long.MaxValue) range(a.name, l + 1, Long.MaxValue) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-        lit(v).map(l => range(a.name, l, Long.MaxValue)).getOrElse(Map.empty)
-      case LessThan(a: Attribute, Literal(v, _)) =>
-        lit(v).map(l => if (l > Long.MinValue) range(a.name, Long.MinValue, l - 1) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-        lit(v).map(l => range(a.name, Long.MinValue, l)).getOrElse(Map.empty)
-      case LessThan(Literal(v, _), a: Attribute) =>
-        lit(v).map(l => if (l < Long.MaxValue) range(a.name, l + 1, Long.MaxValue) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
-      case GreaterThan(Literal(v, _), a: Attribute) =>
-        lit(v).map(l => if (l > Long.MinValue) range(a.name, Long.MinValue, l - 1) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
-      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val ls = vs.map { case Literal(v, _) => lit(v) }
-        if (ls.forall(_.isDefined)) range(a.name, ls.flatten.min, ls.flatten.max)
-        else Map.empty
-      case And(l, r) => intersect(bounds(l), bounds(r))
-      case _ => Map.empty
-    }
-  }
-
-  private def intersect(
-      a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
-    (a.keySet ++ b.keySet).map { k =>
-      (a.get(k), b.get(k)) match {
-        case (Some((lo1, hi1)), Some((lo2, hi2))) => k -> (math.max(lo1, lo2), math.min(hi1, hi2))
-        case (Some(r), None) => k -> r
-        case (None, Some(r)) => k -> r
-        case _ => throw new IllegalStateException("unreachable")
-      }
-    }.toMap
 
   /** String equalities on the bloom column in one conjunct. */
   private def bloomValues(e: Expression, c: String): Seq[String] = e match {
@@ -113,8 +82,8 @@ private[sources] class SnapshotFileIndex(
   /** The version's files surviving stats (and bloom) pruning for the
     * given filters — exposed for the spec to pin the PLANNED set. */
   private[sources] def survivingPaths(dataFilters: Seq[Expression]): Set[String] = {
-    val bs = dataFilters.map(bounds)
-      .foldLeft(Map.empty[String, (Long, Long)])(intersect)
+    val bs = dataFilters.map(StatsBounds.bounds)
+      .foldLeft(Map.empty[String, (Long, Long)])(StatsBounds.intersect)
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
     val all = statuses.map(_.getPath.toString)
     val statsPruned =
@@ -141,7 +110,81 @@ private[sources] class SnapshotFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val keep = survivingPaths(dataFilters)
-    Seq(PartitionDirectory(InternalRow.empty,
-      statuses.filter(s => keep.contains(s.getPath.toString)).toArray))
+    PartitionedRead.partitionDirectories(
+      statuses.filter(s => keep.contains(s.getPath.toString)),
+      partitionSchema, partitionFilters)
   }
+}
+
+/** Integral-bounds extraction from predicate conjuncts — the shared
+  * envelope math behind BOTH plan-time file pruning (SnapshotFileIndex,
+  * on resolved catalyst filters whose literals are internal
+  * days/micros) and commit-time candidate selection for predicate COW
+  * rewrites (`Snapshots.deleteWhere`/`updateWhere`, on PARSED predicates
+  * whose attribute nodes are unresolved — both shapes are `Attribute`s,
+  * so one matcher serves). Always an OVER-approximation: a column the
+  * matcher can't bound simply yields no constraint (sound — the exact
+  * predicate still runs in the scan / the rewrite). */
+private[graft] object StatsBounds {
+
+  /** Closed [lo, hi] bounds per column implied by one conjunct. An
+    * empty range (lo > hi) encodes "provably no row". */
+  def bounds(e: Expression): Map[String, (Long, Long)] = {
+    def lit(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case d: java.math.BigDecimal if d.scale == 0 => scala.util.Try(d.longValueExact).toOption
+      case d: org.apache.spark.sql.types.Decimal if d.scale == 0 => scala.util.Try(d.toLong).toOption
+      case _ => None
+    }
+    def range(a: String, lo: Long, hi: Long) = Map(a -> (lo, hi))
+    e match {
+      case EqualTo(a: Attribute, Literal(v, _)) => lit(v).map(l => range(a.name, l, l)).getOrElse(Map.empty)
+      case EqualTo(Literal(v, _), a: Attribute) => lit(v).map(l => range(a.name, l, l)).getOrElse(Map.empty)
+      case GreaterThan(a: Attribute, Literal(v, _)) =>
+        lit(v).map(l => if (l < Long.MaxValue) range(a.name, l + 1, Long.MaxValue) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+        lit(v).map(l => range(a.name, l, Long.MaxValue)).getOrElse(Map.empty)
+      case LessThan(a: Attribute, Literal(v, _)) =>
+        lit(v).map(l => if (l > Long.MinValue) range(a.name, Long.MinValue, l - 1) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+        lit(v).map(l => range(a.name, Long.MinValue, l)).getOrElse(Map.empty)
+      case LessThan(Literal(v, _), a: Attribute) =>
+        lit(v).map(l => if (l < Long.MaxValue) range(a.name, l + 1, Long.MaxValue) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
+      case GreaterThan(Literal(v, _), a: Attribute) =>
+        lit(v).map(l => if (l > Long.MinValue) range(a.name, Long.MinValue, l - 1) else range(a.name, 1L, 0L)).getOrElse(Map.empty)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val ls = vs.map { case Literal(v, _) => lit(v) }
+        if (ls.forall(_.isDefined)) range(a.name, ls.flatten.min, ls.flatten.max)
+        else Map.empty
+      // pre-analysis shape only: the parser leaves `a BETWEEN lo AND hi`
+      // as a function call (analysis later rewrites it to And(>=, <=),
+      // which the cases above already serve on the resolved path)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("between") =>
+        f.arguments match {
+          case Seq(a: Attribute, Literal(lo, _), Literal(hi, _)) =>
+            (lit(lo), lit(hi)) match {
+              case (Some(l), Some(h)) => range(a.name, l, h)
+              case _ => Map.empty
+            }
+          case _ => Map.empty
+        }
+      case And(l, r) => intersect(bounds(l), bounds(r))
+      case _ => Map.empty
+    }
+  }
+
+  def intersect(
+      a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    (a.keySet ++ b.keySet).map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some((lo1, hi1)), Some((lo2, hi2))) => k -> (math.max(lo1, lo2), math.min(hi1, hi2))
+        case (Some(r), None) => k -> r
+        case (None, Some(r)) => k -> r
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
 }

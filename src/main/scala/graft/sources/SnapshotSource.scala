@@ -65,7 +65,7 @@ import graft.jobs.Snapshots
   *   spark.readStream.format("graft.sources.SnapshotSource")
   *     .option("maxFilesPerTrigger", 4)   // admission pacing (optional)
   *     .option("skipRewrites", true)      // admit delete/merge histories
-  *     .option("startingVersion", 3)      // tail from after v3
+  *     .option("startingVersion", 3)      // tail from v3 on (inclusive)
   *     .load(root)
   *
   *   spark.readStream.format("graft.sources.SnapshotSource")
@@ -130,15 +130,22 @@ class SnapshotSource extends RelationProvider
           case None =>
             if (v0 < 0) Snapshots.latestVersion(spark, root) else v0
         }
-        val dataSchema = Snapshots.versionSchema(spark, root, v)
+        val fullSchema = Snapshots.versionSchema(spark, root, v)
           .getOrElse(Snapshots.readVersion(spark, root, v).schema)
         // a NATIVE file-source relation over the log's FileIndex: planned
         // by FileSourceStrategy into FileSourceScanExec — vectorized
         // parquet reads, whole-stage codegen, row-group pushdown — with
-        // file-level stats/bloom pruning inside listFiles
+        // file-level stats/bloom pruning inside listFiles. Partitioned
+        // tables carry their REAL partition schema (columns live in the
+        // paths, not the files), so Catalyst partition-prunes the scan;
+        // their partition columns surface AFTER the data columns, the
+        // file-source relation convention.
+        val index = new SnapshotFileIndex(spark, root, v, parameters.get("bloomon"))
+        val dataSchema =
+          if (index.partitionSchema.isEmpty) fullSchema else index.dataSchema
         org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-          new SnapshotFileIndex(spark, root, v, parameters.get("bloomon")),
-          partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+          index,
+          partitionSchema = index.partitionSchema,
           dataSchema = dataSchema,
           bucketSpec = None,
           fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,

@@ -32,8 +32,10 @@ import graft.jobs.{Snapshots, TableSync}
   *     next version would exceed a cap (always admitting at least one
   *     version — a single commit is the atom; splitting it would tear
   *     commit atomicity).
-  *   - `.option("startingVersion", v)` tails from AFTER version `v`
-  *     (default: from table birth — v0's initial files included).
+  *   - `.option("startingVersion", v)` tails from version `v` INCLUSIVE
+  *     (Delta's `startingVersion` convention — a consumer migrating a
+  *     checkpointed offset of "last processed = v" passes v+1). Default:
+  *     from table birth — v0's initial files included.
   *
   * Schema is fixed at stream start (the head schema when the source is
   * created); files committed before an add-column evolution null-fill
@@ -50,7 +52,10 @@ private[sources] class SnapshotStreamSource(
   private val skipRewrites = parameters.get("skiprewrites").exists(_.toBoolean)
   private val maxFiles = parameters.get("maxfilespertrigger").map(_.toInt)
   private val maxBytes = parameters.get("maxbytespertrigger").map(_.toLong)
-  private val startingVersion = parameters.get("startingversion").map(_.toLong).getOrElse(-1L)
+  /** Exclusive lower bound on versions to emit: one BELOW the inclusive
+    * `startingVersion` option (Delta convention), table birth when
+    * unset. */
+  private val startPos = parameters.get("startingversion").map(_.toLong - 1).getOrElse(-1L)
 
   /** `.option("readChangeFeed", true)`: stream ROW-LEVEL CHANGES instead
     * of appended files — each micro-batch is `Snapshots.changesBetween`
@@ -87,7 +92,7 @@ private[sources] class SnapshotStreamSource(
     * forward from here. Re-derived from the engine's own offsets on
     * restart (recovery calls `getBatch` for the last completed batch
     * before asking for new offsets), so it is a cache, not state. */
-  @volatile private var posV: Long = startingVersion
+  @volatile private var posV: Long = startPos
 
   private def asLong(o: V1Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -108,12 +113,19 @@ private[sources] class SnapshotStreamSource(
   /** SupportsAdmissionControl entry (the engine prefers it over
     * `getOffset` once the trait is mixed in): same pacing, connector-
     * typed. ReadLimit is ignored — admission is the source's own
-    * `maxFilesPerTrigger`, applied inside `getOffset`. */
+    * `maxFilesPerTrigger`, applied inside `getOffset`. The engine-
+    * supplied `start` defensively seeds `posV` (normally redundant —
+    * V1-source recovery re-inits it through `getBatch` — but it makes
+    * paced restarts correct by this source's own logic rather than by a
+    * version-coupled engine behavior: offsets can never regress below
+    * what the engine says it already committed). */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    Option(start).map(_.json.trim.toLong).foreach(s => if (s > posV) posV = s)
     getOffset.orNull
+  }
 
   override def getOffset: Option[V1Offset] = {
     val liveHead = Snapshots.versions(spark, root).lastOption.getOrElse(-1L)
@@ -123,42 +135,53 @@ private[sources] class SnapshotStreamSource(
     val bounded =
       if (maxFiles.isEmpty && maxBytes.isEmpty) head
       else {
+        // version-at-a-time admission, LAZY: each trigger reads exactly
+        // the deltas it admits plus the first one it refuses —
+        // O(admitted + 1) metadata reads, never a sweep of the whole
+        // remaining backlog (a paced drain of a deep backlog would
+        // otherwise pay O(backlog²) driver reads across its triggers).
         val hfs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
         var accFiles = 0
         var accBytes = 0L
         var last = posV
-        TableSync
-          .appendedFilesPerVersion(spark, root, posV, head, skipRewrites)
-          .foreach { case (v, paths) =>
-            // admit while under BOTH budgets; a version is atomic (one
-            // commit), so the first always enters even if it alone
-            // exceeds a cap. Byte sizes are per-file metadata RPCs, paid
-            // only over the unprocessed tail and only when the byte cap
-            // is set.
-            if (last == v - 1) {
-              val bytes =
-                if (maxBytes.isEmpty) 0L
-                else paths.map(p => hfs.getFileStatus(new Path(p)).getLen).sum
-              val first = accFiles == 0 && accBytes == 0L
-              val admit = first ||
-                (maxFiles.forall(accFiles + paths.size <= _) &&
-                  maxBytes.forall(accBytes + bytes <= _))
-              if (admit) { accFiles += paths.size; accBytes += bytes; last = v }
-            }
-          }
+        var v = posV + 1
+        var stop = false
+        while (v <= head && !stop) {
+          val paths = TableSync.appendedFilesOfVersion(spark, root, v, skipRewrites)
+          // admit while under BOTH budgets; a version is atomic (one
+          // commit), so the first always enters even if it alone exceeds
+          // a cap. Byte sizes are per-file metadata RPCs, paid only for
+          // admitted-or-probed versions and only when the byte cap is set.
+          val bytes =
+            if (maxBytes.isEmpty) 0L
+            else paths.map(p => hfs.getFileStatus(new Path(p)).getLen).sum
+          val first = accFiles == 0 && accBytes == 0L
+          val admit = first ||
+            (maxFiles.forall(accFiles + paths.size <= _) &&
+              maxBytes.forall(accBytes + bytes <= _))
+          if (admit) { accFiles += paths.size; accBytes += bytes; last = v; v += 1 }
+          else stop = true
+        }
         last
       }
     if (bounded <= posV) Some(LongOffset(posV)) else Some(LongOffset(bounded))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val fromV = start.map(asLong).getOrElse(startingVersion)
+    val fromV = start.map(asLong).getOrElse(startPos)
     val toV = asLong(end)
     if (toV > posV) posV = toV
     if (readChangeFeed) return changeFeedBatch(fromV, toV)
     val files = TableSync
       .appendedFilesPerVersion(spark, root, fromV, toV, skipRewrites)
       .flatMap(_._2)
+    val partCols = Snapshots.partitionColumns(spark, root)
+    if (partCols.nonEmpty)
+      // partitioned table: partition values ride the paths — plan the
+      // micro-batch through the partition-aware index (same explicit
+      // file list, partition columns from the path fragments)
+      return PartitionedRead.frame(
+        spark, qroot, files, schema, partCols, streaming = true)
     val relation = HadoopFsRelation(
       new ExplicitFileIndex(spark, qroot, files),
       partitionSchema = StructType(Nil),
@@ -208,11 +231,13 @@ private[sources] class ExplicitFileIndex(
     spark: SparkSession, qroot: Path, files: Seq[String]) extends FileIndex {
 
   private lazy val statuses: Seq[FileStatus] = {
+    // the log already NAMES exactly this batch's files — stat each one
+    // directly. A listStatus of the shared parent directory would be
+    // O(table files) per trigger once the table grows (all commits'
+    // files typically share root/data), defeating the tail's
+    // O(files-appended-since-last-trigger) shape.
     val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val set = files.toSet
-    set.map(f => new Path(f).getParent).toSeq.distinct
-      .flatMap(dir => fs.listStatus(dir).toSeq)
-      .filter(s => s.isFile && set.contains(s.getPath.toString))
+    files.distinct.sorted.map(f => fs.getFileStatus(new Path(f)))
   }
 
   override def rootPaths: Seq[Path] = Seq(qroot)

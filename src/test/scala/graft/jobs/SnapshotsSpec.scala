@@ -842,6 +842,31 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.versionFiles(spark, root2).size == 7)
   }
 
+  test("autoCompact fires on streaming commits too; malformed value degrades to a warning") {
+    // the steady small-batch STREAMING ingest is the workload the
+    // property exists for (Delta's autoCompact applies to writeStream)
+    val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v").coalesce(1),
+      Map("graft.autoCompact.smallBytes" -> (10L * 1024 * 1024).toString))
+    (1L to 6L).foreach(i => Snapshots.commitStreamingBatch(
+      spark, root, Seq((i, i * 1.0)).toDF("k", "v").coalesce(1), batchId = i))
+    assert(Snapshots.versionFiles(spark, root).size <= 2,
+      "streaming ingest must stay O(1) files under autoCompact")
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == (0L to 6L))
+    // a replayed batch id is still a recognized no-op with compactions interleaved
+    assert(!Snapshots.commitStreamingBatch(
+      spark, root, Seq((99L, 9.0)).toDF("k", "v"), batchId = 3L))
+
+    // a typo'd property value must not fail ingest AFTER its data commit
+    val root2 = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root2, Seq((0L, 0.0)).toDF("k", "v").coalesce(1),
+      Map("graft.autoCompact.smallBytes" -> "ten-megabytes"))
+    val v = Snapshots.append(spark, root2, Seq((1L, 1.0)).toDF("k", "v").coalesce(1))
+    assert(v == 1L, "append commits despite the malformed property")
+    assert(Snapshots.readVersion(spark, root2).count() == 2L)
+  }
+
   test("history: one row per version, newest first, headers faithful") {
     val root = Files.createTempDirectory("snap").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))

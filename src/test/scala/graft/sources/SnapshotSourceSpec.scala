@@ -359,4 +359,30 @@ class SnapshotSourceSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ops == Map("update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
   }
+
+  test("partitioned table: Catalyst partition-prunes the front door to the matching partitions' files") {
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    val df = (1L to 1200L).map(i => (i, 2024, (i % 3 + 1).toInt, i * 1.0))
+      .toDF("k", "year", "month", "v").repartition(2)
+    Snapshots.init(spark, root, df, Map("graft.partitionBy" -> "year,month"))
+    val all = Snapshots.versionFiles(spark, root)
+    assert(all.forall(_.contains("month=")), "Hive layout expected")
+    val monthFiles = all.count(_.contains("month=2"))
+    assert(monthFiles > 0 && monthFiles < all.size)
+
+    val front = spark.read.format(fmt).load(root)
+    // partition columns surface (after data cols, the file-source shape)
+    assert(front.columns.toSet == Set("k", "year", "month", "v"))
+    val q = front.where(col("month") === 2).select("k")
+    val scan = scanOf(q)
+    assert(scan.metrics("numFiles").value == monthFiles,
+      s"planned ${scan.metrics("numFiles").value} files; month=2 owns $monthFiles of ${all.size}")
+    assert(q.as[Long].collect().toSet == (1L to 1200L).filter(_ % 3 == 1).toSet)
+    // the partition filter shows up as a PARTITION filter, not a data filter
+    assert(scan.metadata("PartitionFilters").contains("month"),
+      s"partition predicate must plan as a partition filter: ${scan.metadata("PartitionFilters")}")
+    // combined partition + data predicate: both prunings compose
+    val q2 = front.where(col("month") === 2 && col("k") <= 10).select("k")
+    assert(q2.as[Long].collect().toSet == Set(1L, 4L, 7L, 10L))
+  }
 }

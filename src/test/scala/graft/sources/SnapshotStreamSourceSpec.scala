@@ -183,15 +183,19 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       (1L to 4L).map(i => i -> (if (i == 1L) "a" else s"r$i")).toSet)
   }
 
-  test("startingVersion tails from after the named version") {
+  test("startingVersion tails from the named version inclusive (Delta convention)") {
     val root = dir("ssfrom") + "/t"
     val cp = dir("ssfrom-cp")
     Snapshots.init(spark, root, one(1L -> "a"))      // v0
     Snapshots.append(spark, root, one(2L -> "b"))    // v1
     Snapshots.append(spark, root, one(3L -> "c"))    // v2
     val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
-    drain(spark.readStream.format(fmt).option("startingVersion", "1").load(root), cp, got)
+    drain(spark.readStream.format(fmt).option("startingVersion", "2").load(root), cp, got)
     assert(got.asScala().flatten.toSet == Set(3L -> "c"))
+    val got1 = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).option("startingVersion", "1").load(root),
+      dir("ssfrom-cp1"), got1)
+    assert(got1.asScala().flatten.toSet == Set(2L -> "b", 3L -> "c"))
   }
 
   private implicit class QueueOps(q: ConcurrentLinkedQueue[Seq[(Long, String)]]) {

@@ -265,6 +265,78 @@ object Snapshots {
   private def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
+  // ---- Column mapping (rename/drop without rewriting data) -----------
+  //
+  // Delta's columnMapping idea on this log: each column's PHYSICAL name
+  // (the name in the parquet files) is frozen at first appearance and
+  // recorded as field METADATA in the delta's `#schema:` header; the
+  // field NAME is the logical, user-facing one. A rename is then a
+  // metadata-only commit (logical name changes, physical stays, files
+  // untouched); a drop removes the field from the schema and retires
+  // its physical name (files keep the column, readers stop asking for
+  // it). Re-adding a dropped name — or any physical collision — assigns
+  // a FRESH suffixed physical name, so old files' bytes can never
+  // resurrect under a reborn column. Tables that never rename carry no
+  // metadata and every mapping below is the identity.
+
+  private val physicalNameKey = "graft.physicalName"
+  private val retiredProp = "graft.retiredPhysical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(physicalNameKey)) f.metadata.getString(physicalNameKey)
+    else f.name
+
+  private def hasMapping(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(physicalNameKey))
+
+  /** `schema` with physical field names — what the FILES hold. */
+  private def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** logical → physical column-name map of `schema` (identity entries
+    * included). */
+  private[graft] def physicalMap(s: StructType): Map[String, String] =
+    s.fields.map(f => f.name -> physicalName(f)).toMap
+
+  /** Rename `df` (logical columns ⊆ `schema`) to physical names for a
+    * data write. Identity when the table has no mapping. */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    if (!hasMapping(schema)) df
+    else {
+      val m = physicalMap(schema)
+      df.select(df.columns.toSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+    }
+
+  /** Freeze physical names for genuinely-NEW fields an evolving commit
+    * introduces: physical = logical unless that physical name is already
+    * live in `prev` or retired by a past drop — then a fresh suffixed
+    * name, so a reborn column can never read a dead column's bytes. */
+  private def assignPhysical(
+      prev: Option[StructType], next: StructType,
+      props: Map[String, String]): StructType = {
+    val prevByName = prev.map(_.fields.map(f => f.name -> f).toMap).getOrElse(Map.empty)
+    val taken = prev.map(_.fields.map(physicalName).toSet).getOrElse(Set.empty) ++
+      props.get(retiredProp).map(_.split(',').toSet).getOrElse(Set.empty)
+    def withPhysical(f: org.apache.spark.sql.types.StructField, phys: String) =
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(physicalNameKey, phys).build())
+    StructType(next.fields.map { f =>
+      prevByName.get(f.name) match {
+        // existing column: inherit the table's mapping (a renamed
+        // column's batch arrives under its logical name, its files must
+        // keep the frozen physical one)
+        case Some(pf) if pf.metadata.contains(physicalNameKey) =>
+          withPhysical(f, physicalName(pf))
+        case Some(_) => f
+        // genuinely new column: physical = logical unless that name is
+        // live or retired — then a fresh suffix
+        case None if !taken.contains(physicalName(f)) => f
+        case None =>
+          withPhysical(f, s"${f.name}__r${java.util.UUID.randomUUID.toString.take(8)}")
+      }
+    })
+  }
+
   /** Widen `prev` by `next`'s new columns (schema evolution on append):
     * existing columns must keep their type; genuinely new columns join at
     * the end, nullable (old files null-fill them at read time). */
@@ -278,6 +350,11 @@ object Snapshots {
             require(pf.dataType == f.dataType,
               s"schema evolution cannot change column ${f.name}: " +
                 s"${pf.dataType.simpleString} -> ${f.dataType.simpleString}")
+            require(!f.metadata.contains(physicalNameKey) ||
+                physicalName(f) == physicalName(pf),
+              s"column-mapping conflict on ${f.name}: physical " +
+                s"${physicalName(f)} vs ${physicalName(pf)} — a concurrent " +
+                "commit changed the mapping; recompute against the current version")
           }
         }
         nullable(StructType(p.fields ++ next.fields.filterNot(f => byName.contains(f.name))))
@@ -454,8 +531,13 @@ object Snapshots {
   private val tsMicrosProp = "graft.parquet.timestampMicros"
 
   private def writeCommitFiles(
-      spark: SparkSession, root: String, v: Long, df: DataFrame,
-      props: Map[String, String] = Map.empty): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
+      spark: SparkSession, root: String, v: Long, df0: DataFrame,
+      props: Map[String, String] = Map.empty,
+      writeSchema: Option[StructType] = None): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
+    // column mapping: files are written under PHYSICAL names (identity
+    // unless the table has renamed columns; `writeSchema` carries the
+    // logical→physical assignment for this commit's columns)
+    val df = writeSchema.map(toPhysical(df0, _)).getOrElse(df0)
     val (fs, qroot) = fsOf(spark, root)
     val dir = new Path(qroot,
       s"data/commit-$v-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -497,17 +579,25 @@ object Snapshots {
     * tables (per `props`) plan through a partition-aware FileIndex so
     * the path-encoded partition columns materialize; unpartitioned
     * tables take the plain multi-path parquet read. */
-  private def readFilesAs(
+  private[graft] def readFilesAs(
       spark: SparkSession, qroot: Path, absFiles: Seq[String],
       schema: Option[StructType], props: Map[String, String]): DataFrame = {
     val partCols = graft.core.HivePartitions.columnsOf(props)
+    // column mapping: the FILES hold physical names — read under them,
+    // then alias back to the version's logical names (identity on
+    // tables that never renamed)
+    val mapped = schema.exists(hasMapping)
+    def toLogical(df: DataFrame, full: StructType): DataFrame =
+      if (!mapped) df
+      else df.select(full.fields.toSeq.map(f => col(physicalName(f)).as(f.name)): _*)
     if (partCols.isEmpty) schema match {
-      case Some(s) => spark.read.schema(s).parquet(absFiles: _*)
+      case Some(s) => toLogical(spark.read.schema(physicalSchema(s)).parquet(absFiles: _*), s)
       case None => spark.read.parquet(absFiles: _*)
     } else {
       val full = schema.getOrElse(throw new IllegalStateException(
         s"partitioned table at $qroot has no recorded schema"))
-      graft.sources.PartitionedRead.frame(spark, qroot, absFiles, full, partCols)
+      graft.sources.PartitionedRead.frame(spark, qroot, absFiles, full, partCols,
+        nameMap = if (mapped) physicalMap(full) else Map.empty)
     }
   }
 
@@ -597,10 +687,17 @@ object Snapshots {
   private def appendTxn(
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long]): Long = {
     val base = latestVersion(spark, root)
-    val props = readDelta(spark, root, base).props
+    val baseDelta = readDelta(spark, root, base)
+    val props = baseDelta.props
     checkConstraints(df, props)
-    val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props)
-    commitAdds(spark, root, adds, txn, base + 1, Some(df.schema), stats)
+    // freeze this batch's logical→physical assignment BEFORE writing,
+    // so the files and the recorded schema can never disagree (OCC
+    // retries re-merge the same assigned schema)
+    val assigned = assignPhysical(
+      baseDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
+      df.schema, props)
+    val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props, Some(assigned))
+    commitAdds(spark, root, adds, txn, base + 1, Some(assigned), stats)
   }
 
   /** Optimistic-concurrency commit of a PURE APPEND: attempt `startV`; on a
@@ -734,10 +831,11 @@ object Snapshots {
       s"replaceWhere($predicateSql): batch rows outside the predicate, " +
         s"e.g. ${bad.headOption.getOrElse("")}")
     val prevSchema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val merged = mergedSchema(prevSchema, df.schema)
+    val merged = mergedSchema(prevSchema,
+      assignPhysical(prevSchema, df.schema, prevDelta.props))
     val removes = filesMatchingPartitionPredicate(spark, root, base, predicateSql)
     val (adds, stats) = writeCommitFiles(
-      spark, root, base + 1, conform(df, merged), prevDelta.props)
+      spark, root, base + 1, conform(df, merged), prevDelta.props, Some(merged))
     commitRewrite(spark, root, base + 1,
       Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
         stats = stats, op = Some("overwrite")))
@@ -758,14 +856,15 @@ object Snapshots {
       s"(no ${graft.core.HivePartitions.prop} property)")
     checkConstraints(df, prevDelta.props)
     val prevSchema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val merged = mergedSchema(prevSchema, df.schema)
+    val merged = mergedSchema(prevSchema,
+      assignPhysical(prevSchema, df.schema, prevDelta.props))
     val touched = df.select(partCols.map(col): _*).distinct().alias("t")
     val fileDf = filePartitionsFrame(spark, root, base).alias("f")
     val cond = partCols.map(c => col(s"f.$c") <=> col(s"t.$c")).reduce(_ && _)
     val removes = fileDf.join(touched, cond, "left_semi")
       .select(col("__file")).collect().map(_.getString(0)).toSeq.sorted
     val (adds, stats) = writeCommitFiles(
-      spark, root, base + 1, conform(df, merged), prevDelta.props)
+      spark, root, base + 1, conform(df, merged), prevDelta.props, Some(merged))
     commitRewrite(spark, root, base + 1,
       Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
         stats = stats, op = Some("overwrite")))
@@ -873,12 +972,12 @@ object Snapshots {
     require(rewritten.size == doomedFiles.size,
       s"${doomedFiles.size} files hold doomed keys but only ${rewritten.size} " +
         s"resolved to log entries — path normalization bug? $doomedFiles")
+    val prevSchemaS = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
     val kept = readFilesAs(spark, qroot,
         rewritten.map(f => new Path(qroot, f).toString),
-        prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
-        prevDelta.props)
+        prevSchemaS, prevDelta.props)
       .join(keySet, keyCols, "left_anti")
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, prevSchemaS)
     commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
       op = Some("delete")))
@@ -898,12 +997,20 @@ object Snapshots {
       spark: SparkSession, root: String, version: Long,
       predicateSql: String): Seq[String] = {
     val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val delta = readDelta(spark, root, version)
+    // stats envelopes (footer-derived) are keyed by PHYSICAL column
+    // names — translate the predicate's logical names through the
+    // version's column mapping (identity on never-renamed tables)
+    val physMap = delta.schema
+      .map(s => physicalMap(DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(Map.empty[String, String])
     val bs = graft.sources.StatsBounds.bounds(parsed)
+      .map { case (c, r) => physMap.getOrElse(c, c) -> r }
     val files = versionFileList(spark, root, version)
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
     if (bs.isEmpty) return files
     val (_, qroot) = fsOf(spark, root)
-    val partCols = graft.core.HivePartitions.columnsOf(readDelta(spark, root, version).props)
+    val partCols = graft.core.HivePartitions.columnsOf(delta.props)
     val idxRaw = statsIndex(spark, root, version) // abs paths
     val idx =
       if (partCols.isEmpty) idxRaw
@@ -979,7 +1086,7 @@ object Snapshots {
     val kept = readFilesAs(spark, qroot,
         doomed.map(f => new Path(qroot, f).toString), schema, prevDelta.props)
       .where(not(coalesce(pred, lit(false))))
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, schema)
     commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
       op = Some("delete")))
@@ -1051,7 +1158,7 @@ object Snapshots {
     val rewritten = applySet(readFilesAs(spark, qroot,
       doomed.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props))
     checkConstraints(rewritten, prevDelta.props)
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, rewritten, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, rewritten, prevDelta.props, Some(schema))
     commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
       op = Some("update")))
@@ -1099,7 +1206,8 @@ object Snapshots {
     val prevSchema = prevDelta.schema
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(readVersion(spark, root, prev).schema)
-    val merged = mergedSchema(Some(prevSchema), src.schema)
+    val merged = mergedSchema(Some(prevSchema),
+      assignPhysical(Some(prevSchema), src.schema, prevDelta.props))
     checkConstraints(conform(src, merged), prevDelta.props)
     val current = readVersion(spark, root, prev).withColumn("__file", input_file_name())
     val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
@@ -1126,7 +1234,7 @@ object Snapshots {
               Some(prevSchema), prevDelta.props)
             .join(srcKeys, keyCols, "left_anti"), merged)
         .unionByName(conform(src, merged))
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
     try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = Some(merged.json), props = prevDelta.props, stats = stats,
       op = Some("merge")))
@@ -1231,6 +1339,68 @@ object Snapshots {
         op = Some("metadata")))
   }
 
+  /** RENAME COLUMN as a METADATA-ONLY commit (column mapping): the
+    * logical name changes, the frozen physical name stays, zero files
+    * are rewritten. Old versions keep reading under their own recorded
+    * names (time travel sees each version's shape); new commits write
+    * the renamed column's data under the SAME physical name, so one
+    * file set serves the whole history. A rename today costing a full
+    * rewrite is exactly the gap Delta's columnMapping closed — at
+    * 100 TB the difference between a metadata write and a table-length
+    * rewrite. Partition columns are refused (their values live in path
+    * fragments under the physical name). */
+  def renameColumn(
+      spark: SparkSession, root: String, oldName: String, newName: String): Long = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$root has no recorded schema — cannot column-map a legacy log"))
+    require(schema.fieldNames.contains(oldName), s"no column $oldName in $root")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists in $root")
+    require(!graft.core.HivePartitions.columnsOf(prevDelta.props).contains(oldName),
+      s"$oldName is a partition column — its name rides the file paths; " +
+        "rewrite via replaceWhere/overwrite instead")
+    val renamed = StructType(schema.fields.map { f =>
+      if (f.name != oldName) f
+      else f.copy(name = newName,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(physicalNameKey, physicalName(f)).build())
+    })
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil, schema = Some(renamed.json), props = prevDelta.props,
+        op = Some("metadata")))
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the
+    * schema, its physical name is RETIRED (recorded in table
+    * properties), and no file is touched — readers simply stop asking
+    * the parquet scan for that column. A later column with the same
+    * logical name gets a FRESH physical name (`assignPhysical`), so the
+    * dead column's bytes can never resurrect under the newcomer.
+    * History intact: pre-drop versions still read the column. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$root has no recorded schema — cannot column-map a legacy log"))
+    val field = schema.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name in $root"))
+    require(schema.fields.length > 1, s"cannot drop the last column of $root")
+    require(!graft.core.HivePartitions.columnsOf(prevDelta.props).contains(name),
+      s"$name is a partition column — repartition via overwrite instead")
+    val retired = (prevDelta.props.get(retiredProp).toSeq
+      .flatMap(_.split(',').toSeq) :+ physicalName(field)).distinct
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil,
+        schema = Some(StructType(schema.fields.filterNot(_.name == name)).json),
+        props = prevDelta.props + (retiredProp -> retired.mkString(",")),
+        op = Some("metadata")))
+  }
+
   /** RESTORE as a commit: make the head's logical content equal version
     * `toVersion` again — a NEW version whose delta re-adds the files the
     * old version had and removes the ones it didn't (pure metadata,
@@ -1280,14 +1450,27 @@ object Snapshots {
     * `optimizeCow`, which re-clusters the WHOLE version). The removed
     * set is exactly the small files, so a concurrent append interleaves
     * via the file-disjoint rebase; returns the new version, or -1 when
-    * fewer than two files qualify (nothing to pack). */
+    * fewer than two files qualify (nothing to pack).
+    *
+    * `where` (partitioned tables): scope the maintenance to the
+    * partitions matching a partition-column predicate — `OPTIMIZE …
+    * WHERE month = '01'`. Victim selection then never even STATS a file
+    * outside the predicate (the file list is filtered by path-encoded
+    * partition values before the size probe), which is what keeps
+    * maintenance on a 100 TB table from planning every live file. */
   def optimizeCompact(
       spark: SparkSession, root: String,
-      smallerThanBytes: Long, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      smallerThanBytes: Long, targetFileBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None): Long = {
     val prev = latestVersion(spark, root)
     val (fs, qroot) = fsOf(spark, root)
     val prevDelta = readDelta(spark, root, prev)
+    val inScope: Set[String] = where match {
+      case None => versionFileList(spark, root, prev).toSet
+      case Some(p) => filesMatchingPartitionPredicate(spark, root, prev, p).toSet
+    }
     val sized = versionFileList(spark, root, prev)
+      .filter(inScope.contains)
       .map(f => f -> fs.getFileStatus(new Path(qroot, f)).getLen)
     val small = sized.filter(_._2 < smallerThanBytes)
     if (small.size < 2) return -1L
@@ -1303,7 +1486,8 @@ object Snapshots {
     val packed =
       if (partCols.isEmpty) smallRead.coalesce(nOut)
       else smallRead.repartition(nOut, partCols.map(col): _*)
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, packed, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, packed, prevDelta.props,
+      prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]))
     commitRewrite(spark, root, v,
       Delta(newFiles, small.map(_._1), schema = prevDelta.schema,
         props = prevDelta.props, stats = stats, op = Some("optimize")))
@@ -1314,12 +1498,32 @@ object Snapshots {
     * min/max file skipping works afterwards — pair with core/Skipping).
     * Prior versions keep reading their own files. */
   def optimizeCow(
-      spark: SparkSession, root: String, clusterBy: Seq[String], numFiles: Int): Long = {
+      spark: SparkSession, root: String, clusterBy: Seq[String], numFiles: Int,
+      where: Option[String] = None): Long = {
     val prev = latestVersion(spark, root)
-    val clustered = readVersion(spark, root, prev)
+    val (scopeRead, scopeFiles) = scopedRead(spark, root, prev, where)
+    val clustered = scopeRead
       .repartitionByRange(numFiles, clusterBy.map(col): _*)
       .sortWithinPartitions(clusterBy.map(col): _*)
-    commitOptimized(spark, root, prev, clustered)
+    commitOptimized(spark, root, prev, clustered, scopeFiles)
+  }
+
+  /** The (frame, rel-file-list) an OPTIMIZE variant rewrites: the whole
+    * version, or — with `where`, on a partitioned table — exactly the
+    * partitions matching the predicate. Files outside the scope are not
+    * read, not planned, and carry over as untouched manifest entries. */
+  private def scopedRead(
+      spark: SparkSession, root: String, prev: Long,
+      where: Option[String]): (DataFrame, Seq[String]) = where match {
+    case None =>
+      (readVersion(spark, root, prev), versionFileList(spark, root, prev))
+    case Some(p) =>
+      val (_, qroot) = fsOf(spark, root)
+      val prevDelta = readDelta(spark, root, prev)
+      val files = filesMatchingPartitionPredicate(spark, root, prev, p)
+      (readFilesAs(spark, qroot, files.map(f => new Path(qroot, f).toString),
+        prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
+        prevDelta.props), files)
   }
 
   /** OPTIMIZE ZORDER BY as a commit: rewrite the current version laid out
@@ -1332,9 +1536,10 @@ object Snapshots {
     * never sampled range boundaries — keep file envelopes deterministic. */
   def optimizeZorderCow(
       spark: SparkSession, root: String, colA: String, colB: String,
-      cellDiv: Long = 4096L, numFiles: Int = 16): Long = {
+      cellDiv: Long = 4096L, numFiles: Int = 16,
+      where: Option[String] = None): Long = {
     val prev = latestVersion(spark, root)
-    val cur = readVersion(spark, root, prev)
+    val (cur, scopeFiles) = scopedRead(spark, root, prev, where)
     val clustered = cur
       .withColumn("__zcell",
         graft.functions.ZOrder.interleave16(col(colA), col(colB))
@@ -1342,17 +1547,18 @@ object Snapshots {
       .repartition(numFiles, col("__zcell"))
       .sortWithinPartitions(col("__zcell"), col(colA), col(colB))
       .drop("__zcell")
-    commitOptimized(spark, root, prev, clustered)
+    commitOptimized(spark, root, prev, clustered, scopeFiles)
   }
 
   private def commitOptimized(
-      spark: SparkSession, root: String, prev: Long, clustered: DataFrame): Long = {
+      spark: SparkSession, root: String, prev: Long, clustered: DataFrame,
+      removes: Seq[String]): Long = {
     val v = prev + 1
-    val prevFiles = versionFileList(spark, root, prev)
     val prevDelta = readDelta(spark, root, prev)
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, clustered, prevDelta.props)
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, clustered, prevDelta.props,
+      prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]))
     commitRewrite(spark, root, v,
-      Delta(newFiles, prevFiles, schema = prevDelta.schema, props = prevDelta.props,
+      Delta(newFiles, removes, schema = prevDelta.schema, props = prevDelta.props,
         stats = stats, op = Some("optimize")))
   }
 

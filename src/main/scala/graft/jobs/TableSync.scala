@@ -85,23 +85,20 @@ object TableSync {
       skipRewrites: Boolean = false): (DataFrame, Int) = {
     val files =
       appendedFilesPerVersion(spark, srcRoot, fromV, toV, skipRewrites).flatMap(_._2)
-    val partCols = Snapshots.partitionColumns(spark, srcRoot, toV)
     val df =
       if (files.isEmpty) None
-      else if (partCols.nonEmpty) {
-        // partitioned source: partition values ride the PATHS, so the
-        // tail read must plan through the partition-aware index
+      else {
+        // the shared file-read primitive handles partition-value
+        // recovery from paths AND column mapping (renamed columns'
+        // physical names) in one place
         val qroot = {
           val p = new Path(srcRoot)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
         }
-        val full = Snapshots.versionSchema(spark, srcRoot, toV).getOrElse(
-          throw new IllegalStateException(s"no recorded schema at $srcRoot"))
-        Some(graft.sources.PartitionedRead.frame(spark, qroot, files, full, partCols))
-      } else Some(Snapshots.versionSchema(spark, srcRoot, toV) match {
-        case Some(s) => spark.read.schema(s).parquet(files: _*)
-        case None => spark.read.parquet(files: _*)
-      })
+        Some(Snapshots.readFilesAs(spark, qroot, files,
+          Snapshots.versionSchema(spark, srcRoot, toV),
+          Snapshots.tableProperties(spark, srcRoot, toV)))
+      }
     (df.getOrElse(Snapshots.readVersion(spark, srcRoot, toV).limit(0)), files.size)
   }
 

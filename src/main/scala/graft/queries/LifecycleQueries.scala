@@ -934,6 +934,65 @@ object LifecycleQueries {
              |FROM events""".stripMargin)
     ),
 
+    // ---- Column mapping (r9, VERDICT task 6): RENAME and DROP COLUMN
+    // as metadata-only commits — the physical name is frozen in field
+    // metadata, files are never rewritten (`metadata_only` pins zero
+    // adds/removes on both commits via DESCRIBE HISTORY). The head
+    // reads under the NEW name (old files' bytes serve it through the
+    // mapping), version 0 still reads under the OLD name, a post-rename
+    // append arrives under the new logical name, and a type change is
+    // still refused (`type_change_refused`). The head aggregate under
+    // the new name is hash-checked relationally. At 100 TB a rename
+    // without this is a table-length rewrite.
+    QuerySpec(
+      "rename_column_evolution",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/renamelog"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.repartition(2))
+        Snapshots.renameColumn(s, root, "value", "amount")
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 10 === 3)
+            .withColumn("event_id", col("event_id") + 10000000L)
+            .withColumnRenamed("value", "amount"))
+        Snapshots.dropColumn(s, root, "event_type")
+        val hist = Snapshots.history(s, root)
+          .where(col("version").isin(1L, 3L))
+          .agg(sum(col("n_added") + col("n_removed"))).head().getLong(0)
+        val metadataOnly = hist == 0L
+        val typeChangeRefused =
+          try {
+            Snapshots.append(s, root,
+              e.limit(1).withColumn("amount", lit(1))
+                .select(col("event_id"), col("user_id"), col("amount")))
+            false
+          } catch { case _: IllegalArgumentException => true }
+        val v0Name = Snapshots.readVersion(s, root, 0).columns.contains("value")
+        val headCols = Snapshots.readVersion(s, root).columns.toSeq
+        Snapshots.readVersion(s, root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("amount")).as("amount_sum"))
+          .withColumn("metadata_only", lit(metadataOnly))
+          .withColumn("type_change_refused", lit(typeChangeRefused))
+          .withColumn("v0_has_old_name", lit(v0Name))
+          .withColumn("head_shape_ok",
+            lit(headCols == Seq("event_id", "user_id", "amount")))
+      },
+      Some("""WITH evolved AS (
+             |  SELECT event_id, value AS amount FROM events
+             |  UNION ALL
+             |  SELECT event_id + 10000000, value FROM events WHERE event_id % 10 = 3)
+             |SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS amount_sum,
+             |  TRUE AS metadata_only, TRUE AS type_change_refused,
+             |  TRUE AS v0_has_old_name, TRUE AS head_shape_ok
+             |FROM evolved""".stripMargin)
+    ),
+
     // ---- SQL MERGE ≡ API merge (r9, VERDICT task 2): the same source
     // merged into two identical snapshot tables — once via
     // `Snapshots.mergeCow`, once via `MERGE INTO … WHEN MATCHED THEN

@@ -67,14 +67,21 @@ private[graft] object PartitionedRead {
   def frame(
       spark: SparkSession, qroot: Path, files: Seq[String],
       fullSchema: StructType, partCols: Seq[String],
-      streaming: Boolean = false): DataFrame = {
+      streaming: Boolean = false,
+      nameMap: Map[String, String] = Map.empty): DataFrame = {
     val (dataSchema, partitionSchema) = HivePartitions.splitSchema(fullSchema, partCols)
+    // column-mapped tables read through the translating format (the
+    // files hold physical names); identity maps take the stock one
+    val fmt =
+      if (nameMap.forall { case (l, p) => l == p })
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      else new MappedParquetFileFormat(nameMap)
     val relation = HadoopFsRelation(
       new ExplicitPartitionedFileIndex(spark, qroot, files, partitionSchema),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      fileFormat = fmt,
       options = Map.empty)(spark)
     val df = org.apache.spark.sql.classic.GraftSqlShim.ofRows(
       spark, LogicalRelation(relation, isStreaming = streaming))

@@ -82,8 +82,15 @@ private[sources] class SnapshotFileIndex(
   /** The version's files surviving stats (and bloom) pruning for the
     * given filters — exposed for the spec to pin the PLANNED set. */
   private[sources] def survivingPaths(dataFilters: Seq[Expression]): Set[String] = {
+    // stats envelopes and parquet blooms are keyed by PHYSICAL column
+    // names; the filters speak logical ones — translate (identity on
+    // never-renamed tables)
+    val physMap = Snapshots.versionSchema(spark, root, version)
+      .map(Snapshots.physicalMap).getOrElse(Map.empty[String, String])
+    def phys(c: String) = physMap.getOrElse(c, c)
     val bs = dataFilters.map(StatsBounds.bounds)
       .foldLeft(Map.empty[String, (Long, Long)])(StatsBounds.intersect)
+      .map { case (c, r) => phys(c) -> r }
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
     val all = statuses.map(_.getPath.toString)
     val statsPruned =
@@ -101,7 +108,8 @@ private[sources] class SnapshotFileIndex(
         val values = dataFilters.flatMap(bloomValues(_, c)).distinct
         values.foldLeft(statsPruned) { (files, v) =>
           if (files.isEmpty) files
-          else graft.core.Skipping.pruneFilesByBloomEqualityDistributed(spark, files, c, v)
+          else graft.core.Skipping.pruneFilesByBloomEqualityDistributed(
+            spark, files, phys(c), v)
         }.toSet
       case None => statsPruned.toSet
     }

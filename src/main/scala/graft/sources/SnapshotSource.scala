@@ -143,12 +143,19 @@ class SnapshotSource extends RelationProvider
         val index = new SnapshotFileIndex(spark, root, v, parameters.get("bloomon"))
         val dataSchema =
           if (index.partitionSchema.isEmpty) fullSchema else index.dataSchema
+        // column-mapped versions (renamed columns) scan through the
+        // translating format: the plan speaks logical names, the files
+        // physical ones
+        val nameMap = Snapshots.physicalMap(fullSchema).filter { case (l, p) => l != p }
         org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           index,
           partitionSchema = index.partitionSchema,
           dataSchema = dataSchema,
           bucketSpec = None,
-          fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          fileFormat =
+            if (nameMap.isEmpty)
+              new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+            else new MappedParquetFileFormat(nameMap),
           options = Map.empty)(spark)
       case _ =>
         throw new IllegalArgumentException(

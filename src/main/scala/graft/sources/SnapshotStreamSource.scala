@@ -176,18 +176,26 @@ private[sources] class SnapshotStreamSource(
       .appendedFilesPerVersion(spark, root, fromV, toV, skipRewrites)
       .flatMap(_._2)
     val partCols = Snapshots.partitionColumns(spark, root)
+    // column-mapped tables (renamed columns) read through the
+    // translating format — files hold physical names
+    val nameMap = Snapshots.versionSchema(spark, root)
+      .map(Snapshots.physicalMap).getOrElse(Map.empty)
+      .filter { case (l, p) => l != p }
     if (partCols.nonEmpty)
       // partitioned table: partition values ride the paths — plan the
       // micro-batch through the partition-aware index (same explicit
       // file list, partition columns from the path fragments)
       return PartitionedRead.frame(
-        spark, qroot, files, schema, partCols, streaming = true)
+        spark, qroot, files, schema, partCols, streaming = true, nameMap = nameMap)
     val relation = HadoopFsRelation(
       new ExplicitFileIndex(spark, qroot, files),
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      fileFormat =
+        if (nameMap.isEmpty)
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        else new MappedParquetFileFormat(nameMap),
       options = Map.empty)(spark)
     org.apache.spark.sql.classic.GraftSqlShim.ofRows(
       spark, LogicalRelation(relation, isStreaming = true))

@@ -126,4 +126,44 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
       .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
     assert(rows1 == rows0, "compaction is a logical no-op, partition values intact")
   }
+
+  test("OPTIMIZE WHERE: maintenance touches only the matching partitions' files") {
+    val root = tmp()
+    Snapshots.init(spark, root, sample, pprops)
+    // fragment (2024,1) with two extra single-row appends
+    (8L to 9L).foreach(i => Snapshots.append(spark, root,
+      Seq((i, 2024, 1, s"x$i")).toDF("k", "year", "month", "s")))
+    val head = Snapshots.latestVersion(spark, root)
+    val before = Snapshots.versionFiles(spark, root, head).map(_.split("/data/").last)
+    val outside = before.filterNot(_.contains("year=2024/month=1"))
+    val v = Snapshots.optimizeCompact(spark, root,
+      smallerThanBytes = 10L * 1024 * 1024,
+      where = Some("year = 2024 AND month = 1"))
+    assert(v > 0)
+    // the delta's removes are all inside the predicate's partitions
+    val d = Snapshots.history(spark, root).where(col("version") === v).head()
+    assert(d.getAs[String]("op") == "optimize")
+    val after = Snapshots.versionFiles(spark, root, v).map(_.split("/data/").last)
+    assert(outside.forall(after.contains),
+      "files outside the predicate are untouched entries in the new manifest")
+    assert(after.count(_.contains("year=2024/month=1")) <
+      before.count(_.contains("year=2024/month=1")),
+      "the matching partition's small files were packed")
+    val rows = Snapshots.readVersion(spark, root)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (Seq(1L, 2L, 3L, 4L, 5L) ++ Seq(8L, 9L)).sorted)
+
+    // zorder scoped to one partition leaves the others' entries alone
+    val root2 = tmp()
+    Snapshots.init(spark, root2,
+      (1L to 200L).map(i => (i, (i % 2).toInt, i % 16, (i * 7) % 16))
+        .toDF("k", "p", "a", "b"), Map("graft.partitionBy" -> "p"))
+    val b2 = Snapshots.versionFiles(spark, root2, 0).map(_.split("/data/").last)
+    val out2 = b2.filterNot(_.contains("p=1"))
+    val v2 = Snapshots.optimizeZorderCow(spark, root2, "a", "b",
+      cellDiv = 16L, numFiles = 2, where = Some("p = 1"))
+    val a2 = Snapshots.versionFiles(spark, root2, v2).map(_.split("/data/").last)
+    assert(out2.forall(a2.contains), "p=0 files carried by reference under zorder WHERE")
+    assert(Snapshots.readVersion(spark, root2).count() == 200)
+  }
 }

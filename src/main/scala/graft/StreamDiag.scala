@@ -26,7 +26,9 @@ object StreamDiag {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
 
+    val statePartitions = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
     (1 to 3).foreach { run =>
+      statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
       val t0 = System.nanoTime()
       def src = graft.streaming.StreamingJobs.tableStream(spark, sfDir)
         .select(col("user_id"), col("event_id"), col("ts"),

@@ -1642,7 +1642,8 @@ object LifecycleQueries {
         val dd = src.select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
         val name = s"stream_dedup_distinct_${streamRun.incrementAndGet()}"
-        StreamingJobs.runAvailableNow(dd, name, OutputMode.Append())
+        StreamingJobs.withStatePartitions(s, 8)(
+          StreamingJobs.runAvailableNow(dd, name, OutputMode.Append()))
         s.table(name)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_distinct_users"),
@@ -1665,6 +1666,11 @@ object LifecycleQueries {
       (s, dir) => {
         try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         catch { case _: Throwable => () }
+        // state partitioning sized to the workload (see
+        // StreamingJobs.withStatePartitions — the r9 StreamDiag
+        // measurement: 4 stores/partition × 32 partitions = 128 store
+        // commits per micro-batch, warm 5.9 s; at 8 partitions 2.9 s,
+        // identical results)
         def src = StreamingJobs.tableStream(s, dir)
           .select(col("user_id"), col("event_id"), col("ts"),
             col("event_type"), col("value"))
@@ -1679,7 +1685,8 @@ object LifecycleQueries {
         val joined = clicks.join(purchases,
           expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
         val name = s"stream_stream_join_${streamRun.incrementAndGet()}"
-        StreamingJobs.runAvailableNow(joined, name, OutputMode.Append())
+        StreamingJobs.withStatePartitions(s, 8)(
+          StreamingJobs.runAvailableNow(joined, name, OutputMode.Append()))
         s.table(name)
           .groupBy(col("c_user").as("user_id"))
           .agg(count(lit(1)).as("n_pairs"),

@@ -189,7 +189,8 @@ object OpQueries {
           .groupBy(col("win_id"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val name = s"stream_tumbling_counts_${streamRun.incrementAndGet()}"
-        StreamingJobs.runAvailableNow(counts, name, OutputMode.Complete())
+        StreamingJobs.withStatePartitions(s, 8)(
+          StreamingJobs.runAvailableNow(counts, name, OutputMode.Complete()))
         s.table(name).orderBy(col("win_id"), col("event_type"))
       },
       Some("""SELECT CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS win_id,
@@ -458,7 +459,8 @@ object OpQueries {
           .groupBy(col("user_id"), session_window(col("ets"), "4 hours"))
           .agg(count(lit(1)).as("n_events"))
         val name = s"stream_session_windows_${streamRun.incrementAndGet()}"
-        StreamingJobs.runAvailableNow(sess, name, OutputMode.Append())
+        StreamingJobs.withStatePartitions(s, 8)(
+          StreamingJobs.runAvailableNow(sess, name, OutputMode.Append()))
         s.table(name)
           .where(unix_micros(col("session_window.end")) < lit(maxUs))
           .select(col("user_id"),

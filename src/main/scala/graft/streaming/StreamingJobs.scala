@@ -407,4 +407,23 @@ object StreamingJobs {
     q.awaitTermination()
     q
   }
+
+  /** Run `body` (which STARTS a streaming query) with the state
+    * partitioning sized to `n`, restoring the session's shuffle
+    * partitioning after. Stateful operators keep one-to-four state
+    * stores PER state partition and commit every one of them each
+    * micro-batch — a fixed per-store cost (file create + fsync on the
+    * checkpoint) that dwarfs the data term on all but huge state
+    * (graft.StreamDiag, r9: the stream-stream join at 32 partitions
+    * paid 128 store commits/batch, ~33 s cumulative commitMs, warm
+    * wall-clock 5.9 s; at 8 partitions 2.9 s, identical results). The
+    * count is FROZEN into the checkpoint at query start, so it must be
+    * set before `start()` — it sizes with expected STATE, not with
+    * cores. */
+  def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
 }

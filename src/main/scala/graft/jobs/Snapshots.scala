@@ -1293,6 +1293,73 @@ object Snapshots {
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Apply ONE CDC micro-batch (a `ChangeFeed`-shaped frame: rows +
+    * `_op` ∈ insert / update_preimage / update_postimage / delete) to a
+    * DOWNSTREAM snapshot table as one exactly-once COW commit —
+    * incremental view maintenance across two logged tables (source CDC
+    * stream → derived table). The batch id rides the commit (`#txn:`),
+    * so a crash-replayed batch is a recognized no-op; return false =
+    * already applied.
+    *
+    * One commit does the whole step: files holding any AFFECTED key
+    * (pre-images, deletes, and upsert targets) are rewritten without
+    * those rows, the insert/post-image rows land as new files,
+    * everything else carries by reference — O(changed files + batch),
+    * never O(table). The feed must be ONE commit's change set (pace the
+    * stream with `maxVersionsPerTrigger = 1`): a multi-commit batch is
+    * an unordered multiset in which an insert and its own later update
+    * would double-apply. */
+  def applyCdcBatch(
+      spark: SparkSession, root: String, feed: DataFrame,
+      keyCols: Seq[String], batchId: Long): Boolean = {
+    val dropKeys = feed
+      .where(col(ChangeFeed.opCol).isin("update_preimage", "delete"))
+      .select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    val adds = feed
+      .where(col(ChangeFeed.opCol).isin("insert", "update_postimage"))
+      .drop(ChangeFeed.opCol)
+    if (versions(spark, root).isEmpty) {
+      initTxn(spark, root, adds, Some(batchId))
+      return true
+    }
+    if (batchId <= lastCommittedBatch(spark, root)) return false
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val (_, qroot) = fsOf(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    val prevFiles = versionFileList(spark, root, prev)
+    val prevSchema = prevDelta.schema
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(readVersion(spark, root, prev).schema)
+    val merged = mergedSchema(Some(prevSchema),
+      assignPhysical(Some(prevSchema), adds.schema, prevDelta.props))
+    checkConstraints(conform(adds, merged), prevDelta.props)
+    val affected = dropKeys
+      .unionByName(adds.select(keyCols.map(col): _*))
+      .dropDuplicates(keyCols)
+    val current = readVersion(spark, root, prev).withColumn("__file", input_file_name())
+    val matchedFiles = current.join(affected, keyCols, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toString).toSet
+    val rewritten = prevFiles.filter(f => matchedFiles.contains(new Path(qroot, f).toString))
+    require(rewritten.size == matchedFiles.size,
+      s"${matchedFiles.size} files hold affected keys but only ${rewritten.size} " +
+        s"resolved to log entries — path normalization bug? $matchedFiles")
+    val kept =
+      if (rewritten.isEmpty) conform(adds, merged)
+      else conform(
+          readFilesAs(spark, qroot,
+              rewritten.map(f => new Path(qroot, f).toString),
+              Some(prevSchema), prevDelta.props)
+            .join(affected, keyCols, "left_anti"), merged)
+        .unionByName(conform(adds, merged))
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
+    commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = Some(batchId),
+      schema = Some(merged.json), props = prevDelta.props, stats = stats,
+      op = Some("merge")))
+    true
+  }
+
   private val constraintPrefix = "constraint."
 
   /** SQL-CHECK semantics: a row violates when the expression is FALSE

@@ -1498,6 +1498,91 @@ object LifecycleQueries {
              |FROM events WHERE value > 10""".stripMargin)
     ),
 
+    // ---- Streaming CDC IVM (r9, VERDICT task 8): the full incremental-
+    // view-maintenance loop across TWO logged tables — the source's CDC
+    // stream (`readChangeFeed`, paced one COMMIT per micro-batch by
+    // `maxVersionsPerTrigger = 1`) drives `Snapshots.applyCdcBatch` in
+    // foreachBatch, which applies each commit's change set to a derived
+    // replica table as ONE exactly-once COW commit (#txn: = batch id).
+    // After draining a mixed history (init, changeFeed'd merge,
+    // changeFeed'd delete), the engine pins that the replica is
+    // multiset-identical to the source head AND that the replication
+    // cost was commit-grain (one replica commit per source commit); the
+    // replica's aggregate is hash-checked against the relational
+    // merge+delete recompute. 100 TB shape: the derived table is
+    // maintained from feeds 1000× smaller than the table — no source
+    // re-scan anywhere in the loop.
+    QuerySpec(
+      "stream_pipe_cdc_ivm",
+      (s, dir) => {
+        val base = Dumps.forSf(dir)
+        val srcRoot = s"$base/cdcivmsrc"
+        val dstRoot = s"$base/cdcivmdst"
+        val cp = s"$base/cdcivm_cp"
+        val fs = new org.apache.hadoop.fs.Path(srcRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(srcRoot, dstRoot, cp).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)) // fresh per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, srcRoot, e.repartition(2)) // v0
+        val src = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+          .unionByName(e.where(col("event_id") % 10 === 7)
+            .withColumn("event_id", col("event_id") + 10000000L)
+            .withColumn("value", col("value") + 1))
+        Snapshots.mergeCow(s, srcRoot, src, Seq("event_id"), changeFeed = true) // v1
+        Snapshots.deleteKeysCow(s, srcRoot,
+          e.where(col("event_id") % 9 === 4).select(col("event_id")),
+          Seq("event_id"), changeFeed = true) // v2
+        s.readStream.format("graft-snapshot")
+          .option("readChangeFeed", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load(srcRoot)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            Snapshots.applyCdcBatch(s, dstRoot, batch, Seq("event_id"), id); ()
+          }
+          .start()
+          .awaitTermination()
+        // engine-pinned: replica ≡ source head (one-pass signed counts)
+        // and the replication was commit-grain (3 source commits → 3
+        // replica commits, ids 0..2 riding #txn:)
+        val a = Snapshots.readVersion(s, srcRoot)
+        val b = Snapshots.readVersion(s, dstRoot)
+        val identical = a.withColumn("__s", lit(1L))
+          .unionByName(b.withColumn("__s", lit(-1L)))
+          .groupBy(a.columns.map(col): _*).agg(sum(col("__s")).as("__d"))
+          .where(col("__d") =!= 0L).isEmpty
+        val commitGrain =
+          Snapshots.history(s, dstRoot).count() == 3L &&
+            graft.jobs.Snapshots.lastCommittedBatch(s, dstRoot) == 2L
+        b.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("ivm_matches_source", lit(identical))
+          .withColumn("commit_grain", lit(commitGrain))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (
+             |  SELECT event_id, user_id, value * 2 AS value, event_type FROM e WHERE event_id % 10 = 0
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type FROM e WHERE event_id % 10 = 7),
+             |merged AS (
+             |  SELECT * FROM e WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src),
+             |final AS (
+             |  SELECT * FROM merged
+             |  WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 9 = 4))
+             |SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS ivm_matches_source, TRUE AS commit_grain
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- CDC streaming (r8): `readChangeFeed` turns the same source
     // into a ROW-CHANGE stream — each micro-batch is the change feed of
     // the admitted versions (v0/append inserts synthesized from the

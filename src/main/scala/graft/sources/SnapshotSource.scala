@@ -104,7 +104,7 @@ class SnapshotSource extends RelationProvider
   private val reservedKeys =
     Set("path", "versionasof", "timestampasof", "changesfrom", "changesto",
       "bloomon", "skiprewrites", "maxfilespertrigger", "maxbytespertrigger",
-      "startingversion", "readchangefeed")
+      "maxversionspertrigger", "startingversion", "readchangefeed")
 
   /** Epoch millis from either a raw long or a `Timestamp.valueOf` string
     * (`yyyy-mm-dd hh:mm:ss[.f…]`, session-local zone — the same spelling

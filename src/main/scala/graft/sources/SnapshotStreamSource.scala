@@ -52,6 +52,15 @@ private[sources] class SnapshotStreamSource(
   private val skipRewrites = parameters.get("skiprewrites").exists(_.toBoolean)
   private val maxFiles = parameters.get("maxfilespertrigger").map(_.toInt)
   private val maxBytes = parameters.get("maxbytespertrigger").map(_.toLong)
+
+  /** `.option("maxVersionsPerTrigger", n)`: admit at most n VERSIONS
+    * (commits) per micro-batch — the commit-grain pacing knob, valid in
+    * BOTH modes. In `readChangeFeed` mode `n = 1` is the IVM contract:
+    * each micro-batch is exactly one commit's change set, so a
+    * downstream apply sees changes in commit order and can never fold
+    * an insert and its own later update into one unordered multiset. */
+  private val maxVersions = parameters.get("maxversionspertrigger").map(_.toInt)
+  require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
   /** Exclusive lower bound on versions to emit: one BELOW the inclusive
     * `startingVersion` option (Delta convention), table birth when
     * unset. */
@@ -68,7 +77,8 @@ private[sources] class SnapshotStreamSource(
   require(!readChangeFeed || !skipRewrites,
     "readChangeFeed streams rewrites as row changes — skipRewrites does not combine")
   require(!readChangeFeed || (maxFiles.isEmpty && maxBytes.isEmpty),
-    "maxFilesPerTrigger/maxBytesPerTrigger pace file-grain tailing, not the change feed")
+    "maxFilesPerTrigger/maxBytesPerTrigger pace file-grain tailing, not the " +
+      "change feed — use maxVersionsPerTrigger (commit grain) with readChangeFeed")
 
   private val qroot: Path = {
     val p = new Path(root)
@@ -129,7 +139,10 @@ private[sources] class SnapshotStreamSource(
 
   override def getOffset: Option[V1Offset] = {
     val liveHead = Snapshots.versions(spark, root).lastOption.getOrElse(-1L)
-    val head = availableNowTarget.fold(liveHead)(math.min(liveHead, _))
+    val head0 = availableNowTarget.fold(liveHead)(math.min(liveHead, _))
+    // commit-grain pacing applies before (and independently of) the
+    // file/byte admission loop below
+    val head = maxVersions.fold(head0)(n => math.min(head0, posV + n))
     if (head < 0) return None
     if (head <= posV) return Some(LongOffset(math.min(posV, head)))
     val bounded =

@@ -112,6 +112,32 @@ class SnapshotDmlSpec extends AnyFunSuite {
       == Seq(1L, 2L))
   }
 
+  test("applyCdcBatch: sequential per-commit feeds rebuild the source exactly, exactly-once") {
+    val src = tmp(); val dst = tmp()
+    Snapshots.init(spark, src,
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    Snapshots.mergeCow(spark, src,
+      Seq((1L, 100.0), (60L, 60.0)).toDF("k", "v"), Seq("k"), changeFeed = true)
+    Snapshots.deleteKeysCow(spark, src, Seq(2L, 3L).toDF("k"), Seq("k"), changeFeed = true)
+    // replay commit by commit
+    (0L to 2L).foreach { v =>
+      val feed = Snapshots.changesBetween(spark, src, v - 1, v)
+      assert(Snapshots.applyCdcBatch(spark, dst, feed, Seq("k"), v))
+    }
+    def canon(r: String) = Snapshots.readVersion(spark, r)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(canon(dst) == canon(src), "replica converges to the source head")
+    // a replayed batch id is a recognized no-op
+    assert(!Snapshots.applyCdcBatch(spark, dst,
+      Snapshots.changesBetween(spark, src, 1, 2), Seq("k"), 2L))
+    assert(canon(dst) == canon(src))
+    // only files holding affected keys were rewritten on the delete step
+    val d = Snapshots.readDelta(spark, dst, 2L)
+    assert(d.removes.nonEmpty &&
+      d.removes.size < Snapshots.versionFiles(spark, dst, 1).size ||
+      Snapshots.versionFiles(spark, dst, 1).size == 1)
+  }
+
   test("SQL DELETE / UPDATE / MERGE / INSERT route to the identical commits") {
     val rootApi = tmp(); val rootSql = tmp()
     clustered(rootApi); clustered(rootSql)

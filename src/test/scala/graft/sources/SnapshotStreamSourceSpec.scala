@@ -183,6 +183,34 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       (1L to 4L).map(i => i -> (if (i == 1L) "a" else s"r$i")).toSet)
   }
 
+  test("maxVersionsPerTrigger paces at commit grain, including the CDC mode") {
+    val root = dir("ssmaxv") + "/t"
+    val cp = dir("ssmaxv-cp")
+    Snapshots.init(spark, root, one(1L -> "a"))
+    (2L to 4L).foreach(i => Snapshots.append(spark, root, one(i -> s"r$i")))
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).option("maxVersionsPerTrigger", "1").load(root), cp, got)
+    val batches = got.asScala()
+    assert(batches.size == 4, s"one commit per trigger: got ${batches.size}")
+    assert(batches.flatten.toSet ==
+      (1L to 4L).map(i => i -> (if (i == 1L) "a" else s"r$i")).toSet)
+    // CDC mode accepts the commit-grain knob (file/byte caps stay refused)
+    val root2 = dir("ssmaxv2") + "/t"
+    Snapshots.init(spark, root2, one(1L -> "a"))
+    Snapshots.mergeCow(spark, root2, one(1L -> "A"), Seq("k"), changeFeed = true)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format(fmt)
+      .option("readChangeFeed", "true").option("maxVersionsPerTrigger", "1").load(root2)
+      .writeStream.option("checkpointLocation", dir("ssmaxv2-cp"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, id: Long) => { seen.add(b.count()); () })
+      .start()
+    q.awaitTermination()
+    val counts = { val b = Seq.newBuilder[Long]; seen.forEach(e => b += e); b.result() }
+    assert(counts == Seq(1L, 2L),
+      s"v0 inserts then the merge's pre+post images, one commit per batch: $counts")
+  }
+
   test("startingVersion tails from the named version inclusive (Delta convention)") {
     val root = dir("ssfrom") + "/t"
     val cp = dir("ssfrom-cp")

@@ -104,7 +104,8 @@ object Snapshots {
       txn: Option[Long] = None, cdf: Option[String] = None,
       schema: Option[String] = None, props: Map[String, String] = Map.empty,
       stats: Map[String, graft.core.Skipping.FileStats] = Map.empty,
-      op: Option[String] = None, ts: Option[Long] = None)
+      op: Option[String] = None, ts: Option[Long] = None,
+      dv: Seq[String] = Nil, dvAdd: Option[String] = None)
 
   private def fsOf(spark: SparkSession, root: String) = {
     val p = new Path(root)
@@ -240,7 +241,9 @@ object Snapshots {
       }.toMap,
       stats = lines.filter(_.startsWith("#stats:")).map(parseStats).toMap,
       op = lines.find(_.startsWith("#op:")).map(_.stripPrefix("#op:")),
-      ts = lines.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong))
+      ts = lines.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong),
+      dv = lines.filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:")),
+      dvAdd = lines.find(_.startsWith("#dvadd:")).map(_.stripPrefix("#dvadd:")))
   }
 
   /** Table properties as of `version` (default: latest) — writer options
@@ -395,6 +398,8 @@ object Snapshots {
         d.txn.map(b => s"#txn:$b").toSeq ++
         d.cdf.map(c => s"#cdf:$c").toSeq ++
         d.schema.map(s => s"#schema:$s").toSeq ++
+        d.dv.sorted.map(n => s"#dv:$n") ++
+        d.dvAdd.map(n => s"#dvadd:$n").toSeq ++
         d.props.toSeq.sorted.map { case (k, v2) => s"#prop:$k=$v2" } ++
         d.stats.toSeq.sortBy(_._1).map { case (rel, s) => renderStats(rel, s) } ++
         d.adds.sorted.map("+" + _) ++ d.removes.sorted.map("-" + _)
@@ -513,8 +518,8 @@ object Snapshots {
     val files = versionFiles(spark, root, v)
     require(files.nonEmpty, s"version $v of $root is empty")
     val (_, qroot) = fsOf(spark, root)
-    readFilesAs(spark, qroot, files, versionSchema(spark, root, v),
-      readDelta(spark, root, v).props)
+    val d = readDelta(spark, root, v)
+    readFilesAs(spark, qroot, files, versionSchema(spark, root, v), d.props, d.dv)
   }
 
   /** Write `df` into a fresh uniquely-suffixed commit dir, returning the
@@ -581,6 +586,24 @@ object Snapshots {
     * tables take the plain multi-path parquet read. */
   private[graft] def readFilesAs(
       spark: SparkSession, qroot: Path, absFiles: Seq[String],
+      schema: Option[StructType], props: Map[String, String],
+      dvDirs: Seq[String] = Nil): DataFrame = {
+    val cols = schema.map(_.fieldNames.toSeq)
+    val framed = readFilesRaw(spark, qroot, absFiles, schema, props)
+    if (dvDirs.isEmpty) framed
+    else {
+      // merge-on-read deletion vectors: anti-join the (file, position)
+      // pairs the live DV sidecars name — the parquet reader's OWN
+      // `_metadata.row_index`/`file_path` identify rows, so no physical
+      // column and no file rewrite was ever needed to delete
+      val out = cols.getOrElse(framed.columns.toSeq)
+      applyDeletionVectors(spark, qroot, framed, dvDirs)
+        .select(out.map(col): _*)
+    }
+  }
+
+  private def readFilesRaw(
+      spark: SparkSession, qroot: Path, absFiles: Seq[String],
       schema: Option[StructType], props: Map[String, String]): DataFrame = {
     val partCols = graft.core.HivePartitions.columnsOf(props)
     // column mapping: the FILES hold physical names — read under them,
@@ -599,6 +622,62 @@ object Snapshots {
       graft.sources.PartitionedRead.frame(spark, qroot, absFiles, full, partCols,
         nameMap = if (mapped) physicalMap(full) else Map.empty)
     }
+  }
+
+  /** The deletion-vector directories live at `version` (empty on tables
+    * never MOR-deleted) — the front door consults this to decide
+    * whether the bare file relation is servable. */
+  def liveDeletionVectors(
+      spark: SparkSession, root: String, version: Long = -1L): Seq[String] = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    readDelta(spark, root, v).dv
+  }
+
+  /** The union frame of the named DV sidecar directories:
+    * (file_path, row_index) pairs in `_metadata` spelling. */
+  private def dvFrame(spark: SparkSession, qroot: Path, dirs: Seq[String]): DataFrame =
+    spark.read.parquet(dirs.map(d => new Path(qroot, s"_dv/$d").toString): _*)
+
+  /** DV-filter `df` (a frame whose plan still exposes `_metadata`),
+    * KEEPING the `__pos_path`/`__pos_idx` columns for callers that need
+    * row positions (deleteWhereMor stages new DVs from them). The DV
+    * side is broadcast — a deletion vector is O(deleted rows), the
+    * small side by construction. */
+  private def withPositionsDvApplied(
+      spark: SparkSession, qroot: Path, df: DataFrame,
+      dvDirs: Seq[String]): DataFrame = {
+    val withPos = df.select(df.columns.map(col) ++ Seq(
+      col("_metadata.file_path").as("__pos_path"),
+      col("_metadata.row_index").as("__pos_idx")): _*)
+    if (dvDirs.isEmpty) withPos
+    else {
+      val dv = broadcast(dvFrame(spark, qroot, dvDirs)
+        .select(col("file_path").as("__pos_path"), col("row_index").as("__pos_idx")))
+      withPos.join(dv, Seq("__pos_path", "__pos_idx"), "left_anti")
+    }
+  }
+
+  private def applyDeletionVectors(
+      spark: SparkSession, qroot: Path, df: DataFrame,
+      dvDirs: Seq[String]): DataFrame =
+    withPositionsDvApplied(spark, qroot, df, dvDirs)
+      .drop("__pos_path", "__pos_idx")
+
+  /** The version's rows with a `__file` column naming each row's data
+    * file — the victim-detection input the COW paths semi-join on.
+    * Uses the scan's own `_metadata.file_path` (works under the DV
+    * anti-join, where `input_file_name()` would see two sources), and
+    * applies live deletion vectors so already-deleted rows can never
+    * nominate a file. */
+  private def readVersionWithFile(
+      spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (_, qroot) = fsOf(spark, root)
+    val d = readDelta(spark, root, version)
+    val files = versionFiles(spark, root, version)
+    val raw = readFilesRaw(spark, qroot, files,
+      versionSchema(spark, root, version), d.props)
+    val withPos = withPositionsDvApplied(spark, qroot, raw, d.dv)
+    withPos.withColumnRenamed("__pos_path", "__file").drop("__pos_idx")
   }
 
   /** Footer-read ONLY the just-written files (driver loop at test-table
@@ -721,7 +800,7 @@ object Snapshots {
       try {
         writeDelta(spark, root, v,
           Delta(adds, Nil, txn, schema = schema, props = prevDelta.props,
-            stats = stats, op = Some("append")))
+            stats = stats, op = Some("append"), dv = prevDelta.dv))
         committed = true
       } catch {
         case e: IllegalArgumentException if e.getMessage.contains("commit race") =>
@@ -838,7 +917,7 @@ object Snapshots {
       spark, root, base + 1, conform(df, merged), prevDelta.props, Some(merged))
     commitRewrite(spark, root, base + 1,
       Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
-        stats = stats, op = Some("overwrite")))
+        stats = stats, op = Some("overwrite"), dv = prevDelta.dv))
   }
 
   /** Dynamic partition overwrite as ONE commit (Spark's
@@ -867,7 +946,7 @@ object Snapshots {
       spark, root, base + 1, conform(df, merged), prevDelta.props, Some(merged))
     commitRewrite(spark, root, base + 1,
       Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
-        stats = stats, op = Some("overwrite")))
+        stats = stats, op = Some("overwrite"), dv = prevDelta.dv))
   }
 
   /** A COW rewrite commit (removes + adds computed against a base
@@ -944,8 +1023,7 @@ object Snapshots {
     val (fs, qroot) = fsOf(spark, root)
     val prevFiles = versionFileList(spark, root, prev)
     val prevDelta = readDelta(spark, root, prev)
-    val current = readVersion(spark, root, prev)
-      .withColumn("__file", input_file_name())
+    val current = readVersionWithFile(spark, root, prev)
     val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     val cdfDir =
       if (changeFeed) Some(stageChangeFeed(spark, qroot, v,
@@ -963,7 +1041,8 @@ object Snapshots {
       .collect().map(r => new Path(r.getString(0)).toString).toSet
     if (doomedFiles.isEmpty) {
       return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
-        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete")))
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete"),
+        dv = prevDelta.dv))
     }
     val rewritten = prevFiles.filter(f => doomedFiles.contains(new Path(qroot, f).toString))
     // EVERY doomed path must resolve to a manifest entry: a partial
@@ -975,12 +1054,12 @@ object Snapshots {
     val prevSchemaS = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
     val kept = readFilesAs(spark, qroot,
         rewritten.map(f => new Path(qroot, f).toString),
-        prevSchemaS, prevDelta.props)
+        prevSchemaS, prevDelta.props, prevDelta.dv)
       .join(keySet, keyCols, "left_anti")
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, prevSchemaS)
     commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
-      op = Some("delete")))
+      op = Some("delete"), dv = prevDelta.dv))
   }
 
   /** Candidate files for a predicate rewrite: the subset of `version`'s
@@ -1059,7 +1138,12 @@ object Snapshots {
     val pred = expr(predicateSql)
     val candidates = statsCandidateFiles(spark, root, prev, predicateSql)
     def cand = readFilesAs(spark, qroot,
-      candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props)
+      candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props,
+      prevDelta.dv)
+    def candPos = withPositionsDvApplied(spark, qroot,
+      readFilesRaw(spark, qroot,
+        candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props),
+      prevDelta.dv)
     val cdfDir =
       if (!changeFeed) None
       else if (candidates.isEmpty) None
@@ -1072,9 +1156,10 @@ object Snapshots {
       }
     if (candidates.isEmpty)
       return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
-        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete")))
-    val doomedAbs = cand.withColumn("__file", input_file_name())
-      .where(pred).select(col("__file")).distinct()
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete"),
+        dv = prevDelta.dv))
+    val doomedAbs = candPos.where(pred)
+      .select(col("__pos_path")).distinct()
       .collect().map(r => new Path(r.getString(0)).toString).toSet
     val doomed = candidates.filter(f => doomedAbs.contains(new Path(qroot, f).toString))
     require(doomed.size == doomedAbs.size,
@@ -1082,14 +1167,16 @@ object Snapshots {
         s"resolved to log entries — path normalization bug? $doomedAbs")
     if (doomed.isEmpty)
       return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
-        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete")))
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete"),
+        dv = prevDelta.dv))
     val kept = readFilesAs(spark, qroot,
-        doomed.map(f => new Path(qroot, f).toString), schema, prevDelta.props)
+        doomed.map(f => new Path(qroot, f).toString), schema, prevDelta.props,
+        prevDelta.dv)
       .where(not(coalesce(pred, lit(false))))
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, schema)
     commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
-      op = Some("delete")))
+      op = Some("delete"), dv = prevDelta.dv))
   }
 
   /** Predicate UPDATE as a copy-on-write commit — SQL `UPDATE t SET c =
@@ -1130,7 +1217,12 @@ object Snapshots {
       }: _*)
     val candidates = statsCandidateFiles(spark, root, prev, predicateSql)
     def cand = readFilesAs(spark, qroot,
-      candidates.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props)
+      candidates.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props,
+      prevDelta.dv)
+    def candPos = withPositionsDvApplied(spark, qroot,
+      readFilesRaw(spark, qroot,
+        candidates.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props),
+      prevDelta.dv)
     val cdfDir =
       if (!changeFeed || candidates.isEmpty) None
       else Some(stageChangeFeed(spark, qroot, v,
@@ -1144,9 +1236,10 @@ object Snapshots {
       }
     if (candidates.isEmpty)
       return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
-        schema = prevDelta.schema, props = prevDelta.props, op = Some("update")))
-    val doomedAbs = cand.withColumn("__file", input_file_name())
-      .where(pred).select(col("__file")).distinct()
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("update"),
+        dv = prevDelta.dv))
+    val doomedAbs = candPos.where(pred)
+      .select(col("__pos_path")).distinct()
       .collect().map(r => new Path(r.getString(0)).toString).toSet
     val doomed = candidates.filter(f => doomedAbs.contains(new Path(qroot, f).toString))
     require(doomed.size == doomedAbs.size,
@@ -1154,14 +1247,103 @@ object Snapshots {
         s"resolved to log entries — path normalization bug? $doomedAbs")
     if (doomed.isEmpty)
       return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
-        schema = prevDelta.schema, props = prevDelta.props, op = Some("update")))
+        schema = prevDelta.schema, props = prevDelta.props, op = Some("update"),
+        dv = prevDelta.dv))
     val rewritten = applySet(readFilesAs(spark, qroot,
-      doomed.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props))
+      doomed.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props,
+      prevDelta.dv))
     checkConstraints(rewritten, prevDelta.props)
     val (newFiles, stats) = writeCommitFiles(spark, root, v, rewritten, prevDelta.props, Some(schema))
     commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
-      op = Some("update")))
+      op = Some("update"), dv = prevDelta.dv))
+  }
+
+  /** Predicate DELETE as MERGE-ON-READ — Delta's deletion vectors on
+    * this log: instead of rewriting any data file, the commit records
+    * the doomed rows' (file, row_index) pairs in a small `_dv/` sidecar
+    * named by the delta (`#dv:` cumulative live list + `#dvadd:` this
+    * commit's new vector); every read path anti-joins the broadcast DV
+    * set against the parquet reader's own `_metadata` row positions. A
+    * delete of a thousand rows in a 100 TB table costs O(matching rows)
+    * written, ZERO files rewritten — the write-amplification fix COW
+    * cannot give. Victim selection is the same stats-pruned candidate
+    * path as `deleteWhere` (only candidate files are even read), the
+    * change feed publishes identically, and `materializeDeletionVectors`
+    * folds the vectors into a rewrite when read-side cost should be
+    * reclaimed (compaction semantics). Time travel is exact: each
+    * version's delta names the DV set that was live AT that version. */
+  def deleteWhereMor(
+      spark: SparkSession, root: String, predicateSql: String,
+      changeFeed: Boolean = false, txn: Option[Long] = None): Long = {
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val (fs, qroot) = fsOf(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pred = expr(predicateSql)
+    val candidates = statsCandidateFiles(spark, root, prev, predicateSql)
+    def commitMeta(cdfDir: Option[String], newDv: Option[String]): Long =
+      try commitRewrite(spark, root, v,
+        Delta(Nil, Nil, txn = txn, cdf = cdfDir,
+          schema = prevDelta.schema, props = prevDelta.props,
+          op = Some("delete"), dv = prevDelta.dv ++ newDv.toSeq, dvAdd = newDv))
+      catch { case e: Throwable =>
+        cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true))
+        newDv.foreach(n => fs.delete(new Path(qroot, s"_dv/$n"), true))
+        throw e
+      }
+    if (candidates.isEmpty) return commitMeta(None, None)
+    // candidate scan WITH row positions, already filtered by the LIVE
+    // DV set (a row can never be deleted twice)
+    val cand = withPositionsDvApplied(spark, qroot,
+      readFilesRaw(spark, qroot,
+        candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props),
+      prevDelta.dv)
+    val doomed = cand.where(pred)
+    val dvName = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    doomed.select(col("__pos_path").as("file_path"), col("__pos_idx").as("row_index"))
+      .write.mode("overwrite").parquet(new Path(qroot, s"_dv/$dvName").toString)
+    val dvRows = spark.read.parquet(new Path(qroot, s"_dv/$dvName").toString).count()
+    if (dvRows == 0L) {
+      fs.delete(new Path(qroot, s"_dv/$dvName"), true)
+      return commitMeta(None, None)
+    }
+    val cdfDir =
+      if (!changeFeed) None
+      else Some(stageChangeFeed(spark, qroot, v,
+        doomed.drop("__pos_path", "__pos_idx")
+          .withColumn(ChangeFeed.opCol, lit("delete"))))
+    commitMeta(cdfDir, Some(dvName))
+  }
+
+  /** Fold the live deletion vectors into a rewrite: files holding any
+    * DV'd row are rewritten WITHOUT those rows (a content-preserving
+    * OPTIMIZE — same logical rows, different files), every other file
+    * carries by reference, and the head's DV list empties. This is the
+    * maintenance step that reclaims the per-read anti-join once vectors
+    * accumulate; until then reads stay O(deleted rows) extra. Returns
+    * -1 when there is nothing to materialize. */
+  def materializeDeletionVectors(spark: SparkSession, root: String): Long = {
+    val prev = latestVersion(spark, root)
+    val (_, qroot) = fsOf(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    if (prevDelta.dv.isEmpty) return -1L
+    val prevFiles = versionFileList(spark, root, prev)
+    val affectedAbs = dvFrame(spark, qroot, prevDelta.dv)
+      .select(col("file_path")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toString).toSet
+    val affected = prevFiles.filter(f => affectedAbs.contains(new Path(qroot, f).toString))
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val kept = readFilesAs(spark, qroot,
+      affected.map(f => new Path(qroot, f).toString),
+      schema, prevDelta.props, prevDelta.dv)
+    val (newFiles, stats) = writeCommitFiles(
+      spark, root, prev + 1, kept, prevDelta.props, schema)
+    commitRewrite(spark, root, prev + 1,
+      Delta(newFiles, affected, schema = prevDelta.schema,
+        props = prevDelta.props, stats = stats, op = Some("optimize"),
+        dv = Nil))
   }
 
   /** Project `df` onto `target`: columns in order, absent ones
@@ -1209,7 +1391,7 @@ object Snapshots {
     val merged = mergedSchema(Some(prevSchema),
       assignPhysical(Some(prevSchema), src.schema, prevDelta.props))
     checkConstraints(conform(src, merged), prevDelta.props)
-    val current = readVersion(spark, root, prev).withColumn("__file", input_file_name())
+    val current = readVersionWithFile(spark, root, prev)
     val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(r => new Path(r.getString(0)).toString).toSet
@@ -1231,13 +1413,13 @@ object Snapshots {
       else conform(
           readFilesAs(spark, qroot,
               rewritten.map(f => new Path(qroot, f).toString),
-              Some(prevSchema), prevDelta.props)
+              Some(prevSchema), prevDelta.props, prevDelta.dv)
             .join(srcKeys, keyCols, "left_anti"), merged)
         .unionByName(conform(src, merged))
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
     try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = Some(merged.json), props = prevDelta.props, stats = stats,
-      op = Some("merge")))
+      op = Some("merge"), dv = prevDelta.dv))
     catch { case e: Throwable =>
       cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
     }
@@ -1275,6 +1457,9 @@ object Snapshots {
       if (d.cdf.isDefined)
         Some(spark.read.parquet(new Path(qroot, s"_changes/${d.cdf.get}").toString))
       else if (d.op.contains("optimize")) None // same rows, different files
+      else if (d.dvAdd.isDefined) throw new IllegalArgumentException(
+        s"version $v of $root deleted rows by deletion vector without a " +
+          "change feed — commit with changeFeed = true")
       else if (d.removes.isEmpty) {
         if (d.adds.isEmpty) None // no-op commit (e.g. delete of absent keys)
         else {
@@ -1337,7 +1522,7 @@ object Snapshots {
     val affected = dropKeys
       .unionByName(adds.select(keyCols.map(col): _*))
       .dropDuplicates(keyCols)
-    val current = readVersion(spark, root, prev).withColumn("__file", input_file_name())
+    val current = readVersionWithFile(spark, root, prev)
     val matchedFiles = current.join(affected, keyCols, "left_semi")
       .select(col("__file")).distinct()
       .collect().map(r => new Path(r.getString(0)).toString).toSet
@@ -1350,13 +1535,13 @@ object Snapshots {
       else conform(
           readFilesAs(spark, qroot,
               rewritten.map(f => new Path(qroot, f).toString),
-              Some(prevSchema), prevDelta.props)
+              Some(prevSchema), prevDelta.props, prevDelta.dv)
             .join(affected, keyCols, "left_anti"), merged)
         .unionByName(conform(adds, merged))
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
     commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = Some(batchId),
       schema = Some(merged.json), props = prevDelta.props, stats = stats,
-      op = Some("merge")))
+      op = Some("merge"), dv = prevDelta.dv))
     true
   }
 
@@ -1393,7 +1578,7 @@ object Snapshots {
     commitRewrite(spark, root, head + 1,
       Delta(Nil, Nil, schema = prevDelta.schema,
         props = prevDelta.props + (constraintPrefix + name -> exprSql),
-        op = Some("metadata")))
+        op = Some("metadata"), dv = prevDelta.dv))
   }
 
   /** Drop a CHECK constraint — a metadata-only commit without it. */
@@ -1403,7 +1588,7 @@ object Snapshots {
     commitRewrite(spark, root, head + 1,
       Delta(Nil, Nil, schema = prevDelta.schema,
         props = prevDelta.props - (constraintPrefix + name),
-        op = Some("metadata")))
+        op = Some("metadata"), dv = prevDelta.dv))
   }
 
   /** RENAME COLUMN as a METADATA-ONLY commit (column mapping): the
@@ -1438,7 +1623,7 @@ object Snapshots {
     })
     commitRewrite(spark, root, head + 1,
       Delta(Nil, Nil, schema = Some(renamed.json), props = prevDelta.props,
-        op = Some("metadata")))
+        op = Some("metadata"), dv = prevDelta.dv))
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the
@@ -1465,7 +1650,7 @@ object Snapshots {
       Delta(Nil, Nil,
         schema = Some(StructType(schema.fields.filterNot(_.name == name)).json),
         props = prevDelta.props + (retiredProp -> retired.mkString(",")),
-        op = Some("metadata")))
+        op = Some("metadata"), dv = prevDelta.dv))
   }
 
   /** RESTORE as a commit: make the head's logical content equal version
@@ -1490,12 +1675,18 @@ object Snapshots {
     val readds = oldFiles.filterNot(current.contains)
     val removes = (current -- oldFiles).toSeq.sorted
     val oldDelta = readDelta(spark, root, toVersion)
+    // the restored-to content includes the old version's DELETION
+    // VECTORS — they must still exist (vacuum may have reclaimed them)
+    oldDelta.dv.foreach { d =>
+      require(fs.exists(new Path(qroot, s"_dv/$d")),
+        s"cannot restore $root to $toVersion: deletion vector $d was vacuumed away")
+    }
     commitRewrite(spark, root, head + 1,
       Delta(readds, removes,
         schema = oldDelta.schema.orElse(readDelta(spark, root, head).schema),
         props = readDelta(spark, root, head).props,
         stats = readds.flatMap(f => oldStats.get(f).map(f -> _)).toMap,
-        op = Some("restore")))
+        op = Some("restore"), dv = oldDelta.dv))
   }
 
   /** `COUNT(*)` of a version answered from the LOG alone when every live
@@ -1504,6 +1695,8 @@ object Snapshots {
     * between a metadata read and a table scan. */
   def rowCount(spark: SparkSession, root: String, version: Long = -1L): Option[Long] = {
     val v = if (version < 0) latestVersion(spark, root) else version
+    // live deletion vectors subtract rows the file envelopes still count
+    if (readDelta(spark, root, v).dv.nonEmpty) return None
     val (files, stats) = reconstruct(spark, root, v)
     if (files.forall(stats.contains)) Some(files.map(stats(_).rows).sum) else None
   }
@@ -1545,7 +1738,7 @@ object Snapshots {
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
     val smallRead = readFilesAs(spark, qroot,
       small.map(f => new Path(qroot, f._1).toString),
-      versionSchema(spark, root, prev), prevDelta.props)
+      versionSchema(spark, root, prev), prevDelta.props, prevDelta.dv)
     // a partitioned table re-splits by partition value at write time
     // (partitionBy) — cluster the pack by partition so each partition's
     // small files bin into one output, not nOut shards of every file
@@ -1557,7 +1750,8 @@ object Snapshots {
       prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]))
     commitRewrite(spark, root, v,
       Delta(newFiles, small.map(_._1), schema = prevDelta.schema,
-        props = prevDelta.props, stats = stats, op = Some("optimize")))
+        props = prevDelta.props, stats = stats, op = Some("optimize"),
+        dv = prevDelta.dv))
   }
 
   /** OPTIMIZE as a commit: rewrite the CURRENT version into `numFiles`
@@ -1590,7 +1784,7 @@ object Snapshots {
       val files = filesMatchingPartitionPredicate(spark, root, prev, p)
       (readFilesAs(spark, qroot, files.map(f => new Path(qroot, f).toString),
         prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
-        prevDelta.props), files)
+        prevDelta.props, prevDelta.dv), files)
   }
 
   /** OPTIMIZE ZORDER BY as a commit: rewrite the current version laid out
@@ -1626,7 +1820,7 @@ object Snapshots {
       prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]))
     commitRewrite(spark, root, v,
       Delta(newFiles, removes, schema = prevDelta.schema, props = prevDelta.props,
-        stats = stats, op = Some("optimize")))
+        stats = stats, op = Some("optimize"), dv = prevDelta.dv))
   }
 
   /** Highest streaming batch id at-or-below version `upTo`, scanning
@@ -1704,11 +1898,17 @@ object Snapshots {
     val orphans = drop.flatMap(v => versionFileList(spark, root, v)).distinct
       .filterNot(referenced.contains)
     // dropped versions' change feeds go with their deltas (feed location
-    // rides the delta header, so read it before the delta is deleted)
+    // rides the delta header, so read it before the delta is deleted);
+    // deletion vectors are reclaimed only when NO retained version's
+    // live `#dv:` list still names them
     val droppedFeeds = drop.flatMap(v => readDelta(spark, root, v).cdf)
+    val keptDvs = keep.flatMap(v => readDelta(spark, root, v).dv).toSet
+    val droppedDvs = drop.flatMap(v => readDelta(spark, root, v).dv).distinct
+      .filterNot(keptDvs.contains)
     orphans.foreach(f => fs.delete(new Path(qroot, f), false))
     drop.foreach(v => fs.delete(deltaPath(qroot, v), false))
     droppedFeeds.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true))
+    droppedDvs.foreach(n => fs.delete(new Path(qroot, s"_dv/$n"), true))
     checkpointVersions(spark, root).filter(_ < floor)
       .foreach(v => fs.delete(checkpointPath(qroot, v), false))
     orphans.size
@@ -1782,6 +1982,24 @@ object Snapshots {
     if (fs.exists(changes)) {
       val reachable = committed.flatMap(v => readDelta(spark, root, v).cdf).toSet
       fs.listStatus(changes).filter(_.isDirectory).foreach { dir =>
+        if (!reachable.contains(dir.getPath.getName)) {
+          val files = fs.listStatus(dir.getPath).toSeq
+          if (files.isEmpty || files.forall(_.getModificationTime < cutoff)) {
+            removed += math.max(1, files.count(_.isFile))
+            fs.delete(dir.getPath, true)
+          }
+        }
+      }
+    }
+    // orphan deletion vectors: same contract — reachable = any committed
+    // delta's #dv/#dvadd refs (historical versions keep theirs for time
+    // travel); the rest is a crashed/raced deleteWhereMor's staging
+    val dvs = new Path(qroot, "_dv")
+    if (fs.exists(dvs)) {
+      val reachable = committed.flatMap { v =>
+        val d = readDelta(spark, root, v); d.dv ++ d.dvAdd.toSeq
+      }.toSet
+      fs.listStatus(dvs).filter(_.isDirectory).foreach { dir =>
         if (!reachable.contains(dir.getPath.getName)) {
           val files = fs.listStatus(dir.getPath).toSeq
           if (files.isEmpty || files.forall(_.getModificationTime < cutoff)) {

@@ -71,11 +71,14 @@ object TableSync {
     }
     val d = Snapshots.readDelta(spark, srcRoot, v)
     if (d.op.contains("optimize")) Nil // logical no-op: rows unchanged
-    else if (d.removes.nonEmpty) {
+    else if (d.removes.nonEmpty || d.dvAdd.isDefined) {
+      // a deletion-vector commit changes rows without touching files —
+      // exactly as un-tailable as a COW rewrite
       if (!skipRewrites) throw new IllegalStateException(
-        s"version $v of $srcRoot is a rewrite (has removes) — appends-only " +
-          "tailing would double-count carried rows; pass skipRewrites = true " +
-          "to skip rewrite commits, or consume the change feed (changesBetween)")
+        s"version $v of $srcRoot is a rewrite (removes or deletion vector) — " +
+          "appends-only tailing would miss or double-count rows; pass " +
+          "skipRewrites = true to skip rewrite commits, or consume the " +
+          "change feed (changesBetween)")
       Nil
     } else d.adds.map(f => new Path(qroot, f).toString)
   }

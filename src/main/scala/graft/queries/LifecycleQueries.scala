@@ -889,6 +889,57 @@ object LifecycleQueries {
              |FROM events WHERE NOT (event_id < 1000)""".stripMargin)
     ),
 
+    // ---- Merge-on-read DELETE via deletion vectors (r9): the same
+    // retention predicate as `delete_where`, but the commit rewrites
+    // ZERO data files — the doomed rows' (file, row_index) pairs land
+    // in a `_dv/` sidecar the delta names, and every read applies the
+    // broadcast vector against the scan's own `_metadata` positions
+    // (`zero_rewrite` pins an empty adds/removes on the DV commit; the
+    // read-side aggregate runs through the spark.read front door, so a
+    // resurrected row anywhere flips the hash). A follow-up
+    // `materializeDeletionVectors` folds the vectors into a rewrite —
+    // `materialize_exact` pins content identity and an emptied DV list.
+    // 100 TB shape: deleting 1000 rows costs O(1000) rows written, not
+    // a file rewrite — Delta's deletion-vector write-amplification fix.
+    QuerySpec(
+      "delete_where_mor",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/delmor"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.repartitionByRange(6, col("event_id")).sortWithinPartitions("event_id"))
+        Snapshots.deleteWhereMor(s, root, "event_id < 1000", changeFeed = true)
+        val h1 = Snapshots.history(s, root).where(col("version") === 1).head()
+        val zeroRewrite = h1.getAs[Long]("n_added") == 0 &&
+          h1.getAs[Long]("n_removed") == 0 &&
+          Snapshots.liveDeletionVectors(s, root).nonEmpty
+        val feedDeletes = Snapshots.changesBetween(s, root, 0, 1)
+          .where(col(ChangeFeed.opCol) === "delete").count()
+        val beforeMat = s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)), sum(col("event_id"))).head()
+        val vM = Snapshots.materializeDeletionVectors(s, root)
+        val afterMat = Snapshots.readVersion(s, root)
+          .agg(count(lit(1)), sum(col("event_id"))).head()
+        val materializeExact = vM > 0 && beforeMat == afterMat &&
+          Snapshots.liveDeletionVectors(s, root).isEmpty
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("feed_deletes", lit(feedDeletes))
+          .withColumn("zero_rewrite", lit(zeroRewrite))
+          .withColumn("materialize_exact", lit(materializeExact))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  (SELECT COUNT(*) FROM events WHERE event_id < 1000) AS feed_deletes,
+             |  TRUE AS zero_rewrite, TRUE AS materialize_exact
+             |FROM events WHERE NOT (event_id < 1000)""".stripMargin)
+    ),
+
     // ---- Predicate UPDATE through the SQL router (r9, VERDICT task 2+3):
     // `UPDATE t SET value = value * 3 WHERE event_id < 500` parsed by
     // SPARK'S OWN parser (SnapshotSql routes the catalyst UpdateTable

@@ -41,6 +41,15 @@ private[sources] class SnapshotFileIndex(
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
   }
 
+  /** Qualified table root — the DV rule resolves sidecar paths from it. */
+  private[sources] def tableRoot: Path = qroot
+
+  /** The version's LIVE deletion-vector directories (empty on tables
+    * never MOR-deleted) — `DeletionVectorsRule` rewrites scans of
+    * DV-carrying versions into scan ⟕̸ sidecar anti-joins. */
+  private[sources] lazy val dvDirs: Seq[String] =
+    Snapshots.liveDeletionVectors(spark, root, version)
+
   private lazy val statuses: Seq[FileStatus] = {
     val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Snapshots.versionFiles(spark, root, version).toSet

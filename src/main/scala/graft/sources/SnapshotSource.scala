@@ -130,6 +130,15 @@ class SnapshotSource extends RelationProvider
           case None =>
             if (v0 < 0) Snapshots.latestVersion(spark, root) else v0
         }
+        // merge-on-read deletion vectors: a DV-carrying version cannot
+        // be served as a bare file relation (the scan would resurrect
+        // deleted rows). DeletionVectorsRule — registered here, per
+        // session — rewrites the relation at optimization time into the
+        // NATIVE scan anti-joined (broadcast) with the DV sidecar on
+        // the scan's own `_metadata` positions, keeping vectorization
+        // and pushdown; `materializeDeletionVectors` removes even that.
+        if (Snapshots.liveDeletionVectors(spark, root, v).nonEmpty)
+          DeletionVectorsRule.register(spark)
         val fullSchema = Snapshots.versionSchema(spark, root, v)
           .getOrElse(Snapshots.readVersion(spark, root, v).schema)
         // a NATIVE file-source relation over the log's FileIndex: planned

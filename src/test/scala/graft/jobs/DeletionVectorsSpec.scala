@@ -1,0 +1,163 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Merge-on-read deletion vectors: `deleteWhereMor` deletes rows with
+  * ZERO data files rewritten (a `_dv/` sidecar of (file, row_index)
+  * pairs named by the delta), every read path applies the vectors,
+  * time travel sees each version's own DV set, and
+  * `materializeDeletionVectors` folds them into a rewrite. */
+class DeletionVectorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("dv").toFile.getAbsolutePath + "/t"
+
+  private def dataSigs(root: String): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root, "data")).filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+        f.getAbsolutePath -> md5
+      }.toMap
+  }
+
+  test("deleteWhereMor deletes rows with zero files rewritten; reads and time travel exact") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 300L).map(i => (i, i * 1.0, s"s$i")).toDF("k", "v", "s")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k"))
+    val sigsBefore = dataSigs(root)
+
+    val v1 = Snapshots.deleteWhereMor(spark, root, "k <= 50", changeFeed = true)
+    assert(v1 == 1L)
+    // NOT A SINGLE data file changed
+    assert(dataSigs(root) == sigsBefore, "merge-on-read must rewrite nothing")
+    val d = Snapshots.readDelta(spark, root, 1L)
+    assert(d.adds.isEmpty && d.removes.isEmpty && d.dvAdd.isDefined)
+    // the head reads without the deleted rows
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == (51L to 300L))
+    // time travel: v0 still reads everything
+    assert(Snapshots.readVersion(spark, root, 0).count() == 300)
+    // the change feed published the doomed rows
+    val feed = Snapshots.changesBetween(spark, root, 0, 1)
+    assert(feed.where(col(ChangeFeed.opCol) === "delete").count() == 50)
+    // rowCount falls back (stats can't see DV'd rows)
+    assert(Snapshots.rowCount(spark, root).isEmpty)
+    assert(Snapshots.readVersion(spark, root).count() == 250)
+
+    // a second MOR delete layers; a row can't die twice
+    Snapshots.deleteWhereMor(spark, root, "k <= 60", changeFeed = true)
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == (61L to 300L))
+    assert(Snapshots.changesBetween(spark, root, 1, 2)
+      .where(col(ChangeFeed.opCol) === "delete").count() == 10,
+      "only the newly-dead rows ride the second feed")
+
+    // merge on a DV'd table: carried files stay DV-filtered
+    Snapshots.mergeCow(spark, root, Seq((61L, -1.0, "upd")).toDF("k", "v", "s"), Seq("k"))
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.count() == 240)
+    assert(head.where(col("k") === 61).select("v").as[Double].head() == -1.0)
+    assert(head.where(col("k") <= 60).count() == 0)
+
+    // materialize folds the vectors away: content identical, DV list empty
+    val before = head.orderBy("k").as[(Long, Double, String)].collect().toSeq
+    val vM = Snapshots.materializeDeletionVectors(spark, root)
+    assert(vM > 0)
+    assert(Snapshots.liveDeletionVectors(spark, root).isEmpty)
+    assert(Snapshots.readVersion(spark, root)
+      .orderBy("k").as[(Long, Double, String)].collect().toSeq == before)
+    assert(Snapshots.rowCount(spark, root).contains(240L), "stats-only count returns after materialize")
+    // nothing left to materialize
+    assert(Snapshots.materializeDeletionVectors(spark, root) == -1L)
+  }
+
+  test("MOR on partitioned and column-mapped tables; candidates stats-pruned") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      Seq((1L, 2024, 10.0), (2L, 2024, 20.0), (3L, 2025, 30.0), (4L, 2025, 40.0))
+        .toDF("k", "year", "v"),
+      Map("graft.partitionBy" -> "year"))
+    Snapshots.renameColumn(spark, root, "v", "amount")
+    Snapshots.deleteWhereMor(spark, root, "k = 3")
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.orderBy("k").as[(Long, Int, Double)].collect().toSeq
+      == Seq((1L, 2024, 10.0), (2L, 2024, 20.0), (4L, 2025, 40.0)))
+    // partition-predicate MOR delete prunes candidates from the paths
+    Snapshots.deleteWhereMor(spark, root, "year = 2024")
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().toSeq
+      == Seq(4L))
+
+    // clustered stats pruning: candidate selection only reads intersecting files
+    val root2 = tmp()
+    Snapshots.init(spark, root2,
+      (1L to 300L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k"))
+    assert(Snapshots.statsCandidateFiles(spark, root2, 0, "k <= 50").size == 1)
+    Snapshots.deleteWhereMor(spark, root2, "k <= 50")
+    assert(Snapshots.readVersion(spark, root2).count() == 250)
+  }
+
+  test("tailing refuses DV commits; vacuum and restore respect DV lifecycles; front door applies DVs") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((101L, 101.0)).toDF("k", "v"))
+    Snapshots.deleteWhereMor(spark, root, "k <= 10")
+    // appends-only tailing refuses the DV commit (rows changed, no files)
+    intercept[IllegalStateException](TableSync.appendsBetween(spark, root, 1, 2))
+    assert(TableSync.appendsBetween(spark, root, 1, 2, skipRewrites = true)._2 == 0)
+
+    // front door (spark.read) must NOT resurrect deleted rows — and the
+    // DeletionVectorsRule keeps the NATIVE scan (vectorized parquet +
+    // broadcast anti-join on _metadata positions, no RDD bridge)
+    val front = spark.read.format("graft.sources.SnapshotSource").load(root)
+    assert(front.count() == 91)
+    assert(front.where(col("k") <= 10).count() == 0)
+    assert(front.where(col("k").between(20, 29)).agg(sum("v")).as[Double].head()
+      == (20 to 29).map(_.toDouble).sum)
+    val q = front.where(col("k").between(5, 25)).select("k")
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(qs.plan)
+        case _ => Nil
+      }
+    assert(scans(finalPlan).nonEmpty,
+      s"DV front door must plan a native FileSourceScanExec, got:\n$finalPlan")
+    assert(finalPlan.toString.contains("BroadcastHashJoin") ||
+      finalPlan.toString.contains("BroadcastNestedLoopJoin") == false,
+      "the DV anti-join broadcasts the sidecar")
+    assert(q.as[Long].collect().toSet == (11L to 25L).toSet)
+    // versionAsOf before the delete still reads everything natively
+    assert(spark.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", 1).load(root).count() == 101)
+
+    // restore to the pre-delete version undoes the DV logically
+    Snapshots.restore(spark, root, 1L)
+    assert(Snapshots.readVersion(spark, root).count() == 101)
+    // and restore BACK to the DV version re-applies it
+    Snapshots.restore(spark, root, 2L)
+    assert(Snapshots.readVersion(spark, root).count() == 91)
+
+    // vacuum keeps DV dirs any retained version still names
+    val headV = Snapshots.latestVersion(spark, root)
+    Snapshots.vacuum(spark, root, keepFrom = headV)
+    assert(Snapshots.readVersion(spark, root).count() == 91,
+      "the retained head still applies its deletion vector after vacuum")
+  }
+}

@@ -539,10 +539,21 @@ object Snapshots {
       spark: SparkSession, root: String, v: Long, df0: DataFrame,
       props: Map[String, String] = Map.empty,
       writeSchema: Option[StructType] = None): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
-    // column mapping: files are written under PHYSICAL names (identity
-    // unless the table has renamed columns; `writeSchema` carries the
+    // write-time clustering first (logical column names), then column
+    // mapping: files are written under PHYSICAL names (identity unless
+    // the table has renamed columns; `writeSchema` carries the
     // logical→physical assignment for this commit's columns)
-    val df = writeSchema.map(toPhysical(df0, _)).getOrElse(df0)
+    val clusterCols0 = props.get(clusterByProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      .filter(df0.columns.contains)
+    val clustered0 =
+      if (clusterCols0.isEmpty) df0
+      else {
+        val n = math.max(1, df0.rdd.getNumPartitions)
+        df0.repartitionByRange(n, clusterCols0.map(col): _*)
+          .sortWithinPartitions(clusterCols0.map(col): _*)
+      }
+    val df = writeSchema.map(toPhysical(clustered0, _)).getOrElse(clustered0)
     val (fs, qroot) = fsOf(spark, root)
     val dir = new Path(qroot,
       s"data/commit-$v-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -558,6 +569,11 @@ object Snapshots {
     // commit's own directory, so the log's rel paths are self-describing
     // (core/HivePartitions decodes them at plan time)
     val partCols = graft.core.HivePartitions.columnsOf(props)
+    // (clusterBy was applied above, before the physical rename — Delta's
+    // clustered-write idea at commit grain: every commit range-partitions
+    // + sorts by the cluster columns so write-time `#stats:` envelopes
+    // are tight from the first commit; the per-commit shuffle is the
+    // declared price, file count preserved)
     try {
       val w = df.write.options(writerOpts)
       (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(dir.toString)
@@ -744,6 +760,7 @@ object Snapshots {
   }
 
   private val autoCompactProp = "graft.autoCompact.smallBytes"
+  private[jobs] val clusterByProp = "graft.clusterBy"
 
   /** Best-effort post-append auto-compaction (see `append`). A malformed
     * property value degrades to a warning — the data commit already
@@ -1072,7 +1089,7 @@ object Snapshots {
     * columns), so a predicate on the partition dimension prunes with
     * zero stats in the log. Always a sound OVER-approximation: columns
     * the bounds matcher can't constrain keep their files candidate. */
-  private[jobs] def statsCandidateFiles(
+  private[graft] def statsCandidateFiles(
       spark: SparkSession, root: String, version: Long,
       predicateSql: String): Seq[String] = {
     val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
@@ -1653,6 +1670,51 @@ object Snapshots {
         op = Some("metadata"), dv = prevDelta.dv))
   }
 
+  /** SHALLOW CLONE (Delta's zero-copy clone): create a NEW snapshot log
+    * at `targetRoot` whose v0 references the SOURCE head's data files
+    * by absolute path — no data copied, O(files) metadata. The clone
+    * then lives its own life: appends/merges/deletes write new files
+    * under ITS root, and a COW rewrite merely de-references the shared
+    * source files (never deletes them — `vacuum` refuses to touch any
+    * file outside the table root, the guard that makes sharing safe
+    * from the clone's side). Schema, table properties and write-time
+    * stats carry over, so the clone's front door plans with the same
+    * pruning from commit zero. The dev/test-fork primitive a 100 TB
+    * table needs — a full copy is a day of IO; this is one delta write.
+    *
+    * Caveats (Delta's own): vacuuming the SOURCE below what the clone
+    * references breaks the clone (the source does not know its
+    * borrowers); a source carrying live deletion vectors must
+    * materialize first (the vectors live under the source's `_dv/`,
+    * unreachable from the clone's root). */
+  def cloneShallow(spark: SparkSession, srcRoot: String, targetRoot: String): Long = {
+    require(versions(spark, targetRoot).isEmpty,
+      s"snapshot log already exists at $targetRoot")
+    val head = latestVersion(spark, srcRoot)
+    val (_, srcQroot) = fsOf(spark, srcRoot)
+    val srcDelta = readDelta(spark, srcRoot, head)
+    require(srcDelta.dv.isEmpty,
+      s"$srcRoot carries live deletion vectors — materializeDeletionVectors " +
+        "before cloning (the sidecars live under the source root)")
+    val (files, stats) = reconstruct(spark, srcRoot, head)
+    val absAdds = files.map(f => new Path(srcQroot, f).toString)
+    val absStats = files.zip(absAdds).flatMap { case (rel, abs) =>
+      stats.get(rel).map(s => abs -> s.copy(path = abs))
+    }.toMap
+    writeDelta(spark, targetRoot, 0L,
+      Delta(absAdds, Nil, schema = srcDelta.schema, props = srcDelta.props,
+        stats = absStats, op = Some("clone")))
+    maybeCheckpoint(spark, targetRoot, 0L)
+    0L
+  }
+
+  /** True iff `rel` resolves INSIDE the table root — false for the
+    * absolute out-of-root paths a shallow clone references. Deleting
+    * paths is gated on this everywhere: a clone's vacuum must never
+    * reach into the source table it borrows from. */
+  private def ownedByTable(qroot: Path, rel: String): Boolean =
+    new Path(qroot, rel).toString.startsWith(qroot.toString + "/")
+
   /** RESTORE as a commit: make the head's logical content equal version
     * `toVersion` again — a NEW version whose delta re-adds the files the
     * old version had and removes the ones it didn't (pure metadata,
@@ -1895,8 +1957,12 @@ object Snapshots {
     val floor = keep.min
     writeCheckpoint(spark, root, floor, versionFileList(spark, root, floor))
     val referenced = keep.flatMap(v => versionFileList(spark, root, v)).toSet
+    // never touch out-of-root files: a shallow clone BORROWS the source
+    // table's files — de-referencing them here is fine, deleting them
+    // would corrupt the lender
     val orphans = drop.flatMap(v => versionFileList(spark, root, v)).distinct
       .filterNot(referenced.contains)
+      .filter(f => ownedByTable(qroot, f))
     // dropped versions' change feeds go with their deltas (feed location
     // rides the delta header, so read it before the delta is deleted);
     // deletion vectors are reclaimed only when NO retained version's

@@ -889,6 +889,56 @@ object LifecycleQueries {
              |FROM events WHERE NOT (event_id < 1000)""".stripMargin)
     ),
 
+    // ---- Shallow clone + write-time clustering (r9): a table created
+    // with `graft.clusterBy` range-clusters EVERY commit at write time
+    // (stats envelopes tight from commit zero — `clustered_prunes` pins
+    // candidate < total on a deliberately shuffled ingest), then a
+    // ZERO-COPY clone forks it (v0 references the source's files by
+    // absolute path — `zero_copy` pins no data under the clone root), a
+    // merge diverges the clone, and the CLONE's aggregate is
+    // hash-checked against the relational recompute while
+    // `source_intact` pins the source row count unchanged. 100 TB: a
+    // dev fork costs one delta write instead of a day of copy IO.
+    QuerySpec(
+      "clone_cluster_table",
+      (s, dir) => {
+        val src = s"${Dumps.forSf(dir)}/clonesrc"
+        val dst = s"${Dumps.forSf(dir)}/clonedst"
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(src, dst).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)) // fresh per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, src, e.repartition(4),
+          Map("graft.clusterBy" -> "event_id"))
+        val cands = Snapshots.statsCandidateFiles(s, src, 0, "event_id < 1000")
+        val clusteredPrunes =
+          cands.nonEmpty && cands.size < Snapshots.versionFiles(s, src, 0).size
+        Snapshots.cloneShallow(s, src, dst)
+        val zeroCopy = {
+          val dataDir = new org.apache.hadoop.fs.Path(dst, "data")
+          !fs.exists(dataDir) || fs.listStatus(dataDir).isEmpty
+        }
+        Snapshots.mergeCow(s, dst,
+          e.where(col("event_id") % 10 === 0).withColumn("value", col("value") * 2),
+          Seq("event_id"))
+        val sourceIntact =
+          Snapshots.readVersion(s, src).count() == e.count()
+        Snapshots.readVersion(s, dst)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("clustered_prunes", lit(clusteredPrunes))
+          .withColumn("zero_copy", lit(zeroCopy))
+          .withColumn("source_intact", lit(sourceIntact))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(CASE WHEN event_id % 10 = 0
+             |    THEN value * 2 ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS clustered_prunes, TRUE AS zero_copy, TRUE AS source_intact
+             |FROM events""".stripMargin)
+    ),
+
     // ---- Merge-on-read DELETE via deletion vectors (r9): the same
     // retention predicate as `delete_where`, but the commit rewrites
     // ZERO data files — the doomed rows' (file, row_index) pairs land

@@ -51,7 +51,7 @@ object StreamDiag {
       val tStream = System.nanoTime()
       val nOut = spark.table(name).count()
       val tAgg = System.nanoTime()
-      println(s"=== run $run: total ${(tAgg - t0) / 1e9}%s  " +
+      println(f"=== run $run: total ${(tAgg - t0) / 1e9}%.2f  " +
         f"(src-def ${(tSrc - t0) / 1e9}%.2f, plan ${(tPlan - tSrc) / 1e9}%.2f, " +
         f"stream ${(tStream - tPlan) / 1e9}%.2f, count ${(tAgg - tStream) / 1e9}%.2f) " +
         s"rows=$nOut")

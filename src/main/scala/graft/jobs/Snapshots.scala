@@ -984,7 +984,9 @@ object Snapshots {
     commitRewrite(spark, root, v, d)
 
   private def commitRewrite(
-      spark: SparkSession, root: String, v: Long, d: Delta): Long = {
+      spark: SparkSession, root: String, v: Long, d0: Delta): Long = {
+    val (_, qroot) = fsOf(spark, root)
+    var d = d0
     var attempt = v
     var attempts = 0
     while (true) {
@@ -1007,6 +1009,43 @@ object Snapshots {
                 s"rewrite conflict at $root: version $w already rewrote or removed " +
                   s"${overlap.size} file(s) this commit also claims " +
                   s"(e.g. ${overlap.head}) — recompute against the current version", e)
+          }
+          // DELETION-VECTOR reconciliation: the winners may have changed
+          // the live DV set this commit captured. Rebasing blind would
+          // either DROP a winner's new vector (resurrecting its deleted
+          // rows) or carry OUR vector past a winner that rewrote the
+          // files it points at (losing our deletes). Admit the rebase
+          // only when the DV changes are file-disjoint from this
+          // commit's work, and MERGE the lists (winner's head list +
+          // our own new vector).
+          val headDelta = readDelta(spark, root, latest)
+          val baseDv = d.dv.filterNot(d.dvAdd.toSeq.contains)
+          if (headDelta.dv != baseDv || d.dvAdd.isDefined) {
+            val newWinnerVectors = headDelta.dv.filterNot(baseDv.contains)
+            if (d.removes.nonEmpty && newWinnerVectors.nonEmpty) {
+              val vecFiles = dvFrame(spark, qroot, newWinnerVectors)
+                .select(col("file_path")).distinct()
+                .collect().map(r => new Path(qroot, r.getString(0)).toString).toSet
+              val touched = d.removes.filter(f => vecFiles.contains(new Path(qroot, f).toString))
+              if (touched.nonEmpty) throw new IllegalStateException(
+                s"rewrite conflict at $root: a concurrent deletion vector dooms rows " +
+                  s"in ${touched.size} file(s) this commit rewrote (e.g. ${touched.head}) " +
+                  "— recompute against the current version", e)
+            }
+            d.dvAdd.foreach { myVec =>
+              val myFiles = dvFrame(spark, qroot, Seq(myVec))
+                .select(col("file_path")).distinct()
+                .collect().map(r => new Path(qroot, r.getString(0)).toString).toSet
+              val winnersRemoves = (attempt to latest)
+                .flatMap(w => readDelta(spark, root, w).removes)
+                .map(f => new Path(qroot, f).toString).toSet
+              val gone = myFiles.intersect(winnersRemoves)
+              if (gone.nonEmpty) throw new IllegalStateException(
+                s"rewrite conflict at $root: this deletion vector references " +
+                  s"${gone.size} file(s) a concurrent commit rewrote or removed " +
+                  s"(e.g. ${gone.head}) — recompute against the current version", e)
+            }
+            d = d.copy(dv = headDelta.dv ++ d.dvAdd.toSeq)
           }
           attempt = latest + 1
       }
@@ -1117,8 +1156,9 @@ object Snapshots {
       }
     val relByAbs = files.map(f => new Path(qroot, f).toString -> f).toMap
     bs.foldLeft(idx.map(_.path)) { case (fs0, (c, (lo, hi))) =>
+      val fs0Set = fs0.toSet // O(files) member tests per conjunct, not O(files²)
       val keep = graft.core.Skipping.pruneFiles(
-        idx.filter(s => fs0.contains(s.path)), c, lo, hi).toSet
+        idx.filter(s => fs0Set.contains(s.path)), c, lo, hi).toSet
       fs0.filter(keep.contains)
     }.flatMap(relByAbs.get).sorted
   }

@@ -107,8 +107,9 @@ private[sources] class SnapshotFileIndex(
       else {
         val idx = Snapshots.statsIndex(spark, root, version)
         bs.foldLeft(all) { case (files, (c, (lo, hi))) =>
+          val fileSet = files.toSet // O(files) member tests, not O(files²)
           val keep = graft.core.Skipping.pruneFiles(
-            idx.filter(s => files.contains(s.path)), c, lo, hi).toSet
+            idx.filter(s => fileSet.contains(s.path)), c, lo, hi).toSet
           files.filter(keep.contains)
         }
       }

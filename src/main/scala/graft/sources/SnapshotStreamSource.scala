@@ -98,6 +98,17 @@ private[sources] class SnapshotStreamSource(
           graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.types.StringType))
     else headSchema
 
+  /** FROZEN at stream start, like `schema` itself: the column-mapping
+    * translation and partition columns the micro-batch reads plan with.
+    * Deriving them per batch from the LATEST version would silently
+    * null a column renamed mid-stream (the frozen requested schema's
+    * old logical name no longer in the newest map) — and they cost two
+    * O(log) metadata reads per trigger for values that cannot change
+    * for the life of the stream. */
+  private val nameMap: Map[String, String] =
+    Snapshots.physicalMap(schema).filter { case (l, p) => l != p }
+  private val partCols: Seq[String] = Snapshots.partitionColumns(spark, root)
+
   /** Highest version already offered to the engine; rate limiting counts
     * forward from here. Re-derived from the engine's own offsets on
     * restart (recovery calls `getBatch` for the last completed batch
@@ -188,12 +199,6 @@ private[sources] class SnapshotStreamSource(
     val files = TableSync
       .appendedFilesPerVersion(spark, root, fromV, toV, skipRewrites)
       .flatMap(_._2)
-    val partCols = Snapshots.partitionColumns(spark, root)
-    // column-mapped tables (renamed columns) read through the
-    // translating format — files hold physical names
-    val nameMap = Snapshots.versionSchema(spark, root)
-      .map(Snapshots.physicalMap).getOrElse(Map.empty)
-      .filter { case (l, p) => l != p }
     if (partCols.nonEmpty)
       // partitioned table: partition values ride the paths — plan the
       // micro-batch through the partition-aware index (same explicit

@@ -108,6 +108,56 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root2).count() == 250)
   }
 
+  test("OCC rebase reconciles deletion vectors: winners' vectors survive, true overlap is loud") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 300L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k"))
+    val file1 = Snapshots.statsCandidateFiles(spark, root, 0, "k <= 50").head
+    val file3 = Snapshots.statsCandidateFiles(spark, root, 0, "k >= 250").head
+    val v0Delta = Snapshots.readDelta(spark, root, 0L)
+
+    // winner: a MOR delete commits v1 with a new vector on file1
+    assert(Snapshots.deleteWhereMor(spark, root, "k <= 50") == 1L)
+
+    // loser: a rewrite COMPUTED AGAINST v0 (dv = Nil captured) removing
+    // the DISJOINT file3 — must rebase AND inherit the winner's vector
+    val d = Snapshots.Delta(Nil, Seq(file3), schema = v0Delta.schema,
+      props = v0Delta.props, op = Some("delete"), dv = Nil)
+    val v2 = Snapshots.commitRewriteRetry(spark, root, 1L, d)
+    assert(v2 == 2L)
+    assert(Snapshots.liveDeletionVectors(spark, root).nonEmpty,
+      "the winner's deletion vector must survive the rebase")
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == (51L to 200L), "both the vector's rows AND the removed file's rows are gone")
+
+    // true overlap: a rewrite claiming the VECTOR'S file fails loudly
+    val d2 = Snapshots.Delta(Nil, Seq(file1), schema = v0Delta.schema,
+      props = v0Delta.props, op = Some("delete"), dv = Nil)
+    intercept[IllegalStateException](
+      Snapshots.commitRewriteRetry(spark, root, 2L, d2))
+
+    // and a MOR loser whose vector references a file a winner rewrote
+    // fails loudly instead of committing a dead vector
+    val root2 = tmp()
+    Snapshots.init(spark, root2,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"))
+    val r2file1 = Snapshots.statsCandidateFiles(spark, root2, 0, "k <= 10").head
+    val r2abs = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root2), r2file1).toString
+    // winner rewrites file1 (COW delete of its keys)
+    Snapshots.deleteKeysCow(spark, root2, Seq(1L).toDF("k"), Seq("k"))
+    // loser's staged vector points into the file the winner just removed
+    Seq((r2abs, 0L)).toDF("file_path", "row_index")
+      .write.parquet(s"$root2/_dv/stale-vec")
+    val dMor = Snapshots.Delta(Nil, Nil, schema = Snapshots.readDelta(spark, root2, 0L).schema,
+      props = Map.empty, op = Some("delete"),
+      dv = Seq("stale-vec"), dvAdd = Some("stale-vec"))
+    intercept[IllegalStateException](
+      Snapshots.commitRewriteRetry(spark, root2, 1L, dMor))
+  }
+
   test("tailing refuses DV commits; vacuum and restore respect DV lifecycles; front door applies DVs") {
     val root = tmp()
     Snapshots.init(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
@@ -139,6 +189,14 @@ class DeletionVectorsSpec extends AnyFunSuite {
       }
     assert(scans(finalPlan).nonEmpty,
       s"DV front door must plan a native FileSourceScanExec, got:\n$finalPlan")
+    // the rule re-pushes the predicate beneath the injected anti-join:
+    // row-group pushdown must SURVIVE on the DV-filtered scan
+    val mainScan = scans(finalPlan)
+      .find(_.metadata("Location").contains("SnapshotFileIndex"))
+      .getOrElse(fail("no SnapshotFileIndex scan in the DV plan"))
+    assert(mainScan.metadata("PushedFilters").contains("GreaterThanOrEqual(k,5)"),
+      s"predicate must still push to the parquet scan under the DV join: " +
+        s"${mainScan.metadata("PushedFilters")}")
     assert(finalPlan.toString.contains("BroadcastHashJoin") ||
       finalPlan.toString.contains("BroadcastNestedLoopJoin") == false,
       "the DV anti-join broadcasts the sidecar")

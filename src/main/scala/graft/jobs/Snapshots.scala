@@ -723,15 +723,18 @@ object Snapshots {
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long],
       props: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
+    val gen = withGenerated(df, props)
     // a partitioned table's layout columns must exist up front (validated
-    // once here; every later commit writes the same Hive layout)
+    // once here; every later commit writes the same Hive layout —
+    // GENERATED columns are materialized first, so a derived partition
+    // key passes)
     graft.core.HivePartitions.splitSchema(
-      df.schema, graft.core.HivePartitions.columnsOf(props))
-    checkConstraints(df, props)
-    val (adds, stats) = writeCommitFiles(spark, root, 0L, df, props)
+      gen.schema, graft.core.HivePartitions.columnsOf(props))
+    checkConstraints(gen, props)
+    val (adds, stats) = writeCommitFiles(spark, root, 0L, gen, props)
     writeDelta(spark, root, 0L,
       Delta(adds, Nil, txn,
-        schema = Some(nullable(df.schema).json), props = props, stats = stats,
+        schema = Some(nullable(gen.schema).json), props = props, stats = stats,
         op = Some("init")))
     maybeCheckpoint(spark, root, 0L)
     0L
@@ -781,10 +784,11 @@ object Snapshots {
     }
 
   private def appendTxn(
-      spark: SparkSession, root: String, df: DataFrame, txn: Option[Long]): Long = {
+      spark: SparkSession, root: String, df0: DataFrame, txn: Option[Long]): Long = {
     val base = latestVersion(spark, root)
     val baseDelta = readDelta(spark, root, base)
     val props = baseDelta.props
+    val df = withGenerated(df0, props)
     checkConstraints(df, props)
     // freeze this batch's logical→physical assignment BEFORE writing,
     // so the files and the recorded schema can never disagree (OCC
@@ -844,9 +848,10 @@ object Snapshots {
     * CDC: an overwrite publishes no feed, so `changesBetween` over it
     * fails loudly (replace has no row-grain diff short of comparing
     * snapshots) and `TableSync` refuses/skips it like any rewrite. */
-  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def overwrite(spark: SparkSession, root: String, df0: DataFrame): Long = {
     val base = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, base)
+    val df = withGenerated(df0, prevDelta.props)
     checkConstraints(df, prevDelta.props)
     val removes = versionFileList(spark, root, base)
     val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, prevDelta.props)
@@ -918,9 +923,10 @@ object Snapshots {
     * the pre-replace version still reads exactly. O(changed partitions),
     * never O(table). */
   def replaceWhere(
-      spark: SparkSession, root: String, df: DataFrame, predicateSql: String): Long = {
+      spark: SparkSession, root: String, df0: DataFrame, predicateSql: String): Long = {
     val base = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, base)
+    val df = withGenerated(df0, prevDelta.props)
     checkConstraints(df, prevDelta.props)
     val bad = df.where(coalesce(expr(predicateSql), lit(false)) === false).take(1)
     require(bad.isEmpty,
@@ -944,12 +950,13 @@ object Snapshots {
     * metadata; victims are selected from the log's paths with
     * null-safe equality (a null partition value replaces the
     * `__HIVE_DEFAULT_PARTITION__` directory). */
-  def overwritePartitions(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def overwritePartitions(spark: SparkSession, root: String, df0: DataFrame): Long = {
     val base = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, base)
     val partCols = graft.core.HivePartitions.columnsOf(prevDelta.props)
     require(partCols.nonEmpty, s"$root is not a partitioned table " +
       s"(no ${graft.core.HivePartitions.prop} property)")
+    val df = withGenerated(df0, prevDelta.props)
     checkConstraints(df, prevDelta.props)
     val prevSchema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
     val merged = mergedSchema(prevSchema,
@@ -1440,7 +1447,7 @@ object Snapshots {
     val (fs, qroot) = fsOf(spark, root)
     val prevFiles = versionFileList(spark, root, prev)
     val prevDelta = readDelta(spark, root, prev)
-    val src = source.dropDuplicates(keyCols)
+    val src = withGenerated(source.dropDuplicates(keyCols), prevDelta.props)
     val srcKeys = src.select(keyCols.map(col): _*)
     val prevSchema = prevDelta.schema
       .map(DataType.fromJson(_).asInstanceOf[StructType])
@@ -1603,6 +1610,32 @@ object Snapshots {
   }
 
   private val constraintPrefix = "constraint."
+  private val generatedPrefix = "graft.generated."
+
+  /** GENERATED COLUMNS (Delta's): a table property
+    * `graft.generated.<col> = <sqlExpr>` makes every ingest path
+    * compute `<col>` from the batch's own columns when the writer
+    * doesn't provide it — and REFUSES a provided value that contradicts
+    * the expression (silently diverging generated data is the one thing
+    * worse than missing data). The headline use: partition by a DERIVED
+    * key (`graft.partitionBy = event_day` +
+    * `graft.generated.event_day = date(ts)`) — writers ship raw rows,
+    * the Hive layout and Catalyst partition pruning come for free. */
+  private def withGenerated(df: DataFrame, props: Map[String, String]): DataFrame = {
+    val gens = props.collect {
+      case (k, e) if k.startsWith(generatedPrefix) => k.stripPrefix(generatedPrefix) -> e
+    }.toSeq.sortBy(_._1)
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else {
+        val bad = d.where(!(col(c) <=> expr(e))).take(1)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"generated column $c ($e) contradicted by an explicit value " +
+            s"in the batch, e.g. ${bad.head}")
+        d
+      }
+    }
+  }
 
   /** SQL-CHECK semantics: a row violates when the expression is FALSE
     * (NULL passes, as in standard CHECK). Only NEW rows are validated —

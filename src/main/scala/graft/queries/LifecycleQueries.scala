@@ -889,6 +889,52 @@ object LifecycleQueries {
              |FROM events WHERE NOT (event_id < 1000)""".stripMargin)
     ),
 
+    // ---- Generated columns + hidden-partitioning shape (r9, Delta's
+    // generated columns): the table declares
+    // `graft.generated.ev_hour = hour(ts)` and partitions by the
+    // DERIVED key — writers ship raw rows, the ingest path materializes
+    // the column, the Hive layout and Catalyst partition pruning come
+    // free (`partition_pruned` pins executed-scan numFiles == the
+    // matching partition's files). A writer-supplied value that
+    // contradicts the expression is refused (`contradiction_refused`).
+    // The hour-sliced aggregate is hash-checked relationally.
+    QuerySpec(
+      "generated_partition_prune",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/genpart"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        Snapshots.init(s, root, e.repartition(4),
+          Map("graft.partitionBy" -> "ev_hour",
+            "graft.generated.ev_hour" -> "hour(ts)"))
+        val all = Snapshots.versionFiles(s, root, 0)
+        val h7 = all.count(_.contains("ev_hour=7"))
+        val contradictionRefused =
+          try {
+            Snapshots.append(s, root,
+              e.limit(1).withColumn("ev_hour", lit(99)))
+            false
+          } catch { case _: IllegalArgumentException => true }
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        val q = front.where(col("ev_hour") === 7)
+        val planned = plannedFileCount(
+          q.agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum")))
+        val pruned = planned == h7 && h7 > 0 && h7 < all.size
+        q.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("partition_pruned", lit(pruned))
+          .withColumn("contradiction_refused", lit(contradictionRefused))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS partition_pruned, TRUE AS contradiction_refused
+             |FROM events WHERE hour(ts) = 7""".stripMargin)
+    ),
+
     // ---- Shallow clone + write-time clustering (r9): a table created
     // with `graft.clusterBy` range-clusters EVERY commit at write time
     // (stats envelopes tight from commit zero — `clustered_prunes` pins

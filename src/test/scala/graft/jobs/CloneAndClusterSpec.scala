@@ -41,6 +41,35 @@ class CloneAndClusterSpec extends AnyFunSuite {
     assert(Snapshots.statsCandidateFiles(spark, root2, 0, "k <= 50").size == 3)
   }
 
+  test("generated columns: computed on every ingest path, contradictions refused, derived partition keys prune") {
+    val root = tmp()
+    val props = Map(
+      "graft.partitionBy" -> "bucket",
+      "graft.generated.bucket" -> "CAST(k % 4 AS INT)")
+    // writers ship RAW rows — the derived partition key materializes
+    Snapshots.init(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"), props)
+    assert(Snapshots.readVersion(spark, root).columns.toSeq == Seq("k", "v", "bucket"))
+    assert(Snapshots.versionFiles(spark, root).forall(_.contains("bucket=")))
+    // append + merge + streaming commit all generate
+    Snapshots.append(spark, root, Seq((101L, 101.0)).toDF("k", "v"))
+    Snapshots.mergeCow(spark, root, Seq((1L, -1.0)).toDF("k", "v"), Seq("k"))
+    Snapshots.commitStreamingBatch(spark, root, Seq((102L, 102.0)).toDF("k", "v"), 7L)
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.count() == 102)
+    assert(head.where(col("k") === 101).select("bucket").as[Int].head() == 1)
+    assert(head.where(col("k") === 1).select("v").as[Double].head() == -1.0)
+    // Catalyst partition-prunes on the DERIVED key through the front door
+    val front = spark.read.format("graft.sources.SnapshotSource").load(root)
+    assert(front.where(col("bucket") === 2).select("k").as[Long].collect().toSet
+      == (1L to 102L).filter(_ % 4 == 2).toSet)
+    // an explicit CONTRADICTING value is refused before anything commits
+    intercept[IllegalArgumentException](Snapshots.append(spark, root,
+      Seq((200L, 2.0, 3)).toDF("k", "v", "bucket")))
+    // an explicit CONSISTENT value is accepted
+    Snapshots.append(spark, root, Seq((200L, 2.0, 0)).toDF("k", "v", "bucket"))
+    assert(Snapshots.readVersion(spark, root).count() == 103)
+  }
+
   test("shallow clone: zero data copied, divergence is isolated, source stays byte-intact") {
     val src = tmp(); val dst = tmp()
     Snapshots.init(spark, src,

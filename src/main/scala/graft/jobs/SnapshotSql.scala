@@ -110,14 +110,19 @@ object SnapshotSql {
   }
 
   /** Execute one DML statement against the log; returns the committed
-    * version. */
-  def sql(spark: SparkSession, text: String, changeFeed: Boolean = false): Long =
+    * version. `morDelete = true` routes DELETE through the
+    * merge-on-read path (`deleteWhereMor` — deletion vector, zero file
+    * rewrites) instead of the copy-on-write rewrite; everything else is
+    * identical, including the change feed. */
+  def sql(spark: SparkSession, text: String, changeFeed: Boolean = false,
+      morDelete: Boolean = false): Long =
     spark.sessionState.sqlParser.parsePlan(text) match {
 
       case d: DeleteFromTable =>
         val (root, aliases) = targetOf(d.table)
-        Snapshots.deleteWhere(spark, root,
-          unqualify(d.condition, aliases).sql, changeFeed = changeFeed)
+        val pred = unqualify(d.condition, aliases).sql
+        if (morDelete) Snapshots.deleteWhereMor(spark, root, pred, changeFeed = changeFeed)
+        else Snapshots.deleteWhere(spark, root, pred, changeFeed = changeFeed)
 
       case u: UpdateTable =>
         val (root, aliases) = targetOf(u.table)

@@ -178,6 +178,12 @@ class SnapshotDmlSpec extends AnyFunSuite {
     val n0 = Snapshots.readVersion(spark, rootSql).count()
     SnapshotSql.sql(spark, s"DELETE FROM graft.`$rootSql` WHERE k = 2000")
     assert(Snapshots.readVersion(spark, rootSql).count() == n0 - 1)
+    // morDelete routes the same statement through a deletion vector
+    SnapshotSql.sql(spark, s"DELETE FROM graft.`$rootSql` WHERE k = 1000",
+      morDelete = true)
+    assert(Snapshots.readVersion(spark, rootSql).count() == n0 - 2)
+    assert(Snapshots.liveDeletionVectors(spark, rootSql).nonEmpty,
+      "the SQL MOR delete committed a vector, not a rewrite")
 
     // unsupported MERGE shapes fail loudly
     intercept[IllegalArgumentException](SnapshotSql.sql(spark,

@@ -1317,6 +1317,10 @@ object Snapshots {
       doomed.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props,
       prevDelta.dv))
     checkConstraints(rewritten, prevDelta.props)
+    // an UPDATE that changes a generated column's SOURCE without the
+    // column itself would leave derived data silently stale — the
+    // generated-column validator refuses the contradiction loudly
+    withGenerated(rewritten, prevDelta.props)
     val (newFiles, stats) = writeCommitFiles(spark, root, v, rewritten, prevDelta.props, Some(schema))
     commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
@@ -1564,13 +1568,16 @@ object Snapshots {
     val dropKeys = feed
       .where(col(ChangeFeed.opCol).isin("update_preimage", "delete"))
       .select(keyCols.map(col): _*).dropDuplicates(keyCols)
-    val adds = feed
+    val adds0 = feed
       .where(col(ChangeFeed.opCol).isin("insert", "update_postimage"))
       .drop(ChangeFeed.opCol)
     if (versions(spark, root).isEmpty) {
-      initTxn(spark, root, adds, Some(batchId))
+      initTxn(spark, root, adds0, Some(batchId))
       return true
     }
+    // the replica's generated columns materialize/validate on its OWN
+    // property set (an upstream feed may predate or contradict them)
+    val adds = withGenerated(adds0, readDelta(spark, root, latestVersion(spark, root)).props)
     if (batchId <= lastCommittedBatch(spark, root)) return false
     val prev = latestVersion(spark, root)
     val v = prev + 1

@@ -68,6 +68,13 @@ class CloneAndClusterSpec extends AnyFunSuite {
     // an explicit CONSISTENT value is accepted
     Snapshots.append(spark, root, Seq((200L, 2.0, 0)).toDF("k", "v", "bucket"))
     assert(Snapshots.readVersion(spark, root).count() == 103)
+    // an UPDATE that would leave the derived column stale is refused
+    intercept[IllegalArgumentException](
+      Snapshots.updateWhere(spark, root, Map("k" -> "k + 1"), "k = 5"))
+    // an UPDATE that doesn't touch the generation source is fine
+    Snapshots.updateWhere(spark, root, Map("v" -> "v * 2"), "k = 5")
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("k") === 5).select("v").as[Double].head() == 10.0)
   }
 
   test("shallow clone: zero data copied, divergence is isolated, source stays byte-intact") {

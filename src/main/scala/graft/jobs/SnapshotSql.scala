@@ -29,11 +29,14 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * substituted with the log's read plan before analysis.
   *
   * Supported shapes (anything else fails loudly, never silently bends):
-  *   - `MERGE INTO t USING s ON t.k = s.k [AND …] WHEN MATCHED THEN
-  *     UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the whole-row
-  *     upsert `mergeCow` implements; the ON clause must be a
-  *     conjunction of same-name column equalities (they become the
-  *     merge keys).
+  *   - `MERGE INTO t USING s ON t.k = s.k [AND …]` with the FULL clause
+  *     surface: `WHEN MATCHED [AND cond] THEN UPDATE` (SET star or SET
+  *     col=expr) or `DELETE`, `WHEN NOT MATCHED [AND cond] THEN INSERT`
+  *     (star or column list + VALUES), and `WHEN NOT MATCHED BY SOURCE
+  *     [AND cond] THEN UPDATE/DELETE` — the plain whole-row upsert takes
+  *     `mergeCow`'s dedicated single-pass path, everything else routes
+  *     through `mergeClauses`. The ON clause must be a conjunction of
+  *     same-name column equalities (they become the merge keys).
   *   - `UPDATE t SET c = e, … [WHERE p]`
   *   - `DELETE FROM t WHERE p`
   *   - `INSERT INTO t <query>`
@@ -73,6 +76,14 @@ object SnapshotSql {
       (root, Set(u.multipartIdentifier.last, u.multipartIdentifier.mkString(".")))
     case other => throw new IllegalArgumentException(
       s"unsupported DML target shape: ${other.nodeName}")
+  }
+
+  /** The alias names a SOURCE plan answers to (`USING src s` →
+    * {"s", "src"}): SubqueryAlias wrappers plus the bare relation name. */
+  private def aliasNames(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(ident, child) => aliasNames(child) + ident.name
+    case u: UnresolvedRelation => Set(u.multipartIdentifier.last)
+    case _ => Set.empty
   }
 
   /** Strip the target's alias qualifier from attribute references so the
@@ -141,23 +152,63 @@ object SnapshotSql {
         Snapshots.updateWhere(spark, root, set, pred, changeFeed = changeFeed)
 
       case m: MergeIntoTable =>
-        val (root, _) = targetOf(m.targetTable)
+        val (root, tAliases) = targetOf(m.targetTable)
         val keys = mergeKeys(m.mergeCondition).distinct
-        def unsupported(what: String): Nothing = throw new IllegalArgumentException(
-          s"unsupported MERGE shape ($what) — the log implements the whole-row " +
-            "upsert: WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-        m.matchedActions match {
-          case Seq(UpdateStarAction(None)) => ()
-          case other => unsupported(s"matched actions: $other")
+        val isWholeRow = m.matchedActions == Seq(UpdateStarAction(None)) &&
+          m.notMatchedActions == Seq(InsertStarAction(None)) &&
+          m.notMatchedBySourceActions.isEmpty
+        if (isWholeRow)
+          // the whole-row upsert keeps its dedicated single-pass path
+          Snapshots.mergeCow(spark, root, substituted(spark, m.sourceTable),
+            keys, changeFeed = changeFeed)
+        else {
+          val sAliases = aliasNames(m.sourceTable)
+          val both = tAliases.intersect(sAliases)
+          require(both.isEmpty,
+            s"ambiguous MERGE alias(es) ${both.mkString(", ")} — name the " +
+              "target and source differently")
+          // re-spell alias qualifiers into mergeClauses' fixed t./s.
+          // namespace, rendering back through the parser's own nodes
+          def requalified(e: Expression): String = e.transform {
+            case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+              val q = a.nameParts.head
+              if (sAliases.exists(_.equalsIgnoreCase(q)))
+                UnresolvedAttribute(Seq("s", a.nameParts.last))
+              else if (tAliases.exists(_.equalsIgnoreCase(q)))
+                UnresolvedAttribute(Seq("t", a.nameParts.last))
+              else a
+          }.sql
+          def assigns(as: Seq[Assignment]): Map[String, String] = as.map { a =>
+            val name = a.key match {
+              case k: UnresolvedAttribute => k.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"unsupported MERGE assignment target: ${other.sql}")
+            }
+            name -> requalified(a.value)
+          }.toMap
+          def conv(a: MergeAction): Snapshots.MergeWhen = a match {
+            case UpdateStarAction(cond) =>
+              Snapshots.MergeWhen.updateAll(cond.map(requalified))
+            case UpdateAction(cond, _, true) =>
+              Snapshots.MergeWhen.updateAll(cond.map(requalified))
+            case UpdateAction(cond, as, _) =>
+              Snapshots.MergeWhen.update(assigns(as), cond.map(requalified))
+            case DeleteAction(cond) =>
+              Snapshots.MergeWhen.delete(cond.map(requalified))
+            case InsertStarAction(cond) =>
+              Snapshots.MergeWhen.insertAll(cond.map(requalified))
+            case InsertAction(cond, as) =>
+              Snapshots.MergeWhen.insert(assigns(as), cond.map(requalified))
+            case other => throw new IllegalArgumentException(
+              s"unsupported MERGE action: $other")
+          }
+          Snapshots.mergeClauses(spark, root, substituted(spark, m.sourceTable),
+            keys,
+            matched = m.matchedActions.map(conv),
+            notMatched = m.notMatchedActions.map(conv),
+            notMatchedBySource = m.notMatchedBySourceActions.map(conv),
+            changeFeed = changeFeed)
         }
-        m.notMatchedActions match {
-          case Seq(InsertStarAction(None)) => ()
-          case other => unsupported(s"not-matched actions: $other")
-        }
-        if (m.notMatchedBySourceActions.nonEmpty)
-          unsupported("WHEN NOT MATCHED BY SOURCE")
-        Snapshots.mergeCow(spark, root, substituted(spark, m.sourceTable),
-          keys, changeFeed = changeFeed)
 
       case i: InsertIntoStatement =>
         val (root, _) = targetOf(i.table)

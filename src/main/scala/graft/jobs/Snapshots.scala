@@ -1,7 +1,7 @@
 package graft.jobs
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -1484,6 +1484,266 @@ object Snapshots {
               Some(prevSchema), prevDelta.props, prevDelta.dv)
             .join(srcKeys, keyCols, "left_anti"), merged)
         .unionByName(conform(src, merged))
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
+    try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
+      schema = Some(merged.json), props = prevDelta.props, stats = stats,
+      op = Some("merge"), dv = prevDelta.dv))
+    catch { case e: Throwable =>
+      cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
+    }
+  }
+
+  /** One WHEN clause of a clause-level MERGE (`mergeClauses`).
+    * Expression strings reference the source row as `s.<col>` and the
+    * target row as `t.<col>`; a bare name resolves target-first (the
+    * ANSI scoping MERGE uses). `set` maps TARGET column names to value
+    * expressions; it is empty for DELETE and for the star forms
+    * (UPDATE SET * / INSERT *, which expand to every same-name source
+    * column at execution). Build instances via the factory methods. */
+  final case class MergeWhen private[jobs] (
+      kind: String, condition: Option[String], set: Map[String, String])
+  object MergeWhen {
+    /** WHEN [NOT] MATCHED [AND cond] THEN UPDATE SET * */
+    def updateAll(condition: Option[String] = None): MergeWhen =
+      MergeWhen("update*", condition, Map.empty)
+    /** … THEN UPDATE SET col = expr, … */
+    def update(set: Map[String, String], condition: Option[String] = None): MergeWhen =
+      MergeWhen("update", condition, set)
+    /** … THEN DELETE */
+    def delete(condition: Option[String] = None): MergeWhen =
+      MergeWhen("delete", condition, Map.empty)
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT * */
+    def insertAll(condition: Option[String] = None): MergeWhen =
+      MergeWhen("insert*", condition, Map.empty)
+    /** … THEN INSERT (cols) VALUES (exprs) — unassigned columns null. */
+    def insert(values: Map[String, String], condition: Option[String] = None): MergeWhen =
+      MergeWhen("insert", condition, values)
+  }
+
+  /** Translate a merge expression onto the joined frame's namespace:
+    * `t.<col>`/bare → the target column, `s.<col>` (or bare names only
+    * the source has) → the `__s_`-prefixed source column. Resolution is
+    * case-insensitive and renders back to SQL via the parser's own
+    * attribute nodes — no string surgery. */
+  private def mergeExprSql(
+      spark: SparkSession, sqlText: String,
+      targetCols: Seq[String], sourceCols: Seq[String],
+      allowSource: Boolean): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def tCol(c: String) = targetCols.find(_.equalsIgnoreCase(c)).map(n => Seq(n))
+    def sCol(c: String) = sourceCols.find(_.equalsIgnoreCase(c)).map { n =>
+      if (!allowSource) throw new IllegalArgumentException(
+        s"source column reference $c in a NOT MATCHED BY SOURCE clause " +
+          "(no source row exists on that side): " + sqlText)
+      Seq(srcSidePrefix + n)
+    }
+    spark.sessionState.sqlParser.parseExpression(sqlText).transform {
+      case a: UnresolvedAttribute =>
+        val parts = a.nameParts
+        val resolved = parts match {
+          case Seq(q, c) if q.equalsIgnoreCase("s") => sCol(c)
+          case Seq(q, c) if q.equalsIgnoreCase("t") => tCol(c)
+          case Seq(c) => tCol(c).orElse(sCol(c))
+          case _ => None
+        }
+        UnresolvedAttribute(resolved.getOrElse(throw new IllegalArgumentException(
+          s"unresolvable column ${parts.mkString(".")} in MERGE expression: $sqlText")))
+    }.sql
+  }
+
+  private val srcSidePrefix = "__s_"
+
+  /** Clause-level copy-on-write MERGE — the full ANSI/Delta surface
+    * `mergeCow`'s whole-row upsert doesn't cover:
+    *
+    *   - `matched`: WHEN MATCHED [AND cond] THEN UPDATE (SET star or
+    *     SET col=expr) or DELETE, cascaded in order (first clause whose
+    *     condition holds applies; none → the row carries unchanged);
+    *   - `notMatched`: WHEN NOT MATCHED [AND cond] THEN INSERT (star or
+    *     column list), applied to source rows matching no target key;
+    *   - `notMatchedBySource`: WHEN NOT MATCHED BY SOURCE [AND cond]
+    *     THEN UPDATE/DELETE, applied to target rows matching no source
+    *     key (conditions and assignments may reference only `t.`).
+    *
+    * Execution is ONE file-grain COW commit: candidate files are those
+    * holding a source-key match (plus, when `notMatchedBySource` is
+    * present, every file — an unmatched row can live anywhere, the same
+    * admission Delta makes); each candidate row takes the first
+    * applicable clause via a single codegen'd CASE cascade — one pass,
+    * no per-clause joins. Source rows matching no target key cascade
+    * through the insert clauses. Everything else carries by reference.
+    *
+    * Schema evolution follows Delta's rule: only the star actions admit
+    * NEW source columns (widening the table); column-level clauses must
+    * name existing target columns, and every assignment is cast to the
+    * target column's type. Generated columns are computed for inserted
+    * rows that don't assign them and VALIDATED (contradiction refusal)
+    * on every changed row; CHECK constraints gate changed rows only —
+    * O(changed), never O(table).
+    *
+    * With `changeFeed = true` the commit publishes the row-level change
+    * set (insert / update_preimage / update_postimage / delete) exactly
+    * as the relational diff implies — conditional clauses included. */
+  def mergeClauses(
+      spark: SparkSession, root: String, source: DataFrame, keyCols: Seq[String],
+      matched: Seq[MergeWhen] = Nil,
+      notMatched: Seq[MergeWhen] = Nil,
+      notMatchedBySource: Seq[MergeWhen] = Nil,
+      changeFeed: Boolean = false, txn: Option[Long] = None): Long = {
+    require(matched.forall(c => Set("update", "update*", "delete")(c.kind)),
+      s"matched clauses must be UPDATE/DELETE: ${matched.map(_.kind)}")
+    require(notMatched.forall(c => Set("insert", "insert*")(c.kind)),
+      s"not-matched clauses must be INSERT: ${notMatched.map(_.kind)}")
+    require(notMatchedBySource.forall(c => Set("update", "delete")(c.kind)),
+      s"not-matched-by-source clauses must be column-level UPDATE/DELETE: " +
+        notMatchedBySource.map(_.kind))
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE with no WHEN clauses")
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val (fs, qroot) = fsOf(spark, root)
+    val prevFiles = versionFileList(spark, root, prev)
+    val prevDelta = readDelta(spark, root, prev)
+    val src = source.dropDuplicates(keyCols)
+    val srcCols = src.columns.toSeq
+    require(keyCols.forall(k => srcCols.exists(_.equalsIgnoreCase(k))),
+      s"source is missing merge key(s): ${keyCols.filterNot(k => srcCols.exists(_.equalsIgnoreCase(k)))}")
+    val prevSchema = prevDelta.schema
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(readVersion(spark, root, prev).schema)
+    // Delta's evolution rule: star actions widen the table by the
+    // source's new columns; a clause-only merge keeps the shape
+    val hasStar = (matched ++ notMatched).exists(_.kind.endsWith("*"))
+    val merged =
+      if (hasStar) mergedSchema(Some(prevSchema),
+        assignPhysical(Some(prevSchema), src.schema, prevDelta.props))
+      else prevSchema
+    val tgtNames = merged.fieldNames.toSeq
+    def field(name: String) = merged.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE assigns unknown target column $name (table: ${tgtNames.mkString(", ")})"))
+    def tr(sqlText: String, allowSource: Boolean): String =
+      mergeExprSql(spark, sqlText, tgtNames, srcCols, allowSource)
+    // resolve every clause down to (id, predicate, per-column value SQL)
+    final case class Resolved(id: String, isDelete: Boolean,
+        pred: Column, set: Map[String, String])
+    val starSet: Map[String, String] = srcCols
+      .filter(c => merged.fields.exists(_.name.equalsIgnoreCase(c)))
+      .map(c => field(c).name -> s"s.`$c`").toMap
+    def resolve(c: MergeWhen, id: String, matchedSide: Boolean,
+        allowSource: Boolean): Resolved = {
+      val sideMark =
+        if (matchedSide) coalesce(col(srcSidePrefix + "exists"), lit(false))
+        else !coalesce(col(srcSidePrefix + "exists"), lit(false))
+      val cond = c.condition
+        .map(t => expr(tr(t, allowSource))).getOrElse(lit(true))
+      val set0 = if (c.kind.endsWith("*")) starSet else c.set
+      val set = set0.map { case (k, e) => field(k).name -> tr(e, allowSource) }
+      Resolved(id, c.kind == "delete", sideMark && cond, set)
+    }
+    val mResolved = matched.zipWithIndex.map { case (c, i) =>
+      resolve(c, s"m$i", matchedSide = true, allowSource = true) }
+    val bResolved = notMatchedBySource.zipWithIndex.map { case (c, i) =>
+      resolve(c, s"b$i", matchedSide = false, allowSource = false) }
+    val targetResolved = mResolved ++ bResolved
+    def inIds(ids: Seq[String]): Column =
+      if (ids.isEmpty) lit(false) else col("__act").isin(ids: _*)
+    // ---- candidate files (the rows a clause could touch)
+    val srcKeys = src.select(keyCols.map(col): _*)
+    val rewritten: Seq[String] =
+      if (notMatchedBySource.nonEmpty) prevFiles
+      else if (matched.nonEmpty) {
+        val current = readVersionWithFile(spark, root, prev)
+        val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(r => new Path(r.getString(0)).toString).toSet
+        val rw = prevFiles.filter(f => matchedFiles.contains(new Path(qroot, f).toString))
+        require(rw.size == matchedFiles.size,
+          s"${matchedFiles.size} files hold matched keys but only ${rw.size} " +
+            s"resolved to log entries — path normalization bug? $matchedFiles")
+        rw
+      } else Nil
+    // ---- target-side pass: one left-outer join, one CASE cascade
+    val srcR = src.select(
+      srcCols.map(c => col(c).as(srcSidePrefix + c)) :+
+        lit(true).as(srcSidePrefix + "exists"): _*)
+    val tgtM =
+      if (rewritten.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), merged)
+      else conform(readFilesAs(spark, qroot,
+        rewritten.map(f => new Path(qroot, f).toString),
+        Some(prevSchema), prevDelta.props, prevDelta.dv), merged)
+    val joinCond = keyCols.map(k => col(k) === col(srcSidePrefix + k)).reduce(_ && _)
+    val actCol = targetResolved
+      .foldRight(lit("keep"): Column) { (r, els) => when(r.pred, lit(r.id)).otherwise(els) }
+    val withAct = tgtM.join(srcR, joinCond, "left_outer").withColumn("__act", actCol)
+    val deleteIds = targetResolved.filter(_.isDelete).map(_.id)
+    val updateResolved = targetResolved.filterNot(_.isDelete)
+    val outCols: Seq[Column] = merged.fields.toSeq.map { f =>
+      updateResolved.filter(_.set.contains(f.name))
+        .foldRight(col(f.name)) { (r, els) =>
+          when(col("__act") === r.id, expr(r.set(f.name)).cast(f.dataType)).otherwise(els)
+        }.as(f.name)
+    }
+    val newTgtAct = withAct.where(!inIds(deleteIds))
+      .select(outCols :+ col("__act"): _*)
+    val newTgt = newTgtAct.drop("__act")
+    // ---- insert side: source rows matching no target key AT ALL
+    val iResolved = notMatched.zipWithIndex.map { case (c, i) =>
+      val cond = c.condition
+        .map(t => expr(mergeExprSql(spark, t, Nil, srcCols, allowSource = true)))
+        .getOrElse(lit(true))
+      val set0 = if (c.kind.endsWith("*")) starSet else c.set
+      val set = set0.map { case (k, e) =>
+        field(k).name -> mergeExprSql(spark, e, Nil, srcCols, allowSource = true) }
+      Resolved(s"i$i", isDelete = false, cond, set)
+    }
+    val genNames = prevDelta.props.keys
+      .filter(_.startsWith(generatedPrefix)).map(_.stripPrefix(generatedPrefix)).toSet
+    val insAssigned = iResolved.flatMap(_.set.keys).toSet
+    val inserted: DataFrame =
+      if (iResolved.isEmpty) conform(tgtM.limit(0), merged)
+      else {
+        val fullKeys = readVersion(spark, root, prev)
+          .select(keyCols.map(k => col(k).as(srcSidePrefix + k)): _*)
+        val unmatchedSrc = srcR.join(fullKeys, keyCols.map(srcSidePrefix + _), "left_anti")
+        val insAct = iResolved
+          .foldRight(lit("skip"): Column) { (r, els) => when(r.pred, lit(r.id)).otherwise(els) }
+        // generated columns nobody assigns are DEFERRED to withGenerated,
+        // which computes them from the built row (and validates the rest)
+        val insCols = merged.fields.toSeq
+          .filterNot(f => genNames.contains(f.name) && !insAssigned.contains(f.name))
+          .map { f =>
+            iResolved.filter(_.set.contains(f.name))
+              .foldRight(lit(null).cast(f.dataType): Column) { (r, els) =>
+                when(col("__act") === r.id, expr(r.set(f.name)).cast(f.dataType)).otherwise(els)
+              }.as(f.name)
+          }
+        val built = unmatchedSrc.withColumn("__act", insAct)
+          .where(col("__act") =!= "skip").select(insCols: _*)
+        conform(withGenerated(built, prevDelta.props), merged)
+      }
+    // gates on CHANGED rows only (updated + inserted), O(changed)
+    val changed = newTgtAct.where(col("__act") =!= "keep").drop("__act")
+      .unionByName(inserted)
+    checkConstraints(changed, prevDelta.props)
+    withGenerated(changed, prevDelta.props) // contradiction probe on present cols
+    val cdfDir =
+      if (!changeFeed) None
+      else {
+        val updateIds = updateResolved.map(_.id)
+        val fieldsOnly = merged.fieldNames.toSeq.map(col)
+        val pre = withAct.where(inIds(updateIds)).select(fieldsOnly: _*)
+          .withColumn(ChangeFeed.opCol, lit("update_preimage"))
+        val post = newTgtAct.where(inIds(updateIds)).drop("__act")
+          .withColumn(ChangeFeed.opCol, lit("update_postimage"))
+        val dels = withAct.where(inIds(deleteIds)).select(fieldsOnly: _*)
+          .withColumn(ChangeFeed.opCol, lit("delete"))
+        val ins = inserted.withColumn(ChangeFeed.opCol, lit("insert"))
+        Some(stageChangeFeed(spark, qroot, v,
+          pre.unionByName(post).unionByName(dels).unionByName(ins)))
+      }
+    val kept = newTgt.unionByName(inserted)
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
     try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
       schema = Some(merged.json), props = prevDelta.props, stats = stats,

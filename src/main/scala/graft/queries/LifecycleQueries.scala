@@ -1205,6 +1205,109 @@ object LifecycleQueries {
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- Clause-level MERGE (r10, VERDICT task 2): the full ANSI clause
+    // surface through `mergeClauses` — conditional matched-DELETE,
+    // column-level conditional UPDATE, conditional INSERT *, and WHEN NOT
+    // MATCHED BY SOURCE — run BOTH as SQL (Spark parser → MergeIntoTable →
+    // mergeClauses) and via the API, pinned multiset-identical (heads AND
+    // feeds), with the head hash-checked against DuckDB's relational
+    // recompute of the same cascade and the feed's op counts pinned
+    // against the relational diff.
+    QuerySpec(
+      "sql_merge_clauses",
+      (s, dir) => {
+        val rootA = s"${Dumps.forSf(dir)}/clauseapi"
+        val rootS = s"${Dumps.forSf(dir)}/clausesql"
+        val fs = new org.apache.hadoop.fs.Path(rootA)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(rootA), true)
+        fs.delete(new org.apache.hadoop.fs.Path(rootS), true)
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, rootA, e.repartition(4))
+        Snapshots.init(s, rootS, e.repartition(4))
+        // source value kept non-null so clause conditions never hit the
+        // null-predicate divergence between a CASE cascade and a WHERE
+        val src = e.where(col("event_id") % 10 === 0 && col("value").isNotNull)
+          .withColumn("value", col("value") * 2)
+          .unionByName(e.where(col("event_id") % 10 === 7 && col("value").isNotNull)
+            .withColumn("event_id", col("event_id") + 10000000L)
+            .withColumn("value", col("value") + 1))
+        src.createOrReplaceTempView("clause_merge_src")
+        Snapshots.mergeClauses(s, rootA, src, Seq("event_id"),
+          matched = Seq(
+            Snapshots.MergeWhen.delete(Some("s.value > 150")),
+            Snapshots.MergeWhen.update(Map("value" -> "t.value + s.value"))),
+          notMatched = Seq(
+            Snapshots.MergeWhen.insertAll(Some("s.event_type <> 'click'"))),
+          notMatchedBySource = Seq(
+            Snapshots.MergeWhen.update(Map("value" -> "0"),
+              Some("t.event_id % 100 = 1"))),
+          changeFeed = true)
+        SnapshotSql.sql(s,
+          s"""MERGE INTO graft.`$rootS` t USING clause_merge_src s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.value > 150 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+             |WHEN NOT MATCHED AND s.event_type <> 'click' THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE AND t.event_id % 100 = 1
+             |  THEN UPDATE SET value = 0""".stripMargin, changeFeed = true)
+        def multisetEqual(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame): Boolean =
+          a.withColumn("__s", lit(1L)).unionByName(b.withColumn("__s", lit(-1L)))
+            .groupBy(a.columns.map(col): _*).agg(sum(col("__s")).as("__d"))
+            .where(col("__d") =!= 0L).isEmpty
+        val same =
+          multisetEqual(Snapshots.readVersion(s, rootA), Snapshots.readVersion(s, rootS)) &&
+            multisetEqual(Snapshots.changesBetween(s, rootA, 0, 1),
+              Snapshots.changesBetween(s, rootS, 0, 1))
+        val ops = Snapshots.changesBetween(s, rootS, 0, 1)
+          .groupBy(col(ChangeFeed.opCol)).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        Snapshots.readVersion(s, rootS)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("n_delete", lit(ops.getOrElse("delete", 0L)))
+          .withColumn("n_update", lit(ops.getOrElse("update_postimage", 0L)))
+          .withColumn("n_insert", lit(ops.getOrElse("insert", 0L)))
+          .withColumn("pre_eq_post", lit(
+            ops.getOrElse("update_preimage", 0L) == ops.getOrElse("update_postimage", 0L)))
+          .withColumn("sql_equals_api", lit(same))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |src AS (
+             |  SELECT event_id, user_id, value * 2 AS value, event_type
+             |  FROM e WHERE event_id % 10 = 0 AND value IS NOT NULL
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type
+             |  FROM e WHERE event_id % 10 = 7 AND value IS NOT NULL),
+             |matched AS (
+             |  SELECT t.event_id, t.user_id, t.value AS tv, s.value AS sv, t.event_type
+             |  FROM e t JOIN src s ON t.event_id = s.event_id),
+             |merged AS (
+             |  SELECT event_id, user_id, tv + sv AS value, event_type
+             |  FROM matched WHERE NOT (sv > 150)
+             |  UNION ALL
+             |  SELECT t.event_id, t.user_id,
+             |    CASE WHEN t.event_id % 100 = 1 THEN CAST(0 AS DOUBLE) ELSE t.value END,
+             |    t.event_type
+             |  FROM e t WHERE t.event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL
+             |  SELECT s.event_id, s.user_id, s.value, s.event_type FROM src s
+             |  WHERE s.event_id NOT IN (SELECT event_id FROM e)
+             |    AND s.event_type <> 'click')
+             |SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  (SELECT COUNT(*) FROM matched WHERE sv > 150) AS n_delete,
+             |  (SELECT COUNT(*) FROM matched WHERE NOT (sv > 150)) +
+             |    (SELECT COUNT(*) FROM e WHERE event_id NOT IN (SELECT event_id FROM src)
+             |       AND event_id % 100 = 1) AS n_update,
+             |  (SELECT COUNT(*) FROM src WHERE event_id NOT IN (SELECT event_id FROM e)
+             |     AND event_type <> 'click') AS n_insert,
+             |  TRUE AS pre_eq_post, TRUE AS sql_equals_api
+             |FROM merged""".stripMargin)
+    ),
+
     // ---- DESCRIBE HISTORY (r8): `Snapshots.history` — one row per
     // version, newest first, straight from the delta headers (commit
     // kind, feed presence, add/remove counts). The oracle pins the full

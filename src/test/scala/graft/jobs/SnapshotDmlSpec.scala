@@ -185,9 +185,9 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(Snapshots.liveDeletionVectors(spark, rootSql).nonEmpty,
       "the SQL MOR delete committed a vector, not a rewrite")
 
-    // unsupported MERGE shapes fail loudly
+    // unsupported MERGE shapes still fail loudly (non-equi ON clause)
     intercept[IllegalArgumentException](SnapshotSql.sql(spark,
-      """MERGE INTO dml_t t USING dml_src s ON t.k = s.k
+      """MERGE INTO dml_t t USING dml_src s ON t.k < s.k
         |WHEN MATCHED THEN DELETE""".stripMargin))
     SnapshotSql.unregister("dml_t")
   }

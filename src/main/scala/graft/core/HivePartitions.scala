@@ -88,15 +88,23 @@ object HivePartitions {
   /** The typed partition-values row of one file path under
     * `partitionSchema` — the `InternalRow` a `PartitionDirectory`
     * carries, so Catalyst evaluates partition filters and materializes
-    * partition columns without touching the file. */
-  def internalRowOf(path: String, partitionSchema: StructType): InternalRow = {
+    * partition columns without touching the file.
+    *
+    * `timeZoneId` must be the SESSION timezone
+    * (`spark.sessionState.conf.sessionLocalTimeZone`): Spark's writer
+    * renders partition values — and `Snapshots.filePartitionsFrame`
+    * casts them back — under the session zone, so decoding under any
+    * other zone would shift timestamp-typed partition values and make
+    * plan-time pruning silently drop matching partitions. */
+  def internalRowOf(path: String, partitionSchema: StructType,
+      timeZoneId: String): InternalRow = {
     val raw = valuesOf(path, partitionSchema.fieldNames.toSeq)
     val values = partitionSchema.fields.map { f =>
       raw.getOrElse(f.name, None) match {
         case None => null
         case Some(s) =>
           Cast(Literal(UTF8String.fromString(s), StringType), f.dataType,
-            Some("UTC")).eval(null)
+            Some(timeZoneId)).eval(null)
       }
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

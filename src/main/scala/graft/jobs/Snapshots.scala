@@ -987,11 +987,17 @@ object Snapshots {
     * `commitRewriteRetry` exposes the loop so the spec can drive the
     * lost-race branch deterministically. */
   private[jobs] def commitRewriteRetry(
-      spark: SparkSession, root: String, v: Long, d: Delta): Long =
-    commitRewrite(spark, root, v, d)
+      spark: SparkSession, root: String, v: Long, d: Delta,
+      dvDropped: Seq[String] = Nil): Long =
+    commitRewrite(spark, root, v, d, dvDropped)
 
+  /** `dvDropped`: vectors this commit intends to REMOVE from the live
+    * set (materialization) — they were part of the commit's base, so a
+    * winner still carrying them is not a conflict, and a rebase must
+    * not resurrect them. */
   private def commitRewrite(
-      spark: SparkSession, root: String, v: Long, d0: Delta): Long = {
+      spark: SparkSession, root: String, v: Long, d0: Delta,
+      dvDropped: Seq[String] = Nil): Long = {
     val (_, qroot) = fsOf(spark, root)
     var d = d0
     var attempt = v
@@ -1026,7 +1032,10 @@ object Snapshots {
           // commit's work, and MERGE the lists (winner's head list +
           // our own new vector).
           val headDelta = readDelta(spark, root, latest)
-          val baseDv = d.dv.filterNot(d.dvAdd.toSeq.contains)
+          // the commit's ORIGINAL base = carried vectors + vectors it is
+          // deliberately dropping (materialization); a winner still
+          // carrying a dropped vector is not a "new winner vector"
+          val baseDv = d.dv.filterNot(d.dvAdd.toSeq.contains) ++ dvDropped
           if (headDelta.dv != baseDv || d.dvAdd.isDefined) {
             val newWinnerVectors = headDelta.dv.filterNot(baseDv.contains)
             if (d.removes.nonEmpty && newWinnerVectors.nonEmpty) {
@@ -1052,7 +1061,7 @@ object Snapshots {
                   s"${gone.size} file(s) a concurrent commit rewrote or removed " +
                   s"(e.g. ${gone.head}) — recompute against the current version", e)
             }
-            d = d.copy(dv = headDelta.dv ++ d.dvAdd.toSeq)
+            d = d.copy(dv = headDelta.dv.filterNot(dvDropped.contains) ++ d.dvAdd.toSeq)
           }
           attempt = latest + 1
       }
@@ -1411,7 +1420,8 @@ object Snapshots {
     commitRewrite(spark, root, prev + 1,
       Delta(newFiles, affected, schema = prevDelta.schema,
         props = prevDelta.props, stats = stats, op = Some("optimize"),
-        dv = Nil))
+        dv = Nil),
+      dvDropped = prevDelta.dv)
   }
 
   /** Project `df` onto `target`: columns in order, absent ones

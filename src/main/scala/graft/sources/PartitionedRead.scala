@@ -27,11 +27,11 @@ private[graft] object PartitionedRead {
     * pruning rather than mis-prune. */
   def partitionDirectories(
       statuses: Seq[FileStatus], partitionSchema: StructType,
-      partitionFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      partitionFilters: Seq[Expression], timeZoneId: String): Seq[PartitionDirectory] = {
     if (partitionSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
     val byPartition = statuses
-      .groupBy(s => HivePartitions.internalRowOf(s.getPath.toString, partitionSchema))
+      .groupBy(s => HivePartitions.internalRowOf(s.getPath.toString, partitionSchema, timeZoneId))
     val keep = predicateOn(partitionFilters, partitionSchema)
     byPartition.toSeq
       .filter { case (row, _) => keep(row) }
@@ -113,5 +113,6 @@ private[graft] class ExplicitPartitionedFileIndex(
 
   override def listFiles(
       partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    PartitionedRead.partitionDirectories(statuses, partitionSchema, partitionFilters)
+    PartitionedRead.partitionDirectories(statuses, partitionSchema, partitionFilters,
+      spark.sessionState.conf.sessionLocalTimeZone)
 }

@@ -130,7 +130,8 @@ private[sources] class SnapshotFileIndex(
     val keep = survivingPaths(dataFilters)
     PartitionedRead.partitionDirectories(
       statuses.filter(s => keep.contains(s.getPath.toString)),
-      partitionSchema, partitionFilters)
+      partitionSchema, partitionFilters,
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 }
 

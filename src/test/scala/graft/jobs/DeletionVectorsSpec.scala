@@ -218,4 +218,105 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root).count() == 91,
       "the retained head still applies its deletion vector after vacuum")
   }
+
+  test("materialization rebases over a concurrent append: base vectors are not 'new winner vectors'") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 300L).map(i => (i, i * 1.0)).toDF("k", "v")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k"))
+    val file1 = Snapshots.statsCandidateFiles(spark, root, 0, "k <= 100").head
+    // v1: a MOR delete covering ALL of file1 (so materializing = dropping it)
+    assert(Snapshots.deleteWhereMor(spark, root, "k <= 100") == 1L)
+    val vec = Snapshots.readDelta(spark, root, 1L).dvAdd.get
+    val v1Delta = Snapshots.readDelta(spark, root, 1L)
+    // winner: a pure append commits v2, still carrying the base vector
+    Snapshots.append(spark, root, Seq((400L, 400.0)).toDF("k", "v"))
+    // loser: a materialize COMPUTED AGAINST v1 (drops the vector, removes
+    // the fully-deleted file) races at v2 — must rebase, not conflict:
+    // the winner carrying the dropped vector is not a new winner vector
+    val d = Snapshots.Delta(Nil, Seq(file1), schema = v1Delta.schema,
+      props = v1Delta.props, op = Some("optimize"), dv = Nil)
+    val v3 = Snapshots.commitRewriteRetry(spark, root, 2L, d, dvDropped = Seq(vec))
+    assert(v3 == 3L, "the materialize rebased onto the winner")
+    assert(Snapshots.liveDeletionVectors(spark, root).isEmpty,
+      "the rebase must not resurrect the materialized vector")
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == ((101L to 300L) :+ 400L), "winner's append and the materialize both land")
+  }
+
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => fileScans(qs.plan)
+      case _ => Nil
+    }
+
+  test("DV application is size-bounded: past the broadcast cap the anti-join shuffles, rows identical") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.deleteWhereMor(spark, root, "k <= 20")
+    def front = spark.read.format("graft.sources.SnapshotSource").load(root)
+    val abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set(graft.sources.DeletionVectorsRule.broadcastMaxBytesKey, "1")
+      // the cap only drops the FORCED hint; silence Catalyst's own
+      // estimate-based auto-broadcast so the test pins the hint's absence
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = front.select("k")
+      val plan = finalPlanOf(q)
+      val s = plan.toString
+      assert(!s.contains("BroadcastHashJoin"),
+        s"a DV past the cap must NOT broadcast:\n$s")
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+        s"the equi-join on (file_path,row_index) must shuffle instead:\n$s")
+      assert(q.as[Long].collect().sorted.toSeq == (21L to 200L),
+        "the shuffled DV application filters exactly the same rows")
+    } finally {
+      spark.conf.unset(graft.sources.DeletionVectorsRule.broadcastMaxBytesKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abjt)
+    }
+    // back under the cap: broadcast again
+    val s2 = finalPlanOf(front.select("k")).toString
+    assert(s2.contains("BroadcastHashJoin"), s"small DV broadcasts:\n$s2")
+  }
+
+  test("DV scan is column-pruned: a narrow projection reads narrow, plus _metadata") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0, s"a$i", s"b$i", s"c$i", s"d$i"))
+        .toDF("k", "v", "c3", "c4", "c5", "c6"))
+    Snapshots.deleteWhereMor(spark, root, "k <= 10")
+    val front = spark.read.format("graft.sources.SnapshotSource").load(root)
+    val q = front.select("k")
+    val plan = finalPlanOf(q)
+    val mainScan = fileScans(plan)
+      .find(_.metadata("Location").contains("SnapshotFileIndex"))
+      .getOrElse(fail(s"no SnapshotFileIndex scan:\n$plan"))
+    val readCols = mainScan.requiredSchema.fieldNames.toSet
+    assert(readCols.intersect(Set("v", "c3", "c4", "c5", "c6")).isEmpty,
+      s"a k-only projection of a DV-carrying 6-column table must not read " +
+        s"the other five data columns: $readCols")
+    assert(q.as[Long].collect().sorted.toSeq == (11L to 100L))
+  }
+
+  test("a query naming _metadata explicitly over a DV table reuses the resolved column") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.deleteWhereMor(spark, root, "k <= 5")
+    val front = spark.read.format("graft.sources.SnapshotSource").load(root)
+    val got = front.select(col("k"), col("_metadata.file_path").as("fp"))
+    assert(got.select("k").as[Long].collect().sorted.toSeq == (6L to 50L),
+      "explicit _metadata reads still apply the deletion vector")
+    assert(got.select("fp").distinct().as[String].collect()
+      .forall(_.contains("/data/")), "file_path resolves to real data files")
+  }
 }

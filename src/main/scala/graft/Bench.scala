@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

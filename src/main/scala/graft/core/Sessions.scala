@@ -43,6 +43,10 @@ object Sessions {
       // them as the legacy LTZ type (exact under the UTC session timezone)
       // so unix_micros/watermark contracts hold — see Tables.ensureTimestampCompat
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // DSv2 catalog + analyzer hooks for snapshot tables
+      // (SELECT/INSERT/time travel on graft.<table>) — sources/GraftCatalog
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
     val withMaster = master.fold(b)(b.master)
     val spark = withMaster.getOrCreate()

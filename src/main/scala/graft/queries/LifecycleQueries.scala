@@ -1308,6 +1308,67 @@ object LifecycleQueries {
              |FROM merged""".stripMargin)
     ),
 
+    // ---- DSv2 TableCatalog door (r10, VERDICT task 4): pure SQL against
+    // `spark.sql.catalog.graft` with ZERO ceremony — no temp view, no
+    // register() call. One flow exercises the whole surface: a
+    // partitioned snapshot table, `INSERT INTO graft.t SELECT … FROM
+    // graft.t VERSION AS OF 0` (the analyzer's V1Write append fed by a
+    // time-traveled catalog read), a head aggregate over a partition
+    // predicate with the executed scan's numFiles PINNED equal to the
+    // matching partition's file count (Catalyst partition pruning through
+    // the catalog door), `VERSION AS OF 0` hash-equality with the
+    // pre-insert table, and `SHOW PARTITIONS` cardinality. All
+    // oracle-checked columns. 100 TB: the catalog is metadata-only
+    // (commit headers), reads plan the same pruned native scan as every
+    // other front door.
+    QuerySpec(
+      "sql_catalog_door",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/catdoor"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        Snapshots.init(s, root, eventsSlim(s, dir).repartition(4),
+          Map("graft.partitionBy" -> "event_type"))
+        // catalog write fed by a time-traveled catalog read
+        s.sql(
+          s"""INSERT INTO graft.`$root`
+             |SELECT event_id + 10000000, user_id, value + 1, event_type
+             |FROM graft.`$root` VERSION AS OF 0 WHERE event_type = 'click'""".stripMargin)
+        // plan pin: the head read under a partition predicate scans
+        // exactly the click partition's files
+        val all = Snapshots.versionFiles(s, root)
+        val clickFiles = all.count(_.contains("event_type=click"))
+        val planned = plannedFileCount(s.sql(
+          s"""SELECT COUNT(*) AS n, SUM(event_id) AS id_sum
+             |FROM graft.`$root` WHERE event_type = 'click'""".stripMargin))
+        val pruned = planned == clickFiles && clickFiles < all.size
+        val nV0 = s.sql(s"SELECT COUNT(*) AS n FROM graft.`$root` VERSION AS OF 0")
+          .head().getLong(0)
+        val nParts = s.sql(s"SHOW PARTITIONS graft.`$root`").count()
+        s.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root` WHERE event_type = 'click'""".stripMargin)
+          .withColumn("n_v0", lit(nV0))
+          .withColumn("n_partitions", lit(nParts))
+          .withColumn("partition_pruned", lit(pruned))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, value, event_type FROM events
+             |  WHERE event_type = 'click'),
+             |head AS (
+             |  SELECT * FROM clicks
+             |  UNION ALL
+             |  SELECT event_id + 10000000, user_id, value + 1, event_type FROM clicks)
+             |SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  (SELECT COUNT(*) FROM events) AS n_v0,
+             |  (SELECT COUNT(DISTINCT event_type) FROM events) AS n_partitions,
+             |  TRUE AS partition_pruned
+             |FROM head""".stripMargin)
+    ),
+
     // ---- DESCRIBE HISTORY (r8): `Snapshots.history` — one row per
     // version, newest first, straight from the delta headers (commit
     // kind, feed presence, add/remove counts). The oracle pins the full

@@ -12,6 +12,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

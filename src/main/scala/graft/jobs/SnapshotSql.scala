@@ -39,7 +39,13 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *     same-name column equalities (they become the merge keys).
   *   - `UPDATE t SET c = e, … [WHERE p]`
   *   - `DELETE FROM t WHERE p`
-  *   - `INSERT INTO t <query>`
+  *   - `INSERT INTO t <query>` — OCC append
+  *   - `INSERT OVERWRITE t <query>` — truncate-overwrite; with
+  *     `partitionOverwriteMode=dynamic` on a partitioned table, replace
+  *     exactly the partitions present in the batch
+  *   - `INSERT OVERWRITE t PARTITION (p=v, …) <query>` — replaceWhere
+  *     of exactly that partition (the spec supplies the partition
+  *     values, the query the data columns)
   *
   * Returns the committed version. `changeFeed = true` publishes the
   * same row-level feeds as the API calls (the SQL and API routes are
@@ -212,11 +218,46 @@ object SnapshotSql {
 
       case i: InsertIntoStatement =>
         val (root, _) = targetOf(i.table)
-        require(!i.overwrite, "INSERT OVERWRITE is not routed — use " +
-          "Snapshots.overwrite / replaceWhere (partition-grain) explicitly")
-        require(i.partitionSpec.isEmpty && i.userSpecifiedCols.isEmpty,
-          "INSERT INTO with PARTITION/column lists is not supported")
-        Snapshots.append(spark, root, substituted(spark, i.query))
+        require(i.userSpecifiedCols.isEmpty,
+          "INSERT with a column list is not supported")
+        val data = substituted(spark, i.query)
+        if (!i.overwrite) {
+          require(i.partitionSpec.isEmpty,
+            "INSERT INTO with a PARTITION spec is not supported")
+          Snapshots.append(spark, root, data)
+        } else if (i.partitionSpec.isEmpty) {
+          // no spec: honor Spark's partitionOverwriteMode — dynamic
+          // replaces exactly the partitions present in the batch,
+          // static truncate-overwrites the table
+          val dynamic = spark.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic")
+          if (dynamic && Snapshots.partitionColumns(spark, root).nonEmpty)
+            Snapshots.overwritePartitions(spark, root, data)
+          else Snapshots.overwrite(spark, root, data)
+        } else {
+          // static PARTITION (p=v, …) spec: the query supplies the data
+          // columns, the spec supplies the partition values — route as
+          // a replaceWhere of exactly that partition
+          require(i.partitionSpec.values.forall(_.isDefined),
+            "partial PARTITION specs mix static and dynamic values — " +
+              "drop the spec and use dynamic partitionOverwriteMode")
+          val schema = Snapshots.versionSchema(spark, root).getOrElse(
+            Snapshots.readVersion(spark, root).schema)
+          def typed(c: String, v: String): String = {
+            require(schema.fieldNames.contains(c), s"no partition column $c")
+            s"CAST('${v.replace("'", "''")}' AS ${schema(c).dataType.sql})"
+          }
+          val withParts = i.partitionSpec.foldLeft(data) {
+            case (df, (c, Some(v))) =>
+              df.withColumn(c, org.apache.spark.sql.functions.expr(typed(c, v)))
+            case (df, _) => df
+          }
+          val predicate = i.partitionSpec
+            .map { case (c, v) => s"`$c` = ${typed(c, v.get)}" }
+            .mkString(" AND ")
+          Snapshots.replaceWhere(spark, root, withParts, predicate)
+        }
 
       case other => throw new IllegalArgumentException(
         s"not a DML statement this router handles: ${other.nodeName} — " +

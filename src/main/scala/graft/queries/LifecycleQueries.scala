@@ -1369,6 +1369,54 @@ object LifecycleQueries {
              |FROM head""".stripMargin)
     ),
 
+    // ---- SQL INSERT OVERWRITE with a static PARTITION spec (r10,
+    // VERDICT task 6): `INSERT OVERWRITE graft.t PARTITION (p=v) SELECT
+    // …` through the catalog door routes to replaceWhere — ONE commit
+    // replacing exactly the named partition, every other partition's
+    // files carried BY REFERENCE (engine-pinned `untouched_carried`),
+    // history intact. Hash-checked against the relational recompute.
+    QuerySpec(
+      "sql_insert_overwrite",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/sqlinsow"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        Snapshots.init(s, root, eventsSlim(s, dir).repartition(2),
+          Map("graft.partitionBy" -> "event_type"))
+        val before = Snapshots.versionFiles(s, root).toSet
+        s.sql(
+          s"""INSERT OVERWRITE graft.`$root` PARTITION (event_type = 'click')
+             |SELECT event_id + 5000000, user_id, value * 3
+             |FROM graft.`$root` VERSION AS OF 0 WHERE event_type = 'click'""".stripMargin)
+        val after = Snapshots.versionFiles(s, root).toSet
+        val untouchedCarried =
+          before.filterNot(_.contains("event_type=click")).subsetOf(after) &&
+            after.forall(f => !f.contains("event_type=click") || !before.contains(f))
+        val historyIntact =
+          Snapshots.readVersion(s, root, 0).where(col("event_type") === "click")
+            .agg(max(col("event_id"))).head().getLong(0) < 5000000L
+        s.sql(
+          s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root` GROUP BY event_type ORDER BY event_type""".stripMargin)
+          .withColumn("untouched_carried", lit(untouchedCarried))
+          .withColumn("history_intact", lit(historyIntact))
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_id, user_id, value, event_type FROM events
+             |  WHERE event_type <> 'click'
+             |  UNION ALL
+             |  SELECT event_id + 5000000, user_id, value * 3, event_type
+             |  FROM events WHERE event_type = 'click')
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS untouched_carried, TRUE AS history_intact
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- DESCRIBE HISTORY (r8): `Snapshots.history` — one row per
     // version, newest first, straight from the delta headers (commit
     // kind, feed presence, add/remove counts). The oracle pins the full

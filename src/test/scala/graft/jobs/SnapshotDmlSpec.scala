@@ -185,6 +185,29 @@ class SnapshotDmlSpec extends AnyFunSuite {
     assert(Snapshots.liveDeletionVectors(spark, rootSql).nonEmpty,
       "the SQL MOR delete committed a vector, not a rewrite")
 
+    // INSERT OVERWRITE: full truncate on an unpartitioned table…
+    val n1 = Snapshots.readVersion(spark, rootSql).count()
+    assert(n1 > 1)
+    SnapshotSql.sql(spark,
+      s"INSERT OVERWRITE graft.`$rootSql` SELECT 1L AS k, CAST(1.0 AS DOUBLE) AS v, 'only' AS s")
+    assert(Snapshots.readVersion(spark, rootSql).count() == 1)
+    // …static PARTITION spec → replaceWhere of exactly that partition…
+    val partRoot = tmp()
+    Snapshots.init(spark, partRoot,
+      Seq((1L, 2024, "a"), (2L, 2024, "b"), (3L, 2025, "c")).toDF("k", "year", "s"),
+      Map("graft.partitionBy" -> "year"))
+    SnapshotSql.sql(spark,
+      s"INSERT OVERWRITE graft.`$partRoot` PARTITION (year=2024) SELECT 10L AS k, 'x' AS s")
+    assert(Snapshots.readVersion(spark, partRoot).orderBy("k")
+      .select("k", "year").as[(Long, Int)].collect().toSeq
+      == Seq((3L, 2025), (10L, 2024)), "2024 replaced, 2025 carried")
+    // …and no spec under dynamic mode → overwritePartitions
+    SnapshotSql.sql(spark,
+      s"INSERT OVERWRITE graft.`$partRoot` SELECT 20L AS k, 2025 AS year, 'y' AS s")
+    assert(Snapshots.readVersion(spark, partRoot).orderBy("k")
+      .select("k", "year").as[(Long, Int)].collect().toSeq
+      == Seq((10L, 2024), (20L, 2025)), "2025 replaced by the batch, 2024 carried")
+
     // unsupported MERGE shapes still fail loudly (non-equi ON clause)
     intercept[IllegalArgumentException](SnapshotSql.sql(spark,
       """MERGE INTO dml_t t USING dml_src s ON t.k < s.k

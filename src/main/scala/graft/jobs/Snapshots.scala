@@ -194,6 +194,23 @@ object Snapshots {
     ans
   }
 
+  /** The EARLIEST version whose commit timestamp is `>= tsMillis` — the
+    * `startingTimestamp` resolution for streaming tails ("give me every
+    * change from this wall-clock moment on"). A timestamp past the last
+    * commit resolves to `latest + 1`: the tail starts empty and emits
+    * future commits, rather than failing a consumer who anchored at
+    * "now". Same monotonized walk as `versionAt`. */
+  def versionAtOrAfter(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no snapshot log at $root")
+    var acc = Long.MinValue
+    vs.foreach { v =>
+      acc = math.max(acc, commitTimestamp(spark, root, v))
+      if (acc >= tsMillis) return v
+    }
+    vs.last + 1
+  }
+
   private def readLines(spark: SparkSession, root: String, p: Path): Seq[String] = {
     val (fs, _) = fsOf(spark, root)
     val in = fs.open(p)

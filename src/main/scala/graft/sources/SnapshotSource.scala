@@ -66,7 +66,8 @@ import graft.jobs.Snapshots
   *     .option("maxFilesPerTrigger", 4)   // admission pacing (optional)
   *     .option("skipRewrites", true)      // admit delete/merge histories
   *     .option("startingVersion", 3)      // tail from v3 on (inclusive)
-  *     .load(root)
+  *     .option("startingTimestamp", t)    // or: from the first version
+  *     .load(root)                        //   committed at-or-after t
   *
   *   spark.readStream.format("graft.sources.SnapshotSource")
   *     .option("readChangeFeed", true)    // stream ROW CHANGES (_op col):
@@ -104,7 +105,8 @@ class SnapshotSource extends RelationProvider
   private val reservedKeys =
     Set("path", "versionasof", "timestampasof", "changesfrom", "changesto",
       "bloomon", "skiprewrites", "maxfilespertrigger", "maxbytespertrigger",
-      "maxversionspertrigger", "startingversion", "readchangefeed")
+      "maxversionspertrigger", "startingversion", "startingtimestamp",
+      "readchangefeed")
 
   /** Epoch millis from either a raw long or a `Timestamp.valueOf` string
     * (`yyyy-mm-dd hh:mm:ss[.f…]`, session-local zone — the same spelling

@@ -62,9 +62,23 @@ private[sources] class SnapshotStreamSource(
   private val maxVersions = parameters.get("maxversionspertrigger").map(_.toInt)
   require(maxVersions.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
   /** Exclusive lower bound on versions to emit: one BELOW the inclusive
-    * `startingVersion` option (Delta convention), table birth when
-    * unset. */
-  private val startPos = parameters.get("startingversion").map(_.toLong - 1).getOrElse(-1L)
+    * `startingVersion` option (Delta convention); or, with
+    * `startingTimestamp` (epoch millis or `yyyy-mm-dd hh:mm:ss`), one
+    * below the earliest version committed at-or-after that moment
+    * (Delta parity — a timestamp past the last commit starts an empty
+    * tail that emits future commits); table birth when neither is set. */
+  private val startPos = {
+    val byVersion = parameters.get("startingversion")
+    val byTs = parameters.get("startingtimestamp")
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    byVersion.map(_.toLong - 1)
+      .orElse(byTs.map { t =>
+        val ms = t.toLongOption.getOrElse(java.sql.Timestamp.valueOf(t).getTime)
+        Snapshots.versionAtOrAfter(spark, root, ms) - 1
+      })
+      .getOrElse(-1L)
+  }
 
   /** `.option("readChangeFeed", true)`: stream ROW-LEVEL CHANGES instead
     * of appended files — each micro-batch is `Snapshots.changesBetween`

@@ -226,6 +226,41 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(got1.asScala().flatten.toSet == Set(2L -> "b", 3L -> "c"))
   }
 
+  test("startingTimestamp resolves to the same tail as the equivalent startingVersion") {
+    val root = dir("ssts") + "/t"
+    Snapshots.init(spark, root, one(1L -> "a"))      // v0
+    Snapshots.append(spark, root, one(2L -> "b"))    // v1
+    Snapshots.append(spark, root, one(3L -> "c"))    // v2
+    val tsV1 = Snapshots.commitTimestamp(spark, root, 1L)
+    // anchored exactly at v1's commit: v1 is the first version at-or-after
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    drain(spark.readStream.format(fmt).option("startingTimestamp", tsV1.toString)
+      .load(root), dir("ssts-cp"), got)
+    assert(got.asScala().flatten.toSet == Set(2L -> "b", 3L -> "c"),
+      "timestamp start streams the same change set as startingVersion=1")
+    // a timestamp past the last commit starts an EMPTY tail, then emits
+    // future commits
+    val gotF = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    val cpF = dir("ssts-cpf")
+    drain(spark.readStream.format(fmt)
+      .option("startingTimestamp", (Snapshots.commitTimestamp(spark, root, 2L) + 1).toString)
+      .load(root), cpF, gotF)
+    assert(gotF.asScala().flatten.isEmpty, "nothing committed at-or-after the anchor yet")
+    Snapshots.append(spark, root, one(4L -> "d"))    // v3, after the anchor
+    drain(spark.readStream.format(fmt)
+      .option("startingTimestamp", (Snapshots.commitTimestamp(spark, root, 2L) + 1).toString)
+      .load(root), cpF, gotF)
+    assert(gotF.asScala().flatten.toSet == Set(4L -> "d"))
+    // both spellings at once is refused
+    intercept[Exception] {
+      spark.readStream.format(fmt).option("startingVersion", "1")
+        .option("startingTimestamp", "0").load(root)
+        .writeStream.option("checkpointLocation", dir("ssts-cpx"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((_: DataFrame, _: Long) => ()).start().awaitTermination()
+    }
+  }
+
   private implicit class QueueOps(q: ConcurrentLinkedQueue[Seq[(Long, String)]]) {
     def asScala(): Seq[Seq[(Long, String)]] = {
       val b = Seq.newBuilder[Seq[(Long, String)]]

@@ -1417,6 +1417,53 @@ object LifecycleQueries {
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- HIDDEN PARTITIONING read side (r10, VERDICT task 8, Iceberg
+    // parity): the table is partitioned by a GENERATED day key
+    // (`graft.generated.ev_day = date(ts)`); the query constrains ONLY
+    // the raw `ts` column. GeneratedPruningRule derives the partition
+    // predicate from the monotone generator, and the engine PINS the
+    // executed scan's numFiles to exactly the matching days' file count
+    // (`hidden_pruned`, oracle-checked TRUE). The aggregate is
+    // hash-checked relationally. 100 TB: users query raw event time and
+    // still pay zero stats/data reads outside the matching partitions —
+    // without ever learning the partition column exists.
+    QuerySpec(
+      "hidden_partition_prune",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/hiddenpart"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        Snapshots.init(s, root, e.repartition(4),
+          Map("graft.partitionBy" -> "ev_day",
+            "graft.generated.ev_day" -> "date(ts)"))
+        val all = Snapshots.versionFiles(s, root)
+        val days = Seq("2024-01-10", "2024-01-11", "2024-01-12")
+        val matching = all.count(f => days.exists(d => f.contains(s"ev_day=$d")))
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        // upper bound INSIDE day 12: `< day-13 midnight` would derive the
+        // conservative `ev_day <= 2024-01-13` and admit one extra
+        // partition (a boundary literal floors to the next day)
+        val q = front.where(col("ts") >= "2024-01-10 00:00:00" &&
+          col("ts") <= "2024-01-12 23:59:59")
+        val planned = plannedFileCount(
+          q.agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum")))
+        val pruned = planned == matching && matching < all.size
+        q.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("hidden_pruned", lit(pruned))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS hidden_pruned
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-12 23:59:59'""".stripMargin)
+    ),
+
     // ---- DESCRIBE HISTORY (r8): `Snapshots.history` — one row per
     // version, newest first, straight from the delta headers (commit
     // kind, feed presence, add/remove counts). The oracle pins the full

@@ -220,6 +220,10 @@ private[sources] class GraftTable(
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     if (Snapshots.liveDeletionVectors(spark, root, snapshotVersion).nonEmpty)
       DeletionVectorsRule.register(spark)
+    val vProps = Snapshots.tableProperties(spark, root, snapshotVersion)
+    if (graft.core.HivePartitions.columnsOf(vProps)
+        .exists(c => vProps.contains(s"graft.generated.$c")))
+      GeneratedPruningRule.register(spark)
     val nameMap = Snapshots.physicalMap(fullSchema).filter { case (l, p) => l != p }
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index,

@@ -33,7 +33,7 @@ import graft.jobs.Snapshots
   * the stats index itself is cached per immutable (root, version) in
   * `Snapshots.statsIndex`. */
 private[sources] class SnapshotFileIndex(
-    spark: SparkSession, root: String, version: Long, bloomOn: Option[String])
+    spark: SparkSession, val root: String, val version: Long, bloomOn: Option[String])
   extends FileIndex {
 
   private val qroot: Path = {

@@ -141,6 +141,12 @@ class SnapshotSource extends RelationProvider
         // and pushdown; `materializeDeletionVectors` removes even that.
         if (Snapshots.liveDeletionVectors(spark, root, v).nonEmpty)
           DeletionVectorsRule.register(spark)
+        // hidden partitioning: derive partition predicates from
+        // source-column predicates when a partition column is generated
+        val vProps = Snapshots.tableProperties(spark, root, v)
+        if (graft.core.HivePartitions.columnsOf(vProps)
+            .exists(c => vProps.contains(s"graft.generated.$c")))
+          GeneratedPruningRule.register(spark)
         val fullSchema = Snapshots.versionSchema(spark, root, v)
           .getOrElse(Snapshots.readVersion(spark, root, v).schema)
         // a NATIVE file-source relation over the log's FileIndex: planned

@@ -2081,10 +2081,18 @@ object LifecycleQueries {
     ),
 
     // ---- Time-series gap-fill: resample each user's event stream to an
-    // hourly grid (sequence + explode between observed bounds) and
-    // forward-fill the per-hour average. Averages are decimal-summed then
-    // rounded BEFORE the fill, so the carried value is bit-identical on
-    // both engines. One window pass over the user partitioning.
+    // hourly grid and forward-fill the per-hour average. Averages are
+    // decimal-summed then rounded BEFORE the fill, so the carried value
+    // is bit-identical on both engines. Single-pass shape (r10): each
+    // observation emits itself PLUS its gap rows — explode(sequence(hr,
+    // next_hr - 1)) carrying its own v as the fill — so the hourly
+    // aggregate is computed ONCE and there is no grid self-join at all
+    // (the r9 shape computed the agg on two branches and re-joined
+    // them). One agg exchange, one lead()-window pass per user, a
+    // map-side explode, and the final presentation sort. Equivalent by
+    // construction: the grid starts at each user's first observation,
+    // so every grid row's forward-fill source is exactly the
+    // observation whose gap it falls in.
     QuerySpec(
       "ts_gapfill_ffill",
       (s, dir) => {
@@ -2092,15 +2100,14 @@ object LifecycleQueries {
         val b = Tables.events(s, dir)
           .groupBy(col("user_id"), hr.as("hr"))
           .agg(round(sum(dec(col("value"))).cast("double") / count(lit(1)), 4).as("v"))
-        val grid = b.groupBy(col("user_id"))
-          .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
-          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hr"))
-        val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(b, Seq("user_id", "hr"), "left")
-          .select(col("user_id"), col("hr"),
-            when(col("v").isNull, 0L).otherwise(1L).as("is_observed"),
-            last(col("v"), ignoreNulls = true).over(w).as("v_fill"))
+        val wl = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        b.withColumn("next_hr", lead(col("hr"), 1).over(wl))
+          .select(col("user_id"), col("hr").as("obs_hr"), col("v"),
+            explode(sequence(col("hr"),
+              coalesce(col("next_hr") - 1, col("hr")))).as("grid_hr"))
+          .select(col("user_id"), col("grid_hr").as("hr"),
+            when(col("grid_hr") === col("obs_hr"), 1L).otherwise(0L).as("is_observed"),
+            col("v").as("v_fill"))
           .orderBy(col("user_id"), col("hr"))
       },
       Some("""WITH b AS (

@@ -18,15 +18,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
-      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hatch for isolating catalog/extension overhead in local runs;
+    // the driver never sets it — extensions are on by default
+    val b =
+      if (sys.env.contains("SPARK_GRAFT_NO_EXT")) b0
+      else b0
+        .config("spark.sql.extensions", "graft.sources.GraftExtensions")
+        .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // min of 2 runs: the host shows multi-x background-load noise; the
     // second pass is JIT- and page-cache-warm, i.e. the steady-state number

@@ -1965,6 +1965,50 @@ object Snapshots {
         op = Some("metadata"), dv = prevDelta.dv))
   }
 
+  /** SET / UNSET table properties as ONE metadata-only commit — the
+    * `ALTER TABLE … SET TBLPROPERTIES` primitive. Structural properties
+    * (partition layout) are refused: changing the layout property
+    * without rewriting files would desynchronize paths and planning. */
+  def setProperties(
+      spark: SparkSession, root: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val structural = (set.keys ++ unset).filter(_ == graft.core.HivePartitions.prop)
+    require(structural.isEmpty,
+      s"${graft.core.HivePartitions.prop} is structural — the partition " +
+        "layout is fixed at init (rewrite via overwrite to re-layout)")
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil, schema = prevDelta.schema,
+        props = prevDelta.props -- unset ++ set,
+        op = Some("metadata"), dv = prevDelta.dv))
+  }
+
+  /** ADD COLUMN(s) as a METADATA-ONLY commit: the schema widens, zero
+    * files are touched — existing files null-fill the new columns
+    * through the parquet reader's missing-column path (the same
+    * admission an evolving append makes, without needing a batch).
+    * Fresh physical names are assigned so a previously-dropped column
+    * of the same name can never resurrect. */
+  def addColumns(
+      spark: SparkSession, root: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$root has no recorded schema — cannot evolve a legacy log"))
+    val dup = cols.map(_.name).filter(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty, s"column(s) already exist: ${dup.mkString(", ")}")
+    val widened = mergedSchema(Some(schema),
+      assignPhysical(Some(schema),
+        StructType(schema.fields ++ cols.map(_.copy(nullable = true))),
+        prevDelta.props))
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil, schema = Some(widened.json), props = prevDelta.props,
+        op = Some("metadata"), dv = prevDelta.dv))
+  }
+
   /** Drop a CHECK constraint — a metadata-only commit without it. */
   def dropCheckConstraint(spark: SparkSession, root: String, name: String): Long = {
     val head = latestVersion(spark, root)

@@ -1369,6 +1369,66 @@ object LifecycleQueries {
              |FROM head""".stripMargin)
     ),
 
+    // ---- SQL DML through the catalog door (r10): DELETE / UPDATE /
+    // clause-MERGE as plain `spark.sql` statements on `graft.<table>` —
+    // analyzer-resolved (GraftDmlRule), no pre-parser, no temp view for
+    // the target; the MERGE source is itself a time-traveled catalog
+    // read. Pinned: the three statements produce exactly three commits,
+    // and the final head hash-matches DuckDB's relational recompute of
+    // the same statement sequence.
+    QuerySpec(
+      "sql_catalog_dml",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/catdml"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        Snapshots.init(s, root, eventsSlim(s, dir).repartition(4))
+        s.sql(s"DELETE FROM graft.`$root` WHERE event_id % 10 = 3")
+        s.sql(s"UPDATE graft.`$root` SET value = value * 2 WHERE event_type = 'click'")
+        // source: %3 rows were deleted (re-insert leg), %7 rows match;
+        // non-null value keeps the CASE cascade and the oracle's WHERE
+        // branches null-equivalent
+        s.sql(
+          s"""MERGE INTO graft.`$root` t
+             |USING (SELECT event_id, user_id, value, event_type
+             |       FROM graft.`$root` VERSION AS OF 0
+             |       WHERE event_id % 10 IN (3, 7) AND value IS NOT NULL) s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.value > 100 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val nVersions = Snapshots.latestVersion(s, root)
+        s.sql(
+          s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root` GROUP BY event_type ORDER BY event_type""".stripMargin)
+          .withColumn("n_versions", lit(nVersions))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |d1 AS (SELECT * FROM e WHERE NOT event_id % 10 = 3),
+             |u2 AS (SELECT event_id, user_id,
+             |    CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value,
+             |    event_type FROM d1),
+             |src AS (SELECT * FROM e
+             |        WHERE event_id % 10 IN (3, 7) AND value IS NOT NULL),
+             |final AS (
+             |  SELECT * FROM u2 WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL
+             |  SELECT t.event_id, t.user_id, t.value + s.value, t.event_type
+             |  FROM u2 t JOIN src s ON t.event_id = s.event_id
+             |  WHERE NOT (s.value > 100)
+             |  UNION ALL
+             |  SELECT s.* FROM src s
+             |  WHERE s.event_id NOT IN (SELECT event_id FROM u2))
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  CAST(3 AS BIGINT) AS n_versions
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- SQL INSERT OVERWRITE with a static PARTITION spec (r10,
     // VERDICT task 6): `INSERT OVERWRITE graft.t PARTITION (p=v) SELECT
     // …` through the catalog door routes to replaceWhere — ONE commit

@@ -150,13 +150,42 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(session, root, None)
   }
 
+  /** ALTER TABLE → the log's METADATA-ONLY commits: ADD COLUMNS widens
+    * the schema (existing files null-fill at read), RENAME/DROP COLUMN
+    * are column-mapping commits (frozen physical names, zero rewrites),
+    * SET/UNSET TBLPROPERTIES is one property commit. Anything else —
+    * type changes, nested fields, position moves — fails loudly. */
   override def alterTable(
       ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE through the catalog is not supported — use the " +
-        "programmatic surface (renameColumn / dropColumn / " +
-        "addCheckConstraint / setProperties)")
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val root = rootOf(ident)
+    val sets = changes.collect { case s: SetProperty => s.property -> s.value }.toMap
+    val unsets = changes.collect { case r: RemoveProperty => r.property }
+    if (sets.nonEmpty || unsets.nonEmpty)
+      Snapshots.setProperties(session, root, sets, unsets)
+    val adds = changes.collect { case a: AddColumn =>
+      require(a.fieldNames.length == 1,
+        s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, a.isNullable)
+    }
+    if (adds.nonEmpty) Snapshots.addColumns(session, root, adds)
+    changes.foreach {
+      case _: SetProperty | _: RemoveProperty | _: AddColumn => ()
+      case r: RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
+        Snapshots.renameColumn(session, root, r.fieldNames.head, r.newName)
+      case d: DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
+        Snapshots.dropColumn(session, root, d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
   /** Drops the table DATA (the log directory) — the path-catalog
     * equivalent of an unmanaged drop does not exist here, every table

@@ -126,6 +126,79 @@ class GraftCatalogSpec extends AnyFunSuite {
       == Set("events", "copy"))
   }
 
+  test("SQL DELETE / UPDATE / MERGE through the catalog door hit the log's DML commits") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 300L).map(i => (i, i * 1.0, s"s$i")).toDF("k", "v", "s")
+        .repartitionByRange(3, col("k")).sortWithinPartitions("k"))
+
+    spark.sql(s"DELETE FROM graft.`$root` WHERE k <= 50")
+    assert(Snapshots.readVersion(spark, root).count() == 250)
+    assert(Snapshots.latestVersion(spark, root) == 1L)
+
+    spark.sql(s"UPDATE graft.`$root` SET v = v * 10 WHERE k BETWEEN 101 AND 110")
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.where(col("k") === 105).select("v").as[Double].head() == 1050.0)
+    assert(head.where(col("k") === 111).select("v").as[Double].head() == 111.0)
+
+    // whole-row upsert MERGE from an inline VALUES source
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t
+         |USING (SELECT * FROM VALUES (60L, CAST(-1.0 AS DOUBLE), 'm'),
+         |  (1000L, CAST(1.0 AS DOUBLE), 'n') AS src(k, v, s)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val h2 = Snapshots.readVersion(spark, root)
+    assert(h2.where(col("k") === 60).select("v", "s").as[(Double, String)].head()
+      == ((-1.0, "m")))
+    assert(h2.where(col("k") === 1000).count() == 1)
+
+    // clause-level MERGE: conditional delete + column update + NMBS
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t
+         |USING (SELECT * FROM VALUES (1000L, CAST(5.0 AS DOUBLE)) AS src(k, v)) s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.v > 100 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v + t.v
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 60 THEN DELETE""".stripMargin)
+    val h3 = Snapshots.readVersion(spark, root)
+    assert(h3.where(col("k") === 1000).select("v").as[Double].head() == 6.0,
+      "conditional update applied through the cascade")
+    assert(h3.where(col("k") === 60).count() == 0, "NOT MATCHED BY SOURCE delete applied")
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN and SET TBLPROPERTIES are metadata-only commits") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("k", "v", "s"))
+    val filesBefore = Snapshots.versionFiles(spark, root).toSet
+
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (w DOUBLE, tag STRING)")
+    assert(Snapshots.readVersion(spark, root).columns.toSeq
+      == Seq("k", "v", "s", "w", "tag"))
+    assert(Snapshots.readVersion(spark, root).where(col("w").isNull).count() == 2,
+      "existing rows null-fill the added columns")
+
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN v TO amount")
+    assert(Snapshots.readVersion(spark, root).columns.contains("amount"))
+
+    spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN s")
+    assert(!Snapshots.readVersion(spark, root).columns.contains("s"))
+
+    spark.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('graft.note' = 'hello')")
+    assert(Snapshots.tableProperties(spark, root).get("graft.note").contains("hello"))
+    spark.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES ('graft.note')")
+    assert(!Snapshots.tableProperties(spark, root).contains("graft.note"))
+
+    assert(Snapshots.versionFiles(spark, root).toSet == filesBefore,
+      "five ALTERs, zero data files touched")
+    assert(Snapshots.readVersion(spark, root)
+      .select("k", "amount").orderBy("k").as[(Long, Double)].collect().toSeq
+      == Seq((1L, 1.0), (2L, 2.0)), "data reads exactly under the evolved schema")
+    // time travel still sees the original shape
+    assert(Snapshots.readVersion(spark, root, 0).columns.toSeq == Seq("k", "v", "s"))
+  }
+
   test("catalog reads apply deletion vectors and prune partitions") {
     val root = tmp()
     Snapshots.init(spark, root,

@@ -16,6 +16,8 @@ object Plans {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -63,7 +63,7 @@ object SnapshotSql {
     registry.remove(name.toLowerCase(java.util.Locale.ROOT))
 
   /** The snapshot root a multipart identifier names, if any. */
-  private def rootOf(parts: Seq[String]): Option[String] = parts match {
+  private[graft] def rootOf(parts: Seq[String]): Option[String] = parts match {
     case Seq(catalog, path) if catalog.equalsIgnoreCase("graft") => Some(path)
     case Seq(name) => registry.get(name.toLowerCase(java.util.Locale.ROOT))
     case _ => None

@@ -1408,8 +1408,27 @@ object Snapshots {
       else Some(stageChangeFeed(spark, qroot, v,
         doomed.drop("__pos_path", "__pos_idx")
           .withColumn(ChangeFeed.opCol, lit("delete"))))
-    commitMeta(cdfDir, Some(dvName))
+    val committed = commitMeta(cdfDir, Some(dvName))
+    // AUTO-MATERIALIZE valve: the table property `graft.dv.maxRows`
+    // bounds how many deletion-vector rows may accumulate before the
+    // per-read anti-join is reclaimed. Checked AT WRITE time (the
+    // actor that caused the growth pays), so the read path's
+    // size-bounded join never silently degrades forever — the second
+    // half of the bound DeletionVectorsRule's broadcast cap starts.
+    prevDelta.props.get(dvMaxRowsProp).map(_.toLong).foreach { cap =>
+      val head = readDelta(spark, root, committed)
+      if (head.dv.nonEmpty) {
+        val total = dvFrame(spark, qroot, head.dv).count()
+        if (total > cap) materializeDeletionVectors(spark, root)
+      }
+    }
+    committed
   }
+
+  /** Table property: auto-materialize deletion vectors once their
+    * cumulative row count crosses this bound (checked on each MOR
+    * delete commit). */
+  val dvMaxRowsProp = "graft.dv.maxRows"
 
   /** Fold the live deletion vectors into a rewrite: files holding any
     * DV'd row are rewritten WITHOUT those rows (a content-preserving

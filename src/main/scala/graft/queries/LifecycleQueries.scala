@@ -1308,6 +1308,44 @@ object LifecycleQueries {
              |FROM merged""".stripMargin)
     ),
 
+    // ---- SQL maintenance statements (r10): `OPTIMIZE` / `VACUUM` as
+    // plain spark.sql text through the injected parser extension
+    // (GraftSqlParser — standard SQL has no spelling for table
+    // maintenance; Delta ships the same two statements). The engine pins
+    // the physical effects as oracle columns: eight small files pack to
+    // one, content hash-identical; after `VACUUM … RETAIN 0 HOURS` the
+    // pre-optimize version's files are GONE (time travel to it fails)
+    // while the head still hash-matches the relational recompute.
+    QuerySpec(
+      "sql_maintenance",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/sqlmaint"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        Snapshots.init(s, root, eventsSlim(s, dir).repartition(8))
+        val filesBefore = Snapshots.versionFiles(s, root).size
+        val vOpt = s.sql(s"OPTIMIZE graft.`$root`").head().getLong(0)
+        val filesAfter = Snapshots.versionFiles(s, root).size
+        val deleted = s.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").head().getLong(0)
+        val v0Gone =
+          try { Snapshots.readVersion(s, root, 0).count(); false }
+          catch { case _: Exception => true }
+        s.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root`""".stripMargin)
+          .withColumn("packed", lit(filesBefore == 8 && filesAfter == 1 && vOpt == 1L))
+          .withColumn("n_vacuumed", lit(deleted))
+          .withColumn("v0_unreadable_after_vacuum", lit(v0Gone))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS packed, CAST(8 AS BIGINT) AS n_vacuumed,
+             |  TRUE AS v0_unreadable_after_vacuum
+             |FROM events""".stripMargin)
+    ),
+
     // ---- DSv2 TableCatalog door (r10, VERDICT task 4): pure SQL against
     // `spark.sql.catalog.graft` with ZERO ceremony — no temp view, no
     // register() call. One flow exercises the whole surface: a

@@ -42,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(spark => GraftRelationRule(spark))
     ext.injectPostHocResolutionRule(spark => GraftDmlRule(spark))
     ext.injectPostHocResolutionRule(spark => GraftDynamicOverwriteRule(spark))
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

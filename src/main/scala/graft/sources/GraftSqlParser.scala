@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.jobs.{Snapshots, SnapshotSql}
+
+/** Parser extension (the Delta-SQL shape, `ext.injectParser`): the two
+  * MAINTENANCE statements standard SQL has no spelling for, delegated
+  * to Spark's own parser for everything else:
+  *
+  * {{{
+  *   OPTIMIZE graft.`/path` [WHERE <partition pred>]
+  *                          [ZORDER BY (a, b)]     -- Morton re-cluster
+  *   VACUUM  graft.`/path` [RETAIN <n> HOURS]      -- default 168 (7d)
+  * }}}
+  *
+  * Plain OPTIMIZE is the bin-packing small-file compaction
+  * (`optimizeCompact` — rewrites only sub-target files, `WHERE` scopes
+  * it to matching partitions); `ZORDER BY (a, b)` re-clusters by
+  * explicit Morton cells so min/max skipping prunes BOTH dimensions;
+  * one clustering column falls back to range-clustering. VACUUM keeps
+  * every version a reader anchored inside the retention window could
+  * still be using (`versionAt(now − retention)`), then deletes files
+  * only older versions referenced. A table younger than the window
+  * vacuums nothing — never a data-loss fallback. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val optimizeRe = Pattern.compile(
+    """^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val vacuumRe = Pattern.compile(
+    """^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  private[sources] def parseMaintenance(
+      sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    val head = sqlText.trim.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
+    if (head != "OPTIMIZE" && head != "VACUUM") return None
+    def rootOf(tableText: String): String = {
+      val parts = delegate.parseMultipartIdentifier(tableText.trim)
+      SnapshotSql.rootOf(parts).getOrElse(throw new IllegalArgumentException(
+        s"not a snapshot table: ${parts.mkString(".")} — " +
+          "register(name, root) it or address it as graft.`/path`"))
+    }
+    if (head == "OPTIMIZE") {
+      val m = optimizeRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (cols)]; got: " + sqlText)
+      val zorder = Option(m.group(3))
+        .map(_.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      Some(GraftOptimizeCommand(rootOf(m.group(1)), Option(m.group(2)), zorder))
+    } else {
+      val m = vacuumRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: VACUUM <table> [RETAIN <n> HOURS]; got: " + sqlText)
+      Some(GraftVacuumCommand(rootOf(m.group(1)),
+        Option(m.group(2)).map(_.toDouble).getOrElse(168.0)))
+    }
+  }
+}
+
+/** `OPTIMIZE` — returns the committed version (-1 = nothing to do). */
+case class GraftOptimizeCommand(
+    root: String, where: Option[String], zorder: Option[Seq[String]])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val target = 128L * 1024 * 1024
+    val v = zorder match {
+      case None =>
+        Snapshots.optimizeCompact(session, root,
+          smallerThanBytes = target, targetFileBytes = target, where = where)
+      case Some(Seq(a, b)) =>
+        Snapshots.optimizeZorderCow(session, root, a, b, where = where)
+      case Some(cols) =>
+        // 1 or 3+ clustering columns: range-cluster by the list, sized
+        // to ~target-byte files
+        val (_, qroot) = (null, new org.apache.hadoop.fs.Path(root))
+        val fs = qroot.getFileSystem(session.sparkContext.hadoopConfiguration)
+        val bytes = Snapshots.versionFiles(session, root)
+          .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+        Snapshots.optimizeCow(session, root, cols, numFiles = n, where = where)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `VACUUM` — returns the number of files deleted. Retention maps to
+  * versions through commit timestamps: every version a reader anchored
+  * within the window could see is kept. */
+case class GraftVacuumCommand(root: String, retainHours: Double)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("files_deleted", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+    val keepFrom =
+      try Snapshots.versionAt(session, root, cutoff)
+      catch { case _: IllegalArgumentException => 0L } // younger than window
+    Seq(Row(Snapshots.vacuum(session, root, keepFrom).toLong))
+  }
+}

@@ -219,6 +219,23 @@ class DeletionVectorsSpec extends AnyFunSuite {
       "the retained head still applies its deletion vector after vacuum")
   }
 
+  test("graft.dv.maxRows auto-materializes once accumulated vectors cross the bound") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      Map(Snapshots.dvMaxRowsProp -> "25"))
+    // 20 DV rows: under the cap — vector stays live, zero rewrites
+    Snapshots.deleteWhereMor(spark, root, "k <= 20")
+    assert(Snapshots.liveDeletionVectors(spark, root).nonEmpty)
+    assert(Snapshots.readVersion(spark, root).count() == 180)
+    // +15 rows crosses 25: the write-side valve materializes
+    Snapshots.deleteWhereMor(spark, root, "k <= 35")
+    assert(Snapshots.liveDeletionVectors(spark, root).isEmpty,
+      "crossing the cap reclaims the read-side anti-join")
+    assert(Snapshots.readVersion(spark, root).select("k").as[Long].collect().sorted.toSeq
+      == (36L to 200L), "content exact after the auto-materialize")
+  }
+
   test("materialization rebases over a concurrent append: base vectors are not 'new winner vectors'") {
     val root = tmp()
     Snapshots.init(spark, root,

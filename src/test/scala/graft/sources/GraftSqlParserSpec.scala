@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.jobs.Snapshots
+
+/** The injected maintenance parser: OPTIMIZE / VACUUM as plain
+  * spark.sql statements, everything else delegated untouched. */
+class GraftSqlParserSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("gsp").toFile.getAbsolutePath + "/t"
+
+  test("OPTIMIZE bin-packs small files and returns the committed version") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 400L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(8))
+    assert(Snapshots.versionFiles(spark, root).size == 8)
+    val v = spark.sql(s"OPTIMIZE graft.`$root`").as[Long].head()
+    assert(v == 1L)
+    assert(Snapshots.versionFiles(spark, root).size == 1,
+      "eight small files pack into one")
+    assert(Snapshots.readVersion(spark, root).count() == 400)
+    // nothing left to pack: -1, no new commit
+    assert(spark.sql(s"OPTIMIZE graft.`$root`").as[Long].head() == -1L)
+  }
+
+  test("OPTIMIZE WHERE scopes to matching partitions; ZORDER BY re-clusters") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, (i % 2).toInt, i * 1.0)).toDF("k", "par", "v")
+        .repartition(6),
+      Map("graft.partitionBy" -> "par"))
+    val before = Snapshots.versionFiles(spark, root).toSet
+    spark.sql(s"OPTIMIZE graft.`$root` WHERE par = 0")
+    val after = Snapshots.versionFiles(spark, root).toSet
+    assert(before.filter(_.contains("par=1")).subsetOf(after),
+      "par=1 files carried untouched")
+    assert(after.count(_.contains("par=0")) == 1, "par=0 compacted to one file")
+
+    val zroot = tmp()
+    Snapshots.init(spark, zroot,
+      (0L until 256L).map(i => (i % 16, i / 16, i * 1.0)).toDF("a", "b", "v")
+        .repartition(4))
+    val zv = spark.sql(s"OPTIMIZE graft.`$zroot` ZORDER BY (a, b)").as[Long].head()
+    assert(zv == 1L)
+    assert(Snapshots.readVersion(spark, zroot).count() == 256)
+  }
+
+  test("VACUUM honors retention; a young table vacuums nothing") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.overwrite(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // default 7-day retention: everything is younger — zero deletions
+    assert(spark.sql(s"VACUUM graft.`$root`").as[Long].head() == 0L)
+    assert(Snapshots.readVersion(spark, root, 0).count() == 100,
+      "v0 still readable inside the retention window")
+    // RETAIN 0 HOURS: only the head's files survive
+    assert(spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").as[Long].head() > 0L)
+    assert(Snapshots.readVersion(spark, root).count() == 1)
+    // everything else still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS x").as[Long].head() == 2L)
+    // malformed maintenance statements fail loudly
+    intercept[Exception](spark.sql(s"VACUUM graft.`$root` RETAIN soon"))
+  }
+}

@@ -21,6 +21,9 @@ import graft.jobs.{Snapshots, SnapshotSql}
   *   OPTIMIZE graft.`/path` [WHERE <partition pred>]
   *                          [ZORDER BY (a, b)]     -- Morton re-cluster
   *   VACUUM  graft.`/path` [RETAIN <n> HOURS]      -- default 168 (7d)
+  *   RESTORE [TABLE] graft.`/path` TO VERSION AS OF 3
+  *                                 TO TIMESTAMP AS OF '…'
+  *   DESCRIBE HISTORY graft.`/path`
   * }}}
   *
   * Plain OPTIMIZE is the bin-packing small-file compaction
@@ -64,24 +67,46 @@ object GraftSqlParser {
   private val vacuumRe = Pattern.compile(
     """^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val restoreRe = Pattern.compile(
+    """^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val historyRe = Pattern.compile(
+    """^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
   private[sources] def parseMaintenance(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
-    val head = sqlText.trim.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
-    if (head != "OPTIMIZE" && head != "VACUUM") return None
+    val trimmed = sqlText.trim
+    val head = trimmed.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
+    val isHistory = head == "DESCRIBE" &&
+      trimmed.split("\\s+").lift(1).exists(_.equalsIgnoreCase("HISTORY"))
+    if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" && !isHistory)
+      return None
     def rootOf(tableText: String): String = {
       val parts = delegate.parseMultipartIdentifier(tableText.trim)
       SnapshotSql.rootOf(parts).getOrElse(throw new IllegalArgumentException(
         s"not a snapshot table: ${parts.mkString(".")} — " +
           "register(name, root) it or address it as graft.`/path`"))
     }
-    if (head == "OPTIMIZE") {
+    if (isHistory) {
+      val m = historyRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: DESCRIBE HISTORY <table>; got: " + sqlText)
+      Some(GraftHistoryCommand(rootOf(m.group(1))))
+    } else if (head == "OPTIMIZE") {
       val m = optimizeRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
         "expected: OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (cols)]; got: " + sqlText)
       val zorder = Option(m.group(3))
         .map(_.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       Some(GraftOptimizeCommand(rootOf(m.group(1)), Option(m.group(2)), zorder))
+    } else if (head == "RESTORE") {
+      val m = restoreRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: RESTORE [TABLE] <table> TO VERSION|TIMESTAMP AS OF <v>; got: " + sqlText)
+      val kind = m.group(2).toUpperCase(Locale.ROOT)
+      val spec = m.group(3).trim.stripPrefix("'").stripSuffix("'")
+      Some(GraftRestoreCommand(rootOf(m.group(1)), kind == "TIMESTAMP", spec))
     } else {
       val m = vacuumRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
@@ -118,6 +143,37 @@ case class GraftOptimizeCommand(
     }
     Seq(Row(v))
   }
+}
+
+/** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — one commit
+  * whose content equals the named version; history stays intact. */
+case class GraftRestoreCommand(root: String, byTimestamp: Boolean, spec: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val target =
+      if (!byTimestamp) spec.toLong
+      else Snapshots.versionAt(session, root,
+        spec.toLongOption.getOrElse(java.sql.Timestamp.valueOf(spec).getTime))
+    Seq(Row(Snapshots.restore(session, root, target)))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — one row per committed version, newest first,
+  * straight from the delta headers (never a data scan). */
+case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_ts_ms", LongType, nullable = false)(),
+    AttributeReference("op", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("n_added", LongType, nullable = false)(),
+    AttributeReference("n_removed", LongType, nullable = false)(),
+    AttributeReference("txn", LongType, nullable = false)(),
+    AttributeReference("has_feed", org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("carries_schema", org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Snapshots.history(session, root).collect().toSeq
 }
 
 /** `VACUUM` — returns the number of files deleted. Retention maps to

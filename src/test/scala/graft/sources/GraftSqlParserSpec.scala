@@ -69,4 +69,26 @@ class GraftSqlParserSpec extends AnyFunSuite {
     // malformed maintenance statements fail loudly
     intercept[Exception](spark.sql(s"VACUUM graft.`$root` RETAIN soon"))
   }
+
+  test("RESTORE TO VERSION/TIMESTAMP AS OF and DESCRIBE HISTORY as SQL") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.overwrite(spark, root, Seq((99L, 9.0)).toDF("k", "v"))
+    val v = spark.sql(s"RESTORE TABLE graft.`$root` TO VERSION AS OF 0")
+      .as[Long].head()
+    assert(v == 2L, "restore is a NEW commit")
+    assert(Snapshots.readVersion(spark, root).count() == 50)
+    // timestamp spelling restores to the version live at that moment
+    val tsV1 = Snapshots.commitTimestamp(spark, root, 1L)
+    spark.sql(s"RESTORE graft.`$root` TO TIMESTAMP AS OF $tsV1")
+    assert(Snapshots.readVersion(spark, root).count() == 1)
+
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`")
+    assert(hist.columns.take(3).toSeq == Seq("version", "commit_ts_ms", "op"))
+    assert(hist.select("version").as[Long].collect().toSeq == Seq(3L, 2L, 1L, 0L),
+      "newest first, all four commits")
+    assert(hist.select("op").as[String].collect().take(2).forall(_ == "restore"))
+    // plain DESCRIBE TABLE still delegates to Spark
+    assert(spark.sql(s"DESCRIBE TABLE graft.`$root`").count() > 0)
+  }
 }

@@ -757,6 +757,52 @@ object Snapshots {
     0L
   }
 
+  /** CONVERT an existing plain-parquet directory (optionally
+    * Hive-partitioned) into a snapshot table IN PLACE — Delta's
+    * `CONVERT TO DELTA`, the lakehouse adoption primitive: ZERO data
+    * movement, one metadata commit. The directory's parquet files
+    * become version 0's adds (root-relative, wherever they already
+    * live — the log never required its own layout, only named files),
+    * their footers feed the write-time `#stats:` envelopes so file
+    * skipping works immediately, and the schema is inferred with
+    * Spark's own partition discovery (pass `partitionBy` to record the
+    * partition columns so Catalyst partition pruning and
+    * partition-grain DML apply). After conversion the directory IS the
+    * table: every front door, DML path, and maintenance op works, and
+    * the original files are never modified — only superseded by later
+    * commits. At 100 TB this is the difference between adopting a
+    * table and rewriting one. */
+  def convertToSnapshot(
+      spark: SparkSession, root: String, partitionBy: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Long = {
+    require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
+    val (_, qroot) = fsOf(spark, root)
+    val abs = graft.core.Skipping.dataFiles(spark, root, recursive = true)
+      .filter(f => f.endsWith(".parquet") && !f.contains("/."))
+    require(abs.nonEmpty, s"no parquet files to convert under $root")
+    val rootUri = qroot.toString.stripSuffix("/") + "/"
+    val rels = abs.map { a =>
+      val q = new Path(a)
+      val qs = q.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(q).toString
+      require(qs.startsWith(rootUri), s"file outside the table root: $a")
+      qs.stripPrefix(rootUri)
+    }.sorted
+    // partition discovery types the path-encoded columns; data columns
+    // keep the files' own schema
+    val full = nullable(spark.read.parquet(root).schema)
+    graft.core.HivePartitions.splitSchema(full, partitionBy) // validates
+    val withPart =
+      if (partitionBy.isEmpty) props
+      else props + (graft.core.HivePartitions.prop -> partitionBy.mkString(","))
+    val stats = statsForNewFiles(spark, qroot, rels)
+    writeDelta(spark, root, 0L,
+      Delta(rels, Nil, schema = Some(full.json), props = withPart,
+        stats = stats, op = Some("convert")))
+    maybeCheckpoint(spark, root, 0L)
+    0L
+  }
+
   /** New version = previous files plus `df` as new files. Retries with a
     * rebase on a lost commit race (appends commute — see `commitAdds`).
     * A `df` carrying columns the table lacks WIDENS the table schema

@@ -1308,6 +1308,58 @@ object LifecycleQueries {
              |FROM merged""".stripMargin)
     ),
 
+    // ---- CONVERT TO GRAFT (r10, Delta's CONVERT TO DELTA): adopt an
+    // existing plain-parquet directory as a snapshot table IN PLACE —
+    // the engine writes the data as ORDINARY partitioned parquet first
+    // (no log), converts with one metadata commit, and pins: zero bytes
+    // moved (file md5 set identical), Catalyst partition pruning on the
+    // adopted layout (executed-scan numFiles == matching partition's
+    // files), and post-convert DML working against the adopted files.
+    // The head hash-matches the relational recompute. At 100 TB this is
+    // table ADOPTION vs table REWRITE.
+    QuerySpec(
+      "convert_in_place",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/convert"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh per run
+        // a PLAIN parquet table — written by stock Spark, no log
+        eventsSlim(s, dir).repartition(2)
+          .write.partitionBy("event_type").parquet(root)
+        def sigs(): Set[String] = graft.core.Skipping
+          .dataFiles(s, root, recursive = true)
+          .filter(_.endsWith(".parquet")).toSet
+        val before = sigs()
+        s.sql(s"CONVERT TO GRAFT graft.`$root` PARTITIONED BY (event_type)")
+        val zeroMove = sigs() == before
+        // adopted layout partition-prunes through the front door
+        val clickFiles = Snapshots.versionFiles(s, root)
+          .count(_.contains("event_type=click"))
+        val planned = plannedFileCount(s.sql(
+          s"""SELECT COUNT(*) AS n, SUM(event_id) AS s
+             |FROM graft.`$root` WHERE event_type = 'click'""".stripMargin))
+        val pruned = planned == clickFiles && clickFiles < before.size
+        // post-convert DML supersedes, never mutates, the adopted files
+        s.sql(s"DELETE FROM graft.`$root` WHERE event_type = 'view'")
+        val adoptedIntact = before.subsetOf(sigs())
+        s.sql(
+          s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root` GROUP BY event_type ORDER BY event_type""".stripMargin)
+          .withColumn("zero_move", lit(zeroMove))
+          .withColumn("pruned", lit(pruned))
+          .withColumn("adopted_intact", lit(adoptedIntact))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS zero_move, TRUE AS pruned, TRUE AS adopted_intact
+             |FROM events WHERE event_type <> 'view'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- SQL maintenance statements (r10): `OPTIMIZE` / `VACUUM` as
     // plain spark.sql text through the injected parser extension
     // (GraftSqlParser — standard SQL has no spelling for table

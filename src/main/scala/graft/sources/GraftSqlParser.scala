@@ -24,6 +24,7 @@ import graft.jobs.{Snapshots, SnapshotSql}
   *   RESTORE [TABLE] graft.`/path` TO VERSION AS OF 3
   *                                 TO TIMESTAMP AS OF '…'
   *   DESCRIBE HISTORY graft.`/path`
+  *   CONVERT TO GRAFT graft.`/path` [PARTITIONED BY (cols)]
   * }}}
   *
   * Plain OPTIMIZE is the bin-packing small-file compaction
@@ -73,6 +74,9 @@ object GraftSqlParser {
   private val historyRe = Pattern.compile(
     """^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val convertRe = Pattern.compile(
+    """^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
   private[sources] def parseMaintenance(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
@@ -80,7 +84,8 @@ object GraftSqlParser {
     val head = trimmed.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
     val isHistory = head == "DESCRIBE" &&
       trimmed.split("\\s+").lift(1).exists(_.equalsIgnoreCase("HISTORY"))
-    if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" && !isHistory)
+    if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" &&
+        head != "CONVERT" && !isHistory)
       return None
     def rootOf(tableText: String): String = {
       val parts = delegate.parseMultipartIdentifier(tableText.trim)
@@ -100,6 +105,13 @@ object GraftSqlParser {
       val zorder = Option(m.group(3))
         .map(_.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       Some(GraftOptimizeCommand(rootOf(m.group(1)), Option(m.group(2)), zorder))
+    } else if (head == "CONVERT") {
+      val m = convertRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: CONVERT TO GRAFT <table> [PARTITIONED BY (cols)]; got: " + sqlText)
+      val partCols = Option(m.group(2)).toSeq.flatMap(_.split(',').toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      Some(GraftConvertCommand(rootOf(m.group(1)), partCols))
     } else if (head == "RESTORE") {
       val m = restoreRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
@@ -143,6 +155,17 @@ case class GraftOptimizeCommand(
     }
     Seq(Row(v))
   }
+}
+
+/** `CONVERT TO GRAFT t [PARTITIONED BY (cols)]` — adopt an existing
+  * parquet directory as a snapshot table in place, zero data movement
+  * (Snapshots.convertToSnapshot). */
+case class GraftConvertCommand(root: String, partitionBy: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.convertToSnapshot(session, root, partitionBy)))
 }
 
 /** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — one commit

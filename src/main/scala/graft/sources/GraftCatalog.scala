@@ -209,7 +209,17 @@ class GraftCatalog extends TableCatalog {
   * relation for the native V1 file-scan plan (see GraftCatalog doc). */
 private[sources] class GraftTable(
     spark: SparkSession, val root: String, pinned: Option[Long])
-  extends Table with SupportsWrite with SupportsPartitionManagement {
+  extends Table with SupportsWrite with SupportsPartitionManagement
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE` — one empty-overwrite commit; history intact. */
+  override def truncateTable(): Boolean = {
+    val schema = Snapshots.versionSchema(spark, root)
+      .getOrElse(Snapshots.readVersion(spark, root).schema)
+    Snapshots.overwrite(spark, root, spark.createDataFrame(
+      util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    true
+  }
 
   /** Resolved AT LOAD: a DataFrame over this table reads one consistent
     * snapshot for its lifetime (the same pin `readVersion` takes). */

@@ -190,6 +190,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES ('graft.note')")
     assert(!Snapshots.tableProperties(spark, root).contains("graft.note"))
 
+    // TRUNCATE TABLE: one empty-overwrite commit, history intact
+    val troot = tmp()
+    Snapshots.init(spark, troot, Seq((1L, "x")).toDF("k", "s"))
+    spark.sql(s"TRUNCATE TABLE graft.`$troot`")
+    assert(Snapshots.readVersion(spark, troot).count() == 0)
+    assert(Snapshots.readVersion(spark, troot, 0).count() == 1, "v0 survives")
+
     assert(Snapshots.versionFiles(spark, root).toSet == filesBefore,
       "five ALTERs, zero data files touched")
     assert(Snapshots.readVersion(spark, root)

@@ -777,17 +777,21 @@ object Snapshots {
       props: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
     val (_, qroot) = fsOf(spark, root)
-    val abs = graft.core.Skipping.dataFiles(spark, root, recursive = true)
-      .filter(f => f.endsWith(".parquet") && !f.contains("/."))
-    require(abs.nonEmpty, s"no parquet files to convert under $root")
     val rootUri = qroot.toString.stripSuffix("/") + "/"
-    val rels = abs.map { a =>
-      val q = new Path(a)
-      val qs = q.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(q).toString
-      require(qs.startsWith(rootUri), s"file outside the table root: $a")
-      qs.stripPrefix(rootUri)
-    }.sorted
+    val rels = graft.core.Skipping.dataFiles(spark, root, recursive = true)
+      .filter(_.endsWith(".parquet"))
+      .map { a =>
+        val q = new Path(a)
+        val qs = q.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(q).toString
+        require(qs.startsWith(rootUri), s"file outside the table root: $a")
+        qs.stripPrefix(rootUri)
+      }
+      // skip hidden/metadata subtrees (_spark_metadata, .crc, …)
+      .filterNot(_.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith(".")))
+      .sorted
+    require(rels.nonEmpty, s"no parquet files to convert under $root")
     // partition discovery types the path-encoded columns; data columns
     // keep the files' own schema
     val full = nullable(spark.read.parquet(root).schema)
@@ -1644,6 +1648,9 @@ object Snapshots {
   }
 
   private val srcSidePrefix = "__s_"
+  // distinct from any srcSidePrefix rename (a source column named
+  // "exists" becomes __s_exists — this marker must never collide)
+  private val srcExistsMarker = "__graft_matched__"
 
   /** Clause-level copy-on-write MERGE — the full ANSI/Delta surface
     * `mergeCow`'s whole-row upsert doesn't cover:
@@ -1725,8 +1732,8 @@ object Snapshots {
     def resolve(c: MergeWhen, id: String, matchedSide: Boolean,
         allowSource: Boolean): Resolved = {
       val sideMark =
-        if (matchedSide) coalesce(col(srcSidePrefix + "exists"), lit(false))
-        else !coalesce(col(srcSidePrefix + "exists"), lit(false))
+        if (matchedSide) coalesce(col(srcExistsMarker), lit(false))
+        else !coalesce(col(srcExistsMarker), lit(false))
       val cond = c.condition
         .map(t => expr(tr(t, allowSource))).getOrElse(lit(true))
       val set0 = if (c.kind.endsWith("*")) starSet else c.set
@@ -1758,7 +1765,7 @@ object Snapshots {
     // ---- target-side pass: one left-outer join, one CASE cascade
     val srcR = src.select(
       srcCols.map(c => col(c).as(srcSidePrefix + c)) :+
-        lit(true).as(srcSidePrefix + "exists"): _*)
+        lit(true).as(srcExistsMarker): _*)
     val tgtM =
       if (rewritten.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), merged)

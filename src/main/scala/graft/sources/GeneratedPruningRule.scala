@@ -141,9 +141,11 @@ object GeneratedPruningRule extends Rule[LogicalPlan] with PredicateHelper {
       case a: Attribute => a.name == srcName
       case _ => false
     }
-    def f(lit: Expression): Option[Literal] =
+    def f(lit: Expression): Option[Literal] = {
+      if (evalCache.size > 512) evalCache.clear() // bound the memo
       evalCache.getOrElseUpdate((genSql, srcName, lit.canonicalized),
         evalGenerated(spark, genSql, srcName, lit, genAttr))
+    }
     conjunct match {
       case EqualTo(a, lit: Literal) if isSrc(a) => f(lit).map(EqualTo(genAttr, _))
       case EqualTo(lit: Literal, a) if isSrc(a) => f(lit).map(EqualTo(genAttr, _))

@@ -146,7 +146,7 @@ case class GraftOptimizeCommand(
       case Some(cols) =>
         // 1 or 3+ clustering columns: range-cluster by the list, sized
         // to ~target-byte files
-        val (_, qroot) = (null, new org.apache.hadoop.fs.Path(root))
+        val qroot = new org.apache.hadoop.fs.Path(root)
         val fs = qroot.getFileSystem(session.sparkContext.hadoopConfiguration)
         val bytes = Snapshots.versionFiles(session, root)
           .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum

@@ -149,6 +149,19 @@ class MergeClausesSpec extends AnyFunSuite {
       "column-list INSERT nulls unassigned columns; NMBS delete pruned k<3")
   }
 
+  test("a source column literally named 'exists' cannot shadow the matched marker") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((1L, 1.0, true), (2L, 2.0, true))
+      .toDF("k", "v", "exists"))
+    Snapshots.mergeClauses(spark, root,
+      Seq((1L, 10.0, false), (9L, 9.0, false)).toDF("k", "v", "exists"), Seq("k"),
+      matched = Seq(Snapshots.MergeWhen.updateAll()),
+      notMatched = Seq(Snapshots.MergeWhen.insertAll()))
+    assert(Snapshots.readVersion(spark, root).orderBy("k")
+      .as[(Long, Double, Boolean)].collect().toSeq
+      == Seq((1L, 10.0, false), (2L, 2.0, true), (9L, 9.0, false)))
+  }
+
   test("assignments cast to the target column type; unknown target columns are refused") {
     val root = tmp()
     Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))

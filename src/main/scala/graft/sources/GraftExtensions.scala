@@ -106,6 +106,10 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case i: InsertIntoStatement => relsOf(i.table)
     }.flatten.toSet
     plan resolveOperatorsDown {
+      // reader-option time travel (`spark.read.option("versionAsOf", 3)
+      // .table(...)`) needs no handling here: Spark's own
+      // TimeTravelSpec.fromOptions routes those options into the
+      // catalog's loadTable(ident, version/timestamp) overloads
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !dmlTargets.contains(r) =>
         LogicalRelation(r.table.asInstanceOf[GraftTable].hadoopFsRelation,

@@ -56,6 +56,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT COUNT(*) AS n FROM graft.`$root` TIMESTAMP AS OF '2030-01-01 00:00:00'")
       .as[Long].head() == 101L, "a future timestamp resolves to the head")
+
+    // reader-option spelling (Delta parity) — Spark's TimeTravelSpec
+    // routes these into the catalog's loadTable overloads
+    assert(spark.read.option("versionAsOf", 0).table(s"graft.`$root`").count() == 100L)
+    val ts0 = new java.sql.Timestamp(
+      Snapshots.commitTimestamp(spark, root, 0L)).toString
+    assert(spark.read.option("timestampAsOf", ts0)
+      .table(s"graft.`$root`").count() == 100L)
   }
 
   test("INSERT INTO / OVERWRITE / static-partition / dynamic-partition route to the log's commits") {

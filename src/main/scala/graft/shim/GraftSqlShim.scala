@@ -22,3 +22,10 @@ object GraftSqlShim {
     s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 }
+
+/** Public re-export of the `private[sql]` V1-streaming-fallback marker:
+  * a catalog `Table` implementing this serves `spark.readStream.table`
+  * through its V1 `StreamSourceProvider` (the CatalogTable names the
+  * provider + path). Same extension-shim pattern as `GraftSqlShim`. */
+trait GraftV1StreamFallback
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

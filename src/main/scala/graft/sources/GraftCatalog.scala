@@ -210,7 +210,26 @@ class GraftCatalog extends TableCatalog {
 private[sources] class GraftTable(
     spark: SparkSession, val root: String, pinned: Option[Long])
   extends Table with SupportsWrite with SupportsPartitionManagement
-  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+  with org.apache.spark.sql.connector.catalog.TruncatableTable
+  with org.apache.spark.sql.classic.GraftV1StreamFallback {
+
+  /** `spark.readStream.table("graft.t")` — the streaming read goes
+    * through Spark's V1 fallback for V2 tables: this synthetic
+    * CatalogTable names the `graft-snapshot` provider and the root, so
+    * MicroBatchExecution plans the SAME `SnapshotStreamSource`
+    * (versions as offsets, pacing options, CDC mode) the format-string
+    * front door uses. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(root, Some("graft")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri),
+        properties = Map("path" -> root)),
+      schema = schema(),
+      provider = Some("graft-snapshot"))
+  }
 
   /** `TRUNCATE TABLE` — one empty-overwrite commit; history intact. */
   override def truncateTable(): Boolean = {

@@ -112,8 +112,11 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // catalog's loadTable(ident, version/timestamp) overloads
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] && !dmlTargets.contains(r) =>
-        LogicalRelation(r.table.asInstanceOf[GraftTable].hadoopFsRelation,
-          r.output, None, isStreaming = false, stream = None)
+        val t = r.table.asInstanceOf[GraftTable]
+        // carry the synthetic CatalogTable: post-batch refreshTable
+        // walks relations and dereferences it (None would NPE there)
+        LogicalRelation(t.hadoopFsRelation,
+          r.output, Some(t.v1Table), isStreaming = false, stream = None)
     }
   }
 

@@ -214,6 +214,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root, 0).columns.toSeq == Seq("k", "v", "s"))
   }
 
+  test("spark.readStream.table over a catalog table tails the log") {
+    val root = tmp()
+    val cp = Files.createTempDirectory("cat-cp").toFile.getAbsolutePath
+    Snapshots.init(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    Snapshots.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.table(s"graft.`$root`")
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.as[(Long, String)].collect().foreach(got.add); ()
+      }
+      .start()
+    q.awaitTermination()
+    val b = Seq.newBuilder[(Long, String)]; got.forEach(e => b += e)
+    assert(b.result().toSet == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "the catalog streaming read drains the whole log")
+
+    // …and writeStream.toTable lands exactly-once commits on another log
+    val dst = tmp()
+    Snapshots.init(spark, dst, Seq.empty[(Long, String)].toDF("k", "s"))
+    val q2 = spark.readStream.table(s"graft.`$root`")
+      .writeStream
+      .format("graft-snapshot")
+      .option("checkpointLocation", Files.createTempDirectory("cat-cp2").toFile.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft.`$dst`")
+    q2.awaitTermination()
+    assert(Snapshots.readVersion(spark, dst).as[(Long, String)].collect().toSet
+      == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "streaming catalog-to-catalog pipe lands on the log")
+  }
+
   test("catalog reads apply deletion vectors and prune partitions") {
     val root = tmp()
     Snapshots.init(spark, root,

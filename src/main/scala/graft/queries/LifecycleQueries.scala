@@ -2054,6 +2054,47 @@ object LifecycleQueries {
              |FROM events WHERE value > 10""".stripMargin)
     ),
 
+    // ---- Catalog streaming pipe (r10): the SAME continuous-ingest
+    // topology spelled entirely through the CATALOG — readStream.table
+    // tails the source by NAME (the V1-fallback CatalogTable plans the
+    // same SnapshotStreamSource), writeStream.toTable lands exactly-once
+    // commits on the destination, and the landed table is read back
+    // through catalog SQL. Zero format strings, zero paths in the
+    // pipeline body; hash-checked relationally.
+    QuerySpec(
+      "stream_pipe_catalog",
+      (s, dir) => {
+        val base = Dumps.forSf(dir)
+        val srcRoot = s"$base/cpipesrc"
+        val dstRoot = s"$base/cpipedst"
+        val cp = s"$base/cpipe_cp"
+        val fs = new org.apache.hadoop.fs.Path(srcRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(srcRoot, dstRoot, cp).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true)) // fresh per run
+        val e = eventsSlim(s, dir).drop("event_type")
+        Snapshots.init(s, srcRoot, e.where(col("event_id") % 2 === 0))
+        Snapshots.append(s, srcRoot, e.where(col("event_id") % 2 === 1))
+        Snapshots.init(s, dstRoot, e.limit(0)
+          .select(col("event_id"), col("user_id"), col("value").as("v3")))
+        s.readStream.table(s"graft.`$srcRoot`")
+          .where(col("value") > 10)
+          .select(col("event_id"), col("user_id"), (col("value") * 3).as("v3"))
+          .writeStream.format("graft-snapshot")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"graft.`$dstRoot`")
+          .awaitTermination()
+        s.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(v3 AS DECIMAL(12,2))) AS DOUBLE) AS v3_sum
+             |FROM graft.`$dstRoot`""".stripMargin)
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value * 3 AS DECIMAL(12,2))) AS DOUBLE) AS v3_sum
+             |FROM events WHERE value > 10""".stripMargin)
+    ),
+
     // ---- Streaming CDC IVM (r9, VERDICT task 8): the full incremental-
     // view-maintenance loop across TWO logged tables — the source's CDC
     // stream (`readChangeFeed`, paced one COMMIT per micro-batch by

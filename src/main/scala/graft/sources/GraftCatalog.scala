@@ -173,6 +173,10 @@ class GraftCatalog extends TableCatalog {
     if (adds.nonEmpty) Snapshots.addColumns(session, root, adds)
     changes.foreach {
       case _: SetProperty | _: RemoveProperty | _: AddColumn => ()
+      // NOTE: AddConstraint/DropConstraint never reach here — Spark's
+      // ResolveSessionCatalog refuses constraint DDL for tables exposing
+      // the V1 streaming fallback, so GraftSqlParser intercepts the two
+      // ALTER … CONSTRAINT statements before analysis instead
       case r: RenameColumn =>
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")

@@ -77,6 +77,12 @@ object GraftSqlParser {
   private val convertRe = Pattern.compile(
     """^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val addConstraintRe = Pattern.compile(
+    """^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val dropConstraintRe = Pattern.compile(
+    """^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
   private[sources] def parseMaintenance(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
@@ -85,13 +91,31 @@ object GraftSqlParser {
     val isHistory = head == "DESCRIBE" &&
       trimmed.split("\\s+").lift(1).exists(_.equalsIgnoreCase("HISTORY"))
     if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" &&
-        head != "CONVERT" && !isHistory)
+        head != "CONVERT" && head != "ALTER" && !isHistory)
       return None
     def rootOf(tableText: String): String = {
       val parts = delegate.parseMultipartIdentifier(tableText.trim)
       SnapshotSql.rootOf(parts).getOrElse(throw new IllegalArgumentException(
         s"not a snapshot table: ${parts.mkString(".")} — " +
           "register(name, root) it or address it as graft.`/path`"))
+    }
+    // ALTER is Spark's statement; intercept ONLY the two CONSTRAINT
+    // shapes on snapshot tables (Spark's analyzer refuses constraint
+    // DDL for tables carrying the V1 streaming fallback) — every other
+    // ALTER, and any non-snapshot table, delegates untouched
+    if (head == "ALTER") {
+      val add = addConstraintRe.matcher(sqlText)
+      val drop = dropConstraintRe.matcher(sqlText)
+      def graftRoot(t: String): Option[String] =
+        try SnapshotSql.rootOf(delegate.parseMultipartIdentifier(t.trim))
+        catch { case _: Exception => None }
+      if (add.matches())
+        return graftRoot(add.group(1))
+          .map(GraftAddConstraintCommand(_, add.group(2), add.group(3)))
+      if (drop.matches())
+        return graftRoot(drop.group(1))
+          .map(GraftDropConstraintCommand(_, drop.group(2)))
+      return None
     }
     if (isHistory) {
       val m = historyRe.matcher(sqlText)
@@ -166,6 +190,26 @@ case class GraftConvertCommand(root: String, partitionBy: Seq[String])
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.convertToSnapshot(session, root, partitionBy)))
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT n CHECK (p)` — the log's ingest gate:
+  * current data validated now, every future batch refused on
+  * violation. */
+case class GraftAddConstraintCommand(root: String, cname: String, predicateSql: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Snapshots.addCheckConstraint(session, root, cname, predicateSql)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT n` — metadata-only. */
+case class GraftDropConstraintCommand(root: String, cname: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Snapshots.dropCheckConstraint(session, root, cname)
+    Nil
+  }
 }
 
 /** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — one commit

@@ -198,6 +198,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES ('graft.note')")
     assert(!Snapshots.tableProperties(spark, root).contains("graft.note"))
 
+    // ADD/DROP CONSTRAINT: the log's CHECK gate through SQL DDL
+    val croot = tmp()
+    Snapshots.init(spark, croot, Seq((1L, 5.0)).toDF("k", "v"))
+    spark.sql(s"ALTER TABLE graft.`$croot` ADD CONSTRAINT pos CHECK (v > 0)")
+    intercept[Exception](
+      Snapshots.append(spark, croot, Seq((2L, -1.0)).toDF("k", "v")))
+    spark.sql(s"ALTER TABLE graft.`$croot` DROP CONSTRAINT pos")
+    Snapshots.append(spark, croot, Seq((2L, -1.0)).toDF("k", "v"))
+    assert(Snapshots.readVersion(spark, croot).count() == 2)
+
     // TRUNCATE TABLE: one empty-overwrite commit, history intact
     val troot = tmp()
     Snapshots.init(spark, troot, Seq((1L, "x")).toDF("k", "s"))

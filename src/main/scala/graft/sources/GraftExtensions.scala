@@ -117,6 +117,22 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // walks relations and dereferences it (None would NPE there)
         LogicalRelation(t.hadoopFsRelation,
           r.output, Some(t.v1Table), isStreaming = false, stream = None)
+
+      // CDC streaming by NAME: `readStream.option("readChangeFeed",
+      // true).table("graft.t")`. ResolveRelations short-circuits
+      // V1-fallback tables into a StreamingRelation pinned at the
+      // TABLE schema, but a change feed is wider (+_op) — rebuild the
+      // relation WITHOUT the pinned schema so the provider's own
+      // sourceSchema (CDC-aware) shapes it. Idempotent: a relation
+      // already carrying _op is left alone.
+      case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+          if sr.dataSource.className == "graft-snapshot" &&
+            sr.dataSource.options.exists { case (k, v) =>
+              k.equalsIgnoreCase("readChangeFeed") && v.equalsIgnoreCase("true") } &&
+            !sr.output.exists(_.name == graft.jobs.ChangeFeed.opCol) =>
+        org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+          org.apache.spark.sql.execution.datasources.DataSource(
+            spark, className = "graft-snapshot", options = sr.dataSource.options))
     }
   }
 

@@ -149,6 +149,13 @@ object GeneratedPruningRule extends Rule[LogicalPlan] with PredicateHelper {
     conjunct match {
       case EqualTo(a, lit: Literal) if isSrc(a) => f(lit).map(EqualTo(genAttr, _))
       case EqualTo(lit: Literal, a) if isSrc(a) => f(lit).map(EqualTo(genAttr, _))
+      case In(a, list) if isSrc(a) && list.nonEmpty && list.size <= 64 &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        // src IN (…) ⇒ gen IN (f(…)) — equality-grade, monotonicity-free
+        val mapped = list.map(l => f(l.asInstanceOf[Literal]))
+        if (mapped.forall(_.isDefined))
+          Some(In(genAttr, mapped.flatten.distinct))
+        else None
       case _ if !monotone => None
       case GreaterThanOrEqual(a, lit: Literal) if isSrc(a) =>
         f(lit).map(GreaterThanOrEqual(genAttr, _))

@@ -58,6 +58,14 @@ class GeneratedPruningSpec extends AnyFunSuite {
     val qe = front.where(col("ts") === "2026-01-03 05:30:00").select("k")
     assert(qe.as[Long].collect().toSeq == Seq(53L))
     assert(plannedFiles(qe) == all.count(_.contains("ev_day=2026-01-03")))
+
+    // IN-list on ts derives an IN-list on the generated day
+    val qi = front.where(col("ts").isin("2026-01-01 02:30:00", "2026-01-03 05:30:00"))
+      .select("k")
+    assert(qi.as[Long].collect().sorted.toSeq == Seq(2L, 53L))
+    assert(plannedFiles(qi) ==
+      all.count(f => f.contains("ev_day=2026-01-01") || f.contains("ev_day=2026-01-03")),
+      "two-point IN plans exactly the two matching days")
   }
 
   test("floor-div bucket generator prunes on the raw key; unsupported generators stay correct") {

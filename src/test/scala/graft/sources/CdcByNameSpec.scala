@@ -38,4 +38,26 @@ class CdcByNameSpec extends AnyFunSuite {
       (1L, "update_preimage"), (1L, "update_postimage")),
       s"got: ${b.result()}")
   }
+
+  test("startingVersion flows through readStream.table like any source option") {
+    val root = Files.createTempDirectory("svt").toFile.getAbsolutePath + "/t"
+    val cp = Files.createTempDirectory("svt-cp").toFile.getAbsolutePath
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))       // v0
+    Snapshots.append(spark, root, Seq((2L, 2.0)).toDF("k", "v"))     // v1
+    Snapshots.append(spark, root, Seq((3L, 3.0)).toDF("k", "v"))     // v2
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.option("startingVersion", "1")
+      .table(s"graft.`$root`")
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k").as[Long].collect().foreach(got.add); ()
+      }
+      .start()
+    q.awaitTermination()
+    val b = Seq.newBuilder[Long]; got.forEach(e => b += e)
+    assert(b.result().sorted == Seq(2L, 3L),
+      "the name-door tail honors startingVersion (inclusive)")
+  }
 }

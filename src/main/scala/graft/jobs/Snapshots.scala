@@ -242,8 +242,46 @@ object Snapshots {
       cols.map(t => t._1 -> t._2).toMap, cols.map(t => t._1 -> t._3).toMap)
   }
 
+  /** Delta headers memoized per (qualified root, version) — a committed
+    * version's delta file is IMMUTABLE (atomic no-replace publish), so
+    * one filesystem read serves every later consumer: the optimizer's
+    * fixed-point batches (GeneratedPruningRule runs ≥2× per query),
+    * `tableProperties`, `versionSchema`, `history`, candidate selection.
+    * At object-store metadata latency this is the difference between
+    * O(1) and O(optimizer iterations × queries) log round trips.
+    * Invalidation: a table re-created at the same path restarts at
+    * version 0 — `writeDelta` purges the root's entries on any v0
+    * publish (the only way a fresh log can begin). Bounded wholesale,
+    * same discipline as `indexCache`. */
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Delta]()
+
+  /** Cache-miss counter (filesystem reads of delta files) — test hook
+    * for the ≤1-log-read-per-version pin. */
+  private[graft] val deltaFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop every cached artifact of `qroot` — called when a NEW log is
+    * born at a path (v0 publish), the one event that can change what a
+    * (root, version) key means. */
+  private def purgeRootCaches(qroot: String): Unit = {
+    deltaCache.keySet.removeIf(_._1 == qroot)
+    indexCache.keySet.removeIf(_._1 == qroot)
+  }
+
   private[jobs] def readDelta(spark: SparkSession, root: String, v: Long): Delta = {
     val (_, qroot) = fsOf(spark, root)
+    val key = (qroot.toString, v)
+    val hit = deltaCache.get(key)
+    if (hit != null) return hit
+    val d = readDeltaUncached(spark, root, v)
+    if (deltaCache.size > 4096) deltaCache.clear()
+    deltaCache.put(key, d)
+    d
+  }
+
+  private def readDeltaUncached(spark: SparkSession, root: String, v: Long): Delta = {
+    val (_, qroot) = fsOf(spark, root)
+    deltaFileReads.incrementAndGet()
     val lines = readLines(spark, root, deltaPath(qroot, v))
     Delta(
       adds = lines.filter(_.startsWith("+")).map(_.substring(1)),
@@ -438,6 +476,15 @@ object Snapshots {
       if (fs.exists(dest)) lose()
       if (!fs.rename(tmp, dest)) lose()
     }
+    // a v0 publish is the birth of a NEW log at this path — any cached
+    // metadata of a previous incarnation (same keys, dead content) must
+    // go. Then seed the cache with what was just written, normalized to
+    // exactly what a read-back would return (sorted adds/removes/dv,
+    // stamped ts), so the commit's own immediate re-reads are free.
+    if (v == 0L) purgeRootCaches(qroot.toString)
+    deltaCache.put((qroot.toString, v),
+      d.copy(ts = Some(ts), adds = d.adds.sorted, removes = d.removes.sorted,
+        dv = d.dv.sorted))
   }
 
   /** Checkpoints are derived (a pure function of the deltas), so the

@@ -52,9 +52,16 @@ object GeneratedPruningRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val generatedPrefix = "graft.generated."
 
-  /** (genSql, srcName, literal) → evaluated f(literal), memoized — the
-    * plan-time eval is a one-row local job. */
-  private val evalCache = TrieMap.empty[(String, String, Expression), Option[Literal]]
+  /** (genSql, srcName, literal, session timezone, result type) →
+    * evaluated f(literal), memoized — the plan-time eval is a one-row
+    * local job. The TIMEZONE is part of the key: date/to_date/year/
+    * date_trunc over a timestamp are timezone-dependent, and a value
+    * cached under one session's zone must never derive a partition
+    * predicate for a session running under another (it would silently
+    * prune files that match there). The generated column's data type
+    * rides too — the eval casts to it. */
+  private val evalCache =
+    TrieMap.empty[(String, String, Expression, String, org.apache.spark.sql.types.DataType), Option[Literal]]
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, l: LogicalRelation) if indexOf(l).isDefined =>
@@ -143,7 +150,9 @@ object GeneratedPruningRule extends Rule[LogicalPlan] with PredicateHelper {
     }
     def f(lit: Expression): Option[Literal] = {
       if (evalCache.size > 512) evalCache.clear() // bound the memo
-      evalCache.getOrElseUpdate((genSql, srcName, lit.canonicalized),
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      evalCache.getOrElseUpdate(
+        (genSql, srcName, lit.canonicalized, tz, genAttr.dataType),
         evalGenerated(spark, genSql, srcName, lit, genAttr))
     }
     conjunct match {

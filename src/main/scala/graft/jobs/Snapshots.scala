@@ -839,6 +839,22 @@ object Snapshots {
         seg.startsWith("_") || seg.startsWith(".")))
       .sorted
     require(rels.nonEmpty, s"no parquet files to convert under $root")
+    // a Hive-partitioned directory adopted WITHOUT naming its partition
+    // columns would record them in the schema (partition discovery sees
+    // the paths) but not in the partition property — subsequent reads
+    // take the unpartitioned branch and silently null-fill those
+    // columns. Refuse loudly instead (Delta's CONVERT makes the same
+    // demand): every path-encoded column must appear in partitionBy.
+    val pathCols = rels.flatMap(_.split('/').dropRight(1).toSeq)
+      .filter(_.contains('='))
+      .map(_.takeWhile(_ != '=')).distinct.sorted
+    val undeclared = pathCols.filterNot(c =>
+      partitionBy.exists(_.equalsIgnoreCase(c)))
+    require(undeclared.isEmpty,
+      s"CONVERT found path-encoded partition column(s) ${undeclared.mkString(", ")} " +
+        s"under $root but they are not declared — pass PARTITIONED BY " +
+        s"(${pathCols.mkString(", ")}) so reads partition-prune instead of " +
+        "silently null-filling the discovered columns")
     // partition discovery types the path-encoded columns; data columns
     // keep the files' own schema
     val full = nullable(spark.read.parquet(root).schema)
@@ -1603,9 +1619,22 @@ object Snapshots {
       assignPhysical(Some(prevSchema), src.schema, prevDelta.props))
     checkConstraints(conform(src, merged), prevDelta.props)
     val current = readVersionWithFile(spark, root, prev)
-    val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
-      .select(col("__file")).distinct()
-      .collect().map(r => new Path(r.getString(0)).toString).toSet
+    // matched-file detection doubles as the ANSI multiple-source-rows-
+    // matched check: the per-key source counts ride the same single
+    // pass, so refusing a nondeterministic merge costs no extra scan
+    val srcCnt = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__srcn"))
+    val perFile = current.join(srcCnt, keyCols)
+      .groupBy(col("__file")).agg(max(col("__srcn")).as("__mx")).collect()
+    if (perFile.exists(_.getLong(1) > 1) && !spark.conf
+        .getOption("spark.graft.merge.allowDuplicateSource").contains("true"))
+      throw new IllegalArgumentException(
+        "MERGE: multiple source rows match the same target row — ANSI " +
+          "and Delta refuse this (nondeterministic). Deduplicate the " +
+          "source on the merge keys, or set " +
+          "spark.graft.merge.allowDuplicateSource=true to apply an " +
+          "arbitrary one.")
+    val matchedFiles = perFile.map(r => new Path(r.getString(0)).toString).toSet
     val rewritten = prevFiles.filter(f => matchedFiles.contains(new Path(qroot, f).toString))
     // same full-resolution guard as deleteKeysCow: a partial match means
     // matched rows would survive in carried-over files AND re-enter via the
@@ -1712,12 +1741,23 @@ object Snapshots {
     *     key (conditions and assignments may reference only `t.`).
     *
     * Execution is ONE file-grain COW commit: candidate files are those
-    * holding a source-key match (plus, when `notMatchedBySource` is
-    * present, every file — an unmatched row can live anywhere, the same
-    * admission Delta makes); each candidate row takes the first
-    * applicable clause via a single codegen'd CASE cascade — one pass,
-    * no per-clause joins. Source rows matching no target key cascade
-    * through the insert clauses. Everything else carries by reference.
+    * holding a source-key match, plus — when `notMatchedBySource` is
+    * present — exactly the files holding an UNMATCHED row satisfying
+    * some NMBS clause condition (found in the same single detection
+    * pass, so an NMBS merge touching one file rewrites one file); each
+    * candidate row takes the first applicable clause via a single
+    * codegen'd CASE cascade — one pass, no per-clause joins. Source
+    * rows matching no target key cascade through the insert clauses.
+    * Everything else carries by reference.
+    *
+    * Duplicate source keys: a source row set in which several rows
+    * match the SAME target row is refused (the ANSI/Delta
+    * multiple-source-rows-matched error; the per-key counts ride the
+    * candidate-detection pass, so the check costs no extra scan);
+    * `spark.graft.merge.allowDuplicateSource=true` restores the old
+    * apply-an-arbitrary-one behavior. Duplicate keys among rows
+    * matching NO target row are deduplicated before INSERT — a
+    * documented divergence from ANSI (which would insert them all).
     *
     * Schema evolution follows Delta's rule: only the star actions admit
     * NEW source columns (widening the table); column-level clauses must
@@ -1794,21 +1834,59 @@ object Snapshots {
     val targetResolved = mResolved ++ bResolved
     def inIds(ids: Seq[String]): Column =
       if (ids.isEmpty) lit(false) else col("__act").isin(ids: _*)
-    // ---- candidate files (the rows a clause could touch)
-    val srcKeys = src.select(keyCols.map(col): _*)
+    // ---- candidate files (the rows a clause could touch), the ANSI
+    // multiple-source-rows-matched check, and NMBS file pruning — ONE
+    // pass over the table. Per file: does any row match a source key
+    // (matched candidate), match a DUPLICATED source key (refused —
+    // ANSI and Delta error instead of applying an arbitrary duplicate),
+    // or match nothing while satisfying a NOT MATCHED BY SOURCE clause
+    // condition (NMBS candidate)? Selection is exact at file grain:
+    // every carried file provably holds no clause-affected row, so an
+    // NMBS merge whose clause touches one file rewrites one file — not
+    // the whole table (the r10 all-files admission).
+    val bCondOr: Option[Column] =
+      if (notMatchedBySource.isEmpty) None
+      else Some(notMatchedBySource.map(_.condition
+        .map(t => expr(tr(t, allowSource = false))).getOrElse(lit(true)))
+        .reduce(_ || _))
+    val allowDupSource = spark.conf
+      .getOption("spark.graft.merge.allowDuplicateSource").contains("true")
     val rewritten: Seq[String] =
-      if (notMatchedBySource.nonEmpty) prevFiles
-      else if (matched.nonEmpty) {
+      if (matched.isEmpty && notMatchedBySource.isEmpty) Nil
+      else {
+        val srcCnt = source.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__srcn"))
         val current = readVersionWithFile(spark, root, prev)
-        val matchedFiles = current.join(srcKeys, keyCols, "left_semi")
-          .select(col("__file")).distinct()
-          .collect().map(r => new Path(r.getString(0)).toString).toSet
-        val rw = prevFiles.filter(f => matchedFiles.contains(new Path(qroot, f).toString))
-        require(rw.size == matchedFiles.size,
-          s"${matchedFiles.size} files hold matched keys but only ${rw.size} " +
-            s"resolved to log entries — path normalization bug? $matchedFiles")
+        // an NMBS condition naming a star-widened column can't resolve
+        // over the PRE-merge files (it is null there anyway) — fall
+        // back to the sound over-approximation: every file holding an
+        // unmatched row is a candidate
+        val bCondSafe = bCondOr.map { c =>
+          try { current.select(c); c }
+          catch { case _: org.apache.spark.sql.AnalysisException => lit(true) }
+        }
+        val perFile = current.join(srcCnt, keyCols, "left_outer")
+          .groupBy(col("__file")).agg(
+            max(coalesce(col("__srcn"), lit(0L))).as("__mx"),
+            max(when(col("__srcn").isNull &&
+              bCondSafe.getOrElse(lit(false)), 1).otherwise(0)).as("__b"))
+          .collect()
+        if (!allowDupSource && matched.nonEmpty && perFile.exists(_.getLong(1) > 1))
+          throw new IllegalArgumentException(
+            "MERGE: multiple source rows match the same target row — ANSI " +
+              "and Delta refuse this (nondeterministic). Deduplicate the " +
+              "source on the merge keys, or set " +
+              "spark.graft.merge.allowDuplicateSource=true to apply an " +
+              "arbitrary one.")
+        val want = perFile.filter(r =>
+          (matched.nonEmpty && r.getLong(1) > 0) || r.getInt(2) == 1)
+          .map(r => new Path(r.getString(0)).toString).toSet
+        val rw = prevFiles.filter(f => want.contains(new Path(qroot, f).toString))
+        require(rw.size == want.size,
+          s"${want.size} files hold clause-affected rows but only ${rw.size} " +
+            s"resolved to log entries — path normalization bug? $want")
         rw
-      } else Nil
+      }
     // ---- target-side pass: one left-outer join, one CASE cascade
     val srcR = src.select(
       srcCols.map(c => col(c).as(srcSidePrefix + c)) :+

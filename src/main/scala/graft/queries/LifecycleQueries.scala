@@ -1379,7 +1379,12 @@ object LifecycleQueries {
         val filesBefore = Snapshots.versionFiles(s, root).size
         val vOpt = s.sql(s"OPTIMIZE graft.`$root`").head().getLong(0)
         val filesAfter = Snapshots.versionFiles(s, root).size
-        val deleted = s.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").head().getLong(0)
+        // sub-default retention requires the explicit override (the
+        // engine refuses a short window by default — Delta's guard)
+        s.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+        val deleted =
+          try s.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").head().getLong(0)
+          finally s.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
         val v0Gone =
           try { Snapshots.readVersion(s, root, 0).count(); false }
           catch { case _: Exception => true }

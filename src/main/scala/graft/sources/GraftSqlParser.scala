@@ -93,12 +93,14 @@ object GraftSqlParser {
     if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" &&
         head != "CONVERT" && head != "ALTER" && !isHistory)
       return None
-    def rootOf(tableText: String): String = {
-      val parts = delegate.parseMultipartIdentifier(tableText.trim)
-      SnapshotSql.rootOf(parts).getOrElse(throw new IllegalArgumentException(
-        s"not a snapshot table: ${parts.mkString(".")} — " +
-          "register(name, root) it or address it as graft.`/path`"))
-    }
+    // None (unparseable identifier or a table the registry doesn't
+    // know) ⇒ the whole statement delegates untouched, so a session
+    // stacking another extension that defines these statements (e.g.
+    // Delta) can still reach it — mirroring the ALTER…CONSTRAINT
+    // branch's fall-through
+    def rootOf(tableText: String): Option[String] =
+      try SnapshotSql.rootOf(delegate.parseMultipartIdentifier(tableText.trim))
+      catch { case _: Exception => None }
     // ALTER is Spark's statement; intercept ONLY the two CONSTRAINT
     // shapes on snapshot tables (Spark's analyzer refuses constraint
     // DDL for tables carrying the V1 streaming fallback) — every other
@@ -106,14 +108,11 @@ object GraftSqlParser {
     if (head == "ALTER") {
       val add = addConstraintRe.matcher(sqlText)
       val drop = dropConstraintRe.matcher(sqlText)
-      def graftRoot(t: String): Option[String] =
-        try SnapshotSql.rootOf(delegate.parseMultipartIdentifier(t.trim))
-        catch { case _: Exception => None }
       if (add.matches())
-        return graftRoot(add.group(1))
+        return rootOf(add.group(1))
           .map(GraftAddConstraintCommand(_, add.group(2), add.group(3)))
       if (drop.matches())
-        return graftRoot(drop.group(1))
+        return rootOf(drop.group(1))
           .map(GraftDropConstraintCommand(_, drop.group(2)))
       return None
     }
@@ -121,33 +120,33 @@ object GraftSqlParser {
       val m = historyRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
         "expected: DESCRIBE HISTORY <table>; got: " + sqlText)
-      Some(GraftHistoryCommand(rootOf(m.group(1))))
+      rootOf(m.group(1)).map(GraftHistoryCommand(_))
     } else if (head == "OPTIMIZE") {
       val m = optimizeRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
         "expected: OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (cols)]; got: " + sqlText)
       val zorder = Option(m.group(3))
         .map(_.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-      Some(GraftOptimizeCommand(rootOf(m.group(1)), Option(m.group(2)), zorder))
+      rootOf(m.group(1)).map(GraftOptimizeCommand(_, Option(m.group(2)), zorder))
     } else if (head == "CONVERT") {
       val m = convertRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
         "expected: CONVERT TO GRAFT <table> [PARTITIONED BY (cols)]; got: " + sqlText)
       val partCols = Option(m.group(2)).toSeq.flatMap(_.split(',').toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-      Some(GraftConvertCommand(rootOf(m.group(1)), partCols))
+      rootOf(m.group(1)).map(GraftConvertCommand(_, partCols))
     } else if (head == "RESTORE") {
       val m = restoreRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
         "expected: RESTORE [TABLE] <table> TO VERSION|TIMESTAMP AS OF <v>; got: " + sqlText)
       val kind = m.group(2).toUpperCase(Locale.ROOT)
       val spec = m.group(3).trim.stripPrefix("'").stripSuffix("'")
-      Some(GraftRestoreCommand(rootOf(m.group(1)), kind == "TIMESTAMP", spec))
+      rootOf(m.group(1)).map(GraftRestoreCommand(_, kind == "TIMESTAMP", spec))
     } else {
       val m = vacuumRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
         "expected: VACUUM <table> [RETAIN <n> HOURS]; got: " + sqlText)
-      Some(GraftVacuumCommand(rootOf(m.group(1)),
+      rootOf(m.group(1)).map(GraftVacuumCommand(_,
         Option(m.group(2)).map(_.toDouble).getOrElse(168.0)))
     }
   }
@@ -245,12 +244,26 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
 
 /** `VACUUM` — returns the number of files deleted. Retention maps to
   * versions through commit timestamps: every version a reader anchored
-  * within the window could see is kept. */
+  * within the window could see is kept.
+  *
+  * A retention below the 168-hour default is REFUSED unless
+  * `spark.graft.vacuum.retentionCheck.enabled=false` (Delta's guard):
+  * a short window deletes files that concurrently pinned snapshots and
+  * time travel still reference — the operator must opt into that risk
+  * explicitly, never reach it by typo. */
 case class GraftVacuumCommand(root: String, retainHours: Double)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("files_deleted", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    val checkOn = !session.conf
+      .getOption("spark.graft.vacuum.retentionCheck.enabled").contains("false")
+    if (checkOn && retainHours < 168.0)
+      throw new IllegalArgumentException(
+        f"VACUUM RETAIN $retainHours%.1f HOURS is below the 168-hour " +
+          "default — in-flight readers and time travel may still reference " +
+          "the files it would delete. Set " +
+          "spark.graft.vacuum.retentionCheck.enabled=false to override.")
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
     val keepFrom =
       try Snapshots.versionAt(session, root, cutoff)

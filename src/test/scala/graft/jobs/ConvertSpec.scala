@@ -59,6 +59,21 @@ class ConvertSpec extends AnyFunSuite {
       Snapshots.convertToSnapshot(spark, root))
   }
 
+  test("converting a partitioned dir WITHOUT declaring its partition columns is refused") {
+    val root = tmp()
+    (1L to 100L).map(i => (i, (2024 + (i % 2)).toInt, i * 1.0)).toDF("k", "year", "v")
+      .write.partitionBy("year").parquet(root)
+    // silently adopting would record `year` in the schema but not the
+    // partition property — reads would null-fill it (wrong results)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.convertToSnapshot(spark, root))
+    assert(e.getMessage.contains("year"))
+    // declaring it converts fine, and the column reads back non-null
+    Snapshots.convertToSnapshot(spark, root, partitionBy = Seq("year"))
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("year").isNull).isEmpty)
+  }
+
   test("convert an unpartitioned dir; stats envelopes enable skipping immediately") {
     val root = tmp()
     (1L to 300L).map(i => (i, i * 1.0)).toDF("k", "v")

@@ -104,6 +104,59 @@ class MergeClausesSpec extends AnyFunSuite {
     }
   }
 
+  test("NMBS candidate selection is file-grain: untouched files carry by reference") {
+    val root = tmp()
+    target(root) // 3 range-clustered files: k 1..~100, ~101..~200, ~201..300
+    val before = Snapshots.versionFiles(spark, root).toSet
+    assert(before.size == 3)
+    // every source key matches (no matched clause given — they keep);
+    // the NMBS clause can only touch rows with k > 250, which live in
+    // exactly ONE of the three clustered files
+    Snapshots.mergeClauses(spark, root,
+      Seq((10L, 0.0, "x")).toDF("k", "v", "s"), Seq("k"),
+      notMatchedBySource = Seq(
+        Snapshots.MergeWhen.update(Map("v" -> "t.v + 1000"), Some("t.k > 250"))))
+    val after = Snapshots.versionFiles(spark, root).toSet
+    val carried = before.intersect(after)
+    assert(carried.size == 2,
+      s"expected the two clause-untouched files carried by reference, got ${carried.size}")
+    val got = Snapshots.readVersion(spark, root)
+      .where(col("k") > 250).agg(min(col("v"))).head().getDouble(0)
+    assert(got == 1251.0, "NMBS update applied to every k>250 row")
+    assert(Snapshots.readVersion(spark, root).where(col("k") <= 250 && col("v") >= 1000).isEmpty)
+  }
+
+  test("multiple source rows matching one target row are refused (ANSI), opt-out restores dedup") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    val dupSrc = Seq((3L, 30.0), (3L, 31.0), (4L, 40.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeClauses(spark, root, dupSrc, Seq("k"),
+        matched = Seq(Snapshots.MergeWhen.updateAll()))
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.mergeCow(spark, root, dupSrc, Seq("k"))
+    }
+    assert(e2.getMessage.contains("multiple source rows"))
+    // duplicates that match NO target row are deduplicated before
+    // INSERT, not refused (documented divergence from ANSI insert-all)
+    Snapshots.mergeClauses(spark, root,
+      Seq((100L, 1.0), (100L, 1.0)).toDF("k", "v"), Seq("k"),
+      matched = Seq(Snapshots.MergeWhen.updateAll()),
+      notMatched = Seq(Snapshots.MergeWhen.insertAll()))
+    assert(Snapshots.readVersion(spark, root).where(col("k") === 100L).count() == 1L)
+    // the escape hatch applies an arbitrary duplicate instead of failing
+    spark.conf.set("spark.graft.merge.allowDuplicateSource", "true")
+    try {
+      Snapshots.mergeCow(spark, root, dupSrc, Seq("k"))
+      val v3 = Snapshots.readVersion(spark, root)
+        .where(col("k") === 3L).select(col("v")).as[Double].collect().toSeq
+      assert(v3.size == 1 && (v3.head == 30.0 || v3.head == 31.0))
+    } finally spark.conf.unset("spark.graft.merge.allowDuplicateSource")
+  }
+
   test("SQL MERGE with clauses routes through mergeClauses and equals the API result") {
     val rootApi = tmp(); val rootSql = tmp()
     target(rootApi); target(rootSql)

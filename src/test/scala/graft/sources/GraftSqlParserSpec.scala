@@ -61,8 +61,14 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(spark.sql(s"VACUUM graft.`$root`").as[Long].head() == 0L)
     assert(Snapshots.readVersion(spark, root, 0).count() == 100,
       "v0 still readable inside the retention window")
-    // RETAIN 0 HOURS: only the head's files survive
-    assert(spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").as[Long].head() > 0L)
+    // sub-default retention is refused unless explicitly overridden
+    // (deleting inside the window breaks pinned snapshots/time travel)
+    val guard = intercept[Exception](spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS"))
+    assert(guard.getMessage.contains("retentionCheck"))
+    // RETAIN 0 HOURS under the override: only the head's files survive
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    try assert(spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").as[Long].head() > 0L)
+    finally spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
     assert(Snapshots.readVersion(spark, root).count() == 1)
     // everything else still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS x").as[Long].head() == 2L)

@@ -29,10 +29,72 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Skipping {
 
-  /** One file's envelope: row count + per-column [min,max] for integral
-    * columns (file grain = min of row-group mins, max of maxes). */
+  /** One file's envelope: row count + per-column [min,max], typed by
+    * family (file grain = min of row-group mins, max of maxes):
+    *
+    *   - `mins`/`maxs` — integral columns (INT32/INT64, incl. MICROS
+    *     timestamps), exact;
+    *   - `dmins`/`dmaxs` — DOUBLE/FLOAT columns, exact, and present
+    *     ONLY for files provably NaN-free on that column (parquet-mr
+    *     omits FP stats when a NaN was written, and any NaN min/max is
+    *     dropped on read) — so Spark's NaN-greater-than-everything
+    *     ordering can never be mis-pruned; ±0.0 needs no normalization
+    *     because pruning compares with primitive operators, under which
+    *     -0.0 == 0.0;
+    *   - `smins`/`smaxs` — STRING (BINARY/UTF8) columns as raw UTF-8
+    *     bytes compared unsigned-lexicographic (exactly UTF8String's
+    *     binary ordering AND parquet's UNSIGNED sort order — one
+    *     comparison space end to end), TRUNCATED to 16 bytes Iceberg-
+    *     style: lower bounds truncate (a prefix is ≤ the original),
+    *     upper bounds truncate-and-increment the last non-0xFF byte (a
+    *     strict upper bound of everything prefixed by the original);
+    *     an all-0xFF prefix has no finite increment, so that side is
+    *     simply ABSENT — the maps are one-sided by design. */
   final case class FileStats(path: String, rows: Long,
-      mins: Map[String, Long], maxs: Map[String, Long])
+      mins: Map[String, Long], maxs: Map[String, Long],
+      dmins: Map[String, Double] = Map.empty, dmaxs: Map[String, Double] = Map.empty,
+      smins: Map[String, Seq[Byte]] = Map.empty, smaxs: Map[String, Seq[Byte]] = Map.empty)
+
+  /** Unsigned lexicographic byte comparison (shorter prefix sorts
+    * first) — the shared ordering of UTF8String, parquet UNSIGNED
+    * binary stats, and the truncated envelopes. */
+  def compareBytes(a: Seq[Byte], b: Seq[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Iceberg's 16-byte bound truncation. Lower: plain prefix (≤ the
+    * original under unsigned-lex order). Upper: if the value already
+    * fits, it IS the bound (exact); otherwise increment the last
+    * non-0xFF byte of the prefix and drop the tail — every string with
+    * that prefix is strictly below the result. All-0xFF prefix ⇒ None
+    * (no finite bound). Truncation may cut a multi-byte UTF-8 codepoint
+    * in half — irrelevant: bounds are compared as raw bytes, never
+    * decoded. */
+  private[graft] val boundTruncateBytes = 16
+
+  private[graft] def truncateLower(v: Seq[Byte]): Seq[Byte] =
+    if (v.length <= boundTruncateBytes) v else v.take(boundTruncateBytes)
+
+  private[graft] def truncateUpper(v: Seq[Byte]): Option[Seq[Byte]] =
+    if (v.length <= boundTruncateBytes) Some(v)
+    else {
+      val p = v.take(boundTruncateBytes).toArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val out = p.take(i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out.toSeq)
+      }
+    }
 
   /** List the data files under `dir` (`_`-prefixed metadata files
     * excluded); `recursive` descends into partition directories. */
@@ -55,26 +117,50 @@ object Skipping {
   /** One column chunk's contribution to a file envelope: `covered` means
     * the chunk RECORDED statistics (an all-null chunk counts — it cannot
     * contribute a non-null value, so the other blocks' envelope stays
-    * valid for it); min/max are set only for integral chunks with values. */
+    * valid for it); per-family min/max are set only for chunks of that
+    * family with values. String chunk bounds are EXACT bytes here;
+    * truncation happens at file grain. */
   private[core] final case class ChunkStat(
-      col: String, covered: Boolean, min: Option[Long], max: Option[Long])
+      col: String, covered: Boolean, min: Option[Long], max: Option[Long],
+      dmin: Option[Double] = None, dmax: Option[Double] = None,
+      smin: Option[Seq[Byte]] = None, smax: Option[Seq[Byte]] = None)
+
+  /** Per-family file envelopes rolled up from chunk stats. */
+  private[core] final case class Envelopes(
+      mins: Map[String, Long], maxs: Map[String, Long],
+      dmins: Map[String, Double], dmaxs: Map[String, Double],
+      smins: Map[String, Seq[Byte]], smaxs: Map[String, Seq[Byte]])
 
   /** Roll per-block chunk stats up to a file envelope. A column whose
     * stats are MISSING in any block that has rows must be dropped
     * entirely: keeping the partial envelope would under-cover (the
     * stats-less block may hold values outside it) and `pruneFiles` would
-    * incorrectly skip a file holding matching rows. */
-  private[core] def rollUpEnvelope(
-      blocks: Seq[Seq[ChunkStat]]): (Map[String, Long], Map[String, Long]) = {
+    * incorrectly skip a file holding matching rows. String bounds are
+    * exact here; the 16-byte truncation applies once at file grain
+    * (`statsOfFile`). */
+  private[core] def rollUpEnvelope(blocks: Seq[Seq[ChunkStat]]): Envelopes = {
     val mins = scala.collection.mutable.Map[String, Long]()
     val maxs = scala.collection.mutable.Map[String, Long]()
+    val dmins = scala.collection.mutable.Map[String, Double]()
+    val dmaxs = scala.collection.mutable.Map[String, Double]()
+    val smins = scala.collection.mutable.Map[String, Seq[Byte]]()
+    val smaxs = scala.collection.mutable.Map[String, Seq[Byte]]()
     val tainted = scala.collection.mutable.Set[String]()
     blocks.foreach(_.foreach { c =>
       if (!c.covered) tainted += c.col
       for (l <- c.min) mins.update(c.col, math.min(mins.getOrElse(c.col, l), l))
       for (h <- c.max) maxs.update(c.col, math.max(maxs.getOrElse(c.col, h), h))
+      for (l <- c.dmin) dmins.update(c.col, math.min(dmins.getOrElse(c.col, l), l))
+      for (h <- c.dmax) dmaxs.update(c.col, math.max(dmaxs.getOrElse(c.col, h), h))
+      for (l <- c.smin) smins.update(c.col,
+        smins.get(c.col).filter(compareBytes(_, l) <= 0).getOrElse(l))
+      for (h <- c.smax) smaxs.update(c.col,
+        smaxs.get(c.col).filter(compareBytes(_, h) >= 0).getOrElse(h))
     })
-    ((mins -- tainted).toMap, (maxs -- tainted).toMap)
+    Envelopes(
+      (mins -- tainted).toMap, (maxs -- tainted).toMap,
+      (dmins -- tainted).toMap, (dmaxs -- tainted).toMap,
+      (smins -- tainted).toMap, (smaxs -- tainted).toMap)
   }
 
   /** Index an explicit file list — the form a snapshot-logged table uses
@@ -100,7 +186,12 @@ object Skipping {
     c.getPrimitiveType.getLogicalTypeAnnotation match {
       case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
         t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
-      case _ => true // not a timestamp: raw integral semantics
+      // int-backed DECIMAL stats are UNSCALED (12.34 at scale 2 is
+      // 1234) — a literal-space bound would mis-prune for any scale>0;
+      // scale 0 is identity and safe
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        d.getScale == 0
+      case _ => true // not a timestamp/decimal: raw integral semantics
     }
 
   /** One file's footer → FileStats (metadata-only; runs wherever the
@@ -126,17 +217,48 @@ object Skipping {
                 cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
               case (mn: java.lang.Integer, mx: java.lang.Integer) =>
                 cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
-              case _ => // non-integral or unit-unsafe: stays unprunable
+              // FP stats present ⇒ the chunk is NaN-free: parquet-mr
+              // poisons min/max to NaN on any NaN write and then OMITS
+              // the statistics (PARQUET-1225), so a surviving non-NaN
+              // envelope proves absence. A NaN that still leaks through
+              // (foreign writer) TAINTS the column — NaN sorts above
+              // +Inf in Spark, outside any finite envelope.
+              case (mn: java.lang.Double, mx: java.lang.Double) =>
+                if (mn.isNaN || mx.isNaN) cs += ChunkStat(name, covered = false, None, None)
+                else cs += ChunkStat(name, covered = true, None, None,
+                  dmin = Some(mn.doubleValue), dmax = Some(mx.doubleValue))
+              case (mn: java.lang.Float, mx: java.lang.Float) =>
+                if (mn.isNaN || mx.isNaN) cs += ChunkStat(name, covered = false, None, None)
+                else cs += ChunkStat(name, covered = true, None, None,
+                  dmin = Some(mn.doubleValue), dmax = Some(mx.doubleValue))
+              // STRING (BINARY/UTF8) bounds: raw bytes under the
+              // unsigned ordering parquet-mr already guarantees for the
+              // v2 min_value/max_value fields (old signed-order stats
+              // never surface through the modern reader)
+              case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
+                  if stringAnnotated(c) =>
+                cs += ChunkStat(name, covered = true, None, None,
+                  smin = Some(mn.getBytes.toSeq), smax = Some(mx.getBytes.toSeq))
+              case _ => // other types or unit-unsafe: stays unprunable
                 cs += ChunkStat(name, covered = true, None, None)
             }
           }
           chunkStats += cs.toSeq
         }
       }
-      val (mins, maxs) = rollUpEnvelope(chunkStats.toSeq)
-      FileStats(f, rows, mins, maxs)
+      val env = rollUpEnvelope(chunkStats.toSeq)
+      // 16-byte truncation at file grain; an upper with no finite
+      // truncated bound (all-0xFF prefix) drops — one-sided is fine
+      val smins = env.smins.map { case (k, v) => k -> truncateLower(v) }
+      val smaxs = env.smaxs.flatMap { case (k, v) => truncateUpper(v).map(k -> _) }
+      FileStats(f, rows, env.mins, env.maxs, env.dmins, env.dmaxs, smins, smaxs)
     } finally reader.close()
   }
+
+  private def stringAnnotated(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+    c.getPrimitiveType.getLogicalTypeAnnotation
+      .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
 
   /** Persist an index as a parquet table (file, rows, col, min, max) —
     * the form a production deployment maintains NEXT TO the data (built
@@ -144,10 +266,22 @@ object Skipping {
     * per query would be O(files) round trips from the driver). */
   def writeIndex(spark: SparkSession, index: Seq[FileStats], path: String): Unit = {
     import spark.implicits._
+    // one row per (file, col, family); bounds rendered as strings — the
+    // same encodings the log's `#stats:` codec uses (long/double
+    // toString, hex for truncated byte bounds; string sides may be null)
     index.flatMap { f =>
-      if (f.mins.isEmpty) Seq((f.path, f.rows, null.asInstanceOf[String], 0L, 0L))
-      else f.mins.keys.toSeq.map(c => (f.path, f.rows, c, f.mins(c), f.maxs(c)))
-    }.toDF("file", "rows", "col", "min", "max")
+      val longs = f.mins.keys.toSeq.map(c =>
+        (f.path, f.rows, c, "L", f.mins(c).toString, f.maxs(c).toString))
+      val dbls = f.dmins.keys.toSeq.map(c =>
+        (f.path, f.rows, c, "D", f.dmins(c).toString, f.dmaxs(c).toString))
+      val strs = (f.smins.keySet ++ f.smaxs.keySet).toSeq.map(c =>
+        (f.path, f.rows, c, "S",
+          f.smins.get(c).map(toHex).orNull, f.smaxs.get(c).map(toHex).orNull))
+      val all = longs ++ dbls ++ strs
+      if (all.isEmpty) Seq((f.path, f.rows, null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String]))
+      else all
+    }.toDF("file", "rows", "col", "fam", "lo", "hi")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -157,9 +291,16 @@ object Skipping {
       .groupBy(r => (r.getString(0), r.getLong(1)))
       .map { case ((file, rows), rs) =>
         val cols = rs.filter(!_.isNullAt(2))
+        def fam(t: String) = cols.filter(_.getString(3) == t)
         FileStats(file, rows,
-          cols.map(r => r.getString(2) -> r.getLong(3)).toMap,
-          cols.map(r => r.getString(2) -> r.getLong(4)).toMap)
+          fam("L").map(r => r.getString(2) -> r.getString(4).toLong).toMap,
+          fam("L").map(r => r.getString(2) -> r.getString(5).toLong).toMap,
+          fam("D").map(r => r.getString(2) -> r.getString(4).toDouble).toMap,
+          fam("D").map(r => r.getString(2) -> r.getString(5).toDouble).toMap,
+          fam("S").filter(!_.isNullAt(4))
+            .map(r => r.getString(2) -> fromHex(r.getString(4))).toMap,
+          fam("S").filter(!_.isNullAt(5))
+            .map(r => r.getString(2) -> fromHex(r.getString(5))).toMap)
       }.toSeq
   }
 
@@ -172,6 +313,87 @@ object Skipping {
         case _ => true
       }
     }.map(_.path)
+
+  /** DOUBLE-envelope pruning over closed [lo, hi]. Primitive
+    * comparisons make ±0.0 a non-issue; NaN predicates never produce a
+    * bound (StatsBounds drops them) and NaN-holding files never carry
+    * an envelope, so Spark's NaN ordering cannot be mis-pruned. */
+  def pruneFilesDouble(
+      index: Seq[FileStats], col: String, lo: Double, hi: Double): Seq[String] =
+    index.filter { f =>
+      (f.dmins.get(col), f.dmaxs.get(col)) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }.map(_.path)
+
+  /** One side of a string range: raw UTF-8 bytes + inclusivity. */
+  final case class StrBound(bytes: Seq[Byte], inclusive: Boolean)
+  /** A possibly one-sided string range in unsigned-lex byte space. */
+  final case class StrRange(lo: Option[StrBound], hi: Option[StrBound]) {
+    def intersect(o: StrRange): StrRange = {
+      def tighterLo(a: StrBound, b: StrBound) = {
+        val c = compareBytes(a.bytes, b.bytes)
+        if (c > 0) a else if (c < 0) b
+        else StrBound(a.bytes, a.inclusive && b.inclusive)
+      }
+      def tighterHi(a: StrBound, b: StrBound) = {
+        val c = compareBytes(a.bytes, b.bytes)
+        if (c < 0) a else if (c > 0) b
+        else StrBound(a.bytes, a.inclusive && b.inclusive)
+      }
+      StrRange(
+        (lo ++ o.lo).reduceOption(tighterLo),
+        (hi ++ o.hi).reduceOption(tighterHi))
+    }
+    /** lo > hi (or equal with an open side): provably no value. */
+    def isEmpty: Boolean = (lo, hi) match {
+      case (Some(l), Some(h)) =>
+        val c = compareBytes(l.bytes, h.bytes)
+        c > 0 || (c == 0 && !(l.inclusive && h.inclusive))
+      case _ => false
+    }
+  }
+
+  /** STRING-envelope pruning. Envelope bounds are WIDENED by truncation
+    * (stored lower ≤ true min, stored upper ≥ true max, either side may
+    * be absent), so every comparison errs toward keeping — skipping is
+    * only ever proven, never guessed. */
+  def pruneFilesString(
+      index: Seq[FileStats], col: String, r: StrRange): Seq[String] =
+    index.filter { f =>
+      val aboveLo = (r.lo, f.smaxs.get(col)) match {
+        case (Some(b), Some(mx)) =>
+          val c = compareBytes(mx, b.bytes)
+          c > 0 || (c == 0 && b.inclusive)
+        case _ => true
+      }
+      val belowHi = (r.hi, f.smins.get(col)) match {
+        case (Some(b), Some(mn)) =>
+          val c = compareBytes(mn, b.bytes)
+          c < 0 || (c == 0 && b.inclusive)
+        case _ => true
+      }
+      aboveLo && belowHi
+    }.map(_.path)
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+  def toHex(b: Seq[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach { x =>
+      sb.append(hexDigits((x >> 4) & 0xf)); sb.append(hexDigits(x & 0xf))
+    }
+    sb.toString
+  }
+  def fromHex(s: String): Seq[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out.toSeq
+  }
 
   /** Bloom-filter file pruning for STRING EQUALITY — the modality min/max
     * envelopes cannot serve: a point lookup on a high-cardinality key over

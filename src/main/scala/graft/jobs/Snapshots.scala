@@ -220,26 +220,61 @@ object Snapshots {
 
   /** `#stats:` line codec: `path|rows|col=min:max;col2=min:max` (cols
     * sorted; a column whose NAME contains a separator simply doesn't ride
-    * — it stays unprunable, which is always sound). Shared by deltas and
-    * checkpoints. */
+    * — it stays unprunable, which is always sound). Typed families
+    * extend the VALUE form back-compatibly (a legacy integral value
+    * starts with a digit or '-', never a tag letter):
+    *
+    *   - integral (legacy): `col=<long>:<long>`
+    *   - double:            `col=D<toString>:<toString>` (round-trip
+    *     exact; NaN/Infinity never ride — dropped at collection)
+    *   - string:            `col=S<hex>:<hex>` (16-byte-truncated UTF-8
+    *     bytes; either side may be empty = absent)
+    *
+    * Shared by deltas and checkpoints. */
   private def renderStats(rel: String, s: graft.core.Skipping.FileStats): String = {
-    val cols = s.mins.keys.toSeq.sorted
-      .filterNot(c => c.exists("|;=:\n".contains(_)))
+    import graft.core.Skipping.toHex
+    def ok(c: String) = !c.exists("|;=:\n".contains(_))
+    val longs = s.mins.keys.toSeq.sorted.filter(ok)
       .map(c => s"$c=${s.mins(c)}:${s.maxs(c)}")
-    s"#stats:$rel|${s.rows}|${cols.mkString(";")}"
+    val dbls = s.dmins.keys.toSeq.sorted.filter(ok)
+      .map(c => s"$c=D${s.dmins(c)}:${s.dmaxs(c)}")
+    val strs = (s.smins.keySet ++ s.smaxs.keySet).toSeq.sorted.filter(ok)
+      .map(c => s"$c=S${s.smins.get(c).map(toHex).getOrElse("")}:" +
+        s.smaxs.get(c).map(toHex).getOrElse(""))
+    s"#stats:$rel|${s.rows}|${(longs ++ dbls ++ strs).mkString(";")}"
   }
 
   private def parseStats(line: String): (String, graft.core.Skipping.FileStats) = {
+    import graft.core.Skipping.fromHex
     val body = line.stripPrefix("#stats:")
     val i = body.indexOf('|'); val j = body.indexOf('|', i + 1)
     val rel = body.take(i)
     val rows = body.substring(i + 1, j).toLong
-    val cols = body.drop(j + 1).split(';').toSeq.filter(_.nonEmpty).map { kv =>
-      val e = kv.indexOf('='); val c = kv.indexOf(':', e)
-      (kv.take(e), kv.substring(e + 1, c).toLong, kv.drop(c + 1).toLong)
+    val mins = Map.newBuilder[String, Long]; val maxs = Map.newBuilder[String, Long]
+    val dmins = Map.newBuilder[String, Double]; val dmaxs = Map.newBuilder[String, Double]
+    val smins = Map.newBuilder[String, Seq[Byte]]; val smaxs = Map.newBuilder[String, Seq[Byte]]
+    body.drop(j + 1).split(';').foreach { kv =>
+      if (kv.nonEmpty) {
+        val e = kv.indexOf('=')
+        val c = kv.take(e)
+        val v = kv.drop(e + 1)
+        val sep = v.indexOf(':')
+        if (v.startsWith("D")) {
+          dmins += c -> v.substring(1, sep).toDouble
+          dmaxs += c -> v.drop(sep + 1).toDouble
+        } else if (v.startsWith("S")) {
+          val lo = v.substring(1, sep); val hi = v.drop(sep + 1)
+          if (lo.nonEmpty) smins += c -> fromHex(lo)
+          if (hi.nonEmpty) smaxs += c -> fromHex(hi)
+        } else {
+          mins += c -> v.take(sep).toLong
+          maxs += c -> v.drop(sep + 1).toLong
+        }
+      }
     }
     rel -> graft.core.Skipping.FileStats(rel, rows,
-      cols.map(t => t._1 -> t._2).toMap, cols.map(t => t._1 -> t._3).toMap)
+      mins.result(), maxs.result(), dmins.result(), dmaxs.result(),
+      smins.result(), smaxs.result())
   }
 
   /** Delta headers memoized per (qualified root, version) — a committed
@@ -267,6 +302,13 @@ object Snapshots {
     deltaCache.keySet.removeIf(_._1 == qroot)
     indexCache.keySet.removeIf(_._1 == qroot)
   }
+
+  /** Explicit cache invalidation for OUT-OF-BAND log surgery (manual
+    * delta edits, external tools rewriting history) — committed deltas
+    * are immutable by protocol, so the engine never needs this itself;
+    * anything that edits a delta file in place must call it. */
+  private[graft] def invalidateCaches(spark: SparkSession, root: String): Unit =
+    purgeRootCaches(fsOf(spark, root)._2.toString)
 
   private[jobs] def readDelta(spark: SparkSession, root: String, v: Long): Delta = {
     val (_, qroot) = fsOf(spark, root)
@@ -1285,28 +1327,62 @@ object Snapshots {
     val physMap = delta.schema
       .map(s => physicalMap(DataType.fromJson(s).asInstanceOf[StructType]))
       .getOrElse(Map.empty[String, String])
+    def phys(c: String) = physMap.getOrElse(c, c)
     val bs = graft.sources.StatsBounds.bounds(parsed)
-      .map { case (c, r) => physMap.getOrElse(c, c) -> r }
+      .map { case (c, r) => phys(c) -> r }
+    val dbs = graft.sources.StatsBounds.dblBounds(parsed)
+      .map { case (c, r) => phys(c) -> r }
+    val sbs = graft.sources.StatsBounds.strBounds(parsed)
+      .map { case (c, r) => phys(c) -> r }
     val files = versionFileList(spark, root, version)
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
-    if (bs.isEmpty) return files
+    if (dbs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
+    if (sbs.exists(_._2.isEmpty)) return Nil
+    if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty) return files
     val (_, qroot) = fsOf(spark, root)
     val partCols = graft.core.HivePartitions.columnsOf(delta.props)
     val idxRaw = statsIndex(spark, root, version) // abs paths
     val idx =
       if (partCols.isEmpty) idxRaw
       else idxRaw.map { s =>
-        val pv = graft.core.HivePartitions.valuesOf(s.path, partCols)
-          .collect { case (c, Some(v)) if v.toLongOption.isDefined => c -> v.toLong }
-        s.copy(mins = s.mins ++ pv, maxs = s.maxs ++ pv)
+        // path-encoded partition values act as POINT envelopes in the
+        // family they parse as — integral, double, or string. A
+        // numeric-looking value NEVER enters the string family: the
+        // predicate here is UNRESOLVED, so `part = '05'` on an integer
+        // partition carries a string literal whose bytes differ from
+        // the path's "5" even though the resolved comparison matches —
+        // byte-space point envelopes are only sound for values with no
+        // numeric reading. An exact value is its own lower AND upper
+        // bound; partition-value lengths need no truncation.
+        val pvs = graft.core.HivePartitions.valuesOf(s.path, partCols)
+          .collect { case (c, Some(v)) => c -> v }
+        val lv = pvs.collect { case (c, v) if v.toLongOption.isDefined => c -> v.toLong }
+        val dv = pvs.collect {
+          case (c, v) if v.toLongOption.isEmpty && v.toDoubleOption.exists(d => !d.isNaN && !d.isInfinite) =>
+            c -> v.toDouble
+        }
+        val sv = pvs.collect {
+          case (c, v) if v.toDoubleOption.isEmpty => c -> v.getBytes("UTF-8").toSeq
+        }
+        s.copy(mins = s.mins ++ lv, maxs = s.maxs ++ lv,
+          dmins = s.dmins ++ dv, dmaxs = s.dmaxs ++ dv,
+          smins = s.smins ++ sv, smaxs = s.smaxs ++ sv)
       }
     val relByAbs = files.map(f => new Path(qroot, f).toString -> f).toMap
-    bs.foldLeft(idx.map(_.path)) { case (fs0, (c, (lo, hi))) =>
-      val fs0Set = fs0.toSet // O(files) member tests per conjunct, not O(files²)
-      val keep = graft.core.Skipping.pruneFiles(
-        idx.filter(s => fs0Set.contains(s.path)), c, lo, hi).toSet
-      fs0.filter(keep.contains)
-    }.flatMap(relByAbs.get).sorted
+    def fold[A](fs0: Seq[String], m: Map[String, A])(
+        prune: (Seq[graft.core.Skipping.FileStats], String, A) => Seq[String]): Seq[String] =
+      m.foldLeft(fs0) { case (acc, (c, r)) =>
+        val accSet = acc.toSet // O(files) member tests per conjunct, not O(files²)
+        val keep = prune(idx.filter(s => accSet.contains(s.path)), c, r).toSet
+        acc.filter(keep.contains)
+      }
+    val afterLong = fold(idx.map(_.path), bs)((i, c, r) =>
+      graft.core.Skipping.pruneFiles(i, c, r._1, r._2))
+    val afterDbl = fold(afterLong, dbs)((i, c, r) =>
+      graft.core.Skipping.pruneFilesDouble(i, c, r._1, r._2))
+    fold(afterDbl, sbs)((i, c, r) =>
+      graft.core.Skipping.pruneFilesString(i, c, r))
+      .flatMap(relByAbs.get).sorted
   }
 
   /** Predicate DELETE as a copy-on-write commit — SQL `DELETE FROM t

@@ -474,6 +474,96 @@ object LifecycleQueries {
              |FROM events WHERE event_id % 400 BETWEEN 120 AND 199""".stripMargin)
     ),
 
+    // ---- DOUBLE stats envelopes (r11, VERDICT task 3): the reference's
+    // own hot filter columns are doubles (trip_distance/fare_amount
+    // range predicates — /root/reference/src/etl/clean.py:45-64), so a
+    // fare-band scan over a value-clustered table must file-prune from
+    // the log alone. Envelope discipline: FP stats ride only for
+    // provably NaN-free files (parquet-mr omits them otherwise), ±0.0
+    // needs no care under primitive comparisons. `planned` pins the
+    // Catalyst-planned file count == exactly the matching slice's files;
+    // the aggregate hash-checks against DuckDB on the same band.
+    QuerySpec(
+      "stats_double_prune_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/dblstats"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        def slice(lo: Double, hi: Double) =
+          e.where(col("value") >= lo && col("value") < hi).repartition(2)
+        Snapshots.init(s, root, slice(0.0, 125.0))
+        Snapshots.append(s, root, slice(125.0, 250.0))
+        Snapshots.append(s, root, slice(250.0, 375.0))
+        Snapshots.append(s, root, slice(375.0, 1e9))
+        val statsFromLog = Snapshots.statsMissingFromLog(s, root).isEmpty
+        val total = Snapshots.versionFiles(s, root).size
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        val q = front.where(col("value") >= 130.25 && col("value") <= 240.75)
+        val planned = plannedFileCount(q.agg(count(lit(1)).as("n")))
+        q.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("stats_from_log", lit(statsFromLog))
+          .withColumn("pruned", lit(planned == 2L && total == 8))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS stats_from_log, TRUE AS pruned
+             |FROM events WHERE value >= 130.25 AND value <= 240.75""".stripMargin)
+    ),
+
+    // ---- STRING min/max envelopes (r11, VERDICT task 4): truncated
+    // Iceberg-style byte bounds (16-byte prefix lower; truncate-and-
+    // increment upper) let a RANGE and a PREFIX (LIKE 'd%' → StartsWith)
+    // predicate over a string-clustered table plan only the matching
+    // slice's files — bloom keeps covering equality. Bounds live in one
+    // comparison space end to end (UTF8String bytes = parquet UNSIGNED
+    // stats = envelope hex). Both plans' file counts are pinned.
+    QuerySpec(
+      "stats_string_prefix_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/strstats"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).withColumn("skey",
+          concat(chr(lit(97) + pmod(col("user_id"), lit(6))), lit("_"),
+            col("user_id").cast("string")))
+        def slice(lo: String, hi: String) =
+          e.where(col("skey") >= lo && col("skey") < hi).repartition(2)
+        Snapshots.init(s, root, slice("a", "c"))
+        Snapshots.append(s, root, slice("c", "e"))
+        Snapshots.append(s, root, slice("e", "g"))
+        val statsFromLog = Snapshots.statsMissingFromLog(s, root).isEmpty
+        val total = Snapshots.versionFiles(s, root).size
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        val q = front.where(col("skey") >= "c" && col("skey") < "e")
+        val plannedRange = plannedFileCount(q.agg(count(lit(1)).as("n")))
+        val plannedPrefix = plannedFileCount(
+          front.where(col("skey").startsWith("d")).agg(count(lit(1)).as("n")))
+        q.groupBy(substring(col("skey"), 1, 1).as("prefix"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("stats_from_log", lit(statsFromLog))
+          .withColumn("range_pruned", lit(plannedRange == 2L && total == 6))
+          .withColumn("prefix_pruned", lit(plannedPrefix == 2L))
+          .orderBy(col("prefix"))
+      },
+      Some("""WITH k AS (
+             |  SELECT chr(97 + CAST(user_id % 6 AS INT)) || '_' ||
+             |    CAST(user_id AS VARCHAR) AS skey, event_id, value
+             |  FROM events)
+             |SELECT substring(skey, 1, 1) AS prefix, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS stats_from_log, TRUE AS range_pruned, TRUE AS prefix_pruned
+             |FROM k WHERE skey >= 'c' AND skey < 'e'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- Bloom-filter file skipping: a point lookup on a
     // HIGH-CARDINALITY string key over an UNCLUSTERED layout — min/max
     // envelopes span the domain and prune nothing (SkippingSpec proves
@@ -1306,6 +1396,36 @@ object LifecycleQueries {
              |     AND event_type <> 'click') AS n_insert,
              |  TRUE AS pre_eq_post, TRUE AS sql_equals_api
              |FROM merged""".stripMargin)
+    ),
+
+    // ---- DESCRIBE DETAIL (r11, VERDICT task 6): the table's physical
+    // summary straight from the log — numFiles, sizeInBytes (pinned
+    // against an independent filesystem walk), numRows (from `#stats:`
+    // envelopes, zero data reads), head version + commit time — the
+    // operator's one-stop before trusting a maintenance op. The same
+    // log numbers now ride `CatalogStatistics` on every catalog read,
+    // so Catalyst's broadcast decisions come from O(log) metadata
+    // (GraftCatalogSpec pins the broadcast plan).
+    QuerySpec(
+      "sql_describe_detail",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/descdetail"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        Snapshots.init(s, root, eventsSlim(s, dir).repartition(4))
+        val sizeFs = Snapshots.versionFiles(s, root)
+          .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        s.sql(s"DESCRIBE DETAIL graft.`$root`")
+          .select(col("format"), col("version"), col("num_files"),
+            col("num_rows"),
+            (col("size_bytes") === lit(sizeFs) && col("size_bytes") > 0L).as("size_matches"),
+            (col("last_modified_ms") > 0L).as("has_commit_ts"))
+      },
+      Some("""SELECT 'graft' AS format, CAST(0 AS BIGINT) AS version,
+             |  CAST(4 AS BIGINT) AS num_files, COUNT(*) AS num_rows,
+             |  TRUE AS size_matches, TRUE AS has_commit_ts
+             |FROM events""".stripMargin)
     ),
 
     // ---- CONVERT TO GRAFT (r10, Delta's CONVERT TO DELTA): adopt an

@@ -224,7 +224,7 @@ private[sources] class GraftTable(
     * (versions as offsets, pacing options, CDC mode) the format-string
     * front door uses. */
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
     CatalogTable(
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(root, Some("graft")),
       tableType = CatalogTableType.EXTERNAL,
@@ -232,7 +232,17 @@ private[sources] class GraftTable(
         locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri),
         properties = Map("path" -> root)),
       schema = schema(),
-      provider = Some("graft-snapshot"))
+      provider = Some("graft-snapshot"),
+      // the LOG's numbers, surfaced to Catalyst: LogicalRelation's
+      // computeStats prefers CatalogStatistics over bare file sizes, so
+      // joins between two catalog-named snapshot tables make broadcast
+      // and (under CBO) join-order decisions from O(log) metadata —
+      // byte size from the pinned version's file statuses, row count
+      // summed from the `#stats:` envelopes (None on DV-carrying
+      // versions, where envelope rows over-count)
+      stats = Some(CatalogStatistics(
+        sizeInBytes = BigInt(index.sizeInBytes),
+        rowCount = Snapshots.rowCount(spark, root, snapshotVersion).map(BigInt(_)))))
   }
 
   /** `TRUNCATE TABLE` — one empty-overwrite commit; history intact. */

@@ -74,6 +74,9 @@ object GraftSqlParser {
   private val historyRe = Pattern.compile(
     """^\s*DESCRIBE\s+HISTORY\s+(.+?)\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val detailRe = Pattern.compile(
+    """^\s*DESCRIBE\s+DETAIL\s+(.+?)\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val convertRe = Pattern.compile(
     """^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
@@ -88,10 +91,13 @@ object GraftSqlParser {
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
     val trimmed = sqlText.trim
     val head = trimmed.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
+    val secondWord = trimmed.split("\\s+").lift(1)
     val isHistory = head == "DESCRIBE" &&
-      trimmed.split("\\s+").lift(1).exists(_.equalsIgnoreCase("HISTORY"))
+      secondWord.exists(_.equalsIgnoreCase("HISTORY"))
+    val isDetail = head == "DESCRIBE" &&
+      secondWord.exists(_.equalsIgnoreCase("DETAIL"))
     if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" &&
-        head != "CONVERT" && head != "ALTER" && !isHistory)
+        head != "CONVERT" && head != "ALTER" && !isHistory && !isDetail)
       return None
     // None (unparseable identifier or a table the registry doesn't
     // know) ⇒ the whole statement delegates untouched, so a session
@@ -121,6 +127,11 @@ object GraftSqlParser {
       if (!m.matches()) throw new IllegalArgumentException(
         "expected: DESCRIBE HISTORY <table>; got: " + sqlText)
       rootOf(m.group(1)).map(GraftHistoryCommand(_))
+    } else if (isDetail) {
+      val m = detailRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: DESCRIBE DETAIL <table>; got: " + sqlText)
+      rootOf(m.group(1)).map(GraftDetailCommand(_))
     } else if (head == "OPTIMIZE") {
       val m = optimizeRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
@@ -240,6 +251,46 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("carries_schema", org.apache.spark.sql.types.BooleanType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Snapshots.history(session, root).collect().toSeq
+}
+
+/** `DESCRIBE DETAIL t` — the table's physical summary in one row from
+  * the log + one file-status listing (Delta's spelling, the columns an
+  * operator actually uses): format, location, head version, commit
+  * time, partition/clustering columns, numFiles, sizeInBytes, numRows
+  * (null when deletion vectors make envelope rows an over-count), and
+  * the table properties as JSON. Never a data scan. */
+case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("location", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("last_modified_ms", LongType, nullable = false)(),
+    AttributeReference("partition_columns", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("clustering_columns", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("properties_json", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = Snapshots.latestVersion(session, root)
+    val props = Snapshots.tableProperties(session, root, v)
+    val qroot = new org.apache.hadoop.fs.Path(root)
+    val fs = qroot.getFileSystem(session.sparkContext.hadoopConfiguration)
+    val files = Snapshots.versionFiles(session, root, v)
+    val size = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val propsJson = props.toSeq.sorted
+      .map { case (k, w) =>
+        s""""${k.replace("\"", "\\\"")}":"${w.replace("\"", "\\\"")}"""" }
+      .mkString("{", ",", "}")
+    Seq(Row(
+      "graft", root, v, Snapshots.commitTimestamp(session, root, v),
+      graft.core.HivePartitions.columnsOf(props).mkString(","),
+      props.getOrElse("graft.clusterBy", ""),
+      files.size.toLong, size,
+      Snapshots.rowCount(session, root, v).map(Long.box).orNull,
+      propsJson))
+  }
 }
 
 /** `VACUUM` — returns the number of files deleted. Retention maps to

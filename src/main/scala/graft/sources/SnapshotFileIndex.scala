@@ -100,18 +100,33 @@ private[sources] class SnapshotFileIndex(
     val bs = dataFilters.map(StatsBounds.bounds)
       .foldLeft(Map.empty[String, (Long, Long)])(StatsBounds.intersect)
       .map { case (c, r) => phys(c) -> r }
+    val dbs = dataFilters.map(StatsBounds.dblBounds)
+      .foldLeft(Map.empty[String, (Double, Double)])(StatsBounds.dblIntersect)
+      .map { case (c, r) => phys(c) -> r }
+    val sbs = dataFilters.map(StatsBounds.strBounds)
+      .foldLeft(Map.empty[String, graft.core.Skipping.StrRange])(StatsBounds.strIntersect)
+      .map { case (c, r) => phys(c) -> r }
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
+    if (dbs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
+    if (sbs.exists(_._2.isEmpty)) return Set.empty
     val all = statuses.map(_.getPath.toString)
     val statsPruned =
-      if (bs.isEmpty) all
+      if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty) all
       else {
         val idx = Snapshots.statsIndex(spark, root, version)
-        bs.foldLeft(all) { case (files, (c, (lo, hi))) =>
-          val fileSet = files.toSet // O(files) member tests, not O(files²)
-          val keep = graft.core.Skipping.pruneFiles(
-            idx.filter(s => fileSet.contains(s.path)), c, lo, hi).toSet
-          files.filter(keep.contains)
-        }
+        def fold[A](files: Seq[String], m: Map[String, A])(
+            prune: (Seq[graft.core.Skipping.FileStats], String, A) => Seq[String]): Seq[String] =
+          m.foldLeft(files) { case (fs, (c, r)) =>
+            val fileSet = fs.toSet // O(files) member tests, not O(files²)
+            val keep = prune(idx.filter(s => fileSet.contains(s.path)), c, r).toSet
+            fs.filter(keep.contains)
+          }
+        val afterLong = fold(all, bs)((i, c, r) =>
+          graft.core.Skipping.pruneFiles(i, c, r._1, r._2))
+        val afterDbl = fold(afterLong, dbs)((i, c, r) =>
+          graft.core.Skipping.pruneFilesDouble(i, c, r._1, r._2))
+        fold(afterDbl, sbs)((i, c, r) =>
+          graft.core.Skipping.pruneFilesString(i, c, r))
       }
     bloomOn match {
       case Some(c) =>
@@ -201,6 +216,160 @@ private[graft] object StatsBounds {
     (a.keySet ++ b.keySet).map { k =>
       (a.get(k), b.get(k)) match {
         case (Some((lo1, hi1)), Some((lo2, hi2))) => k -> (math.max(lo1, lo2), math.min(hi1, hi2))
+        case (Some(r), None) => k -> r
+        case (None, Some(r)) => k -> r
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+
+  // ---- DOUBLE bounds (closed [lo, hi], widened) --------------------
+  //
+  // Every literal maps to a closed double interval CONTAINING it:
+  // exact for Double/Float and for integrals within 2^53; padded one
+  // ulp each side when a conversion may round (big longs, decimals).
+  // No strict-inequality sharpening — a closed superset is always
+  // sound, and the exact predicate still runs in the scan. NaN
+  // literals derive nothing (a NaN bound could never prune soundly
+  // under Spark's NaN-above-everything ordering).
+
+  /** The closed double interval containing one literal value. */
+  private def dlit(v: Any): Option[(Double, Double)] = v match {
+    case d: Double => if (d.isNaN) None else Some((d, d))
+    case f: Float => if (f.isNaN) None else Some((f.toDouble, f.toDouble))
+    case i: Int => Some((i.toDouble, i.toDouble))
+    case s: Short => Some((s.toDouble, s.toDouble))
+    case b: Byte => Some((b.toDouble, b.toDouble))
+    case l: Long =>
+      val d = l.toDouble
+      if (l.abs <= (1L << 53)) Some((d, d))
+      else Some((math.nextDown(d), math.nextUp(d)))
+    case d: java.math.BigDecimal =>
+      val x = d.doubleValue
+      if (x.isInfinite) None else Some((math.nextDown(x), math.nextUp(x)))
+    case d: org.apache.spark.sql.types.Decimal =>
+      val x = d.toDouble
+      if (x.isInfinite) None else Some((math.nextDown(x), math.nextUp(x)))
+    case _ => None
+  }
+
+  def dblBounds(e: Expression): Map[String, (Double, Double)] = {
+    val inf = Double.PositiveInfinity
+    def lower(a: String, v: Any) = dlit(v).map(r => Map(a -> (r._1, inf))).getOrElse(Map.empty)
+    def upper(a: String, v: Any) = dlit(v).map(r => Map(a -> (-inf, r._2))).getOrElse(Map.empty)
+    e match {
+      case EqualTo(a: Attribute, Literal(v, _)) => dlit(v).map(r => Map(a.name -> r)).getOrElse(Map.empty)
+      case EqualTo(Literal(v, _), a: Attribute) => dlit(v).map(r => Map(a.name -> r)).getOrElse(Map.empty)
+      case GreaterThan(a: Attribute, Literal(v, _)) => lower(a.name, v)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => lower(a.name, v)
+      case LessThan(a: Attribute, Literal(v, _)) => upper(a.name, v)
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) => upper(a.name, v)
+      case LessThan(Literal(v, _), a: Attribute) => lower(a.name, v)
+      case LessThanOrEqual(Literal(v, _), a: Attribute) => lower(a.name, v)
+      case GreaterThan(Literal(v, _), a: Attribute) => upper(a.name, v)
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => upper(a.name, v)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val rs = vs.map { case Literal(v, _) => dlit(v) }
+        if (rs.forall(_.isDefined)) Map(a.name -> (rs.flatten.map(_._1).min, rs.flatten.map(_._2).max))
+        else Map.empty
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("between") =>
+        f.arguments match {
+          case Seq(a: Attribute, Literal(lo, _), Literal(hi, _)) =>
+            (dlit(lo), dlit(hi)) match {
+              case (Some(l), Some(h)) => Map(a.name -> (l._1, h._2))
+              case _ => Map.empty
+            }
+          case _ => Map.empty
+        }
+      case And(l, r) => dblIntersect(dblBounds(l), dblBounds(r))
+      case _ => Map.empty
+    }
+  }
+
+  def dblIntersect(
+      a: Map[String, (Double, Double)],
+      b: Map[String, (Double, Double)]): Map[String, (Double, Double)] =
+    (a.keySet ++ b.keySet).map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some((lo1, hi1)), Some((lo2, hi2))) => k -> (math.max(lo1, lo2), math.min(hi1, hi2))
+        case (Some(r), None) => k -> r
+        case (None, Some(r)) => k -> r
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }.toMap
+
+  // ---- STRING bounds (possibly one-sided, unsigned-lex byte space) --
+
+  import graft.core.Skipping.{StrBound, StrRange}
+
+  private def slit(v: Any): Option[Seq[Byte]] = v match {
+    case u: UTF8String => Some(u.getBytes.toSeq)
+    case s: String => Some(s.getBytes("UTF-8").toSeq)
+    case _ => None
+  }
+
+  /** The least strict upper bound of every byte string with prefix `p`:
+    * increment the last non-0xFF byte, drop the tail (all-0xFF ⇒ none). */
+  private[sources] def prefixUpper(p: Seq[Byte]): Option[Seq[Byte]] = {
+    val a = p.toArray
+    var i = a.length - 1
+    while (i >= 0 && a(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = a.take(i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out.toSeq)
+    }
+  }
+
+  def strBounds(e: Expression): Map[String, StrRange] = {
+    def one(a: String, r: StrRange) = Map(a -> r)
+    def loB(b: Seq[Byte], incl: Boolean) = StrRange(Some(StrBound(b, incl)), None)
+    def hiB(b: Seq[Byte], incl: Boolean) = StrRange(None, Some(StrBound(b, incl)))
+    e match {
+      case EqualTo(a: Attribute, Literal(v, _)) =>
+        slit(v).map(b => one(a.name, StrRange(Some(StrBound(b, true)), Some(StrBound(b, true))))).getOrElse(Map.empty)
+      case EqualTo(Literal(v, _), a: Attribute) =>
+        slit(v).map(b => one(a.name, StrRange(Some(StrBound(b, true)), Some(StrBound(b, true))))).getOrElse(Map.empty)
+      case GreaterThan(a: Attribute, Literal(v, _)) =>
+        slit(v).map(b => one(a.name, loB(b, incl = false))).getOrElse(Map.empty)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
+        slit(v).map(b => one(a.name, loB(b, incl = true))).getOrElse(Map.empty)
+      case LessThan(a: Attribute, Literal(v, _)) =>
+        slit(v).map(b => one(a.name, hiB(b, incl = false))).getOrElse(Map.empty)
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
+        slit(v).map(b => one(a.name, hiB(b, incl = true))).getOrElse(Map.empty)
+      case GreaterThan(Literal(v, _), a: Attribute) =>
+        slit(v).map(b => one(a.name, hiB(b, incl = false))).getOrElse(Map.empty)
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
+        slit(v).map(b => one(a.name, hiB(b, incl = true))).getOrElse(Map.empty)
+      case LessThan(Literal(v, _), a: Attribute) =>
+        slit(v).map(b => one(a.name, loB(b, incl = false))).getOrElse(Map.empty)
+      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
+        slit(v).map(b => one(a.name, loB(b, incl = true))).getOrElse(Map.empty)
+      // col LIKE 'p%' reaches the data filters as StartsWith: the
+      // matching set is exactly [p, prefixUpper(p))
+      case StartsWith(a: Attribute, Literal(v, _)) =>
+        slit(v).map { b =>
+          one(a.name, StrRange(Some(StrBound(b, true)),
+            prefixUpper(b).map(StrBound(_, false))))
+        }.getOrElse(Map.empty)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.map { case Literal(v, _) => slit(v) }
+        if (bs.forall(_.isDefined)) {
+          val sorted = bs.flatten.sortWith(graft.core.Skipping.compareBytes(_, _) < 0)
+          one(a.name, StrRange(Some(StrBound(sorted.head, true)), Some(StrBound(sorted.last, true))))
+        } else Map.empty
+      case And(l, r) => strIntersect(strBounds(l), strBounds(r))
+      case _ => Map.empty
+    }
+  }
+
+  def strIntersect(
+      a: Map[String, StrRange], b: Map[String, StrRange]): Map[String, StrRange] =
+    (a.keySet ++ b.keySet).map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => k -> x.intersect(y)
         case (Some(r), None) => k -> r
         case (None, Some(r)) => k -> r
         case _ => throw new IllegalStateException("unreachable")

@@ -47,11 +47,107 @@ class SkippingSpec extends AnyFunSuite {
     assert(pruned == (1000L to 1499L).toSet)
   }
 
-  test("a column with no stats (string) cannot prune") {
+  test("the integral family holds no envelope for a string column (cannot mis-prune)") {
     val root = Files.createTempDirectory("skip").toFile.getAbsolutePath
     clustered(root)
     val idx = Skipping.buildIndex(spark, root)
     assert(Skipping.pruneFiles(idx, "s", 0L, 1L).size == idx.size)
+  }
+
+  test("double envelopes match the data and prune a value-clustered layout") {
+    val root = Files.createTempDirectory("skip-dbl").toFile.getAbsolutePath
+    (0 until 4000).map(i => (i.toLong, i * 0.25)).toDF("id", "v")
+      .repartitionByRange(8, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(root)
+    val idx = Skipping.buildIndex(spark, root)
+    idx.foreach { f =>
+      val (mn, mx) = spark.read.parquet(f.path)
+        .agg(min("v"), max("v")).as[(Double, Double)].head()
+      assert(f.dmins("v") == mn && f.dmaxs("v") == mx)
+    }
+    val kept = Skipping.pruneFilesDouble(idx, "v", 300.125, 399.875)
+    assert(kept.size < idx.size && kept.nonEmpty)
+    val n = spark.read.parquet(kept: _*)
+      .where(col("v") >= 300.125 && col("v") <= 399.875).count()
+    assert(n == spark.read.parquet(root)
+      .where(col("v") >= 300.125 && col("v") <= 399.875).count())
+  }
+
+  test("a NaN-holding file carries NO double envelope and is never skipped") {
+    val root = Files.createTempDirectory("skip-nan").toFile.getAbsolutePath
+    Seq((1L, 1.0), (2L, Double.NaN), (3L, 2.0)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(root + "/a")
+    Seq((10L, 100.0), (11L, 200.0)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(root + "/b")
+    val files = Skipping.dataFiles(spark, root, recursive = true)
+    val idx = Skipping.buildIndexForFiles(spark, files)
+    val nanFile = idx.find(_.path.contains("/a/")).get
+    assert(!nanFile.dmins.contains("v") && !nanFile.dmaxs.contains("v"),
+      "parquet omits FP stats for NaN data; the envelope must not exist")
+    // Spark orders NaN above every value: `v > 1e9` matches the NaN row,
+    // so the NaN file must survive ANY range pruning
+    val kept = Skipping.pruneFilesDouble(idx, "v", 1e9, Double.PositiveInfinity)
+    assert(kept.contains(nanFile.path))
+    assert(!kept.contains(idx.find(_.path.contains("/b/")).get.path),
+      "the NaN-free file's envelope [100,200] proves it holds no v > 1e9")
+    val got = spark.read.parquet(kept: _*).where(col("v") > 1e9).count()
+    assert(got == 1L, "the NaN row is found through the pruned scan")
+  }
+
+  test("±0.0 cannot mis-prune under primitive comparisons") {
+    val root = Files.createTempDirectory("skip-zero").toFile.getAbsolutePath
+    Seq((1L, -0.0), (2L, 5.0)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(root)
+    val idx = Skipping.buildIndex(spark, root)
+    // whichever sign the writer recorded, [0.0, 0.0] intersects it
+    assert(Skipping.pruneFilesDouble(idx, "v", 0.0, 0.0).size == 1)
+    assert(Skipping.pruneFilesDouble(idx, "v", -0.0, -0.0).size == 1)
+  }
+
+  test("string envelopes prune a prefix-clustered layout; >16-byte values truncate soundly") {
+    val root = Files.createTempDirectory("skip-str").toFile.getAbsolutePath
+    // 20+-byte keys: truncation is exercised on every bound
+    (0 until 2000).map { i =>
+      val p = ('a' + i % 4).toChar
+      (i.toLong, s"$p" + "x" * 20 + f"$i%05d")
+    }.toDF("id", "s")
+      .repartitionByRange(4, col("s")).sortWithinPartitions("s")
+      .write.mode("overwrite").parquet(root)
+    val idx = Skipping.buildIndex(spark, root)
+    idx.foreach { f =>
+      assert(f.smins("s").length <= Skipping.boundTruncateBytes)
+      assert(f.smaxs("s").length <= Skipping.boundTruncateBytes)
+    }
+    val r = Skipping.StrRange(
+      Some(Skipping.StrBound("b".getBytes("UTF-8"), inclusive = true)),
+      Some(Skipping.StrBound("d".getBytes("UTF-8"), inclusive = false)))
+    val kept = Skipping.pruneFilesString(idx, "s", r)
+    assert(kept.size < idx.size && kept.nonEmpty)
+    val n = spark.read.parquet(kept: _*)
+      .where(col("s") >= "b" && col("s") < "d").count()
+    assert(n == spark.read.parquet(root)
+      .where(col("s") >= "b" && col("s") < "d").count())
+  }
+
+  test("bound truncation: prefix lower, increment-with-carry upper, all-0xFF drops") {
+    import Skipping.{truncateLower, truncateUpper, compareBytes}
+    val plain = Array.tabulate[Byte](20)(i => ('a' + i).toByte)
+    assert(truncateLower(plain).toSeq == plain.take(16).toSeq)
+    assert(truncateLower(plain.take(5)).toSeq == plain.take(5).toSeq)
+    // upper that FITS is exact
+    assert(truncateUpper(plain.take(16)).get.toSeq == plain.take(16).toSeq)
+    // truncated upper increments the last byte — and bounds the original
+    val up = truncateUpper(plain).get
+    assert(up.length == 16 && compareBytes(plain, up) < 0)
+    // carry: 0xFF tail inside the prefix walks left
+    val carry = Array.tabulate[Byte](20)(i => if (i >= 14) 0xff.toByte else 'a'.toByte)
+    val upC = truncateUpper(carry).get
+    assert(upC.length == 14 && upC(13) == ('a' + 1).toByte)
+    assert(compareBytes(carry, upC) < 0)
+    // an all-0xFF prefix has no finite upper
+    assert(truncateUpper(Array.fill[Byte](17)(0xff.toByte)).isEmpty)
+    // unsigned-ness: 0x80 sorts ABOVE 0x7f (a signed compare would flip)
+    assert(compareBytes(Array(0x80.toByte), Array(0x7f.toByte)) > 0)
   }
 
   test("an unclustered layout prunes nothing (every envelope spans the domain)") {
@@ -137,7 +233,8 @@ class SkippingSpec extends AnyFunSuite {
         Skipping.ChunkStat("j", covered = true, Some(5L), Some(6L))),
       Seq(Skipping.ChunkStat("k", covered = false, None, None),
         Skipping.ChunkStat("j", covered = true, Some(1L), Some(2L))))
-    val (mins, maxs) = Skipping.rollUpEnvelope(blocks)
+    val env = Skipping.rollUpEnvelope(blocks)
+    val (mins, maxs) = (env.mins, env.maxs)
     assert(!mins.contains("k") && !maxs.contains("k"))
     assert(mins("j") == 1L && maxs("j") == 6L)
     // an all-null chunk (stats recorded, no values) does NOT taint: it
@@ -145,7 +242,8 @@ class SkippingSpec extends AnyFunSuite {
     val withNullChunk = Seq(
       Seq(Skipping.ChunkStat("k", covered = true, Some(1L), Some(10L))),
       Seq(Skipping.ChunkStat("k", covered = true, None, None)))
-    val (m2, x2) = Skipping.rollUpEnvelope(withNullChunk)
+    val env2 = Skipping.rollUpEnvelope(withNullChunk)
+    val (m2, x2) = (env2.mins, env2.maxs)
     assert(m2("k") == 1L && x2("k") == 10L)
   }
 

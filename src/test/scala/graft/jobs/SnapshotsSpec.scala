@@ -642,6 +642,8 @@ class SnapshotsSpec extends AnyFunSuite {
       .filter(l => !l.startsWith("#stats:")).toArray.mkString("\n") + "\n"
     Files.writeString(d0.toPath, stripped)
     assert(new java.io.File(root, "_log/v00000000.checkpoint").delete())
+    // out-of-band delta surgery: the per-version caches must be told
+    Snapshots.invalidateCaches(spark, root)
     assert(Snapshots.statsMissingFromLog(spark, root).size == 2)
     val idx = Snapshots.statsIndex(spark, root)
     val truth = graft.core.Skipping.buildIndexDistributed(

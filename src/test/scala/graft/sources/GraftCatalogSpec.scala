@@ -224,6 +224,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root, 0).columns.toSeq == Seq("k", "v", "s"))
   }
 
+  test("catalog stats from the log: rowCount rides CatalogStatistics; small side broadcasts") {
+    val big = tmp(); val small = tmp()
+    graft.jobs.Snapshots.init(spark, big,
+      (1L to 50000L).map(i => (i, i % 97)).toDF("k", "g").repartition(4))
+    graft.jobs.Snapshots.init(spark, small,
+      (0L until 97L).map(i => (i, s"label$i")).toDF("g", "lbl"))
+    // the swapped relation carries the log's CatalogStatistics
+    val rel = spark.sql(s"SELECT * FROM graft.`$small`")
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+    assert(rel.nonEmpty)
+    val stats = rel.head.catalogTable.flatMap(_.stats)
+    assert(stats.exists(_.rowCount.contains(BigInt(97))),
+      s"CatalogStatistics.rowCount must come from the log's #stats envelopes: $stats")
+    assert(stats.exists(_.sizeInBytes > 0))
+    // and the join between the two CATALOG tables broadcasts the small side
+    val joined = spark.sql(
+      s"""SELECT b.g, COUNT(*) AS n FROM graft.`$big` b
+         |JOIN graft.`$small` s ON b.g = s.g GROUP BY b.g""".stripMargin)
+    def joins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] =
+      p.flatMap {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => Seq(b)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => joins(qs.plan)
+        case _ => Nil
+      }
+    val plan = finalPlanOf(joined)
+    assert(joins(plan).nonEmpty, s"expected the 97-row side broadcast, got:\n$plan")
+  }
+
   test("spark.readStream.table over a catalog table tails the log") {
     val root = tmp()
     val cp = Files.createTempDirectory("cat-cp").toFile.getAbsolutePath

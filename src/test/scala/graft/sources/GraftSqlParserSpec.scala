@@ -97,4 +97,30 @@ class GraftSqlParserSpec extends AnyFunSuite {
     // plain DESCRIBE TABLE still delegates to Spark
     assert(spark.sql(s"DESCRIBE TABLE graft.`$root`").count() > 0)
   }
+
+  test("DESCRIBE DETAIL reports the log's physical summary in one row") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 200L).map(i => (i, i % 4, i * 1.0)).toDF("k", "p", "v").repartition(3),
+      Map("graft.partitionBy" -> "p"))
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$root`").head()
+    assert(d.getString(0) == "graft")
+    assert(d.getString(1) == root)
+    assert(d.getLong(2) == 0L) // head version
+    assert(d.getLong(3) > 0L) // commit ts
+    assert(d.getString(4) == "p")
+    val files = Snapshots.versionFiles(spark, root)
+    assert(d.getLong(6) == files.size.toLong)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val size = files.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    assert(d.getLong(7) == size)
+    assert(d.getLong(8) == 200L, "numRows answered from the log, no data scan")
+    assert(d.getString(9).contains("graft.partitionBy"))
+    // a MOR-deleted table cannot answer numRows from envelopes — null
+    Snapshots.deleteWhereMor(spark, root, "k <= 10")
+    val d2 = spark.sql(s"DESCRIBE DETAIL graft.`$root`").head()
+    assert(d2.isNullAt(8))
+  }
 }

@@ -1941,7 +1941,10 @@ object Snapshots {
           try { current.select(c); c }
           catch { case _: org.apache.spark.sql.AnalysisException => lit(true) }
         }
-        val perFile = current.join(srcCnt, keyCols, "left_outer")
+        // NMBS needs the unmatched rows (left outer); a matched-only
+        // merge detects through the cheaper inner join
+        val joinType = if (notMatchedBySource.isEmpty) "inner" else "left_outer"
+        val perFile = current.join(srcCnt, keyCols, joinType)
           .groupBy(col("__file")).agg(
             max(coalesce(col("__srcn"), lit(0L))).as("__mx"),
             max(when(col("__srcn").isNull &&

@@ -53,7 +53,8 @@ object Skipping {
   final case class FileStats(path: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long],
       dmins: Map[String, Double] = Map.empty, dmaxs: Map[String, Double] = Map.empty,
-      smins: Map[String, Seq[Byte]] = Map.empty, smaxs: Map[String, Seq[Byte]] = Map.empty)
+      smins: Map[String, Seq[Byte]] = Map.empty, smaxs: Map[String, Seq[Byte]] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty)
 
   /** Unsigned lexicographic byte comparison (shorter prefix sorts
     * first) — the shared ordering of UTF8String, parquet UNSIGNED
@@ -123,13 +124,15 @@ object Skipping {
   private[core] final case class ChunkStat(
       col: String, covered: Boolean, min: Option[Long], max: Option[Long],
       dmin: Option[Double] = None, dmax: Option[Double] = None,
-      smin: Option[Seq[Byte]] = None, smax: Option[Seq[Byte]] = None)
+      smin: Option[Seq[Byte]] = None, smax: Option[Seq[Byte]] = None,
+      nulls: Option[Long] = None)
 
   /** Per-family file envelopes rolled up from chunk stats. */
   private[core] final case class Envelopes(
       mins: Map[String, Long], maxs: Map[String, Long],
       dmins: Map[String, Double], dmaxs: Map[String, Double],
-      smins: Map[String, Seq[Byte]], smaxs: Map[String, Seq[Byte]])
+      smins: Map[String, Seq[Byte]], smaxs: Map[String, Seq[Byte]],
+      nullCounts: Map[String, Long])
 
   /** Roll per-block chunk stats up to a file envelope. A column whose
     * stats are MISSING in any block that has rows must be dropped
@@ -146,6 +149,10 @@ object Skipping {
     val smins = scala.collection.mutable.Map[String, Seq[Byte]]()
     val smaxs = scala.collection.mutable.Map[String, Seq[Byte]]()
     val tainted = scala.collection.mutable.Set[String]()
+    // null counts taint independently of min/max: a NaN-poisoned FP
+    // chunk loses its envelope but can still report its null count
+    val nulls = scala.collection.mutable.Map[String, Long]()
+    val nullTainted = scala.collection.mutable.Set[String]()
     blocks.foreach(_.foreach { c =>
       if (!c.covered) tainted += c.col
       for (l <- c.min) mins.update(c.col, math.min(mins.getOrElse(c.col, l), l))
@@ -156,11 +163,16 @@ object Skipping {
         smins.get(c.col).filter(compareBytes(_, l) <= 0).getOrElse(l))
       for (h <- c.smax) smaxs.update(c.col,
         smaxs.get(c.col).filter(compareBytes(_, h) >= 0).getOrElse(h))
+      c.nulls match {
+        case Some(n) => nulls.update(c.col, nulls.getOrElse(c.col, 0L) + n)
+        case None => nullTainted += c.col
+      }
     })
     Envelopes(
       (mins -- tainted).toMap, (maxs -- tainted).toMap,
       (dmins -- tainted).toMap, (dmaxs -- tainted).toMap,
-      (smins -- tainted).toMap, (smaxs -- tainted).toMap)
+      (smins -- tainted).toMap, (smaxs -- tainted).toMap,
+      (nulls -- nullTainted).toMap)
   }
 
   /** Index an explicit file list — the form a snapshot-logged table uses
@@ -210,13 +222,19 @@ object Skipping {
           b.getColumns.forEach { c =>
             val name = c.getPath.toDotString
             val st = c.getStatistics
+            val nn: Option[Long] =
+              if (st != null && !st.isEmpty && st.isNumNullsSet) Some(st.getNumNulls)
+              else None
             if (st == null || st.isEmpty) cs += ChunkStat(name, covered = false, None, None)
-            else if (!st.hasNonNullValue) cs += ChunkStat(name, covered = true, None, None)
+            else if (!st.hasNonNullValue)
+              cs += ChunkStat(name, covered = true, None, None, nulls = nn)
             else (st.genericGetMin, st.genericGetMax) match {
               case (mn: java.lang.Long, mx: java.lang.Long) if timestampEnvelopeSafe(c) =>
-                cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
+                cs += ChunkStat(name, covered = true,
+                  Some(mn.longValue), Some(mx.longValue), nulls = nn)
               case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                cs += ChunkStat(name, covered = true, Some(mn.longValue), Some(mx.longValue))
+                cs += ChunkStat(name, covered = true,
+                  Some(mn.longValue), Some(mx.longValue), nulls = nn)
               // FP stats present ⇒ the chunk is NaN-free: parquet-mr
               // poisons min/max to NaN on any NaN write and then OMITS
               // the statistics (PARQUET-1225), so a surviving non-NaN
@@ -224,13 +242,15 @@ object Skipping {
               // (foreign writer) TAINTS the column — NaN sorts above
               // +Inf in Spark, outside any finite envelope.
               case (mn: java.lang.Double, mx: java.lang.Double) =>
-                if (mn.isNaN || mx.isNaN) cs += ChunkStat(name, covered = false, None, None)
+                if (mn.isNaN || mx.isNaN)
+                  cs += ChunkStat(name, covered = false, None, None, nulls = nn)
                 else cs += ChunkStat(name, covered = true, None, None,
-                  dmin = Some(mn.doubleValue), dmax = Some(mx.doubleValue))
+                  dmin = Some(mn.doubleValue), dmax = Some(mx.doubleValue), nulls = nn)
               case (mn: java.lang.Float, mx: java.lang.Float) =>
-                if (mn.isNaN || mx.isNaN) cs += ChunkStat(name, covered = false, None, None)
+                if (mn.isNaN || mx.isNaN)
+                  cs += ChunkStat(name, covered = false, None, None, nulls = nn)
                 else cs += ChunkStat(name, covered = true, None, None,
-                  dmin = Some(mn.doubleValue), dmax = Some(mx.doubleValue))
+                  dmin = Some(mn.doubleValue), dmax = Some(mx.doubleValue), nulls = nn)
               // STRING (BINARY/UTF8) bounds: raw bytes under the
               // unsigned ordering parquet-mr already guarantees for the
               // v2 min_value/max_value fields (old signed-order stats
@@ -238,9 +258,9 @@ object Skipping {
               case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary)
                   if stringAnnotated(c) =>
                 cs += ChunkStat(name, covered = true, None, None,
-                  smin = Some(mn.getBytes.toSeq), smax = Some(mx.getBytes.toSeq))
+                  smin = Some(mn.getBytes.toSeq), smax = Some(mx.getBytes.toSeq), nulls = nn)
               case _ => // other types or unit-unsafe: stays unprunable
-                cs += ChunkStat(name, covered = true, None, None)
+                cs += ChunkStat(name, covered = true, None, None, nulls = nn)
             }
           }
           chunkStats += cs.toSeq
@@ -251,7 +271,8 @@ object Skipping {
       // truncated bound (all-0xFF prefix) drops — one-sided is fine
       val smins = env.smins.map { case (k, v) => k -> truncateLower(v) }
       val smaxs = env.smaxs.flatMap { case (k, v) => truncateUpper(v).map(k -> _) }
-      FileStats(f, rows, env.mins, env.maxs, env.dmins, env.dmaxs, smins, smaxs)
+      FileStats(f, rows, env.mins, env.maxs, env.dmins, env.dmaxs, smins, smaxs,
+        env.nullCounts)
     } finally reader.close()
   }
 
@@ -277,7 +298,9 @@ object Skipping {
       val strs = (f.smins.keySet ++ f.smaxs.keySet).toSeq.map(c =>
         (f.path, f.rows, c, "S",
           f.smins.get(c).map(toHex).orNull, f.smaxs.get(c).map(toHex).orNull))
-      val all = longs ++ dbls ++ strs
+      val nulls = f.nullCounts.keys.toSeq.map(c =>
+        (f.path, f.rows, c, "N", f.nullCounts(c).toString, null.asInstanceOf[String]))
+      val all = longs ++ dbls ++ strs ++ nulls
       if (all.isEmpty) Seq((f.path, f.rows, null.asInstanceOf[String], null.asInstanceOf[String],
         null.asInstanceOf[String], null.asInstanceOf[String]))
       else all
@@ -300,7 +323,8 @@ object Skipping {
           fam("S").filter(!_.isNullAt(4))
             .map(r => r.getString(2) -> fromHex(r.getString(4))).toMap,
           fam("S").filter(!_.isNullAt(5))
-            .map(r => r.getString(2) -> fromHex(r.getString(5))).toMap)
+            .map(r => r.getString(2) -> fromHex(r.getString(5))).toMap,
+          fam("N").map(r => r.getString(2) -> r.getString(4).toLong).toMap)
       }.toSeq
   }
 
@@ -375,6 +399,20 @@ object Skipping {
         case _ => true
       }
       aboveLo && belowHi
+    }.map(_.path)
+
+  /** NULL-predicate pruning from per-file null counts: `IS NULL`
+    * (mustBeNull) skips files with ZERO nulls on the column; `IS NOT
+    * NULL` skips files that are ALL null — the Catalyst-injected
+    * IsNotNull on every comparison makes the latter free pruning for
+    * any all-null file. Unknown counts keep the file. */
+  def pruneFilesNull(
+      index: Seq[FileStats], col: String, mustBeNull: Boolean): Seq[String] =
+    index.filter { f =>
+      f.nullCounts.get(col) match {
+        case Some(n) => if (mustBeNull) n > 0 else n < f.rows
+        case None => true
+      }
     }.map(_.path)
 
   private val hexDigits = "0123456789abcdef".toCharArray

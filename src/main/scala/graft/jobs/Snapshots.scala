@@ -241,7 +241,9 @@ object Snapshots {
     val strs = (s.smins.keySet ++ s.smaxs.keySet).toSeq.sorted.filter(ok)
       .map(c => s"$c=S${s.smins.get(c).map(toHex).getOrElse("")}:" +
         s.smaxs.get(c).map(toHex).getOrElse(""))
-    s"#stats:$rel|${s.rows}|${(longs ++ dbls ++ strs).mkString(";")}"
+    val nulls = s.nullCounts.keys.toSeq.sorted.filter(ok)
+      .map(c => s"$c=N${s.nullCounts(c)}")
+    s"#stats:$rel|${s.rows}|${(longs ++ dbls ++ strs ++ nulls).mkString(";")}"
   }
 
   private def parseStats(line: String): (String, graft.core.Skipping.FileStats) = {
@@ -253,13 +255,16 @@ object Snapshots {
     val mins = Map.newBuilder[String, Long]; val maxs = Map.newBuilder[String, Long]
     val dmins = Map.newBuilder[String, Double]; val dmaxs = Map.newBuilder[String, Double]
     val smins = Map.newBuilder[String, Seq[Byte]]; val smaxs = Map.newBuilder[String, Seq[Byte]]
+    val nulls = Map.newBuilder[String, Long]
     body.drop(j + 1).split(';').foreach { kv =>
       if (kv.nonEmpty) {
         val e = kv.indexOf('=')
         val c = kv.take(e)
         val v = kv.drop(e + 1)
         val sep = v.indexOf(':')
-        if (v.startsWith("D")) {
+        if (v.startsWith("N")) {
+          nulls += c -> v.drop(1).toLong
+        } else if (v.startsWith("D")) {
           dmins += c -> v.substring(1, sep).toDouble
           dmaxs += c -> v.drop(sep + 1).toDouble
         } else if (v.startsWith("S")) {
@@ -274,7 +279,7 @@ object Snapshots {
     }
     rel -> graft.core.Skipping.FileStats(rel, rows,
       mins.result(), maxs.result(), dmins.result(), dmaxs.result(),
-      smins.result(), smaxs.result())
+      smins.result(), smaxs.result(), nulls.result())
   }
 
   /** Delta headers memoized per (qualified root, version) — a committed
@@ -1334,11 +1339,14 @@ object Snapshots {
       .map { case (c, r) => phys(c) -> r }
     val sbs = graft.sources.StatsBounds.strBounds(parsed)
       .map { case (c, r) => phys(c) -> r }
+    val nbs = graft.sources.StatsBounds.nullBounds(parsed)
+      .map { case (c, r) => phys(c) -> r }
     val files = versionFileList(spark, root, version)
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
     if (dbs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
     if (sbs.exists(_._2.isEmpty)) return Nil
-    if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty) return files
+    if (nbs.exists(_._2.size == 2)) return Nil
+    if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty) return files
     val (_, qroot) = fsOf(spark, root)
     val partCols = graft.core.HivePartitions.columnsOf(delta.props)
     val idxRaw = statsIndex(spark, root, version) // abs paths
@@ -1354,8 +1362,8 @@ object Snapshots {
         // byte-space point envelopes are only sound for values with no
         // numeric reading. An exact value is its own lower AND upper
         // bound; partition-value lengths need no truncation.
-        val pvs = graft.core.HivePartitions.valuesOf(s.path, partCols)
-          .collect { case (c, Some(v)) => c -> v }
+        val pvsAll = graft.core.HivePartitions.valuesOf(s.path, partCols)
+        val pvs = pvsAll.collect { case (c, Some(v)) => c -> v }
         val lv = pvs.collect { case (c, v) if v.toLongOption.isDefined => c -> v.toLong }
         val dv = pvs.collect {
           case (c, v) if v.toLongOption.isEmpty && v.toDoubleOption.exists(d => !d.isNaN && !d.isInfinite) =>
@@ -1364,9 +1372,15 @@ object Snapshots {
         val sv = pvs.collect {
           case (c, v) if v.toDoubleOption.isEmpty => c -> v.getBytes("UTF-8").toSeq
         }
+        // nullness is exact for partition columns: a concrete value
+        // means zero nulls in the file; the default partition means
+        // every row is null there
+        val nv = pvsAll.map { case (c, ov) =>
+          c -> (if (ov.isDefined) 0L else s.rows) }
         s.copy(mins = s.mins ++ lv, maxs = s.maxs ++ lv,
           dmins = s.dmins ++ dv, dmaxs = s.dmaxs ++ dv,
-          smins = s.smins ++ sv, smaxs = s.smaxs ++ sv)
+          smins = s.smins ++ sv, smaxs = s.smaxs ++ sv,
+          nullCounts = s.nullCounts ++ nv)
       }
     val relByAbs = files.map(f => new Path(qroot, f).toString -> f).toMap
     def fold[A](fs0: Seq[String], m: Map[String, A])(
@@ -1380,8 +1394,9 @@ object Snapshots {
       graft.core.Skipping.pruneFiles(i, c, r._1, r._2))
     val afterDbl = fold(afterLong, dbs)((i, c, r) =>
       graft.core.Skipping.pruneFilesDouble(i, c, r._1, r._2))
-    fold(afterDbl, sbs)((i, c, r) =>
-      graft.core.Skipping.pruneFilesString(i, c, r))
+    fold(fold(afterDbl, sbs)((i, c, r) =>
+      graft.core.Skipping.pruneFilesString(i, c, r)),
+      nbs)((i, c, r) => graft.core.Skipping.pruneFilesNull(i, c, r.head))
       .flatMap(relByAbs.get).sorted
   }
 

@@ -564,6 +564,93 @@ object LifecycleQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- NULL-count envelopes (r11): per-file null counts ride the
+    // `#stats:` lines, so `IS NULL` skips files with zero nulls and
+    // `IS NOT NULL` — which Catalyst injects for EVERY comparison —
+    // skips all-null files. Both planned-file counts are pinned; the
+    // aggregates hash-check against DuckDB's recompute of the same
+    // null layout.
+    QuerySpec(
+      "stats_null_prune_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/nullstats"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.where(col("event_id") % 3 === 1).repartition(2))
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 3 === 0)
+            .withColumn("value", lit(null).cast("double")).repartition(2))
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 3 === 2).repartition(2))
+        val total = Snapshots.versionFiles(s, root).size
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        val plannedNotNull = plannedFileCount(
+          front.where(col("value").isNotNull).agg(count(lit(1)).as("n")))
+        val plannedNull = plannedFileCount(
+          front.where(col("value").isNull).agg(count(lit(1)).as("n")))
+        front.where(col("value").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("n_null_rows", lit(
+            front.where(col("value").isNull).count()))
+          .withColumn("notnull_pruned", lit(plannedNotNull == 4L && total == 6))
+          .withColumn("null_pruned", lit(plannedNull == 2L))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  (SELECT COUNT(*) FROM events WHERE event_id % 3 = 0) AS n_null_rows,
+             |  TRUE AS notnull_pruned, TRUE AS null_pruned
+             |FROM events WHERE event_id % 3 <> 0""".stripMargin)
+    ),
+
+    // ---- Metadata-only aggregates (r11): an unfiltered global
+    // COUNT(*)/COUNT(col)/MIN/MAX over a snapshot table answers from
+    // the log's stats envelopes — ZERO data files planned (pinned:
+    // executed-scan file count == 0), Delta's OptimizeMetadataOnlyQuery
+    // shape. COUNT(col) exercises the null counts (one commit writes an
+    // all-null value column); the hash checks every number against
+    // DuckDB's full recompute of the same layout.
+    QuerySpec(
+      "agg_metadata_only",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/metaagg"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.where(col("event_id") % 3 === 1).repartition(2))
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 3 === 0)
+            .withColumn("value", lit(null).cast("double")).repartition(2))
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 3 === 2).repartition(2))
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        def aggDf = front.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_value"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        val planned = plannedFileCount(aggDf)
+        aggDf.withColumn("meta_only", lit(planned == 0L))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value
+             |  FROM events)
+             |SELECT COUNT(*) AS n_rows, COUNT(value) AS n_value,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+             |  MIN(value) AS min_value, MAX(value) AS max_value,
+             |  TRUE AS meta_only
+             |FROM t""".stripMargin)
+    ),
+
     // ---- Bloom-filter file skipping: a point lookup on a
     // HIGH-CARDINALITY string key over an UNCLUSTERED layout — min/max
     // envelopes span the domain and prune nothing (SkippingSpec proves

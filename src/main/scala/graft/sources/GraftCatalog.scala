@@ -296,6 +296,7 @@ private[sources] class GraftTable(
     if (graft.core.HivePartitions.columnsOf(vProps)
         .exists(c => vProps.contains(s"graft.generated.$c")))
       GeneratedPruningRule.register(spark)
+    MetadataAggRule.register(spark)
     val nameMap = Snapshots.physicalMap(fullSchema).filter { case (l, p) => l != p }
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index,

@@ -106,12 +106,16 @@ private[sources] class SnapshotFileIndex(
     val sbs = dataFilters.map(StatsBounds.strBounds)
       .foldLeft(Map.empty[String, graft.core.Skipping.StrRange])(StatsBounds.strIntersect)
       .map { case (c, r) => phys(c) -> r }
+    val nbs = dataFilters.map(StatsBounds.nullBounds)
+      .foldLeft(Map.empty[String, Set[Boolean]])(StatsBounds.nullIntersect)
+      .map { case (c, r) => phys(c) -> r }
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
     if (dbs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
     if (sbs.exists(_._2.isEmpty)) return Set.empty
+    if (nbs.exists(_._2.size == 2)) return Set.empty
     val all = statuses.map(_.getPath.toString)
     val statsPruned =
-      if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty) all
+      if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty) all
       else {
         val idx = Snapshots.statsIndex(spark, root, version)
         def fold[A](files: Seq[String], m: Map[String, A])(
@@ -125,8 +129,10 @@ private[sources] class SnapshotFileIndex(
           graft.core.Skipping.pruneFiles(i, c, r._1, r._2))
         val afterDbl = fold(afterLong, dbs)((i, c, r) =>
           graft.core.Skipping.pruneFilesDouble(i, c, r._1, r._2))
-        fold(afterDbl, sbs)((i, c, r) =>
+        val afterStr = fold(afterDbl, sbs)((i, c, r) =>
           graft.core.Skipping.pruneFilesString(i, c, r))
+        fold(afterStr, nbs)((i, c, r) =>
+          graft.core.Skipping.pruneFilesNull(i, c, r.head))
       }
     bloomOn match {
       case Some(c) =>
@@ -360,6 +366,18 @@ private[graft] object StatsBounds {
           val sorted = bs.flatten.sortWith(graft.core.Skipping.compareBytes(_, _) < 0)
           one(a.name, StrRange(Some(StrBound(sorted.head, true)), Some(StrBound(sorted.last, true))))
         } else Map.empty
+      // pre-analysis shape (DML victim selection parses unresolved)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("between") =>
+        f.arguments match {
+          case Seq(a: Attribute, Literal(lo, _), Literal(hi, _)) =>
+            (slit(lo), slit(hi)) match {
+              case (Some(l), Some(h)) => one(a.name,
+                StrRange(Some(StrBound(l, true)), Some(StrBound(h, true))))
+              case _ => Map.empty
+            }
+          case _ => Map.empty
+        }
       case And(l, r) => strIntersect(strBounds(l), strBounds(r))
       case _ => Map.empty
     }
@@ -374,5 +392,24 @@ private[graft] object StatsBounds {
         case (None, Some(r)) => k -> r
         case _ => throw new IllegalStateException("unreachable")
       }
+    }.toMap
+
+  // ---- NULL requirements (IS NULL / IS NOT NULL conjuncts) ---------
+  //
+  // Values: the set of nullness states the conjuncts allow — a
+  // two-element set means `col IS NULL AND col IS NOT NULL`, provably
+  // empty. `IsNotNull` is Catalyst-injected for every comparison, so
+  // the non-null requirement prunes any ALL-null file for free.
+  def nullBounds(e: Expression): Map[String, Set[Boolean]] = e match {
+    case IsNull(a: Attribute) => Map(a.name -> Set(true))
+    case IsNotNull(a: Attribute) => Map(a.name -> Set(false))
+    case And(l, r) => nullIntersect(nullBounds(l), nullBounds(r))
+    case _ => Map.empty
+  }
+
+  def nullIntersect(
+      a: Map[String, Set[Boolean]], b: Map[String, Set[Boolean]]): Map[String, Set[Boolean]] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> (a.getOrElse(k, Set.empty) ++ b.getOrElse(k, Set.empty))
     }.toMap
 }

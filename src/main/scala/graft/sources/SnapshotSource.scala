@@ -147,6 +147,8 @@ class SnapshotSource extends RelationProvider
         if (graft.core.HivePartitions.columnsOf(vProps)
             .exists(c => vProps.contains(s"graft.generated.$c")))
           GeneratedPruningRule.register(spark)
+        // metadata-only COUNT/MIN/MAX from the log's stats envelopes
+        MetadataAggRule.register(spark)
         val fullSchema = Snapshots.versionSchema(spark, root, v)
           .getOrElse(Snapshots.readVersion(spark, root, v).schema)
         // a NATIVE file-source relation over the log's FileIndex: planned

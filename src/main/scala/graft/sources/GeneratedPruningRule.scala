@@ -114,6 +114,12 @@ object GeneratedPruningRule extends Rule[LogicalPlan] with PredicateHelper {
         (fn, uf.arguments) match {
           case ("date" | "to_date" | "year", Seq(a)) =>
             attrName(a).map(_ -> true)
+          // Iceberg's other partition transforms: NOT monotone (they
+          // wrap), so only the monotonicity-free equality/IN derivation
+          // applies — `WHERE ts = T` still prunes to month(T)/day(T)/
+          // hour(T) partitions
+          case ("month" | "day" | "dayofmonth" | "hour", Seq(a)) =>
+            attrName(a).map(_ -> false)
           case ("date_trunc", Seq(_: Literal, a)) =>
             attrName(a).map(_ -> true)
           case ("floor", Seq(d: Divide)) =>

@@ -118,15 +118,18 @@ class SkippingSpec extends AnyFunSuite {
       assert(f.smins("s").length <= Skipping.boundTruncateBytes)
       assert(f.smaxs("s").length <= Skipping.boundTruncateBytes)
     }
+    // the BOTTOM band: repartitionByRange boundaries are sampled, so a
+    // prefix may straddle adjacent files — but the top-quartile file
+    // can never hold 'a…' values, so pruning is guaranteed to bite
     val r = Skipping.StrRange(
-      Some(Skipping.StrBound("b".getBytes("UTF-8"), inclusive = true)),
-      Some(Skipping.StrBound("d".getBytes("UTF-8"), inclusive = false)))
+      Some(Skipping.StrBound("a".getBytes("UTF-8"), inclusive = true)),
+      Some(Skipping.StrBound("b".getBytes("UTF-8"), inclusive = false)))
     val kept = Skipping.pruneFilesString(idx, "s", r)
     assert(kept.size < idx.size && kept.nonEmpty)
     val n = spark.read.parquet(kept: _*)
-      .where(col("s") >= "b" && col("s") < "d").count()
+      .where(col("s") >= "a" && col("s") < "b").count()
     assert(n == spark.read.parquet(root)
-      .where(col("s") >= "b" && col("s") < "d").count())
+      .where(col("s") >= "a" && col("s") < "b").count())
   }
 
   test("bound truncation: prefix lower, increment-with-carry upper, all-0xFF drops") {

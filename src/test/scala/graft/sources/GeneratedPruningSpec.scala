@@ -93,6 +93,15 @@ class GeneratedPruningSpec extends AnyFunSuite {
     val q2 = spark.read.format("graft.sources.SnapshotSource").load(root2)
       .where(col("ts") >= "2026-01-02 00:00:00").select("k")
     assert(q2.as[Long].collect().sorted.toSeq == (24L to 47L),
-      "hour(ts) is not monotone — no derivation, exact rows regardless")
+      "hour(ts) is not monotone — no RANGE derivation, exact rows regardless")
+    // …but EQUALITY derives for any deterministic generator (Iceberg's
+    // hour/month/day transforms): ts = T prunes to the hour(T) partition
+    val all2 = Snapshots.versionFiles(spark, root2)
+    val q3 = spark.read.format("graft.sources.SnapshotSource").load(root2)
+      .where(col("ts") === Timestamp.valueOf("2026-01-02 05:00:00")).select("k")
+    assert(q3.as[Long].collect().toSeq == Seq(29L))
+    assert(plannedFiles(q3) == all2.count(_.contains("ev_hour=5")),
+      "ts equality plans only the hour(ts)=5 partition's files")
+    assert(all2.count(_.contains("ev_hour=5")) < all2.size)
   }
 }

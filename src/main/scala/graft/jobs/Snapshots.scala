@@ -105,7 +105,8 @@ object Snapshots {
       schema: Option[String] = None, props: Map[String, String] = Map.empty,
       stats: Map[String, graft.core.Skipping.FileStats] = Map.empty,
       op: Option[String] = None, ts: Option[Long] = None,
-      dv: Seq[String] = Nil, dvAdd: Option[String] = None)
+      dv: Seq[String] = Nil, dvAdd: Option[String] = None,
+      copied: Seq[String] = Nil)
 
   private def fsOf(spark: SparkSession, root: String) = {
     val p = new Path(root)
@@ -345,7 +346,8 @@ object Snapshots {
       op = lines.find(_.startsWith("#op:")).map(_.stripPrefix("#op:")),
       ts = lines.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong),
       dv = lines.filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:")),
-      dvAdd = lines.find(_.startsWith("#dvadd:")).map(_.stripPrefix("#dvadd:")))
+      dvAdd = lines.find(_.startsWith("#dvadd:")).map(_.stripPrefix("#dvadd:")),
+      copied = lines.filter(_.startsWith("#copied:")).map(_.stripPrefix("#copied:")))
   }
 
   /** Table properties as of `version` (default: latest) — writer options
@@ -502,6 +504,7 @@ object Snapshots {
         d.schema.map(s => s"#schema:$s").toSeq ++
         d.dv.sorted.map(n => s"#dv:$n") ++
         d.dvAdd.map(n => s"#dvadd:$n").toSeq ++
+        d.copied.sorted.map(c => s"#copied:$c") ++
         d.props.toSeq.sorted.map { case (k, v2) => s"#prop:$k=$v2" } ++
         d.stats.toSeq.sortBy(_._1).map { case (rel, s) => renderStats(rel, s) } ++
         d.adds.sorted.map("+" + _) ++ d.removes.sorted.map("-" + _)
@@ -531,7 +534,7 @@ object Snapshots {
     if (v == 0L) purgeRootCaches(qroot.toString)
     deltaCache.put((qroot.toString, v),
       d.copy(ts = Some(ts), adds = d.adds.sorted, removes = d.removes.sorted,
-        dv = d.dv.sorted))
+        dv = d.dv.sorted, copied = d.copied.sorted))
   }
 
   /** Checkpoints are derived (a pure function of the deltas), so the
@@ -552,6 +555,10 @@ object Snapshots {
     val headers =
       versionSchema(spark, root, v).map(s => s"#schema:${s.json}").toSeq ++
         Seq(s"#maxtxn:${lastTxnUpTo(spark, root, v)}") ++
+        // COPY INTO's ingested-source identities are append-only facts:
+        // the checkpoint carries the full union so vacuum dropping the
+        // ingesting deltas can never resurrect a double-load
+        copiedUpTo(spark, root, v).toSeq.sorted.map(c => s"#copied:$c") ++
         stats.toSeq.sortBy(_._1).map { case (rel, s) => renderStats(rel, s) }
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-ckpt-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
@@ -1011,6 +1018,162 @@ object Snapshots {
     }
     maybeCheckpoint(spark, root, v)
     v
+  }
+
+  /** Source-file identities COPY INTO has already ingested as of version
+    * `v` — the union of every `#copied:` marker at or below it. An
+    * identity is `path|size|mtimeMs` (Databricks' COPY INTO keys on the
+    * same triple): a re-landed file with new bytes gets a new mtime and
+    * loads again; an untouched file never double-loads. The set is
+    * APPEND-ONLY (rows from a source file stay in the table's history
+    * even after compaction rewrites the file that carried them), so the
+    * nearest checkpoint's union plus the deltas after it reconstructs it
+    * in O(change) — and vacuum writes a floor checkpoint before dropping
+    * deltas, so retention can never resurrect a double-load. */
+  def copiedUpTo(spark: SparkSession, root: String, v: Long): Set[String] = {
+    val (_, qroot) = fsOf(spark, root)
+    val ckpts = checkpointVersions(spark, root).filter(_ <= v).reverse
+    def attempt(candidates: Seq[Long]): Set[String] = {
+      val base = candidates.headOption
+      try {
+        val fromCkpt: Seq[String] = base match {
+          case Some(cv) => readLines(spark, root, checkpointPath(qroot, cv))
+            .filter(_.startsWith("#copied:")).map(_.stripPrefix("#copied:"))
+          case None => Seq.empty
+        }
+        val start = base.map(_ + 1).getOrElse(0L)
+        (fromCkpt ++ (start to v).flatMap(w => readDelta(spark, root, w).copied)).toSet
+      } catch {
+        case _: java.io.FileNotFoundException if base.isDefined =>
+          attempt(candidates.tail)
+      }
+    }
+    attempt(ckpts)
+  }
+
+  final case class CopyResult(
+      version: Long, filesLoaded: Long, filesSkipped: Long, rowsInserted: Long)
+
+  /** `COPY INTO` — idempotent landing-zone ingest (the Databricks/Delta
+    * statement): load the files under `from` into the table EXACTLY
+    * ONCE each. Already-ingested files (identity = path|size|mtime,
+    * tracked in the log via `#copied:` markers — see `copiedUpTo`) are
+    * skipped, so the statement is safe to re-run after any failure and
+    * safe to schedule blindly against a landing directory that only
+    * grows; `force = true` reloads everything unconditionally.
+    *
+    * One commit ingests the whole new-file batch: the rows land through
+    * the same machinery as `append` (generated columns materialized,
+    * constraints checked, Hive layout for partitioned tables, write-time
+    * stats envelopes), and the `#copied:` markers ride the SAME delta,
+    * so the data and the bookkeeping are atomic — a crash either loads a
+    * batch with its markers or neither. A lost commit race re-checks the
+    * winner's markers: if the same source files landed concurrently
+    * (two schedulers racing the same landing zone), this writer deletes
+    * its staged files and re-plans against the new head instead of
+    * double-loading.
+    *
+    * Sources with columns the table does not have are REFUSED (a typo'd
+    * landing schema should fail loudly, not silently widen the table —
+    * use `append` for intentional schema evolution); missing columns
+    * null-fill at read time under the table's recorded schema. CSV/JSON
+    * read under the table's own schema (no inference drift); PARQUET
+    * keeps the files' types, validated against the table's.
+    *
+    * 100 TB shape: the skip check is an O(ingested files) metadata-set
+    * lookup answered from the log — never a data read, never a listing
+    * of the table — and the per-run cost rides ONLY the new files. */
+  def copyInto(
+      spark: SparkSession, root: String, from: String,
+      format: String = "parquet", pattern: Option[String] = None,
+      formatOptions: Map[String, String] = Map.empty,
+      force: Boolean = false, attemptsLeft: Int = 3): CopyResult = {
+    val base = latestVersion(spark, root)
+    val fromPath = new Path(from)
+    val sfs = fromPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qfrom = sfs.makeQualified(fromPath)
+    require(sfs.exists(qfrom), s"COPY INTO source not found: $from")
+    val matcher = pattern.map(g =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + g))
+    def walk(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      sfs.listStatus(d).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isFile) Seq(s) else walk(s.getPath)
+      }
+    val rootStatus = sfs.getFileStatus(qfrom)
+    val statuses =
+      (if (rootStatus.isFile) Seq(rootStatus) else walk(qfrom)).filter { s =>
+        val rel = s.getPath.toString.stripPrefix(qfrom.toString).stripPrefix("/")
+        matcher.forall(_.matches(java.nio.file.Paths.get(
+          if (rel.isEmpty) s.getPath.getName else rel)))
+      }
+    def identity(s: org.apache.hadoop.fs.FileStatus) =
+      s"${s.getPath.toString}|${s.getLen}|${s.getModificationTime}"
+    val already = if (force) Set.empty[String] else copiedUpTo(spark, root, base)
+    val fresh = statuses.filterNot(s => already.contains(identity(s)))
+    val skipped = (statuses.size - fresh.size).toLong
+    if (fresh.isEmpty) return CopyResult(base, 0L, skipped, 0L)
+    val freshIds = fresh.map(identity)
+    val paths = fresh.map(_.getPath.toString)
+    val baseDelta = readDelta(spark, root, base)
+    val props = baseDelta.props
+    val tableSchema = baseDelta.schema
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"COPY INTO target at $root records no schema"))
+    val df0 = format.toLowerCase(java.util.Locale.ROOT) match {
+      case "parquet" => spark.read.options(formatOptions).parquet(paths: _*)
+      case "csv" =>
+        spark.read.options(formatOptions).schema(tableSchema).csv(paths: _*)
+      case "json" =>
+        spark.read.options(formatOptions).schema(tableSchema).json(paths: _*)
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO FILEFORMAT $other is not supported (PARQUET | CSV | JSON)")
+    }
+    val known = tableSchema.fields.map(_.name).toSet
+    val extra = df0.columns.filterNot(known.contains)
+    require(extra.isEmpty,
+      s"COPY INTO source carries column(s) the table lacks: " +
+        s"${extra.mkString(", ")} — COPY never widens a schema; use append " +
+        "for intentional evolution")
+    mergedSchema(Some(tableSchema), df0.schema) // refuse type changes loudly
+    val df = withGenerated(df0, props)
+    checkConstraints(df, props)
+    val assigned = assignPhysical(Some(tableSchema), df.schema, props)
+    val (fs, qroot) = fsOf(spark, root)
+    val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props, Some(assigned))
+    val rows = adds.flatMap(stats.get).map(_.rows).sum
+    var v = base + 1
+    var committed = false
+    while (!committed) {
+      val prevDelta = readDelta(spark, root, v - 1)
+      try {
+        writeDelta(spark, root, v,
+          Delta(adds, Nil, None,
+            schema = Some(mergedSchema(
+              prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
+              assigned).json),
+            props = prevDelta.props, stats = stats, op = Some("copy"),
+            dv = prevDelta.dv, copied = freshIds))
+        committed = true
+      } catch {
+        case e: IllegalArgumentException if e.getMessage.contains("commit race") =>
+          val head = latestVersion(spark, root)
+          if (freshIds.exists(copiedUpTo(spark, root, head).contains)) {
+            // a racing COPY ingested (some of) the same source files —
+            // abandon this staged batch and re-plan from the new head
+            adds.foreach(f => fs.delete(new Path(qroot, f), false))
+            require(attemptsLeft > 1,
+              s"COPY INTO lost ${4 - attemptsLeft} replan races at $root — scheduler storm?")
+            return copyInto(spark, root, from, format, pattern,
+              formatOptions, force, attemptsLeft - 1)
+          }
+          v = math.max(v + 1, head + 1)
+      }
+    }
+    maybeCheckpoint(spark, root, v)
+    CopyResult(v, fresh.size.toLong, skipped, rows)
   }
 
   /** Replace the table's entire live content with `df` as ONE commit —
@@ -2273,6 +2436,112 @@ object Snapshots {
       Delta(Nil, Nil, schema = prevDelta.schema,
         props = prevDelta.props -- unset ++ set,
         op = Some("metadata"), dv = prevDelta.dv))
+  }
+
+  /** Per-column statistics computed by `analyzeColumns`: the CBO inputs
+    * Spark's own ANALYZE produces — approximate NDV (HLL), exact null
+    * count, exact min/max (external string form), byte lengths for
+    * strings. */
+  final case class ColumnStat(
+      ndv: Long, nullCount: Long, min: Option[String], max: Option[String],
+      avgLen: Option[Long], maxLen: Option[Long])
+
+  private val colStatPrefix = "graft.colstat."
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` — ONE aggregate
+    * pass over the head computes each column's approximate NDV (HLL++),
+    * exact null count, exact min/max and (for strings) byte lengths;
+    * the results land as `graft.colstat.<col>` table properties in one
+    * metadata-only commit and ride `CatalogStatistics.colStats` on
+    * every catalog read, so CBO join reorder and filter-selectivity
+    * estimation between snapshot tables run on real numbers. Min/max
+    * are recorded for the orderable external-string-stable types
+    * (numerics, string, date, boolean); other types keep NDV + nulls.
+    * At 100 TB the pass is one map-side-combined aggregate — no
+    * shuffle of data rows, output O(columns). */
+  def analyzeColumns(
+      spark: SparkSession, root: String, cols: Seq[String]): Map[String, ColumnStat] = {
+    val head = readVersion(spark, root)
+    val schema = head.schema
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val missing = cols.filterNot(byName.contains)
+    require(missing.isEmpty,
+      s"ANALYZE: unknown column(s) ${missing.mkString(", ")} at $root")
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    val aggs = cols.flatMap { c =>
+      val f = byName(c)
+      Seq(
+        approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+        (if (orderable(f.dataType))
+          Seq(min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        else Nil) ++
+        (if (f.dataType == org.apache.spark.sql.types.StringType)
+          Seq(avg(octet_length(col(c))).as(s"__avgl_$c"),
+            max(octet_length(col(c))).cast("long").as(s"__maxl_$c"))
+        else Nil)
+    }
+    val row = head.agg(aggs.head, aggs.tail: _*).head()
+    def opt[A](name: String): Option[A] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.get(i).asInstanceOf[A])
+    }
+    val stats = cols.map { c =>
+      val f = byName(c)
+      val fixedLen: Option[Long] = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          opt[Double](s"__avgl_$c").map(d => math.ceil(d).toLong)
+        case dt => Some(dt.defaultSize.toLong)
+      }
+      c -> ColumnStat(
+        ndv = row.getLong(row.fieldIndex(s"__ndv_$c")),
+        nullCount = opt[Long](s"__nulls_$c").getOrElse(0L),
+        min = if (orderable(f.dataType)) opt[String](s"__min_$c") else None,
+        max = if (orderable(f.dataType)) opt[String](s"__max_$c") else None,
+        avgLen = fixedLen,
+        maxLen = f.dataType match {
+          case org.apache.spark.sql.types.StringType => opt[Long](s"__maxl_$c")
+          case dt => Some(dt.defaultSize.toLong)
+        })
+    }.toMap
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val props = stats.map { case (c, s) =>
+      (colStatPrefix + c) -> (s"ndv=${s.ndv};nulls=${s.nullCount}" +
+        s.min.map(m => s";min=${b64(m)}").getOrElse("") +
+        s.max.map(m => s";max=${b64(m)}").getOrElse("") +
+        s.avgLen.map(l => s";avgLen=$l").getOrElse("") +
+        s.maxLen.map(l => s";maxLen=$l").getOrElse(""))
+    }
+    setProperties(spark, root, props)
+    stats
+  }
+
+  /** Decode the `graft.colstat.*` properties `analyzeColumns` wrote —
+    * column name → stats. */
+  def columnStatistics(
+      spark: SparkSession, root: String, version: Long = -1L): Map[String, ColumnStat] = {
+    def unb64(s: String) =
+      new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+    tableProperties(spark, root, version).collect {
+      case (k, v) if k.startsWith(colStatPrefix) =>
+        val kv = v.split(';').map { p =>
+          val i = p.indexOf('=')
+          p.take(i) -> p.drop(i + 1)
+        }.toMap
+        k.stripPrefix(colStatPrefix) -> ColumnStat(
+          ndv = kv("ndv").toLong, nullCount = kv("nulls").toLong,
+          min = kv.get("min").map(unb64), max = kv.get("max").map(unb64),
+          avgLen = kv.get("avgLen").map(_.toLong),
+          maxLen = kv.get("maxLen").map(_.toLong))
+    }
   }
 
   /** ADD COLUMN(s) as a METADATA-ONLY commit: the schema widens, zero

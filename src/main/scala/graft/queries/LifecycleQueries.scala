@@ -1515,6 +1515,104 @@ object LifecycleQueries {
              |FROM events""".stripMargin)
     ),
 
+    // ---- COPY INTO (r11, the Databricks/Delta statement): idempotent
+    // landing-zone ingest. Three parquet batches land; the first COPY
+    // loads two files, the RE-RUN loads zero (identity = path|size|mtime
+    // tracked as `#copied:` log markers, checkpoint-carried so vacuum
+    // can't resurrect a double-load — CopyIntoSpec), a third landing
+    // loads incrementally, and the final table hash-matches the full
+    // relational union. The skip check is an O(ingested files) log-set
+    // lookup — never a data read, never a table listing. 100 TB shape:
+    // re-running a scheduled ingest after any failure is always safe,
+    // and each run's cost rides ONLY the new files.
+    QuerySpec(
+      "sql_copy_into",
+      (s, dir) => {
+        val base = s"${Dumps.forSf(dir)}/copyinto"
+        val root = s"$base/t"; val landing = s"$base/landing"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.where(col("event_id") % 4 === 3))
+        e.where(col("event_id") % 4 === 0).coalesce(1).write.parquet(s"$landing/b0")
+        e.where(col("event_id") % 4 === 1).coalesce(1).write.parquet(s"$landing/b1")
+        val r1 = s.sql(
+          s"COPY INTO graft.`$root` FROM '$landing' FILEFORMAT = PARQUET").head()
+        val r2 = s.sql(
+          s"COPY INTO graft.`$root` FROM '$landing' FILEFORMAT = PARQUET").head()
+        e.where(col("event_id") % 4 === 2).coalesce(1).write.parquet(s"$landing/b2")
+        val r3 = s.sql(
+          s"COPY INTO graft.`$root` FROM '$landing' FILEFORMAT = PARQUET").head()
+        val firstLoaded = r1.getLong(0) == 2L && r1.getLong(2) > 0L
+        val rerunNoop = r2.getLong(0) == 0L && r2.getLong(1) == 2L &&
+          Snapshots.latestVersion(s, root) == 2L // init, copy1, copy3 — no no-op commit
+        val incremental = r3.getLong(0) == 1L && r3.getLong(1) == 2L
+        s.sql(
+          s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root` GROUP BY event_type ORDER BY event_type""".stripMargin)
+          .withColumn("first_loaded", lit(firstLoaded))
+          .withColumn("rerun_noop", lit(rerunNoop))
+          .withColumn("incremental", lit(incremental))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS first_loaded, TRUE AS rerun_noop, TRUE AS incremental
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // ---- ANALYZE TABLE … FOR COLUMNS (r11): per-column NDV / null
+    // count / min / max in ONE aggregate pass, persisted as a
+    // metadata-only commit and surfaced as CatalogColumnStat on every
+    // catalog read (AnalyzeSpec pins CBO consuming them: NDV-driven
+    // filter selectivity, not the no-stats fallback). The oracle pins
+    // the EXACT fields (nulls, min, max as external strings) hash-exact
+    // and brackets the HLL NDV against the exact distinct count
+    // (within 5% — the engine computes the exact count in the same
+    // query, so the bound is engine-measured, not assumed). 100 TB:
+    // one map-side-combined pass, output O(columns).
+    QuerySpec(
+      "sql_analyze_stats",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/analyze"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh per run
+        Snapshots.init(s, root, eventsSlim(s, dir))
+        val out = s.sql(s"ANALYZE TABLE graft.`$root` COMPUTE STATISTICS " +
+          "FOR COLUMNS event_id, user_id, event_type")
+        val exact = Snapshots.readVersion(s, root).agg(
+          countDistinct(col("event_id")).as("event_id"),
+          countDistinct(col("user_id")).as("user_id"),
+          countDistinct(col("event_type")).as("event_type")).head()
+        val exactBy = Map(
+          "event_id" -> exact.getLong(0), "user_id" -> exact.getLong(1),
+          "event_type" -> exact.getLong(2))
+        import s.implicits._
+        out.collect().toSeq.map { r =>
+          val c = r.getString(0)
+          val e = exactBy(c)
+          (c, r.getLong(2), r.getString(3), r.getString(4),
+            math.abs(r.getLong(1) - e).toDouble <= 0.05 * e)
+        }.toDF("col_name", "null_count", "min_str", "max_str", "ndv_close")
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT col_name, CAST(null_count AS BIGINT) AS null_count,
+             |  min_str, max_str, TRUE AS ndv_close FROM (
+             |  SELECT 'event_id' AS col_name, 0 AS null_count,
+             |    CAST(MIN(event_id) AS VARCHAR) AS min_str,
+             |    CAST(MAX(event_id) AS VARCHAR) AS max_str FROM events
+             |  UNION ALL
+             |  SELECT 'user_id', 0, CAST(MIN(user_id) AS VARCHAR),
+             |    CAST(MAX(user_id) AS VARCHAR) FROM events
+             |  UNION ALL
+             |  SELECT 'event_type', 0, MIN(event_type), MAX(event_type)
+             |  FROM events) ORDER BY col_name""".stripMargin)
+    ),
+
     // ---- CONVERT TO GRAFT (r10, Delta's CONVERT TO DELTA): adopt an
     // existing plain-parquet directory as a snapshot table IN PLACE —
     // the engine writes the data as ORDINARY partitioned parquet first

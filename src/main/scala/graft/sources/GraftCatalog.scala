@@ -242,7 +242,18 @@ private[sources] class GraftTable(
       // versions, where envelope rows over-count)
       stats = Some(CatalogStatistics(
         sizeInBytes = BigInt(index.sizeInBytes),
-        rowCount = Snapshots.rowCount(spark, root, snapshotVersion).map(BigInt(_)))))
+        rowCount = Snapshots.rowCount(spark, root, snapshotVersion).map(BigInt(_)),
+        // ANALYZE TABLE's per-column NDV/nulls/min/max (decoded from
+        // the `graft.colstat.*` properties) — CBO's selectivity and
+        // join-reorder inputs
+        colStats = Snapshots.columnStatistics(spark, root, snapshotVersion)
+          .map { case (c, s) =>
+            c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+              distinctCount = Some(BigInt(s.ndv)),
+              min = s.min, max = s.max,
+              nullCount = Some(BigInt(s.nullCount)),
+              avgLen = s.avgLen, maxLen = s.maxLen)
+          })))
   }
 
   /** `TRUNCATE TABLE` — one empty-overwrite commit; history intact. */

@@ -80,6 +80,16 @@ object GraftSqlParser {
   private val convertRe = Pattern.compile(
     """^\s*CONVERT\s+TO\s+GRAFT\s+(.+?)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val copyIntoRe = Pattern.compile(
+    """^\s*COPY\s+INTO\s+(.+?)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      """(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val quotedKvRe = Pattern.compile("""'([^']*)'\s*=\s*'([^']*)'""")
+  private val analyzeRe = Pattern.compile(
+    """^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val addConstraintRe = Pattern.compile(
     """^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
@@ -96,8 +106,13 @@ object GraftSqlParser {
       secondWord.exists(_.equalsIgnoreCase("HISTORY"))
     val isDetail = head == "DESCRIBE" &&
       secondWord.exists(_.equalsIgnoreCase("DETAIL"))
+    val isCopy = head == "COPY" &&
+      secondWord.exists(_.equalsIgnoreCase("INTO"))
+    val isAnalyze = head == "ANALYZE" &&
+      secondWord.exists(_.equalsIgnoreCase("TABLE"))
     if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" &&
-        head != "CONVERT" && head != "ALTER" && !isHistory && !isDetail)
+        head != "CONVERT" && head != "ALTER" && !isHistory && !isDetail &&
+        !isCopy && !isAnalyze)
       return None
     // None (unparseable identifier or a table the registry doesn't
     // know) ⇒ the whole statement delegates untouched, so a session
@@ -121,6 +136,34 @@ object GraftSqlParser {
         return rootOf(drop.group(1))
           .map(GraftDropConstraintCommand(_, drop.group(2)))
       return None
+    }
+    if (isCopy) {
+      val m = copyIntoRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: COPY INTO <table> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON " +
+          "[PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', …)] " +
+          "[COPY_OPTIONS ('force'='true')]; got: " + sqlText)
+      def kvs(group: Int): Map[String, String] = Option(m.group(group)).map { body =>
+        val it = quotedKvRe.matcher(body)
+        val b = Map.newBuilder[String, String]
+        while (it.find()) b += (it.group(1) -> it.group(2))
+        b.result()
+      }.getOrElse(Map.empty)
+      val copyOpts = kvs(6)
+      return rootOf(m.group(1)).map(GraftCopyIntoCommand(_,
+        m.group(2), m.group(3).toLowerCase(Locale.ROOT),
+        Option(m.group(4)), kvs(5),
+        copyOpts.get("force").exists(_.equalsIgnoreCase("true"))))
+    }
+    if (isAnalyze) {
+      // Spark's own ANALYZE targets session-catalog tables; intercept
+      // only tables the snapshot registry resolves, delegate the rest
+      val m = analyzeRe.matcher(sqlText)
+      if (!m.matches()) return None
+      val forAll = m.group(2) != null
+      val named = Option(m.group(3)).toSeq.flatMap(_.split(',').toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+      return rootOf(m.group(1)).map(GraftAnalyzeCommand(_, forAll, named))
     }
     if (isHistory) {
       val m = historyRe.matcher(sqlText)
@@ -320,5 +363,61 @@ case class GraftVacuumCommand(root: String, retainHours: Double)
       try Snapshots.versionAt(session, root, cutoff)
       catch { case _: IllegalArgumentException => 0L } // younger than window
     Seq(Row(Snapshots.vacuum(session, root, keepFrom).toLong))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+  * COLUMNS]` — one aggregate pass computes per-column NDV / null count
+  * / min / max (Snapshots.analyzeColumns) and records them as table
+  * properties; every subsequent catalog read surfaces them to Catalyst
+  * as `CatalogStatistics.colStats`, so CBO join reorder and
+  * selectivity estimates between snapshot tables use real numbers.
+  * Plain `COMPUTE STATISTICS` (no FOR clause) is already answered by
+  * the log (size + row count ride every catalog read) — it validates
+  * the table and returns zero column rows. Returns one row per
+  * analyzed column. */
+case class GraftAnalyzeCommand(
+    root: String, forAll: Boolean, columns: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("ndv", LongType, nullable = false)(),
+    AttributeReference("null_count", LongType, nullable = false)(),
+    AttributeReference("min", org.apache.spark.sql.types.StringType, nullable = true)(),
+    AttributeReference("max", org.apache.spark.sql.types.StringType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val cols =
+      if (forAll) Snapshots.versionSchema(session, root)
+        .map(_.fields.toSeq.map(_.name))
+        .getOrElse(Snapshots.readVersion(session, root).columns.toSeq)
+      else columns
+    if (cols.isEmpty) { Snapshots.latestVersion(session, root); return Nil }
+    val stats = Snapshots.analyzeColumns(session, root, cols)
+    cols.sorted.map { c =>
+      val s = stats(c)
+      Row(c, s.ndv, s.nullCount, s.min.orNull, s.max.orNull)
+    }
+  }
+}
+
+/** `COPY INTO t FROM '<path>' FILEFORMAT = … [PATTERN = …]
+  * [FORMAT_OPTIONS (…)] [COPY_OPTIONS ('force'='true')]` — idempotent
+  * landing-zone ingest (Snapshots.copyInto): every source file loads
+  * exactly once; re-runs skip what already landed. Returns the loaded /
+  * skipped file counts, the rows inserted, and the committed version
+  * (unchanged head when nothing was new). */
+case class GraftCopyIntoCommand(
+    root: String, from: String, format: String, pattern: Option[String],
+    formatOptions: Map[String, String], force: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("files_skipped", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val r = Snapshots.copyInto(session, root, from, format, pattern,
+      formatOptions, force)
+    Seq(Row(r.filesLoaded, r.filesSkipped, r.rowsInserted, r.version))
   }
 }

@@ -2658,15 +2658,17 @@ object Snapshots {
     * borrowers); a source carrying live deletion vectors must
     * materialize first (the vectors live under the source's `_dv/`,
     * unreachable from the clone's root). */
-  def cloneShallow(spark: SparkSession, srcRoot: String, targetRoot: String): Long = {
+  def cloneShallow(spark: SparkSession, srcRoot: String, targetRoot: String,
+      version: Option[Long] = None): Long = {
     require(versions(spark, targetRoot).isEmpty,
       s"snapshot log already exists at $targetRoot")
-    val head = latestVersion(spark, srcRoot)
+    val head = version.getOrElse(latestVersion(spark, srcRoot))
     val (_, srcQroot) = fsOf(spark, srcRoot)
     val srcDelta = readDelta(spark, srcRoot, head)
     require(srcDelta.dv.isEmpty,
-      s"$srcRoot carries live deletion vectors — materializeDeletionVectors " +
-        "before cloning (the sidecars live under the source root)")
+      s"$srcRoot carries live deletion vectors at version $head — " +
+        "materializeDeletionVectors before cloning (the sidecars live " +
+        "under the source root)")
     val (files, stats) = reconstruct(spark, srcRoot, head)
     val absAdds = files.map(f => new Path(srcQroot, f).toString)
     val absStats = files.zip(absAdds).flatMap { case (rel, abs) =>
@@ -2949,6 +2951,23 @@ object Snapshots {
     checkpointVersions(spark, root).filter(_ < floor)
       .foreach(v => fs.delete(checkpointPath(qroot, v), false))
     orphans.size
+  }
+
+  /** DRY RUN: the data files `vacuum(root, keepFrom)` WOULD delete —
+    * absolute paths, sorted, ZERO side effects (no floor checkpoint, no
+    * deletion). Same candidate computation as `vacuum`: dropped
+    * versions' files minus anything a retained version still
+    * references, minus out-of-root paths a shallow clone borrows. */
+  def vacuumPlan(spark: SparkSession, root: String, keepFrom: Long): Seq[String] = {
+    val (_, qroot) = fsOf(spark, root)
+    val all = versions(spark, root)
+    val (drop, keep) = all.partition(_ < keepFrom)
+    require(keep.nonEmpty, s"vacuum would drop every version of $root")
+    val referenced = keep.flatMap(v => versionFileList(spark, root, v)).toSet
+    drop.flatMap(v => versionFileList(spark, root, v)).distinct
+      .filterNot(referenced.contains)
+      .filter(f => ownedByTable(qroot, f))
+      .map(f => new Path(qroot, f).toString).sorted
   }
 
   /** Retention-window vacuum: drop history while REFUSING to drop any

@@ -1708,6 +1708,57 @@ object LifecycleQueries {
              |FROM events""".stripMargin)
     ),
 
+    // ---- Zero-copy branching + safe maintenance preview (r11):
+    // `CREATE TABLE … SHALLOW CLONE … VERSION AS OF 0` branches the
+    // source's v0 into a new table WITHOUT moving a byte (the clone's
+    // log references the lender's files by absolute path), and
+    // `VACUUM … DRY RUN` previews the exact candidate set the real
+    // vacuum then deletes — both as plain spark.sql text. Oracle pins:
+    // the pinned-version clone aggregates to the FULL events table even
+    // though the source head has moved on to a subset, and the dry-run
+    // preview count equals the real deletion count (a preview that
+    // under- or over-states the blast radius is worse than none).
+    // 100 TB: clone is O(head file list) metadata; the dry run is the
+    // same log-only candidate computation as vacuum minus the deletes.
+    QuerySpec(
+      "sql_clone_vacuum_plan",
+      (s, dir) => {
+        val src = s"${Dumps.forSf(dir)}/sqlclone_src"
+        val dst = s"${Dumps.forSf(dir)}/sqlclone_dst"
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(src, dst).foreach(r =>
+          fs.delete(new org.apache.hadoop.fs.Path(r), true)) // fresh per run
+        Snapshots.init(s, src, eventsSlim(s, dir).repartition(4))
+        Snapshots.overwrite(s, src,
+          eventsSlim(s, dir).where(col("event_type") === "click"))
+        // branch the PRE-overwrite version: zero data movement
+        s.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src` VERSION AS OF 0")
+        val agg = s.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$dst`""".stripMargin)
+        val aggRow = agg.head() // aggregate BEFORE the lender vacuums v0
+        // the preview must equal the real deletion, file for file
+        s.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+        val (planned, deleted) =
+          try {
+            val p = s.sql(s"VACUUM graft.`$src` RETAIN 0 HOURS DRY RUN").count()
+            val headCount = Snapshots.readVersion(s, src).count() // untouched by dry run
+            val d = s.sql(s"VACUUM graft.`$src` RETAIN 0 HOURS").head().getLong(0)
+            (if (headCount > 0) p else -1L, d)
+          } finally s.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+        import s.implicits._
+        Seq((aggRow.getLong(0), aggRow.getLong(1), aggRow.getDouble(2)))
+          .toDF("n", "id_sum", "value_sum")
+          .withColumn("dry_run_exact", lit(planned == deleted && planned > 0))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS dry_run_exact
+             |FROM events""".stripMargin)
+    ),
+
     // ---- DSv2 TableCatalog door (r10, VERDICT task 4): pure SQL against
     // `spark.sql.catalog.graft` with ZERO ceremony — no temp view, no
     // register() call. One flow exercises the whole surface: a

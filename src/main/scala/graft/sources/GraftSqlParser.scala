@@ -66,7 +66,11 @@ object GraftSqlParser {
     """^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val vacuumRe = Pattern.compile(
-    """^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$""",
+    """^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val cloneRe = Pattern.compile(
+    """^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(.+?)\s+SHALLOW\s+CLONE\s+""" +
+      """(.+?)(?:\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?))?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val restoreRe = Pattern.compile(
     """^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*;?\s*$""",
@@ -110,9 +114,14 @@ object GraftSqlParser {
       secondWord.exists(_.equalsIgnoreCase("INTO"))
     val isAnalyze = head == "ANALYZE" &&
       secondWord.exists(_.equalsIgnoreCase("TABLE"))
+    // CREATE is Spark's statement; intercept ONLY the SHALLOW CLONE
+    // shape (Spark's own parser has no CLONE production) — every other
+    // CREATE delegates untouched
+    val isClone = head == "CREATE" &&
+      """\bSHALLOW\s+CLONE\b""".r.findFirstIn(trimmed.toUpperCase(Locale.ROOT)).isDefined
     if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" &&
         head != "CONVERT" && head != "ALTER" && !isHistory && !isDetail &&
-        !isCopy && !isAnalyze)
+        !isCopy && !isAnalyze && !isClone)
       return None
     // None (unparseable identifier or a table the registry doesn't
     // know) ⇒ the whole statement delegates untouched, so a session
@@ -165,6 +174,22 @@ object GraftSqlParser {
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       return rootOf(m.group(1)).map(GraftAnalyzeCommand(_, forAll, named))
     }
+    if (isClone) {
+      val m = cloneRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: CREATE TABLE [IF NOT EXISTS] <target> SHALLOW CLONE <source> " +
+          "[VERSION|TIMESTAMP AS OF <v>]; got: " + sqlText)
+      val ifNotExists = m.group(1) != null
+      val asOf = Option(m.group(4)).map { kind =>
+        (kind.equalsIgnoreCase("TIMESTAMP"),
+          m.group(5).trim.stripPrefix("'").stripSuffix("'"))
+      }
+      return (rootOf(m.group(2)), rootOf(m.group(3))) match {
+        case (Some(target), Some(source)) =>
+          Some(GraftCloneCommand(target, source, ifNotExists, asOf))
+        case _ => None
+      }
+    }
     if (isHistory) {
       val m = historyRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
@@ -199,9 +224,12 @@ object GraftSqlParser {
     } else {
       val m = vacuumRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
-        "expected: VACUUM <table> [RETAIN <n> HOURS]; got: " + sqlText)
-      rootOf(m.group(1)).map(GraftVacuumCommand(_,
-        Option(m.group(2)).map(_.toDouble).getOrElse(168.0)))
+        "expected: VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]; got: " + sqlText)
+      val retain = Option(m.group(2)).map(_.toDouble).getOrElse(168.0)
+      if (m.group(3) != null)
+        rootOf(m.group(1)).map(GraftVacuumDryRunCommand(_, retain))
+      else
+        rootOf(m.group(1)).map(GraftVacuumCommand(_, retain))
     }
   }
 }
@@ -350,6 +378,14 @@ case class GraftVacuumCommand(root: String, retainHours: Double)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("files_deleted", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    GraftVacuumCommand.checkRetention(session, retainHours)
+    val keepFrom = GraftVacuumCommand.keepFromOf(session, root, retainHours)
+    Seq(Row(Snapshots.vacuum(session, root, keepFrom).toLong))
+  }
+}
+
+object GraftVacuumCommand {
+  private[sources] def checkRetention(session: SparkSession, retainHours: Double): Unit = {
     val checkOn = !session.conf
       .getOption("spark.graft.vacuum.retentionCheck.enabled").contains("false")
     if (checkOn && retainHours < 168.0)
@@ -358,11 +394,52 @@ case class GraftVacuumCommand(root: String, retainHours: Double)
           "default — in-flight readers and time travel may still reference " +
           "the files it would delete. Set " +
           "spark.graft.vacuum.retentionCheck.enabled=false to override.")
+  }
+  private[sources] def keepFromOf(
+      session: SparkSession, root: String, retainHours: Double): Long = {
     val cutoff = System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
-    val keepFrom =
-      try Snapshots.versionAt(session, root, cutoff)
-      catch { case _: IllegalArgumentException => 0L } // younger than window
-    Seq(Row(Snapshots.vacuum(session, root, keepFrom).toLong))
+    try Snapshots.versionAt(session, root, cutoff)
+    catch { case _: IllegalArgumentException => 0L } // younger than window
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS] DRY RUN` — one row per data file the
+  * matching real VACUUM would delete (absolute path, sorted), ZERO side
+  * effects: no deletion, no floor checkpoint, log untouched. Same
+  * retention guard as the real statement — a dry run under an unsafe
+  * retention should fail the same way the real run would, not preview a
+  * deletion the guard will refuse. */
+case class GraftVacuumDryRunCommand(root: String, retainHours: Double)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftVacuumCommand.checkRetention(session, retainHours)
+    val keepFrom = GraftVacuumCommand.keepFromOf(session, root, retainHours)
+    Snapshots.vacuumPlan(session, root, keepFrom).map(Row(_))
+  }
+}
+
+/** `CREATE TABLE t SHALLOW CLONE s [VERSION|TIMESTAMP AS OF v]` — a
+  * zero-copy branch of the source at the named (default: head) version:
+  * the clone's log references the source's data files by absolute path;
+  * no data moves. `IF NOT EXISTS` makes an already-initialised target a
+  * no-op (returns its current head) instead of an error. */
+case class GraftCloneCommand(
+    targetRoot: String, sourceRoot: String, ifNotExists: Boolean,
+    asOf: Option[(Boolean, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    if (ifNotExists && Snapshots.versions(session, targetRoot).nonEmpty)
+      return Seq(Row(Snapshots.latestVersion(session, targetRoot)))
+    val version = asOf.map {
+      case (false, spec) => spec.toLong
+      case (true, spec) => Snapshots.versionAt(session, sourceRoot,
+        spec.toLongOption.getOrElse(java.sql.Timestamp.valueOf(spec).getTime))
+    }
+    Seq(Row(Snapshots.cloneShallow(session, sourceRoot, targetRoot, version)))
   }
 }
 

@@ -123,4 +123,62 @@ class GraftSqlParserSpec extends AnyFunSuite {
     val d2 = spark.sql(s"DESCRIBE DETAIL graft.`$root`").head()
     assert(d2.isNullAt(8))
   }
+
+  test("VACUUM DRY RUN previews exactly what the real vacuum deletes, touching nothing") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.overwrite(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // the retention guard applies to the preview too
+    val guard = intercept[Exception](
+      spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN"))
+    assert(guard.getMessage.contains("retentionCheck"))
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    try {
+      val planned =
+        spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN")
+          .as[String].collect().toSeq
+      assert(planned.nonEmpty, "v0's orphaned files are candidates")
+      // ZERO side effects: full history still reconstructs
+      assert(Snapshots.versions(spark, root) == Seq(0L, 1L))
+      assert(Snapshots.readVersion(spark, root, 0).count() == 100,
+        "dry run deleted nothing")
+      // the real vacuum deletes exactly the previewed count
+      val deleted = spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").as[Long].head()
+      assert(deleted == planned.size.toLong)
+      // inside the default window the preview is empty
+      assert(spark.sql(s"VACUUM graft.`$root` DRY RUN").count() == 0L)
+    } finally spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+  }
+
+  test("CREATE TABLE ... SHALLOW CLONE as SQL, version-pinned, IF NOT EXISTS no-op") {
+    val src = tmp()
+    Snapshots.init(spark, src, (1L to 60L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.append(spark, src, Seq((999L, 9.0)).toDF("k", "v"))
+    val dst = tmp()
+    val v = spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`")
+      .as[Long].head()
+    assert(v == 0L, "the clone starts its own history at v0")
+    assert(Snapshots.readVersion(spark, dst).count() == 61, "head-version clone")
+    // pinned to an earlier source version
+    val dst0 = tmp()
+    spark.sql(s"CREATE TABLE graft.`$dst0` SHALLOW CLONE graft.`$src` VERSION AS OF 0")
+    assert(Snapshots.readVersion(spark, dst0).count() == 60)
+    // timestamp spelling pins the version live at that moment
+    val dstTs = tmp()
+    val ts0 = Snapshots.commitTimestamp(spark, src, 0L)
+    spark.sql(
+      s"CREATE TABLE graft.`$dstTs` SHALLOW CLONE graft.`$src` TIMESTAMP AS OF $ts0")
+    assert(Snapshots.readVersion(spark, dstTs).count() == 60)
+    // an initialised target refuses without IF NOT EXISTS, no-ops with it
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE graft.`$dst` SHALLOW CLONE graft.`$src`"))
+    assert(spark.sql(
+      s"CREATE TABLE IF NOT EXISTS graft.`$dst` SHALLOW CLONE graft.`$src`")
+      .as[Long].head() == 0L)
+    assert(Snapshots.readVersion(spark, dst).count() == 61, "no-op kept the clone")
+    // plain CREATE TABLE still delegates to Spark's own parser
+    spark.sql("CREATE TABLE gsp_plain_create (k INT) USING parquet")
+    try assert(spark.sql("SELECT * FROM gsp_plain_create").count() == 0L)
+    finally spark.sql("DROP TABLE gsp_plain_create")
+  }
 }

@@ -349,6 +349,67 @@ object LifecycleQueries {
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // ---- CDC as a SQL table-valued function (r11): `SELECT … FROM
+    // table_changes('t', 1, 2)` through injectTableFunction — Delta's
+    // spelling, zero ceremony (no readChangeFeed option, no API call),
+    // composing with GROUP BY/joins like any relation. The oracle
+    // recomputes every op-class's (count, id_sum, value_sum) from the
+    // events table relationally: pre-images carry original values,
+    // post-images the doubled ones, deletes the CURRENT (post-update)
+    // row — any wrong image, missed op, or version-bound slip flips the
+    // hash. 100 TB: resolution is O(range) memoized header reads; data
+    // cost is the feeds themselves (0.1% of table for a 0.1% merge).
+    QuerySpec(
+      "sql_table_changes",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/tvfcdc"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e)
+        val updates = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+        val inserts = e.where(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("value", col("value") + 1)
+        Snapshots.mergeCow(s, root, updates.unionByName(inserts),
+          Seq("event_id"), changeFeed = true)
+        Snapshots.deleteKeysCow(s, root,
+          e.where(col("event_id") % 13 === 4).select(col("event_id")),
+          Seq("event_id"), changeFeed = true)
+        s.sql(
+          s"""SELECT _op, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM table_changes('graft.`$root`', 1, 2)
+             |GROUP BY _op ORDER BY _op""".stripMargin)
+      },
+      Some("""WITH e AS (SELECT event_id, value FROM events)
+             |SELECT * FROM (
+             |  SELECT 'delete' AS _op, COUNT(*) AS n,
+             |    CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |    CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END
+             |      AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |  FROM e WHERE event_id % 13 = 4
+             |  UNION ALL
+             |  SELECT 'insert', COUNT(*),
+             |    CAST(SUM(event_id + 10000000) AS BIGINT),
+             |    CAST(SUM(CAST(value + 1 AS DECIMAL(12,2))) AS DOUBLE)
+             |  FROM e WHERE event_id % 10 = 7
+             |  UNION ALL
+             |  SELECT 'update_preimage', COUNT(*),
+             |    CAST(SUM(event_id) AS BIGINT),
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |  FROM e WHERE event_id % 10 = 0
+             |  UNION ALL
+             |  SELECT 'update_postimage', COUNT(*),
+             |    CAST(SUM(event_id) AS BIGINT),
+             |    CAST(SUM(CAST(value * 2 AS DECIMAL(12,2))) AS DOUBLE)
+             |  FROM e WHERE event_id % 10 = 0
+             |) ORDER BY _op""".stripMargin)
+    ),
+
     // ---- Incremental view maintenance from the feed ALONE: maintain a
     // (count, sum) mart by applying the change feed's signed deltas
     // (pre-images/deletes at -1, post-images/inserts at +1) — zero fact

@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(spark => GraftDmlRule(spark))
     ext.injectPostHocResolutionRule(spark => GraftDynamicOverwriteRule(spark))
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // CDC as a SQL table-valued function: SELECT … FROM
+    // table_changes('t', start [, end]) — Delta's spelling
+    ext.injectTableFunction(GraftTableChanges.description)
   }
 }
 

@@ -664,8 +664,26 @@ object Snapshots {
     val clusterCols0 = props.get(clusterByProp)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
       .filter(df0.columns.contains)
+    val bucketCols = bucketColsOf(props).filter(df0.columns.contains)
+    val bucketN = props.get(bucketCountProp).flatMap(_.toIntOption).getOrElse(0)
     val clustered0 =
-      if (clusterCols0.isEmpty) df0
+      if (bucketCols.nonEmpty) {
+        // bucketed table: EVERY commit hash-repartitions to exactly
+        // `graft.buckets` partitions — partition index i IS bucket id i
+        // (repartition's HashPartitioning = pmod(hash(cols), n), the
+        // same function FileSourceScanExec reports for bucketed scans),
+        // and the explicit numPartitions keeps AQE from coalescing.
+        // Sorting within the bucket tightens row-group envelopes.
+        require(clusterCols0.isEmpty,
+          s"$clusterByProp and $bucketByProp are mutually exclusive")
+        require(bucketN > 0, s"$bucketByProp needs $bucketCountProp > 0")
+        require(graft.core.HivePartitions.columnsOf(props)
+            .forall(!bucketCols.contains(_)),
+          "bucket columns cannot be partition columns")
+        df0.repartition(bucketN, bucketCols.map(col): _*)
+          .sortWithinPartitions(bucketCols.map(col): _*)
+      }
+      else if (clusterCols0.isEmpty) df0
       else {
         val n = math.max(1, df0.rdd.getNumPartitions)
         df0.repartitionByRange(n, clusterCols0.map(col): _*)
@@ -704,8 +722,61 @@ object Snapshots {
         else if (s.isDirectory) filesUnder(s.getPath)
         else Seq(s"data/${dir.getName}/" + s.getPath.toString.stripPrefix(prefix))
       }
+    if (bucketCols.nonEmpty) renameBucketFiles(fs, dir)
     val rels = filesUnder(dir)
     (rels, statsForNewFiles(spark, qroot, rels))
+  }
+
+  /** Table properties for hash-bucketed layout: `graft.bucketBy` (the
+    * bucket columns) and `graft.buckets` (the fixed bucket count). Set
+    * at init (or CREATE ... TBLPROPERTIES); every subsequent commit —
+    * append, merge, compaction — re-buckets, so the invariant survives
+    * the table's whole lifecycle. */
+  val bucketByProp = "graft.bucketBy"
+  val bucketCountProp = "graft.buckets"
+
+  private[graft] def bucketColsOf(props: Map[String, String]): Seq[String] =
+    props.get(bucketByProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** The `BucketSpec` a bucketed table's relations carry — Spark's
+    * FileSourceScanExec then (a) reports HashPartitioning(bucketCols,
+    * n) so joins/aggregations on the bucket key between co-bucketed
+    * tables plan ZERO exchanges, and (b) prunes buckets for equality
+    * predicates on the bucket columns (a point lookup scans 1/n of the
+    * files). None when the table isn't bucketed. */
+  def bucketSpecOf(props: Map[String, String])
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val cols = bucketColsOf(props)
+    if (cols.isEmpty) None
+    else props.get(bucketCountProp).flatMap(_.toIntOption).filter(_ > 0)
+      .map(n => org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil))
+  }
+
+  /** Stamp each just-written data file with its bucket id in Spark's
+    * bucket-file naming (`_NNNNN` before the extension — the shape
+    * `BucketingUtils.getBucketId` parses). The bucket id is the task
+    * partition index already in the default `part-NNNNN-…` name: the
+    * frame was hash-repartitioned to the bucket count immediately
+    * before the write, so task i held exactly bucket i (Hive layout
+    * subdirectories don't change row→task placement). */
+  private def renameBucketFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit = {
+    val partRe = """^part-(\d+)-(.*?)(\..+)?$""".r
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory) walk(s.getPath)
+      else if (!n.startsWith("_") && !n.startsWith(".")) n match {
+        case partRe(idx, mid, ext) =>
+          val bucket = f"_${idx.toInt}%05d"
+          val renamed = s"part-$idx-$mid$bucket${Option(ext).getOrElse("")}"
+          if (!fs.rename(s.getPath, new Path(s.getPath.getParent, renamed)))
+            throw new IllegalStateException(
+              s"failed to stamp bucket id on ${s.getPath}")
+        case _ => throw new IllegalStateException(
+          s"unexpected data file name for a bucketed write: ${s.getPath}")
+      }
+    }
+    walk(dir)
   }
 
   /** Partition columns of the table (from its `graft.partitionBy`
@@ -841,7 +912,7 @@ object Snapshots {
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long],
       props: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
-    val gen = withGenerated(df, props)
+    val (gen, _, injected) = withIdentity(withGenerated(df, props), props)
     // a partitioned table's layout columns must exist up front (validated
     // once here; every later commit writes the same Hive layout —
     // GENERATED columns are materialized first, so a derived partition
@@ -852,7 +923,8 @@ object Snapshots {
     val (adds, stats) = writeCommitFiles(spark, root, 0L, gen, props)
     writeDelta(spark, root, 0L,
       Delta(adds, Nil, txn,
-        schema = Some(nullable(gen.schema).json), props = props, stats = stats,
+        schema = Some(nullable(gen.schema).json),
+        props = props ++ identityPatch(stats, injected, identity), stats = stats,
         op = Some("init")))
     maybeCheckpoint(spark, root, 0L)
     0L
@@ -972,7 +1044,7 @@ object Snapshots {
     val base = latestVersion(spark, root)
     val baseDelta = readDelta(spark, root, base)
     val props = baseDelta.props
-    val df = withGenerated(df0, props)
+    val (df, idExpect, injected) = withIdentity(withGenerated(df0, props), props)
     checkConstraints(df, props)
     // freeze this batch's logical→physical assignment BEFORE writing,
     // so the files and the recorded schema can never disagree (OCC
@@ -981,7 +1053,10 @@ object Snapshots {
       baseDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
       df.schema, props)
     val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props, Some(assigned))
-    commitAdds(spark, root, adds, txn, base + 1, Some(assigned), stats)
+    val physOf = physicalMap(assigned)
+    commitAdds(spark, root, adds, txn, base + 1, Some(assigned), stats,
+      expectProps = idExpect,
+      patchProps = identityPatch(stats, injected, c => physOf.getOrElse(c, c)))
   }
 
   /** Optimistic-concurrency commit of a PURE APPEND: attempt `startV`; on a
@@ -994,17 +1069,28 @@ object Snapshots {
   private[jobs] def commitAdds(
       spark: SparkSession, root: String, adds: Seq[String],
       txn: Option[Long], startV: Long, addSchema: Option[StructType] = None,
-      stats: Map[String, graft.core.Skipping.FileStats] = Map.empty): Long = {
+      stats: Map[String, graft.core.Skipping.FileStats] = Map.empty,
+      expectProps: Map[String, String] = Map.empty,
+      patchProps: Map[String, String] = Map.empty): Long = {
     var v = startV
     var attempts = 0
     var committed = false
     while (!committed) {
       val prevDelta = readDelta(spark, root, v - 1)
+      // identity allocation cannot rebase — the ids are already in the
+      // written files; a winner that moved the hwm makes them stale
+      expectProps.foreach { case (k, want) =>
+        val got = prevDelta.props.getOrElse(k, "")
+        if (got != want) throw new IllegalStateException(
+          s"identity allocation race on $k (allocated against '$want', " +
+            s"head now carries '$got') — retry the whole append")
+      }
       val schema = addSchema.map(s =>
         mergedSchema(prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), s).json)
       try {
         writeDelta(spark, root, v,
-          Delta(adds, Nil, txn, schema = schema, props = prevDelta.props,
+          Delta(adds, Nil, txn, schema = schema,
+            props = prevDelta.props ++ patchProps,
             stats = stats, op = Some("append"), dv = prevDelta.dv))
         committed = true
       } catch {
@@ -1138,23 +1224,31 @@ object Snapshots {
         s"${extra.mkString(", ")} — COPY never widens a schema; use append " +
         "for intentional evolution")
     mergedSchema(Some(tableSchema), df0.schema) // refuse type changes loudly
-    val df = withGenerated(df0, props)
+    val (df, idExpect, injected) =
+      withIdentity(withGenerated(df0, props), props)
     checkConstraints(df, props)
     val assigned = assignPhysical(Some(tableSchema), df.schema, props)
+    val physOf = physicalMap(assigned)
     val (fs, qroot) = fsOf(spark, root)
     val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props, Some(assigned))
+    val idPatch = identityPatch(stats, injected, c => physOf.getOrElse(c, c))
     val rows = adds.flatMap(stats.get).map(_.rows).sum
     var v = base + 1
     var committed = false
     while (!committed) {
       val prevDelta = readDelta(spark, root, v - 1)
+      idExpect.foreach { case (k, want) =>
+        val got = prevDelta.props.getOrElse(k, "")
+        if (got != want) throw new IllegalStateException(
+          s"identity allocation race on $k — retry the COPY INTO")
+      }
       try {
         writeDelta(spark, root, v,
           Delta(adds, Nil, None,
             schema = Some(mergedSchema(
               prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
               assigned).json),
-            props = prevDelta.props, stats = stats, op = Some("copy"),
+            props = prevDelta.props ++ idPatch, stats = stats, op = Some("copy"),
             dv = prevDelta.dv, copied = freshIds))
         committed = true
       } catch {
@@ -2385,6 +2479,72 @@ object Snapshots {
     }
   }
 
+  /** Identity columns (`graft.identity.<col> = "<start>,<step>"`,
+    * declared at init; high-water mark rides `graft.identity.<col>.hwm`
+    * in the SAME commit that allocates): ingest paths (init / append /
+    * streaming batches / COPY INTO) inject the column when the batch
+    * LACKS it — `GENERATED BY DEFAULT AS IDENTITY` semantics, a batch
+    * carrying the column explicitly passes through untouched.
+    *
+    * Allocation is ONE-PASS and distributed: id = hwm + step +
+    * monotonically_increasing_id() × step — partition p's rows draw
+    * from block p·2³³, so ids are unique with NO cross-task
+    * coordination and no second counting job over the batch; identity
+    * permits gaps (same admission as Delta's). The hwm then advances to
+    * the batch's ACTUAL maximum, read from the committed files' stats
+    * envelopes — metadata the commit already carries, zero extra scans
+    * — so gaps never compound across commits. A concurrent append that
+    * moved the hwm between assignment and commit is REFUSED (never
+    * rebased — the ids are already in the written files); the caller
+    * retries the whole append. */
+  private[jobs] val identityPrefix = "graft.identity."
+
+  private def identityColsOf(props: Map[String, String]): Seq[(String, Long, Long)] =
+    props.collect {
+      case (k, v) if k.startsWith(identityPrefix) && !k.endsWith(".hwm") =>
+        val parts = v.split(',').map(_.trim)
+        val start = parts.headOption.flatMap(_.toLongOption).getOrElse(1L)
+        val step = parts.lift(1).flatMap(_.toLongOption).getOrElse(1L)
+        require(step != 0, s"$k: step must be non-zero")
+        (k.stripPrefix(identityPrefix), start, step)
+    }.toSeq.sortBy(_._1)
+
+  /** Inject absent identity columns; returns the frame plus the hwm
+    * snapshot the allocation was based on (for the commit-time race
+    * check) and the injected column list. */
+  private def withIdentity(df: DataFrame, props: Map[String, String])
+      : (DataFrame, Map[String, String], Seq[(String, Long)]) = {
+    val decls = identityColsOf(props).filterNot { case (c, _, _) => df.columns.contains(c) }
+    if (decls.isEmpty) return (df, Map.empty, Nil)
+    val expect = decls.map { case (c, _, _) =>
+      val k = identityPrefix + c + ".hwm"
+      k -> props.getOrElse(k, "")
+    }.toMap
+    val out = decls.foldLeft(df) { case (d, (c, start, step)) =>
+      val hwm = props.get(identityPrefix + c + ".hwm").flatMap(_.toLongOption)
+        .getOrElse(start - step)
+      d.withColumn(c,
+        lit(hwm + step) + monotonically_increasing_id() * lit(step))
+    }
+    (out, expect, decls.map { case (c, _, step) => c -> step })
+  }
+
+  /** The hwm advance a just-written batch commits alongside its adds:
+    * per injected column, the max (ascending step) or min (descending)
+    * over the new files' stats envelopes. */
+  private def identityPatch(
+      stats: Map[String, graft.core.Skipping.FileStats],
+      injected: Seq[(String, Long)],
+      physOf: String => String): Map[String, String] =
+    injected.flatMap { case (c, step) =>
+      val p = physOf(c)
+      val bounds = stats.values.flatMap(s =>
+        (if (step > 0) s.maxs else s.mins).get(p))
+      if (bounds.isEmpty) None // empty batch: hwm stays
+      else Some(identityPrefix + c + ".hwm" ->
+        (if (step > 0) bounds.max else bounds.min).toString)
+    }.toMap
+
   /** SQL-CHECK semantics: a row violates when the expression is FALSE
     * (NULL passes, as in standard CHECK). Only NEW rows are validated —
     * carried/rewritten rows were validated by the commits that added
@@ -2430,6 +2590,21 @@ object Snapshots {
     require(structural.isEmpty,
       s"${graft.core.HivePartitions.prop} is structural — the partition " +
         "layout is fixed at init (rewrite via overwrite to re-layout)")
+    // bucket layout is structural too: committed files carry (or lack)
+    // bucket ids in their NAMES — flipping the property without a
+    // rewrite would desynchronize file naming and bucketed planning
+    val bucketStructural = (set.keys ++ unset)
+      .filter(k => k == bucketByProp || k == bucketCountProp)
+    require(bucketStructural.isEmpty,
+      s"$bucketByProp/$bucketCountProp are structural — declare them at " +
+        "init (or rewrite via overwrite into a bucketed table)")
+    // identity declarations are creation-time only (Delta's rule): a
+    // later declaration could collide with values already in the data,
+    // and hand-editing the hwm forges allocation state
+    val identityStructural = (set.keys ++ unset).filter(_.startsWith(identityPrefix))
+    require(identityStructural.isEmpty,
+      s"$identityPrefix* properties are declared at init and maintained " +
+        "by the engine — they cannot be altered")
     val head = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, head)
     commitRewrite(spark, root, head + 1,
@@ -2802,6 +2977,60 @@ object Snapshots {
       .repartitionByRange(numFiles, clusterBy.map(col): _*)
       .sortWithinPartitions(clusterBy.map(col): _*)
     commitOptimized(spark, root, prev, clustered, scopeFiles)
+  }
+
+  /** OPTIMIZE for a CLUSTERED table (`graft.clusterBy` set): Delta's
+    * clustered-table behavior — plain OPTIMIZE re-clusters by the
+    * DECLARED columns, and is an incremental NO-OP (-1) when the
+    * current layout is already tight. Admission is pure metadata (the
+    * log's stats envelopes + one file-status listing, zero data reads):
+    * rewrite only when (a) file envelopes on the LEADING cluster key
+    * overlap — appends and merges interleave key ranges, so min/max
+    * skipping degrades — or (b) the file count exceeds 4× the target
+    * packing (fragmentation at the version grain, scale-relative so a
+    * healthy 1000-file 100 TB layout never churns). Missing or
+    * mixed-family envelopes rewrite conservatively. Repeated OPTIMIZE
+    * on an already-tight table costs one metadata pass, commits
+    * nothing — safe to schedule blindly. */
+  def optimizeClustered(
+      spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      where: Option[String] = None): Long = {
+    val prev = latestVersion(spark, root)
+    val props = tableProperties(spark, root, prev)
+    val cols = props.get(clusterByProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    require(cols.nonEmpty, s"$root carries no $clusterByProp property")
+    val (fs, qroot) = fsOf(spark, root)
+    val files = versionFileList(spark, root, prev)
+    val totalBytes = files.map(f => fs.getFileStatus(new Path(qroot, f)).getLen).sum
+    val nTarget = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    def rewrite(): Long = optimizeCow(spark, root, cols, nTarget, where)
+    if (where.isDefined) return rewrite() // caller scoped the recluster
+    if (files.size > 4L * nTarget) return rewrite() // fragmentation
+    if (files.size <= 1) return -1L
+    val lead = versionSchema(spark, root, prev).map(physicalMap)
+      .getOrElse(Map.empty[String, String]).getOrElse(cols.head, cols.head)
+    val idx = statsIndex(spark, root, prev)
+    def overlap[T](ivs: Seq[Option[(T, T)]], lt: (T, T) => Boolean): Option[Boolean] =
+      if (!ivs.forall(_.isDefined)) None
+      else Some(ivs.flatten.sortWith((a, b) => lt(a._1, b._1))
+        .sliding(2).exists {
+          case Seq(a, b) => lt(b._1, a._2) // next.min strictly below prev.max
+          case _ => false
+        })
+    val byteLt = (a: Seq[Byte], b: Seq[Byte]) => graft.core.Skipping.compareBytes(a, b) < 0
+    val overlapping = overlap(idx.map(f =>
+        for { lo <- f.mins.get(lead); hi <- f.maxs.get(lead) } yield (lo, hi)),
+        (a: Long, b: Long) => a < b)
+      .orElse(overlap(idx.map(f =>
+        for { lo <- f.dmins.get(lead); hi <- f.dmaxs.get(lead) } yield (lo, hi)),
+        (a: Double, b: Double) => a < b))
+      .orElse(overlap(idx.map(f =>
+        for { lo <- f.smins.get(lead); hi <- f.smaxs.get(lead) } yield (lo, hi)),
+        byteLt))
+      .getOrElse(true) // no complete envelope family: rewrite conservatively
+    if (overlapping) rewrite() else -1L
   }
 
   /** The (frame, rel-file-list) an OPTIMIZE variant rewrites: the whole

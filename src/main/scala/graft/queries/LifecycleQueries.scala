@@ -1254,7 +1254,8 @@ object LifecycleQueries {
           .where(col(ChangeFeed.opCol) === "delete").count()
         val beforeMat = s.read.format("graft.sources.SnapshotSource").load(root)
           .agg(count(lit(1)), sum(col("event_id"))).head()
-        val vM = Snapshots.materializeDeletionVectors(s, root)
+        // the SQL door for the same fold (Delta's REORG spelling)
+        val vM = s.sql(s"REORG TABLE graft.`$root` APPLY (PURGE)").head().getLong(0)
         val afterMat = Snapshots.readVersion(s, root)
           .agg(count(lit(1)), sum(col("event_id"))).head()
         val materializeExact = vM > 0 && beforeMat == afterMat &&
@@ -1766,6 +1767,168 @@ object LifecycleQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
              |  TRUE AS packed, CAST(8 AS BIGINT) AS n_vacuumed,
              |  TRUE AS v0_unreadable_after_vacuum
+             |FROM events""".stripMargin)
+    ),
+
+    // ---- Identity columns (r11): `graft.identity.<col> = "start,step"`
+    // injects a unique id into every ingested batch that lacks the
+    // column — one-pass distributed allocation (partition-block ids,
+    // gaps allowed, NO counting pre-pass and no cross-task
+    // coordination), with the high-water mark advanced to the batch's
+    // ACTUAL max via the commit's own stats envelopes (zero extra
+    // scans) so gaps never compound. Oracle pins the deterministic
+    // facts: every row got an id, all distinct, min == start, and the
+    // second batch drew strictly above the first commit's max; the data
+    // columns hash against the relational recompute. 100 TB: surrogate
+    // keys for a 10 TB/day ingest with no global row-number shuffle.
+    QuerySpec(
+      "identity_ingest",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/identity"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.where(col("event_id") % 2 === 0).drop("event_id").repartition(4),
+          Map("graft.identity.row_id" -> "1,1"))
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 2 === 1).drop("event_id").repartition(3))
+        val v0Max = Snapshots.readVersion(s, root, 0)
+          .agg(max(col("row_id"))).head().getLong(0)
+        val v1Min = Snapshots.readVersion(s, root)
+          .join(Snapshots.readVersion(s, root, 0), Seq("row_id"), "left_anti")
+          .agg(min(col("row_id"))).head().getLong(0)
+        val hwm = Snapshots.tableProperties(s, root)("graft.identity.row_id.hwm").toLong
+        val t = Snapshots.readVersion(s, root)
+        val headMax = t.agg(max(col("row_id"))).head().getLong(0)
+        t.agg(count(lit(1)).as("n"),
+            countDistinct(col("row_id")).as("distinct_ids"),
+            min(col("row_id")).cast("bigint").as("min_id"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("batches_monotone", lit(v1Min > v0Max))
+          .withColumn("hwm_exact", lit(hwm == headMax))
+      },
+      Some("""SELECT COUNT(*) AS n, COUNT(*) AS distinct_ids,
+             |  CAST(1 AS BIGINT) AS min_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS batches_monotone, TRUE AS hwm_exact
+             |FROM events""".stripMargin)
+    ),
+
+    // ---- Hash-bucketed tables (r11): `graft.bucketBy`+`graft.buckets`
+    // tables re-bucket EVERY commit (hash-repartition to the fixed
+    // count; file names carry bucket ids), and reads surface the layout
+    // as a BucketSpec — so a join between two co-bucketed tables on the
+    // bucket key plans ZERO shuffle exchanges under the join: the
+    // on-disk layout IS the distribution. Oracle pins the colocation as
+    // a plan-audit column (both scans bucketed, no exchange in the join
+    // subtree) and the joined aggregate against the relational
+    // recompute. 100 TB: the canonical fact⋈fact repeated-join shape —
+    // two 10 TB tables bucketed by user_id join with no network
+    // movement at all, forever, amortizing one write-time shuffle.
+    QuerySpec(
+      "bucket_join_agg",
+      (s, dir) => {
+        val ra = s"${Dumps.forSf(dir)}/bktev"
+        val rb = s"${Dumps.forSf(dir)}/bktusr"
+        val fs = new org.apache.hadoop.fs.Path(ra)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(ra, rb).foreach(r =>
+          fs.delete(new org.apache.hadoop.fs.Path(r), true)) // fresh per run
+        val e = eventsSlim(s, dir)
+        val bprops = Map("graft.bucketBy" -> "user_id", "graft.buckets" -> "8")
+        Snapshots.init(s, ra, e, bprops)
+        Snapshots.init(s, rb,
+          e.groupBy(col("user_id"))
+            .agg(count(lit(1)).cast("bigint").as("n_u")), bprops)
+        def door(r: String) =
+          s.read.format("graft.sources.SnapshotSource").load(r)
+        val j = door(ra).join(door(rb), "user_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_u")).cast("bigint").as("nu_sum"),
+            dsum(col("value")).as("value_sum"))
+          .orderBy(col("event_type"))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val colocated =
+          try {
+            j.collect() // finalize AQE so the executed plan is real
+            def walk(p: org.apache.spark.sql.execution.SparkPlan)
+                : Seq[org.apache.spark.sql.execution.SparkPlan] =
+              p.flatMap {
+                case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                  walk(q.plan)
+                case o => Seq(o)
+              }
+            val exec = j.queryExecution.executedPlan match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                a.executedPlan
+              case p => p
+            }
+            walk(exec).find(n =>
+              n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+              n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+              .exists { jn =>
+                val sub = walk(jn)
+                val scans = sub.collect {
+                  case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+                sub.count(_.isInstanceOf[
+                  org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 0 &&
+                  scans.size == 2 && scans.forall(_.bucketedScan)
+              }
+          } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        j.withColumn("colocated", lit(colocated))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, event_type FROM events),
+             |u AS (SELECT user_id, COUNT(*) AS n_u FROM e GROUP BY 1)
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(n_u) AS BIGINT) AS nu_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS colocated
+             |FROM e JOIN u USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Clustered-table OPTIMIZE (r11): on a `graft.clusterBy` table,
+    // plain `OPTIMIZE` re-clusters by the DECLARED columns instead of
+    // bin-packing — and the SECOND run is a metadata-only NO-OP (-1):
+    // admission reads the log's stats envelopes (overlap on the leading
+    // key / scale-relative fragmentation), zero data reads, so the
+    // statement is safe to schedule blindly. Oracle pins recluster →
+    // no-op → content hash vs the relational recompute. 100 TB: a
+    // nightly OPTIMIZE on a healthy layout costs one metadata pass;
+    // only genuinely degraded tables pay a rewrite.
+    QuerySpec(
+      "sql_optimize_clustered",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/optclust"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        // two commits with interleaved key ranges: write-time clustering
+        // is per-commit, so cross-commit envelopes overlap
+        Snapshots.init(s, root, e.where(col("event_id") % 2 === 0).repartition(3),
+          Map("graft.clusterBy" -> "event_id"))
+        Snapshots.append(s, root, e.where(col("event_id") % 2 === 1).repartition(3))
+        val v1 = s.sql(s"OPTIMIZE graft.`$root`").head().getLong(0)
+        val v2 = s.sql(s"OPTIMIZE graft.`$root`").head().getLong(0)
+        val nf = Snapshots.versionFiles(s, root).size
+        val cands = Snapshots.statsCandidateFiles(s, root,
+          Snapshots.latestVersion(s, root), "event_id < 1000")
+        val reclustered = v1 == 2L && v2 == -1L &&
+          Snapshots.latestVersion(s, root) == 2L &&
+          (nf == 1 || (cands.nonEmpty && cands.size < nf))
+        s.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root`""".stripMargin)
+          .withColumn("reclustered_then_noop", lit(reclustered))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS reclustered_then_noop
              |FROM events""".stripMargin)
     ),
 

@@ -314,7 +314,7 @@ private[sources] class GraftTable(
       partitionSchema = index.partitionSchema,
       dataSchema =
         if (index.partitionSchema.isEmpty) fullSchema else index.dataSchema,
-      bucketSpec = None,
+      bucketSpec = Snapshots.bucketSpecOf(vProps),
       fileFormat =
         if (nameMap.isEmpty)
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat

@@ -94,6 +94,9 @@ object GraftSqlParser {
     """^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS""" +
       """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val reorgRe = Pattern.compile(
+    """^\s*REORG\s+TABLE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val addConstraintRe = Pattern.compile(
     """^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
@@ -120,8 +123,8 @@ object GraftSqlParser {
     val isClone = head == "CREATE" &&
       """\bSHALLOW\s+CLONE\b""".r.findFirstIn(trimmed.toUpperCase(Locale.ROOT)).isDefined
     if (head != "OPTIMIZE" && head != "VACUUM" && head != "RESTORE" &&
-        head != "CONVERT" && head != "ALTER" && !isHistory && !isDetail &&
-        !isCopy && !isAnalyze && !isClone)
+        head != "CONVERT" && head != "ALTER" && head != "REORG" &&
+        !isHistory && !isDetail && !isCopy && !isAnalyze && !isClone)
       return None
     // None (unparseable identifier or a table the registry doesn't
     // know) ⇒ the whole statement delegates untouched, so a session
@@ -173,6 +176,12 @@ object GraftSqlParser {
       val named = Option(m.group(3)).toSeq.flatMap(_.split(',').toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       return rootOf(m.group(1)).map(GraftAnalyzeCommand(_, forAll, named))
+    }
+    if (head == "REORG") {
+      val m = reorgRe.matcher(sqlText)
+      if (!m.matches()) throw new IllegalArgumentException(
+        "expected: REORG TABLE <table> APPLY (PURGE); got: " + sqlText)
+      return rootOf(m.group(1)).map(GraftReorgCommand(_))
     }
     if (isClone) {
       val m = cloneRe.matcher(sqlText)
@@ -244,7 +253,14 @@ case class GraftOptimizeCommand(
     val target = 128L * 1024 * 1024
     val v = zorder match {
       case None =>
-        Snapshots.optimizeCompact(session, root,
+        // a CLUSTERED table's plain OPTIMIZE re-clusters (incremental
+        // no-op when the layout is tight — Delta's clustered-table
+        // behavior); unclustered tables bin-pack small files
+        if (Snapshots.tableProperties(session, root)
+            .get("graft.clusterBy").exists(_.trim.nonEmpty))
+          Snapshots.optimizeClustered(session, root,
+            targetFileBytes = target, where = where)
+        else Snapshots.optimizeCompact(session, root,
           smallerThanBytes = target, targetFileBytes = target, where = where)
       case Some(Seq(a, b)) =>
         Snapshots.optimizeZorderCow(session, root, a, b, where = where)
@@ -401,6 +417,19 @@ object GraftVacuumCommand {
     try Snapshots.versionAt(session, root, cutoff)
     catch { case _: IllegalArgumentException => 0L } // younger than window
   }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` — Delta's spelling for folding live
+  * deletion vectors into a rewrite: files holding any DV'd row are
+  * rewritten without those rows (content-preserving — same logical
+  * rows), everything else carries by reference, and the head's DV list
+  * empties, reclaiming the per-read anti-join. Returns the committed
+  * version, -1 when the table carries no vectors. */
+case class GraftReorgCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.materializeDeletionVectors(session, root)))
 }
 
 /** `VACUUM t [RETAIN n HOURS] DRY RUN` — one row per data file the

@@ -170,7 +170,10 @@ class SnapshotSource extends RelationProvider
           index,
           partitionSchema = index.partitionSchema,
           dataSchema = dataSchema,
-          bucketSpec = None,
+          // bucketed tables surface their layout: co-bucketed joins
+          // plan zero exchanges, point lookups prune to one bucket
+          bucketSpec = Snapshots.bucketSpecOf(
+            Snapshots.tableProperties(spark, root, v)),
           fileFormat =
             if (nameMap.isEmpty)
               new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat

@@ -1,0 +1,114 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hash-bucketed snapshot tables (`graft.bucketBy` + `graft.buckets`):
+  * every commit re-buckets, file names carry bucket ids, reads plan
+  * bucketed scans — co-bucketed joins run with ZERO exchanges and
+  * point lookups prune to one bucket's files. */
+class BucketedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("bkt").toFile.getAbsolutePath + "/t"
+
+  private def executed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  private def deep(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(q.plan)
+      case o => Seq(o)
+    }
+
+  private val props = Map("graft.bucketBy" -> "k", "graft.buckets" -> "4")
+
+  test("commits re-bucket, names carry bucket ids, content round-trips") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(7), props)
+    Snapshots.append(spark, root, (201L to 300L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    val files = Snapshots.versionFiles(spark, root)
+    assert(files.forall(f =>
+      org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(new org.apache.hadoop.fs.Path(f).getName).isDefined),
+      s"every committed file parses a bucket id: $files")
+    assert(Snapshots.readVersion(spark, root).count() == 300)
+    assert(Snapshots.readVersion(spark, root).select(sum($"k")).as[Long].head() ==
+      (1L to 300L).sum)
+  }
+
+  test("a co-bucketed join plans ZERO shuffle exchanges") {
+    val a = tmp(); val b = tmp()
+    Snapshots.init(spark, a,
+      (1L to 400L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(5), props)
+    Snapshots.init(spark, b,
+      (200L to 600L).map(i => (i, i * 2.0)).toDF("k", "w").repartition(3), props)
+    def door(r: String) =
+      spark.read.format("graft.sources.SnapshotSource").load(r)
+    val joined = door(a).join(door(b), "k")
+      .withColumn("s", $"v" + $"w")
+    // disable broadcast so the join must satisfy distribution by
+    // partitioning — the bucketed scans provide it without an Exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executed(joined)
+      val nodes = deep(plan)
+      assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
+        s"no exchange anywhere in:\n$plan")
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 2 && scans.forall(_.bucketedScan),
+        "both sides planned as bucketed scans")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(joined.count() == 201)
+  }
+
+  test("an equality predicate on the bucket key prunes to one bucket's files") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 1000L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(9), props)
+    val all = Snapshots.versionFiles(spark, root).size
+    assert(all > 1)
+    val q = spark.read.format("graft.sources.SnapshotSource").load(root)
+      .where($"k" === 777L)
+    // force the bucketed read path (autoBucketedScan would fall back to
+    // a plain scan for a lone filter; pruning rides the bucketed path)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val scan = deep(executed(q)).collectFirst {
+        case f: FileSourceScanExec => f }.get
+      assert(scan.bucketedScan)
+      assert(scan.optionalBucketSet.exists(_.cardinality() == 1),
+        "planner selected exactly one bucket")
+      assert(q.count() == 1)
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("structural guards: no ALTER into bucketing, no clusterBy overlap") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      Snapshots.setProperties(spark, root, Map("graft.bucketBy" -> "k")))
+    val bad = tmp()
+    intercept[IllegalArgumentException](
+      Snapshots.init(spark, bad, Seq((1L, 1.0)).toDF("k", "v"),
+        props + ("graft.clusterBy" -> "v")))
+  }
+}

@@ -150,6 +150,19 @@ class GraftSqlParserSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
   }
 
+  test("REORG TABLE APPLY (PURGE) folds deletion vectors into a rewrite") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.deleteWhereMor(spark, root, "k <= 10")
+    // MOR left vectors live; PURGE rewrites them away as one commit
+    val v = spark.sql(s"REORG TABLE graft.`$root` APPLY (PURGE)").as[Long].head()
+    assert(v == 2L)
+    assert(Snapshots.readVersion(spark, root).count() == 90)
+    // a vector-free table purges as a no-op (-1, no commit)
+    assert(spark.sql(s"REORG TABLE graft.`$root` APPLY (PURGE)").as[Long].head() == -1L)
+    intercept[Exception](spark.sql(s"REORG TABLE graft.`$root` APPLY (VACUUM)"))
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE as SQL, version-pinned, IF NOT EXISTS no-op") {
     val src = tmp()
     Snapshots.init(spark, src, (1L to 60L).map(i => (i, i * 1.0)).toDF("k", "v"))

@@ -1044,7 +1044,9 @@ object Snapshots {
     val base = latestVersion(spark, root)
     val baseDelta = readDelta(spark, root, base)
     val props = baseDelta.props
-    val (df, idExpect, injected) = withIdentity(withGenerated(df0, props), props)
+    val tableSchema = baseDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val (df, idExpect, injected) =
+      withIdentity(withGenerated(upcastTo(df0, tableSchema), props), props)
     checkConstraints(df, props)
     // freeze this batch's logical→physical assignment BEFORE writing,
     // so the files and the recorded schema can never disagree (OCC
@@ -1223,9 +1225,10 @@ object Snapshots {
       s"COPY INTO source carries column(s) the table lacks: " +
         s"${extra.mkString(", ")} — COPY never widens a schema; use append " +
         "for intentional evolution")
-    mergedSchema(Some(tableSchema), df0.schema) // refuse type changes loudly
+    val up = upcastTo(df0, Some(tableSchema)) // widened columns up-cast
+    mergedSchema(Some(tableSchema), up.schema) // refuse type changes loudly
     val (df, idExpect, injected) =
-      withIdentity(withGenerated(df0, props), props)
+      withIdentity(withGenerated(up, props), props)
     checkConstraints(df, props)
     val assigned = assignPhysical(Some(tableSchema), df.schema, props)
     val physOf = physicalMap(assigned)
@@ -2577,6 +2580,121 @@ object Snapshots {
       Delta(Nil, Nil, schema = prevDelta.schema,
         props = prevDelta.props + (constraintPrefix + name -> exprSql),
         op = Some("metadata"), dv = prevDelta.dv))
+  }
+
+  /** TYPE WIDENING admission: `from` can widen to `to` iff Spark's
+    * vectorized parquet reader reads files written under `from` through
+    * a `to`-typed schema natively (verified against Spark 4.1): integral
+    * up-casts, int-family → double, float → double, and int-family →
+    * DECIMAL(p,0) with enough precision. Everything else — narrowing,
+    * string/binary, decimal re-scaling — is refused. */
+  private[jobs] def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType, d: DecimalType) => d.scale == 0 && d.precision >= 3
+      case (ShortType, d: DecimalType) => d.scale == 0 && d.precision >= 5
+      case (IntegerType, d: DecimalType) => d.scale == 0 && d.precision >= 10
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t` — type widening as ONE
+    * metadata-only commit, zero file rewrites: every existing file
+    * keeps its narrower physical type and the vectorized reader
+    * up-casts at scan time; new commits write the wide type. Batches
+    * still carrying the OLD (narrower) type keep appending — the
+    * ingest path up-casts them (`upcastTo`). Old integral stats
+    * envelopes stay valid for integral widening; a widen into the
+    * double/decimal family leaves old files envelope-less for the new
+    * comparison space — conservatively scanned, never mis-pruned. */
+  def alterColumnType(
+      spark: SparkSession, root: String, colName: String, to: DataType): Long = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"$root records no schema — cannot alter column types"))
+    val resolver = spark.sessionState.conf.resolver
+    val field = schema.fields.find(f => resolver(f.name, colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column: $colName in ${schema.fieldNames.mkString(", ")}"))
+    require(!graft.core.HivePartitions.columnsOf(prevDelta.props)
+        .exists(resolver(_, colName)),
+      s"$colName is a partition column — partition types are fixed at init")
+    require(widens(field.dataType, to),
+      s"cannot change $colName: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a widening conversion (allowed: " +
+        "integral up-casts, int/float -> double, int -> decimal(p,0))")
+    val widened = StructType(schema.fields.map(f =>
+      if (resolver(f.name, colName)) f.copy(dataType = to) else f))
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil, schema = Some(widened.json), props = prevDelta.props,
+        op = Some("metadata"), dv = prevDelta.dv))
+  }
+
+  /** Up-cast batch columns whose type WIDENS to the table's — so a
+    * producer still emitting the pre-widening type keeps working after
+    * `alterColumnType` (Delta's behavior). Non-widenable mismatches
+    * pass through untouched and fail loudly in `mergedSchema`. */
+  private def upcastTo(df: DataFrame, table: Option[StructType]): DataFrame =
+    table match {
+      case None => df
+      case Some(t) =>
+        val byName = t.fields.map(f => f.name -> f.dataType).toMap
+        val needs = df.schema.fields.filter(f =>
+          byName.get(f.name).exists(tt => widens(f.dataType, tt)))
+        needs.foldLeft(df)((d, f) => d.withColumn(f.name,
+          col(f.name).cast(byName(f.name))))
+    }
+
+  /** `ALTER TABLE … SYNC IDENTITY` — recompute each identity column's
+    * high-water mark from the table's ACTUAL data: after explicit
+    * inserts (GENERATED BY DEFAULT admits them) the hwm may lag values
+    * already present, and the next injection would collide. Bounds come
+    * from the head's stats envelopes when every live file carries one
+    * (pure metadata); files without an envelope fall back to one
+    * column-pruned aggregate scan. The hwm only ever advances (ascending
+    * step; retreats for descending) — syncing never un-burns ids.
+    * Returns (column, new hwm) pairs; empty when nothing needed. */
+  def syncIdentity(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    val props = prevDelta.props
+    val decls = identityColsOf(props)
+    if (decls.isEmpty) return Nil
+    val physMap = prevDelta.schema
+      .map(s => physicalMap(DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(Map.empty[String, String])
+    val idx = statsIndex(spark, root, head)
+    val updates = decls.flatMap { case (c, start, step) =>
+      val p = physMap.getOrElse(c, c)
+      val fromStats = idx.map(f => (if (step > 0) f.maxs else f.mins).get(p))
+      val dataBound =
+        if (idx.nonEmpty && fromStats.forall(_.isDefined)) {
+          val bs = fromStats.flatten
+          Some(if (step > 0) bs.max else bs.min)
+        } else {
+          val agg = readVersion(spark, root, head)
+            .agg((if (step > 0) max(col(c)) else min(col(c))).cast("long")).head()
+          if (agg.isNullAt(0)) None else Some(agg.getLong(0))
+        }
+      val cur = props.get(identityPrefix + c + ".hwm").flatMap(_.toLongOption)
+        .getOrElse(start - step)
+      dataBound.filter(b => if (step > 0) b > cur else b < cur)
+        .map(b => c -> b)
+    }
+    if (updates.nonEmpty)
+      commitRewrite(spark, root, head + 1,
+        Delta(Nil, Nil, schema = prevDelta.schema,
+          props = props ++ updates.map { case (c, b) =>
+            identityPrefix + c + ".hwm" -> b.toString },
+          op = Some("metadata"), dv = prevDelta.dv))
+    updates
   }
 
   /** SET / UNSET table properties as ONE metadata-only commit — the

@@ -1349,10 +1349,13 @@ object LifecycleQueries {
           .where(col("version").isin(1L, 3L))
           .agg(sum(col("n_added") + col("n_removed"))).head().getLong(0)
         val metadataOnly = hist == 0L
+        // cross-family type change refused (an INT batch into the DOUBLE
+        // column is NOT a refusal case anymore — the ingest path
+        // up-casts widening types since the r11 type-widening work)
         val typeChangeRefused =
           try {
             Snapshots.append(s, root,
-              e.limit(1).withColumn("amount", lit(1))
+              e.limit(1).withColumn("amount", lit("oops"))
                 .select(col("event_id"), col("user_id"), col("amount")))
             false
           } catch { case _: IllegalArgumentException => true }
@@ -1768,6 +1771,55 @@ object LifecycleQueries {
              |  TRUE AS packed, CAST(8 AS BIGINT) AS n_vacuumed,
              |  TRUE AS v0_unreadable_after_vacuum
              |FROM events""".stripMargin)
+    ),
+
+    // ---- Type widening (r11): `ALTER TABLE … ALTER COLUMN c TYPE
+    // BIGINT` is ONE metadata commit, ZERO file rewrites — Spark 4's
+    // vectorized parquet reader up-casts the old INT files at scan time,
+    // and the ingest path up-casts batches still arriving in the old
+    // type. Oracle pins zero_rewrite (file set unchanged across the
+    // widen) and the mixed-width aggregate — old int-written rows plus
+    // genuinely-long post-widen rows — against the relational recompute.
+    // 100 TB: an id column outgrowing INT is a metadata flip, not a
+    // table rewrite.
+    QuerySpec(
+      "sql_type_widening",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/widen"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.select((col("event_id") % 100000).cast("int").as("small"),
+            col("value"), col("event_type")))
+        val before = Snapshots.versionFiles(s, root).toSet
+        s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN small TYPE BIGINT")
+        val zeroRewrite = Snapshots.versionFiles(s, root).toSet == before &&
+          Snapshots.latestVersion(s, root) == 1L
+        // a post-widen batch with values an INT cannot hold
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 7 === 0)
+            .select((col("event_id") + 5000000000L).as("small"),
+              col("value"), col("event_type")))
+        s.sql(
+          s"""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(small) AS BIGINT) AS small_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root` GROUP BY event_type ORDER BY event_type""".stripMargin)
+          .withColumn("zero_rewrite", lit(zeroRewrite))
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(event_id % 100000 AS BIGINT) AS small, value, event_type
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_id + 5000000000, value, event_type
+             |  FROM events WHERE event_id % 7 = 0)
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(small) AS BIGINT) AS small_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS zero_rewrite
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
     // ---- Identity columns (r11): `graft.identity.<col> = "start,step"`

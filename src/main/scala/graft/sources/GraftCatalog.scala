@@ -185,6 +185,12 @@ class GraftCatalog extends TableCatalog {
         require(d.fieldNames.length == 1,
           s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
         Snapshots.dropColumn(session, root, d.fieldNames.head)
+      case u: UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"nested ALTER COLUMN TYPE is not supported: ${u.fieldNames.mkString(".")}")
+        // type WIDENING: metadata-only, zero rewrites (vectorized reads
+        // up-cast old files at scan time); narrowing is refused inside
+        Snapshots.alterColumnType(session, root, u.fieldNames.head, u.newDataType)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }

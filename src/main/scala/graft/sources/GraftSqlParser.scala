@@ -103,6 +103,9 @@ object GraftSqlParser {
   private val dropConstraintRe = Pattern.compile(
     """^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val syncIdentityRe = Pattern.compile(
+    """^\s*ALTER\s+TABLE\s+(.+?)\s+SYNC\s+IDENTITY\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
   private[sources] def parseMaintenance(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
@@ -141,12 +144,15 @@ object GraftSqlParser {
     if (head == "ALTER") {
       val add = addConstraintRe.matcher(sqlText)
       val drop = dropConstraintRe.matcher(sqlText)
+      val sync = syncIdentityRe.matcher(sqlText)
       if (add.matches())
         return rootOf(add.group(1))
           .map(GraftAddConstraintCommand(_, add.group(2), add.group(3)))
       if (drop.matches())
         return rootOf(drop.group(1))
           .map(GraftDropConstraintCommand(_, drop.group(2)))
+      if (sync.matches())
+        return rootOf(sync.group(1)).map(GraftSyncIdentityCommand(_))
       return None
     }
     if (isCopy) {
@@ -417,6 +423,19 @@ object GraftVacuumCommand {
     try Snapshots.versionAt(session, root, cutoff)
     catch { case _: IllegalArgumentException => 0L } // younger than window
   }
+}
+
+/** `ALTER TABLE t SYNC IDENTITY` — recompute identity high-water marks
+  * from the table's actual data (after explicit inserts past the hwm —
+  * GENERATED BY DEFAULT admits them). Metadata-grain: stats envelopes
+  * answer when every live file carries one. One row per advanced
+  * column; zero rows = already in sync. */
+case class GraftSyncIdentityCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("hwm", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Snapshots.syncIdentity(session, root).map { case (c, b) => Row(c, b) }
 }
 
 /** `REORG TABLE t APPLY (PURGE)` — Delta's spelling for folding live

@@ -65,9 +65,14 @@ class ColumnMappingSpec extends AnyFunSuite {
       spark, root, 0, "k <= 10")
     assert(cands.size == 1, s"clustered pruning survives the rename: $cands")
 
-    // type change still refused under the new name
+    // a WIDENABLE batch type (int into the double column) up-casts on
+    // ingest under the new name (r11 type-widening behavior) …
+    Snapshots.append(spark, root, Seq((200L, 1, "x")).toDF("k", "amount", "s"))
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("k") === 200).select("amount").as[Double].head() == 1.0)
+    // … while a cross-family change is still refused under the new name
     intercept[IllegalArgumentException](Snapshots.append(spark, root,
-      Seq((200L, 1, "x")).toDF("k", "amount", "s")))
+      Seq((201L, "oops", "x")).toDF("k", "amount", "s")))
   }
 
   test("front door and streaming tail read renamed columns with pushdown intact") {

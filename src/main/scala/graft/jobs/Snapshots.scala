@@ -1225,7 +1225,34 @@ object Snapshots {
       s"COPY INTO source carries column(s) the table lacks: " +
         s"${extra.mkString(", ")} — COPY never widens a schema; use append " +
         "for intentional evolution")
-    val up = upcastTo(df0, Some(tableSchema)) // widened columns up-cast
+    // CSV/JSON read under the FULL table schema, so identity/generated
+    // columns ABSENT from the source arrive present-but-all-NULL — and
+    // `withIdentity`/`withGenerated` inject only for MISSING columns.
+    // Without this, COPY INTO a CSV lacking the identity column lands
+    // NULL ids, and a NULL generated PARTITION column makes the copied
+    // rows invisible to partition-filtered reads (pruned away). Drop the
+    // declared columns that are entirely NULL in the batch so injection
+    // fires; a source carrying real values keeps explicit pass-through
+    // (contradictions still refused by the generated-column validator).
+    // Cost: one column-pruned aggregate over the NEW files only, and only
+    // for tables declaring such columns — parquet sources keep their own
+    // schema, so absence there is already genuine absence.
+    val declared =
+      (identityColsOf(props).map(_._1) ++
+        props.keys.filter(_.startsWith(generatedPrefix))
+          .map(_.stripPrefix(generatedPrefix))).distinct
+        .filter(df0.columns.contains)
+    val df1 =
+      if (declared.isEmpty ||
+          format.toLowerCase(java.util.Locale.ROOT) == "parquet") df0
+      else {
+        val counts = df0.agg(
+          count(col(declared.head)).as(declared.head),
+          declared.tail.map(c => count(col(c)).as(c)): _*).head()
+        val allNull = declared.filter(c => counts.getLong(counts.fieldIndex(c)) == 0L)
+        if (allNull.isEmpty) df0 else df0.drop(allNull: _*)
+      }
+    val up = upcastTo(df1, Some(tableSchema)) // widened columns up-cast
     mergedSchema(Some(tableSchema), up.schema) // refuse type changes loudly
     val (df, idExpect, injected) =
       withIdentity(withGenerated(up, props), props)
@@ -1815,6 +1842,109 @@ object Snapshots {
     commitOrCleanFeed(Delta(newFiles, doomed, txn = txn, cdf = cdfDir,
       schema = prevDelta.schema, props = prevDelta.props, stats = stats,
       op = Some("update"), dv = prevDelta.dv))
+  }
+
+  /** Predicate UPDATE as MERGE-ON-READ — deletion vectors + appended
+    * post-images, ONE commit, ZERO files rewritten. COW UPDATE
+    * (`updateWhere`) rewrites every file holding a matching row — at
+    * 100 TB a 1-row UPDATE can rewrite gigabytes. Here the matching
+    * rows' (file, row_index) pairs land in a `_dv/` sidecar (every read
+    * path already anti-joins the live DV set) and the updated rows are
+    * appended as NEW files through the normal commit machinery (stats
+    * envelopes, Hive layout, CHECK constraints, generated-column
+    * validation). Write cost: O(matching rows), not O(matching files).
+    *
+    * Same SQL semantics as `updateWhere`: SET expressions cast back to
+    * the column's recorded type (schema invariant), partition columns
+    * refuse SET (rows never silently migrate partitions), `changeFeed =
+    * true` publishes update_preimage/update_postimage. The DV and the
+    * post-image files ride ONE delta, so a crash commits both or
+    * neither; lost commit races rebase through `commitRewrite`'s
+    * DV-reconciliation (file-disjoint winners merge, overlaps refuse).
+    * Read-side cost accrues like MOR DELETE — `graft.dv.maxRows`
+    * auto-materialization bounds it. */
+  def updateWhereMor(
+      spark: SparkSession, root: String, set: Map[String, String],
+      predicateSql: String, changeFeed: Boolean = false,
+      txn: Option[Long] = None): Long = {
+    val prev = latestVersion(spark, root)
+    val v = prev + 1
+    val (fs, qroot) = fsOf(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(readVersion(spark, root, prev).schema)
+    val unknown = set.keys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE SET of unknown column(s): ${unknown.mkString(", ")}")
+    val partCols = graft.core.HivePartitions.columnsOf(prevDelta.props)
+    val partSet = set.keys.filter(partCols.contains)
+    require(partSet.isEmpty,
+      s"UPDATE cannot move rows across partitions (SET ${partSet.mkString(", ")}) — " +
+        "delete + insert instead")
+    val pred = expr(predicateSql)
+    def applySet(df: DataFrame): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        if (set.contains(f.name)) expr(set(f.name)).cast(f.dataType).as(f.name)
+        else col(f.name)
+      }: _*)
+    val candidates = statsCandidateFiles(spark, root, prev, predicateSql)
+    def commitMeta(): Long =
+      commitRewrite(spark, root, v,
+        Delta(Nil, Nil, txn = txn, cdf = None,
+          schema = prevDelta.schema, props = prevDelta.props,
+          op = Some("update"), dv = prevDelta.dv))
+    if (candidates.isEmpty) return commitMeta()
+    // candidate scan WITH row positions, pre-filtered by the LIVE DV set
+    // (an already-deleted row can never be updated)
+    val cand = withPositionsDvApplied(spark, qroot,
+      readFilesRaw(spark, qroot,
+        candidates.map(f => new Path(qroot, f).toString), Some(schema),
+        prevDelta.props),
+      prevDelta.dv)
+    val matched = cand.where(pred)
+    val dvName = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    matched.select(col("__pos_path").as("file_path"), col("__pos_idx").as("row_index"))
+      .write.mode("overwrite").parquet(new Path(qroot, s"_dv/$dvName").toString)
+    val dvRows = spark.read.parquet(new Path(qroot, s"_dv/$dvName").toString).count()
+    if (dvRows == 0L) {
+      fs.delete(new Path(qroot, s"_dv/$dvName"), true)
+      return commitMeta()
+    }
+    val preImages = matched.drop("__pos_path", "__pos_idx")
+    val postImages = applySet(preImages)
+    checkConstraints(postImages, prevDelta.props)
+    // SET on a generated column's SOURCE without the column itself would
+    // leave derived data silently stale — refuse the contradiction loudly
+    withGenerated(postImages, prevDelta.props)
+    val (adds, stats) = writeCommitFiles(spark, root, v, postImages,
+      prevDelta.props, Some(schema))
+    val cdfDir =
+      if (!changeFeed) None
+      else Some(stageChangeFeed(spark, qroot, v,
+        preImages.withColumn(ChangeFeed.opCol, lit("update_preimage"))
+          .unionByName(postImages
+            .withColumn(ChangeFeed.opCol, lit("update_postimage")))))
+    val committed =
+      try commitRewrite(spark, root, v,
+        Delta(adds, Nil, txn = txn, cdf = cdfDir,
+          schema = prevDelta.schema, props = prevDelta.props, stats = stats,
+          op = Some("update"), dv = prevDelta.dv :+ dvName, dvAdd = Some(dvName)))
+      catch { case e: Throwable =>
+        cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true))
+        fs.delete(new Path(qroot, s"_dv/$dvName"), true)
+        adds.foreach(f => fs.delete(new Path(qroot, f), false))
+        throw e
+      }
+    // same auto-materialize valve as MOR DELETE: the writer that grew
+    // the DV set pays for reclaiming the read path once it crosses the
+    // conf'd bound
+    prevDelta.props.get(dvMaxRowsProp).map(_.toLong).foreach { cap =>
+      val head = readDelta(spark, root, committed)
+      if (head.dv.nonEmpty) {
+        val total = dvFrame(spark, qroot, head.dv).count()
+        if (total > cap) materializeDeletionVectors(spark, root)
+      }
+    }
+    committed
   }
 
   /** Predicate DELETE as MERGE-ON-READ — Delta's deletion vectors on
@@ -2626,6 +2756,18 @@ object Snapshots {
     require(!graft.core.HivePartitions.columnsOf(prevDelta.props)
         .exists(resolver(_, colName)),
       s"$colName is a partition column — partition types are fixed at init")
+    // Bucket ids are Murmur3 over the PHYSICAL type: hashInt(5) !=
+    // hashLong(5), so widening a bucket column would silently invalidate
+    // every existing file's bucket assignment — bucket pruning would scan
+    // the wrong bucket (missing rows) and co-bucketed joins would skip
+    // exchanges on a partitioning guarantee that no longer holds. Refuse
+    // loudly; `OPTIMIZE … REBUCKET` after a manual re-type is the rewrite
+    // path that re-stamps ids.
+    require(!bucketColsOf(prevDelta.props).exists(resolver(_, colName)),
+      s"$colName is a bucket column — widening it would change the Murmur3 " +
+        "bucket hash of every existing row (hashInt vs hashLong), silently " +
+        "corrupting bucket pruning and co-bucketed joins; rebucket the " +
+        "table (full rewrite) instead")
     require(widens(field.dataType, to),
       s"cannot change $colName: ${field.dataType.simpleString} -> " +
         s"${to.simpleString} is not a widening conversion (allowed: " +

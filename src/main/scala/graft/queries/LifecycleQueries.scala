@@ -378,10 +378,16 @@ object LifecycleQueries {
         Snapshots.deleteKeysCow(s, root,
           e.where(col("event_id") % 13 === 4).select(col("event_id")),
           Seq("event_id"), changeFeed = true)
+        // `n_ts` derives from `_commit_timestamp` (the in-commit `#ts:`
+        // header, nondeterministic wall-clock): each _op class here rides
+        // exactly ONE commit, so COUNT(DISTINCT ts) pins presence,
+        // non-nullness, and per-commit uniqueness with a deterministic
+        // value the DuckDB oracle can state as a literal.
         s.sql(
           s"""SELECT _op, COUNT(*) AS n,
              |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
-             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  COUNT(DISTINCT _commit_timestamp) AS n_ts
              |FROM table_changes('graft.`$root`', 1, 2)
              |GROUP BY _op ORDER BY _op""".stripMargin)
       },
@@ -390,22 +396,26 @@ object LifecycleQueries {
              |  SELECT 'delete' AS _op, COUNT(*) AS n,
              |    CAST(SUM(event_id) AS BIGINT) AS id_sum,
              |    CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END
-             |      AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |      AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |    CAST(1 AS BIGINT) AS n_ts
              |  FROM e WHERE event_id % 13 = 4
              |  UNION ALL
              |  SELECT 'insert', COUNT(*),
              |    CAST(SUM(event_id + 10000000) AS BIGINT),
-             |    CAST(SUM(CAST(value + 1 AS DECIMAL(12,2))) AS DOUBLE)
+             |    CAST(SUM(CAST(value + 1 AS DECIMAL(12,2))) AS DOUBLE),
+             |    CAST(1 AS BIGINT)
              |  FROM e WHERE event_id % 10 = 7
              |  UNION ALL
              |  SELECT 'update_preimage', COUNT(*),
              |    CAST(SUM(event_id) AS BIGINT),
-             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE),
+             |    CAST(1 AS BIGINT)
              |  FROM e WHERE event_id % 10 = 0
              |  UNION ALL
              |  SELECT 'update_postimage', COUNT(*),
              |    CAST(SUM(event_id) AS BIGINT),
-             |    CAST(SUM(CAST(value * 2 AS DECIMAL(12,2))) AS DOUBLE)
+             |    CAST(SUM(CAST(value * 2 AS DECIMAL(12,2))) AS DOUBLE),
+             |    CAST(1 AS BIGINT)
              |  FROM e WHERE event_id % 10 = 0
              |) ORDER BY _op""".stripMargin)
     ),
@@ -1317,6 +1327,64 @@ object LifecycleQueries {
              |    AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
              |  2 * (SELECT COUNT(*) FROM events WHERE event_id < 500) AS feed_ops,
              |  TRUE AS files_pruned
+             |FROM events""".stripMargin)
+    ),
+
+    // ---- Predicate UPDATE as MERGE-ON-READ (r13): deletion vectors +
+    // appended post-images, ONE commit, ZERO files rewritten — the
+    // write-amplification fix COW UPDATE cannot give (a 1-row UPDATE on
+    // a 100 TB table rewrites gigabytes under COW; here it writes one
+    // row + one tiny DV sidecar). `zero_rewrite` pins n_removed == 0
+    // with a live DV; the head aggregate is hash-identical to the COW
+    // `update_where_sql` on the SAME predicate (the equivalence the
+    // verdict demands); `replay_exact` pins that the published
+    // update_preimage/update_postimage feed, applied to v0, reproduces
+    // the head — so MOR's CDC contract matches COW's exactly.
+    QuerySpec(
+      "update_where_mor",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/updmor"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.repartitionByRange(6, col("event_id")).sortWithinPartitions("event_id"))
+        Snapshots.updateWhereMor(s, root, Map("value" -> "value * 3"),
+          "event_id < 500", changeFeed = true)
+        val h = Snapshots.history(s, root).where(col("version") === 1).head()
+        val zeroRewrite = h.getAs[Long]("n_removed") == 0 &&
+          h.getAs[Long]("n_added") > 0 &&
+          Snapshots.liveDeletionVectors(s, root).nonEmpty
+        val feed = Snapshots.changesBetween(s, root, 0, 1)
+        val feedOps = feed
+          .where(col(ChangeFeed.opCol).isin("update_preimage", "update_postimage"))
+          .count()
+        // CDC replay: v0 + the feed alone must reproduce the head
+        val replayed = ChangeFeed.applyChangeFeed(
+          Snapshots.readVersion(s, root, 0), feed, Seq("event_id"))
+        val headAgg = s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)), sum(col("event_id")).cast("bigint"),
+            dsum(col("value"))).head()
+        val replayAgg = replayed
+          .agg(count(lit(1)), sum(col("event_id")).cast("bigint"),
+            dsum(col("value"))).head()
+        val replayExact = headAgg == replayAgg
+        // the read-side aggregate runs through the DV-anti-joined front
+        // door, so a resurrected pre-image or lost post-image flips it
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("feed_ops", lit(feedOps))
+          .withColumn("zero_rewrite", lit(zeroRewrite))
+          .withColumn("replay_exact", lit(replayExact))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(CASE WHEN event_id < 500 THEN value * 3 ELSE value END
+             |    AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  2 * (SELECT COUNT(*) FROM events WHERE event_id < 500) AS feed_ops,
+             |  TRUE AS zero_rewrite, TRUE AS replay_exact
              |FROM events""".stripMargin)
     ),
 

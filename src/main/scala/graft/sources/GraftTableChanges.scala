@@ -84,10 +84,17 @@ object GraftTableChanges {
   }
 
   /** Changes of versions `[fromV, toV]` (both inclusive), each commit's
-    * frame stamped with its `_commit_version`. */
+    * frame stamped with its `_commit_version` AND `_commit_timestamp`
+    * (Delta's CDC contract carries both). The timestamp is the commit's
+    * IN-COMMIT `#ts:` header — strictly increasing by construction and
+    * immune to log-file mtime skew — so replay order, windowing, and
+    * downstream `timestampAsOf` anchoring are deterministic. */
   def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame =
     (fromV to toV).map { v =>
       Snapshots.changesBetween(spark, root, v - 1, v)
         .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(
+            lit(Snapshots.commitTimestamp(spark, root, v))))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 }

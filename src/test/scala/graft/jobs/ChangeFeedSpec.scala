@@ -73,4 +73,39 @@ class ChangeFeedSpec extends AnyFunSuite {
     val feed = ChangeFeed.mergeFeed(target, src, Seq("k"))
     assert(feed.where(col(ChangeFeed.opCol) === "insert").count() == 1)
   }
+
+  test("table_changes carries _commit_timestamp from the in-commit #ts: header") {
+    val root = Files.createTempDirectory("cdcts").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    Snapshots.append(spark, root, Seq((3L, 3.0)).toDF("k", "v"))
+    Snapshots.deleteWhere(spark, root, "k = 1", changeFeed = true)
+    val tc = graft.sources.GraftTableChanges.changes(spark, root, 1L, 2L)
+    assert(tc.schema.fieldNames.contains("_commit_timestamp"))
+    assert(tc.schema("_commit_timestamp").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // each row's timestamp is EXACTLY its commit's in-commit #ts: header
+    val got = tc.select(col("_commit_version"),
+        unix_millis(col("_commit_timestamp")).as("ms"))
+      .distinct().as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    (1L to 2L).foreach { v =>
+      assert(got(v) == Snapshots.commitTimestamp(spark, root, v),
+        s"v$v timestamp must be the in-commit header, got $got")
+    }
+    // strictly increasing across versions (the #ts: floor discipline)
+    assert(got(1L) < got(2L), "in-commit timestamps strictly increase")
+
+    // timestampAsOf resolution is IMMUNE to log-file mtime skew: touch
+    // v1's delta file far into the future; resolution still follows the
+    // in-commit header, not the disturbed mtime
+    val tsOfV1 = Snapshots.commitTimestamp(spark, root, 1L)
+    val logFile = new java.io.File(root, f"_log/v${1L}%08d.commit")
+    assert(logFile.exists)
+    assert(logFile.setLastModified(System.currentTimeMillis + 86400000L))
+    Snapshots.invalidateCaches(spark, root)
+    assert(Snapshots.versionAt(spark, root, tsOfV1) == 1L,
+      "timestampAsOf must resolve from in-commit timestamps, not mtime")
+    assert(Snapshots.commitTimestamp(spark, root, 1L) == tsOfV1,
+      "commitTimestamp unchanged by a disturbed file mtime")
+  }
 }

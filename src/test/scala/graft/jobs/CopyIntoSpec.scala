@@ -121,6 +121,65 @@ class CopyIntoSpec extends AnyFunSuite {
       "new bytes at the same logical landing path re-ingest")
   }
 
+  test("CSV lacking identity + generated partition columns: injected, not NULL") {
+    // CSV/JSON read under the FULL table schema, so columns absent from
+    // the source arrive present-but-all-NULL — before the all-NULL drop,
+    // identity ids landed NULL and the generated PARTITION value landed
+    // NULL, making copied rows invisible to partition-filtered reads.
+    val root = tmp("cpyid") + "/t"
+    val landing = tmp("cpyidl")
+    Snapshots.init(spark, root,
+      Seq((100L, "2024-01-01 10:00:00", 1.0))
+        .toDF("ts_raw", "ts", "v")
+        .select(col("ts_raw").cast("long").as("k"),
+          col("ts").cast("timestamp").as("ts"), col("v"))
+        .withColumn("day", to_date(col("ts"))),
+      Map("graft.identity.rid" -> "1,1",
+        "graft.partitionBy" -> "day",
+        "graft.generated.day" -> "date(ts)"))
+    // the landing CSV carries ONLY k, ts, v — no rid, no day
+    new java.io.File(s"$landing/b0").mkdirs()
+    val w = new java.io.PrintWriter(s"$landing/b0/part.csv")
+    w.println("k,ts,v")
+    w.println("200,2024-02-02 08:30:00,2.5")
+    w.println("201,2024-02-02 09:15:00,3.5")
+    w.close()
+    val r = Snapshots.copyInto(spark, root, landing, format = "csv",
+      formatOptions = Map("header" -> "true"))
+    assert(r.filesLoaded == 1L && r.rowsInserted == 2L, r.toString)
+    val copied = Snapshots.readVersion(spark, root).where(col("k") >= 200L)
+    // identity ids allocated (non-NULL, advancing the hwm), generated
+    // partition values computed from the batch's own ts
+    assert(copied.where(col("rid").isNull).count() == 0L,
+      "identity ids must be injected, never NULL")
+    assert(copied.where(col("day").isNull).count() == 0L,
+      "generated partition values must be computed, never NULL")
+    val hwm = Snapshots.tableProperties(spark, root)("graft.identity.rid.hwm").toLong
+    assert(hwm >= 2L, s"hwm advanced past the copied batch: $hwm")
+    // THE symptom the bug caused: rows visible through a
+    // partition-FILTERED read (NULL day was pruned away before the fix)
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("day") === lit("2024-02-02").cast("date")).count() == 2L,
+      "copied rows must be visible through a partition-filtered read")
+    val files = Snapshots.versionFiles(spark, root)
+    assert(files.exists(_.contains("day=2024-02-02")),
+      s"copied rows land in a REAL partition directory: $files")
+
+    // a CSV that DOES carry explicit identity + generated values keeps
+    // pass-through (CSV maps positionally under the table schema, so the
+    // file carries every column in schema order: k,ts,v,day,rid)
+    val w2 = new java.io.PrintWriter(s"$landing/b0/part2.csv")
+    w2.println("k,ts,v,day,rid")
+    w2.println("300,2024-03-03 12:00:00,4.5,2024-03-03,9000")
+    w2.close()
+    val r2 = Snapshots.copyInto(spark, root, landing, format = "csv",
+      formatOptions = Map("header" -> "true"))
+    assert(r2.filesLoaded == 1L && r2.rowsInserted == 1L, r2.toString)
+    assert(Snapshots.readVersion(spark, root).where(col("k") === 300L)
+      .select(col("rid")).head().getLong(0) == 9000L,
+      "explicit identity values pass through untouched")
+  }
+
   test("COPY INTO a partitioned table lands Hive layout and prunes") {
     val root = tmp("cpyp") + "/t"
     val landing = tmp("cpypl")

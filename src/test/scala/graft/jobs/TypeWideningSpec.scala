@@ -74,4 +74,29 @@ class TypeWideningSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql(s"ALTER TABLE graft.`$proot` ALTER COLUMN p TYPE BIGINT"))
   }
+
+  test("bucket columns refuse widening — Murmur3 bucket ids are type-width-bound") {
+    // hashInt(5) != hashLong(5): widening a bucket column would leave
+    // every existing file's bucket id computed under the OLD hash while
+    // bucketSpecOf still advertises the bucketing — bucket pruning would
+    // scan the wrong bucket (silently missing rows) and co-bucketed
+    // joins would skip exchanges on a broken partitioning guarantee.
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1 to 40).map(i => (i, i * 10)).toDF("k", "v"),
+      Map("graft.bucketBy" -> "k", "graft.buckets" -> "4"))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.alterColumnType(spark, root, "k", LongType))
+    assert(e.getMessage.contains("bucket column"), e.getMessage)
+    // the refusal is a no-op: no commit landed, table reads unchanged,
+    // and bucket-keyed point lookups still return exact rows
+    assert(Snapshots.latestVersion(spark, root) == 0L)
+    assert(Snapshots.readVersion(spark, root).schema("k").dataType == IntegerType)
+    assert(Snapshots.readVersion(spark, root).where($"k" === 7).count() == 1L)
+    // NON-bucket columns on the same table still widen fine
+    Snapshots.alterColumnType(spark, root, "v", LongType)
+    assert(Snapshots.readVersion(spark, root).schema("v").dataType == LongType)
+    assert(Snapshots.readVersion(spark, root).where($"k" === 7)
+      .select($"v").as[Long].head() == 70L)
+  }
 }

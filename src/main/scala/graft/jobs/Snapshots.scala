@@ -106,7 +106,75 @@ object Snapshots {
       stats: Map[String, graft.core.Skipping.FileStats] = Map.empty,
       op: Option[String] = None, ts: Option[Long] = None,
       dv: Seq[String] = Nil, dvAdd: Option[String] = None,
-      copied: Seq[String] = Nil)
+      copied: Seq[String] = Nil,
+      minReader: Int = 1, minWriter: Int = 1,
+      rfeat: Seq[String] = Nil, wfeat: Seq[String] = Nil)
+
+  /** Protocol versioning + table features — Delta's minReader/minWriter
+    * + tableFeatures shape on this log. The engine ships features (type
+    * widening, deletion vectors, column mapping, identity columns, …)
+    * that change what bytes MEAN; without gating, a second reader
+    * implementation or an older build opening such a table would read
+    * wrong data SILENTLY instead of refusing loudly. Every commit
+    * stamps a `#protocol:minReader,minWriter` header plus the table's
+    * accumulated `#rfeat:`/`#wfeat:` feature lists (sticky: once a
+    * feature is in use its mark never leaves the log — old files keep
+    * needing it). Readers refuse any delta demanding an unknown READER
+    * feature or a higher reader version; writers additionally refuse to
+    * commit against a table demanding an unknown WRITER feature. Logs
+    * written before protocol headers parse as feature-none (readable by
+    * everyone — exactly Delta's legacy-protocol behavior). */
+  object Protocol {
+    val readerVersion = 1
+    val writerVersion = 1
+    /** Features that change how FILE BYTES are interpreted — required
+      * reading. */
+    val supportedReaderFeatures: Set[String] =
+      Set("deletionVectors", "columnMapping", "typeWidening")
+    /** Features a WRITER must understand to keep the table's invariants
+      * (identity allocation, generated-column validation, constraint
+      * checks, bucket layout, CDC publication). */
+    val supportedWriterFeatures: Set[String] =
+      supportedReaderFeatures ++ Set("identityColumns", "generatedColumns",
+        "checkConstraints", "bucketing", "changeDataFeed")
+  }
+
+  /** The features THIS delta's content requires, split (reader, writer).
+    * Reader features also gate writing (a writer must read first). */
+  private def requiredFeatures(d: Delta, prev: Option[Delta]): (Set[String], Set[String]) = {
+    var r = Set.empty[String]; var w = Set.empty[String]
+    def both(f: String): Unit = { r += f; w += f }
+    if (d.dv.nonEmpty || d.dvAdd.isDefined) both("deletionVectors")
+    if (d.schema.exists(_.contains(physicalNameKey)) ||
+        d.props.contains(retiredProp)) both("columnMapping")
+    // typeWidening: a schema-carrying commit whose same-named field is a
+    // WIDENING of the predecessor's type — old files keep the narrow
+    // physical type, so every future reader needs widened-read support
+    for (ns <- d.schema; ps <- prev.flatMap(_.schema); if ns != ps) {
+      val oldByName = DataType.fromJson(ps).asInstanceOf[StructType]
+        .fields.map(f => f.name -> f.dataType).toMap
+      val widened = DataType.fromJson(ns).asInstanceOf[StructType].fields
+        .exists(f => oldByName.get(f.name)
+          .exists(t => t != f.dataType && widens(t, f.dataType)))
+      if (widened) both("typeWidening")
+    }
+    if (d.props.keys.exists(_.startsWith(identityPrefix))) w += "identityColumns"
+    if (d.props.keys.exists(_.startsWith(generatedPrefix))) w += "generatedColumns"
+    if (d.props.keys.exists(_.startsWith(constraintPrefix))) w += "checkConstraints"
+    if (d.props.contains(bucketByProp)) w += "bucketing"
+    if (d.cdf.isDefined) w += "changeDataFeed"
+    (r, w)
+  }
+
+  /** The head protocol: (minReader, minWriter, readerFeatures,
+    * writerFeatures) — what DESCRIBE DETAIL surfaces and what another
+    * implementation checks before touching the table. */
+  def protocol(spark: SparkSession, root: String,
+      version: Long = -1L): (Int, Int, Seq[String], Seq[String]) = {
+    val v = if (version < 0) latestVersion(spark, root) else version
+    val d = readDelta(spark, root, v)
+    (d.minReader, d.minWriter, d.rfeat, d.wfeat)
+  }
 
   private def fsOf(spark: SparkSession, root: String) = {
     val p = new Path(root)
@@ -331,7 +399,7 @@ object Snapshots {
     val (_, qroot) = fsOf(spark, root)
     deltaFileReads.incrementAndGet()
     val lines = readLines(spark, root, deltaPath(qroot, v))
-    Delta(
+    val d = Delta(
       adds = lines.filter(_.startsWith("+")).map(_.substring(1)),
       removes = lines.filter(_.startsWith("-")).map(_.substring(1)),
       txn = lines.find(_.startsWith("#txn:")).map(_.stripPrefix("#txn:").toLong),
@@ -347,8 +415,31 @@ object Snapshots {
       ts = lines.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong),
       dv = lines.filter(_.startsWith("#dv:")).map(_.stripPrefix("#dv:")),
       dvAdd = lines.find(_.startsWith("#dvadd:")).map(_.stripPrefix("#dvadd:")),
-      copied = lines.filter(_.startsWith("#copied:")).map(_.stripPrefix("#copied:")))
+      copied = lines.filter(_.startsWith("#copied:")).map(_.stripPrefix("#copied:")),
+      minReader = protoOf(lines).map(_._1).getOrElse(1),
+      minWriter = protoOf(lines).map(_._2).getOrElse(1),
+      rfeat = lines.filter(_.startsWith("#rfeat:")).map(_.stripPrefix("#rfeat:")),
+      wfeat = lines.filter(_.startsWith("#wfeat:")).map(_.stripPrefix("#wfeat:")))
+    // READER gate: refuse loudly before returning metadata another code
+    // path could act on — a protocol this build can't honor means the
+    // file bytes don't mean what our readers would assume (DVs ignored,
+    // physical names misresolved, narrow types read as-is)
+    val unknownR = d.rfeat.filterNot(Protocol.supportedReaderFeatures)
+    if (d.minReader > Protocol.readerVersion || unknownR.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot read $root version $v: the log requires reader protocol " +
+          s"${d.minReader} and feature(s) [${d.rfeat.mkString(", ")}]; this " +
+          s"build supports reader protocol ${Protocol.readerVersion} and " +
+          s"[${Protocol.supportedReaderFeatures.toSeq.sorted.mkString(", ")}] — " +
+          "upgrade the engine; reading anyway would return wrong data")
+    d
   }
+
+  private def protoOf(lines: Seq[String]): Option[(Int, Int)] =
+    lines.find(_.startsWith("#protocol:")).map { l =>
+      val parts = l.stripPrefix("#protocol:").split(",", 2)
+      (parts(0).trim.toInt, parts(1).trim.toInt)
+    }
 
   /** Table properties as of `version` (default: latest) — writer options
     * (parquet bloom opt-ins, compression, …) recorded at `init` and
@@ -491,13 +582,41 @@ object Snapshots {
     // skewed clock) can never make `versionAt` resolution ambiguous —
     // Delta Lake's in-commit-timestamp discipline. Recomputed per OCC
     // retry (the predecessor may have changed).
+    val prevV = versions(spark, root).filter(_ < v).lastOption
+    val prevD = prevV.map(p => readDelta(spark, root, p))
     val ts = d.ts.getOrElse {
-      val floor = versions(spark, root).filter(_ < v).lastOption
-        .map(p => commitTimestamp(spark, root, p) + 1).getOrElse(Long.MinValue)
+      val floor = prevV.map(p => commitTimestamp(spark, root, p) + 1)
+        .getOrElse(Long.MinValue)
       math.max(System.currentTimeMillis, floor)
     }
+    // WRITER gate: a table demanding writer features this build doesn't
+    // implement would have its invariants silently broken by our commit
+    // (ids unallocated, constraints unchecked, buckets mis-stamped) —
+    // refuse before any log mutation. Reader features were already
+    // enforced by the predecessor read above.
+    prevD.foreach { pd =>
+      val unknownW = pd.wfeat.filterNot(Protocol.supportedWriterFeatures)
+      if (pd.minWriter > Protocol.writerVersion || unknownW.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot write $root: the table requires writer protocol " +
+            s"${pd.minWriter} and feature(s) [${pd.wfeat.mkString(", ")}]; " +
+            s"this build supports writer protocol ${Protocol.writerVersion} " +
+            s"and [${Protocol.supportedWriterFeatures.toSeq.sorted.mkString(", ")}] — " +
+            "committing anyway would break the table's invariants")
+    }
+    // feature stamping is STICKY: this commit's requirements union the
+    // predecessor's — old files keep needing every feature ever used
+    val (needR, needW) = requiredFeatures(d, prevD)
+    val dStamped = d.copy(ts = Some(ts),
+      minReader = math.max(d.minReader, prevD.map(_.minReader).getOrElse(1)),
+      minWriter = math.max(d.minWriter, prevD.map(_.minWriter).getOrElse(1)),
+      rfeat = (prevD.map(_.rfeat).getOrElse(Nil) ++ needR).distinct.sorted,
+      wfeat = (prevD.map(_.wfeat).getOrElse(Nil) ++ needW).distinct.sorted)
     val lines =
-      Seq(s"#ts:$ts") ++
+      Seq(s"#ts:$ts",
+        s"#protocol:${dStamped.minReader},${dStamped.minWriter}") ++
+        dStamped.rfeat.map(f => s"#rfeat:$f") ++
+        dStamped.wfeat.map(f => s"#wfeat:$f") ++
         d.op.map(o => s"#op:$o").toSeq ++
         d.txn.map(b => s"#txn:$b").toSeq ++
         d.cdf.map(c => s"#cdf:$c").toSeq ++
@@ -533,7 +652,7 @@ object Snapshots {
     // stamped ts), so the commit's own immediate re-reads are free.
     if (v == 0L) purgeRootCaches(qroot.toString)
     deltaCache.put((qroot.toString, v),
-      d.copy(ts = Some(ts), adds = d.adds.sorted, removes = d.removes.sorted,
+      dStamped.copy(adds = d.adds.sorted, removes = d.removes.sorted,
         dv = d.dv.sorted, copied = d.copied.sorted))
   }
 
@@ -552,8 +671,15 @@ object Snapshots {
     // surviving files' stats ride the checkpoint so vacuum dropping the
     // adding deltas never loses them (the checkpoint is already O(table))
     val stats = reconstruct(spark, root, v)._2
+    val hd = readDelta(spark, root, v)
     val headers =
       versionSchema(spark, root, v).map(s => s"#schema:${s.json}").toSeq ++
+        // the protocol rides the checkpoint too: a reader that plans
+        // from checkpoint + tail deltas (or an external tool reading the
+        // checkpoint alone after vacuum) still sees the gate
+        Seq(s"#protocol:${hd.minReader},${hd.minWriter}") ++
+        hd.rfeat.map(f => s"#rfeat:$f") ++
+        hd.wfeat.map(f => s"#wfeat:$f") ++
         Seq(s"#maxtxn:${lastTxnUpTo(spark, root, v)}") ++
         // COPY INTO's ingested-source identities are append-only facts:
         // the checkpoint carries the full union so vacuum dropping the
@@ -2051,6 +2177,37 @@ object Snapshots {
       Delta(newFiles, affected, schema = prevDelta.schema,
         props = prevDelta.props, stats = stats, op = Some("optimize"),
         dv = Nil),
+      dvDropped = prevDelta.dv)
+  }
+
+  /** `OPTIMIZE … REBUCKET n` — change a bucketed table's bucket count
+    * as ONE full-rewrite commit. The count is fixed at declaration, so
+    * a table that grew 100× is stuck at its birth parallelism (8
+    * buckets cap a point lookup and a co-bucketed join at 8-way); this
+    * is the evolution path: every row re-hash-partitions to the NEW
+    * count (`writeCommitFiles` re-stamps the `_NNNNN` bucket ids under
+    * the same Murmur3 the scans advertise), the props re-declare
+    * `graft.buckets = n` atomically WITH the rewrite (no window where
+    * the spec and the files disagree), live deletion vectors are
+    * materialized by the rewrite (the new files carry no deleted rows),
+    * and old versions keep reading under their own recorded count.
+    * Logical no-op: same rows before and after. Cost: one full table
+    * write — exactly what changing a hash-layout width must cost. */
+  def rebucket(spark: SparkSession, root: String, n: Int): Long = {
+    require(n > 0, s"REBUCKET needs a positive bucket count, got $n")
+    val prev = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, prev)
+    require(bucketColsOf(prevDelta.props).nonEmpty,
+      s"$root is not bucketed — REBUCKET applies only to bucketed tables")
+    val v = prev + 1
+    val newProps = prevDelta.props + (bucketCountProp -> n.toString)
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val removes = versionFileList(spark, root, prev)
+    val cur = readVersion(spark, root, prev) // DV-applied: rewrite materializes
+    val (newFiles, stats) = writeCommitFiles(spark, root, v, cur, newProps, schema)
+    commitRewrite(spark, root, v,
+      Delta(newFiles, removes, schema = prevDelta.schema, props = newProps,
+        stats = stats, op = Some("optimize"), dv = Nil),
       dvDropped = prevDelta.dv)
   }
 

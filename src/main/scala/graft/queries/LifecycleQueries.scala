@@ -1648,6 +1648,54 @@ object LifecycleQueries {
              |FROM events""".stripMargin)
     ),
 
+    // ---- Protocol / table features (r13, VERDICT task 3): the log
+    // gates its own format evolution the way Delta's minReader/minWriter
+    // + tableFeatures does. Features that change what file bytes MEAN
+    // (deletion vectors, type widening, column mapping) ride the READER
+    // list; invariant-keeping features (identity, bucketing, CDC) ride
+    // the WRITER list; both accumulate stickily and surface through
+    // DESCRIBE DETAIL. A second implementation — or an older build —
+    // refuses a table it can't honor LOUDLY instead of silently reading
+    // wrong rows; the refusal paths are pinned by ProtocolSpec (a
+    // hand-stamped unknown feature refuses on read AND on DML). The
+    // aggregate here reads THROUGH the gated front door after the
+    // feature-bearing history (bucketed init + identity + MOR delete +
+    // widen), so the hash also pins that gating never perturbs data.
+    QuerySpec(
+      "sql_protocol_features",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/protofeat"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir).select(col("event_id"), col("value"),
+          col("user_id").cast("int").as("uid"))
+        Snapshots.init(s, root,
+          e.repartition(4, col("event_id")),
+          Map("graft.identity.rid" -> "1,1"))
+        Snapshots.deleteWhereMor(s, root, "event_id % 17 = 3")
+        Snapshots.alterColumnType(s, root, "uid",
+          org.apache.spark.sql.types.LongType)
+        val det = s.sql(s"DESCRIBE DETAIL graft.`$root`")
+          .select("min_reader_version", "min_writer_version",
+            "reader_features", "writer_features").head()
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            sum(col("uid")).cast("bigint").as("uid_sum"))
+          .withColumn("min_reader", lit(det.getInt(0)))
+          .withColumn("min_writer", lit(det.getInt(1)))
+          .withColumn("reader_features", lit(det.getString(2)))
+          .withColumn("writer_features", lit(det.getString(3)))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_sum,
+             |  1 AS min_reader, 1 AS min_writer,
+             |  'deletionVectors,typeWidening' AS reader_features,
+             |  'deletionVectors,identityColumns,typeWidening' AS writer_features
+             |FROM events WHERE event_id % 17 <> 3""".stripMargin)
+    ),
+
     // ---- COPY INTO (r11, the Databricks/Delta statement): idempotent
     // landing-zone ingest. Three parquet batches land; the first COPY
     // loads two files, the RE-RUN loads zero (identity = path|size|mtime

@@ -63,7 +63,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val optimizeRe = Pattern.compile(
-    """^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""",
+    """^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?(?:\s+REBUCKET\s+(\d+))?\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val vacuumRe = Pattern.compile(
     """^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""",
@@ -218,10 +218,16 @@ object GraftSqlParser {
     } else if (head == "OPTIMIZE") {
       val m = optimizeRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
-        "expected: OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (cols)]; got: " + sqlText)
+        "expected: OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (cols)] " +
+          "[REBUCKET <n>]; got: " + sqlText)
       val zorder = Option(m.group(3))
         .map(_.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
-      rootOf(m.group(1)).map(GraftOptimizeCommand(_, Option(m.group(2)), zorder))
+      val rebucket = Option(m.group(4)).map(_.toInt)
+      if (rebucket.isDefined && (zorder.isDefined || m.group(2) != null))
+        throw new IllegalArgumentException(
+          "REBUCKET is a whole-table rewrite — it composes with neither " +
+            "WHERE nor ZORDER BY; got: " + sqlText)
+      rootOf(m.group(1)).map(GraftOptimizeCommand(_, Option(m.group(2)), zorder, rebucket))
     } else if (head == "CONVERT") {
       val m = convertRe.matcher(sqlText)
       if (!m.matches()) throw new IllegalArgumentException(
@@ -251,13 +257,15 @@ object GraftSqlParser {
 
 /** `OPTIMIZE` — returns the committed version (-1 = nothing to do). */
 case class GraftOptimizeCommand(
-    root: String, where: Option[String], zorder: Option[Seq[String]])
+    root: String, where: Option[String], zorder: Option[Seq[String]],
+    rebucket: Option[Int] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val target = 128L * 1024 * 1024
-    val v = zorder match {
+    val v = if (rebucket.isDefined) Snapshots.rebucket(session, root, rebucket.get)
+    else zorder match {
       case None =>
         // a CLUSTERED table's plain OPTIMIZE re-clusters (incremental
         // no-op when the layout is tight — Delta's clustered-table
@@ -363,7 +371,11 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("num_files", LongType, nullable = false)(),
     AttributeReference("size_bytes", LongType, nullable = false)(),
     AttributeReference("num_rows", LongType, nullable = true)(),
-    AttributeReference("properties_json", org.apache.spark.sql.types.StringType, nullable = false)())
+    AttributeReference("properties_json", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("min_reader_version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("min_writer_version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("reader_features", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("writer_features", org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val v = Snapshots.latestVersion(session, root)
     val props = Snapshots.tableProperties(session, root, v)
@@ -376,13 +388,14 @@ case class GraftDetailCommand(root: String) extends LeafRunnableCommand {
       .map { case (k, w) =>
         s""""${k.replace("\"", "\\\"")}":"${w.replace("\"", "\\\"")}"""" }
       .mkString("{", ",", "}")
+    val (minR, minW, rfeat, wfeat) = Snapshots.protocol(session, root, v)
     Seq(Row(
       "graft", root, v, Snapshots.commitTimestamp(session, root, v),
       graft.core.HivePartitions.columnsOf(props).mkString(","),
       props.getOrElse("graft.clusterBy", ""),
       files.size.toLong, size,
       Snapshots.rowCount(session, root, v).map(Long.box).orNull,
-      propsJson))
+      propsJson, minR, minW, rfeat.mkString(","), wfeat.mkString(",")))
   }
 }
 

@@ -101,6 +101,61 @@ class BucketedTableSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("OPTIMIZE ... REBUCKET n: full rewrite re-stamps ids; hash and zero-exchange joins hold at the new count") {
+    val a = tmp(); val b = tmp()
+    Snapshots.init(spark, a,
+      (1L to 400L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(5), props)
+    Snapshots.init(spark, b,
+      (200L to 600L).map(i => (i, i * 2.0)).toDF("k", "w"), props)
+    val filesBefore = Snapshots.versionFiles(spark, a).toSet
+    // SQL door: a's count changes 4 -> 8 in ONE rewrite commit
+    val v = spark.sql(s"OPTIMIZE graft.`$a` REBUCKET 8").head().getLong(0)
+    assert(v == 1L)
+    assert(Snapshots.tableProperties(spark, a)("graft.buckets") == "8")
+    val filesAfter = Snapshots.versionFiles(spark, a)
+    assert(filesAfter.toSet.intersect(filesBefore).isEmpty, "full rewrite")
+    assert(filesAfter.forall(f =>
+      org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(new org.apache.hadoop.fs.Path(f).getName).isDefined),
+      s"new files carry bucket ids: $filesAfter")
+    // hash unchanged; the old version still reads under ITS OWN count
+    assert(Snapshots.readVersion(spark, a).select(sum($"k")).as[Long].head() ==
+      (1L to 400L).sum)
+    assert(Snapshots.readVersion(spark, a, 0L).count() == 400)
+    // re-bucket b to the SAME count: the co-bucketed join is exchange-free
+    // again at 8 — the partitioning guarantee survived the evolution
+    Snapshots.rebucket(spark, b, 8)
+    def door(r: String) =
+      spark.read.format("graft.sources.SnapshotSource").load(r)
+    val joined = door(a).join(door(b), "k").withColumn("s", $"v" + $"w")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nodes = deep(executed(joined))
+      assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
+        s"no exchange after REBUCKET:\n${executed(joined)}")
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 2 && scans.forall(_.bucketedScan))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(joined.count() == 201)
+    // point lookups keep pruning to ONE bucket at the new count
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = door(a).where($"k" === 137L)
+      val scan = deep(executed(q)).collectFirst {
+        case f: FileSourceScanExec => f }.get
+      assert(scan.bucketedScan &&
+        scan.optionalBucketSet.exists(_.cardinality() == 1))
+      assert(q.count() == 1)
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    // guards: non-bucketed tables refuse; WHERE/ZORDER don't compose
+    val plain = tmp()
+    Snapshots.init(spark, plain, Seq((1L, 1.0)).toDF("k", "v"))
+    intercept[IllegalArgumentException](Snapshots.rebucket(spark, plain, 8))
+    intercept[Exception](
+      spark.sql(s"OPTIMIZE graft.`$a` WHERE k > 0 REBUCKET 8"))
+  }
+
   test("structural guards: no ALTER into bucketing, no clusterBy overlap") {
     val root = tmp()
     Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))

@@ -77,6 +77,72 @@ object DmlDiag {
             .collect()
         }
       }
+      // ---- sql_table_changes stages (the 2.52x 10x-scale row, r11/r12
+      // verdicts): init + COW merge + COW delete-by-keys are EACH
+      // full-table-write-grain at this key distribution (event_id % 10
+      // spreads matches into every file), so the query's cost is ~3
+      // table writes + the feed reads; the TVF read itself is
+      // O(changed rows). Timing the stages separately attributes the
+      // scale ratio to setup writes vs the reader.
+      locally {
+        val root = "/tmp/dmldiag/tc"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        timed("tc: init") { Snapshots.init(spark, root, e) }
+        val updates = e.where(col("event_id") % 10 === 0)
+          .withColumn("value", col("value") * 2)
+        val inserts = e.where(col("event_id") % 10 === 7)
+          .withColumn("event_id", col("event_id") + 10000000L)
+          .withColumn("value", col("value") + 1)
+        timed("tc: mergeCow") {
+          Snapshots.mergeCow(spark, root, updates.unionByName(inserts),
+            Seq("event_id"), changeFeed = true)
+        }
+        timed("tc: deleteKeysCow") {
+          Snapshots.deleteKeysCow(spark, root,
+            e.where(col("event_id") % 13 === 4).select(col("event_id")),
+            Seq("event_id"), changeFeed = true)
+        }
+        timed("tc: tvf read+agg") {
+          spark.sql(
+            s"""SELECT _op, COUNT(*) AS n,
+               |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+               |  COUNT(DISTINCT _commit_timestamp) AS n_ts
+               |FROM table_changes('graft.`$root`', 1, 2)
+               |GROUP BY _op ORDER BY _op""".stripMargin).collect()
+        }
+      }
+      // ---- sql_copy_into stages (2.17x 10x-scale row)
+      locally {
+        val base = "/tmp/dmldiag/cpy"
+        val root = s"$base/t"; val landing = s"$base/landing"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        timed("cpy: init") {
+          Snapshots.init(spark, root, e.where(col("event_id") % 4 === 3))
+        }
+        timed("cpy: landing writes") {
+          e.where(col("event_id") % 4 === 0).coalesce(1).write.parquet(s"$landing/b0")
+          e.where(col("event_id") % 4 === 1).coalesce(1).write.parquet(s"$landing/b1")
+          e.where(col("event_id") % 4 === 2).coalesce(1).write.parquet(s"$landing/b2")
+        }
+        timed("cpy: first copy (3 files)") {
+          Snapshots.copyInto(spark, root, landing)
+        }
+        timed("cpy: rerun (noop)") {
+          Snapshots.copyInto(spark, root, landing)
+        }
+        timed("cpy: final agg") {
+          Snapshots.readVersion(spark, root)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)), sum(col("event_id")),
+              sum(col("value").cast("decimal(12,2)")).cast("double"))
+            .collect()
+        }
+      }
       // ---- delete_where_mor stages
       locally {
         val root = "/tmp/dmldiag/mor"

@@ -1,0 +1,141 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Feature-COMPOSITION gauntlet: widen → OPTIMIZE → COPY INTO old-width
+  * batches → explicit-id append → SYNC IDENTITY on ONE table, pinning
+  * the row hash, the identity high-water mark, and stats-envelope
+  * validity after EVERY step. Each feature is individually green in the
+  * oracle registry; this spec exists for the class of bug only their
+  * composition shows (a widened envelope mispruning, an OPTIMIZE
+  * dropping identity ids, a COPY batch landing NULL ids). */
+class InteropGauntletSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("widen -> OPTIMIZE -> COPY INTO old-width -> SYNC IDENTITY composes") {
+    val base = Files.createTempDirectory("gaunt").toFile.getAbsolutePath
+    val root = s"$base/t"
+    val landing = s"$base/landing"
+
+    // ---- state checker: hash (count + sums), id uniqueness, hwm, and
+    // envelope VALIDITY (a stats-pruned filtered read returns exactly
+    // the rows a full predicate scan does — a stale envelope after
+    // widen/rewrite would silently drop files here)
+    def check(tag: String, expN: Long, expK: Long, expV: Long,
+        expHwmAtLeast: Long): Unit = {
+      val df = Snapshots.readVersion(spark, root)
+      val r = df.agg(count(lit(1)), sum(col("k")).cast("long"),
+        sum(col("v")).cast("long")).head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((expN, expK, expV)),
+        s"$tag: hash (n,sumK,sumV) = $r, expected ($expN,$expK,$expV)")
+      assert(df.select(countDistinct(col("rid"))).head().getLong(0) == expN,
+        s"$tag: identity ids must stay unique and non-null")
+      val hwm = Snapshots.tableProperties(spark, root)
+        .get("graft.identity.rid.hwm").flatMap(_.toLongOption).getOrElse(0L)
+      assert(hwm >= expHwmAtLeast, s"$tag: hwm $hwm < $expHwmAtLeast")
+      // envelope validity: counts through the (stats-pruned) front door
+      // match the predicate's arithmetic truth on three band shapes
+      val head = Snapshots.latestVersion(spark, root)
+      Seq("k >= 150", "k < 40", "k >= 90 AND k < 120").foreach { p =>
+        val got = df.where(expr(p)).count()
+        val want = Snapshots.readVersion(spark, root)
+          .collect().count(row => {
+            val k = row.getAs[Number]("k").longValue()
+            p match {
+              case "k >= 150" => k >= 150
+              case "k < 40" => k < 40
+              case _ => k >= 90 && k < 120
+            }
+          }).toLong
+        assert(got == want, s"$tag: filtered read under '$p' got $got want $want")
+        val cand = Snapshots.statsCandidateFiles(spark, root, head, p)
+        assert(cand.size <= Snapshots.versionFiles(spark, root).size,
+          s"$tag: candidates bounded by the file list")
+      }
+    }
+
+    // v0: 200 rows, k 1..200, v = 10k (INT), identity rid, range-laid-out
+    // so envelopes are tight enough for real pruning
+    Snapshots.init(spark, root,
+      (1 to 200).map(i => (i, i * 10)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      Map("graft.identity.rid" -> "1,1"))
+    val sumK = 200L * 201 / 2
+    check("init", 200, sumK, sumK * 10, 200)
+    // the init layout really prunes: a tight band hits a strict subset
+    assert(Snapshots.statsCandidateFiles(spark, root, 0L, "k < 40").size <
+      Snapshots.versionFiles(spark, root).size,
+      "range layout must let the envelope prune files")
+
+    // STEP 1 — widen v INT -> BIGINT (metadata-only; old files stay INT)
+    Snapshots.alterColumnType(spark, root, "v", LongType)
+    assert(Snapshots.readVersion(spark, root).schema("v").dataType == LongType)
+    check("widen", 200, sumK, sumK * 10, 200)
+
+    // STEP 2 — OPTIMIZE compacts the widened table (rewrites files under
+    // the WIDE schema; envelopes re-collected from the new files)
+    Snapshots.optimizeCompact(spark, root, smallerThanBytes = 1L << 30,
+      targetFileBytes = 1L << 30)
+    check("optimize", 200, sumK, sumK * 10, 200)
+
+    // STEP 3a — COPY INTO an OLD-WIDTH parquet batch (v still INT32 in
+    // the landing files, rid absent): upcast + identity injection
+    (201 to 250).map(i => (i, i * 10)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$landing/b0")
+    val r1 = Snapshots.copyInto(spark, root, landing)
+    assert(r1.rowsInserted == 50L, r1.toString)
+    val sumK250 = 250L * 251 / 2
+    check("copy-parquet", 250, sumK250, sumK250 * 10, 250)
+
+    // STEP 3b — COPY INTO a CSV batch lacking rid entirely: the
+    // all-NULL drop must fire injection, never land NULL ids
+    val w = new java.io.PrintWriter(s"$landing/b1.csv")
+    w.println("k,v")
+    (251 to 260).foreach(i => w.println(s"$i,${i * 10}"))
+    w.close()
+    val r2 = Snapshots.copyInto(spark, root, landing, format = "csv",
+      formatOptions = Map("header" -> "true"))
+    assert(r2.rowsInserted == 10L, r2.toString)
+    val sumK260 = 260L * 261 / 2
+    check("copy-csv", 260, sumK260, sumK260 * 10, 260)
+
+    // STEP 4 — an explicit-id append ABOVE the hwm (GENERATED BY DEFAULT
+    // admits it), then SYNC IDENTITY advances the hwm past it.
+    // Allocated ids are SPARSE (monotonically_increasing_id encodes the
+    // partition index in high bits — gaps are the documented admission),
+    // so "above" is relative to the ACTUAL hwm, not the row count.
+    val hwm0 = Snapshots.tableProperties(spark, root)("graft.identity.rid.hwm").toLong
+    Snapshots.append(spark, root,
+      Seq((261, 2610L, hwm0 + 5000L), (262, 2620L, hwm0 + 5001L))
+        .toDF("k", "v", "rid"))
+    val sumK262 = sumK260 + 261 + 262
+    check("explicit-append", 262, sumK262, sumK262 * 10, hwm0) // hwm lags
+    assert(Snapshots.tableProperties(spark, root)("graft.identity.rid.hwm").toLong
+      == hwm0, "an explicit-id append must NOT advance the hwm")
+    val synced = Snapshots.syncIdentity(spark, root)
+    assert(synced == Seq("rid" -> (hwm0 + 5001L)), synced.toString)
+    check("sync-identity", 262, sumK262, sumK262 * 10, hwm0 + 5001L)
+
+    // STEP 5 — the NEXT copy allocates above the synced hwm: no collision
+    (263 to 264).map(i => (i, i * 10L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$landing/b2")
+    val r3 = Snapshots.copyInto(spark, root, landing)
+    assert(r3.rowsInserted == 2L, r3.toString)
+    val sumK264 = sumK262 + 263 + 264
+    check("post-sync-copy", 264, sumK264, sumK264 * 10, hwm0 + 5001L)
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("k") >= 263).select(min(col("rid"))).head().getLong(0)
+      > hwm0 + 5001L,
+      "post-sync ids allocate above the synced hwm")
+    assert(Snapshots.readVersion(spark, root)
+      .select(countDistinct(col("rid"))).head().getLong(0) == 264L,
+      "no id collision across the whole gauntlet")
+  }
+}

@@ -19,17 +19,22 @@ object Plans {
       .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     // Dump co-located join plans under the same no-broadcast window their
     // oracles assert in (bucket_join_agg pins ZERO exchanges with
     // broadcast off; a dump taken with broadcast on documents a plan the
-    // oracle never runs).
-    val spark = (if (sys.env.contains("SPARK_GRAFT_PLANS_NO_BROADCAST"))
-      b.config("spark.sql.autoBroadcastJoinThreshold", "-1") else b)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // oracle never runs). The conf is (re-)set AFTER each query function
+    // returns: queries that manage their own no-broadcast window restore
+    // the conf in a finally, which would otherwise undo a builder-level
+    // setting before the explain re-plans.
+    val noBroadcast = sys.env.contains("SPARK_GRAFT_PLANS_NO_BROADCAST")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (noBroadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      df.explain("formatted")
     }
     spark.stop()
   }

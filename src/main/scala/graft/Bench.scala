@@ -80,11 +80,11 @@ object Bench {
     // build.sbt forces StdoutOutput (no "[info] " prefix) and
     // showSuccess=false (no "[success]" trailer) so these lines reach the
     // driver raw, printed after spark.stop() so nothing trails them.
-    val slowest = results.sortBy(-_._2).take(48)
-    val chunks = slowest.grouped(12).zipWithIndex.map { case (grp, i) =>
+    val slowest = results.sortBy(-_._2).take(48).grouped(12).toSeq
+    val chunks = slowest.zipWithIndex.map { case (grp, i) =>
       val qs48 = grp.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"slowest","chunk":${i + 1},"of":4,"queries":$qs48}"""
-    }.toSeq
+      s"""{"metric":"slowest","chunk":${i + 1},"of":${slowest.size},"queries":$qs48}"""
+    }
     val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     spark.stop()
     chunks.foreach(println)

@@ -300,9 +300,31 @@ object Snapshots {
     *     bytes; either side may be empty = absent)
     *
     * Shared by deltas and checkpoints. */
+  /** Column names the `#stats:` line codec can carry — names holding a
+    * codec separator are silently skipped at render time, so anything
+    * CACHING a pre-render Delta must filter identically (see
+    * `writeDelta`'s cache seed) or the writing JVM would prune with
+    * envelopes no other reader of the same version has. */
+  private def statsEncodable(c: String) = !c.exists("|;=:\n".contains(_))
+
+  /** `stats` restricted to what a render→parse round-trip preserves. */
+  private def statsAsReadBack(
+      stats: Map[String, graft.core.Skipping.FileStats])
+      : Map[String, graft.core.Skipping.FileStats] =
+    stats.map { case (rel, s) =>
+      rel -> s.copy(
+        mins = s.mins.filter(kv => statsEncodable(kv._1)),
+        maxs = s.maxs.filter(kv => statsEncodable(kv._1)),
+        dmins = s.dmins.filter(kv => statsEncodable(kv._1)),
+        dmaxs = s.dmaxs.filter(kv => statsEncodable(kv._1)),
+        smins = s.smins.filter(kv => statsEncodable(kv._1)),
+        smaxs = s.smaxs.filter(kv => statsEncodable(kv._1)),
+        nullCounts = s.nullCounts.filter(kv => statsEncodable(kv._1)))
+    }
+
   private def renderStats(rel: String, s: graft.core.Skipping.FileStats): String = {
     import graft.core.Skipping.toHex
-    def ok(c: String) = !c.exists("|;=:\n".contains(_))
+    def ok(c: String) = statsEncodable(c)
     val longs = s.mins.keys.toSeq.sorted.filter(ok)
       .map(c => s"$c=${s.mins(c)}:${s.maxs(c)}")
     val dbls = s.dmins.keys.toSeq.sorted.filter(ok)
@@ -604,6 +626,15 @@ object Snapshots {
             s"and [${Protocol.supportedWriterFeatures.toSeq.sorted.mkString(", ")}] — " +
             "committing anyway would break the table's invariants")
     }
+    // line-codec safety: a prop key with '=' or any value with '\n'
+    // would mis-split on read-back — corrupting the LOG is never an
+    // acceptable failure mode, so refuse the commit loudly instead
+    d.props.foreach { case (k, pv) =>
+      require(!k.contains('=') && !k.contains('\n'),
+        s"table property key '$k' cannot be recorded (contains '=' or newline)")
+      require(!pv.contains('\n'),
+        s"table property $k cannot be recorded: value contains a newline")
+    }
     // feature stamping is STICKY: this commit's requirements union the
     // predecessor's — old files keep needing every feature ever used
     val (needR, needW) = requiredFeatures(d, prevD)
@@ -653,7 +684,12 @@ object Snapshots {
     if (v == 0L) purgeRootCaches(qroot.toString)
     deltaCache.put((qroot.toString, v),
       dStamped.copy(adds = d.adds.sorted, removes = d.removes.sorted,
-        dv = d.dv.sorted, copied = d.copied.sorted))
+        dv = d.dv.sorted, copied = d.copied.sorted,
+        // EXACTLY what a cold read-back of the file returns — the stats
+        // codec drops un-encodable column names, so the seeded cache
+        // must too, or the writing JVM would prune on envelopes no
+        // other reader of this version has
+        stats = statsAsReadBack(d.stats)))
   }
 
   /** Checkpoints are derived (a pure function of the deltas), so the

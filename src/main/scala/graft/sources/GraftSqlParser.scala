@@ -39,8 +39,24 @@ import graft.jobs.{Snapshots, SnapshotSql}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseMaintenance(sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.parseMaintenance(sqlText, delegate).getOrElse {
+      try delegate.parsePlan(sqlText)
+      catch {
+        // A maintenance statement whose TABLE failed to resolve as a
+        // snapshot table delegates (a stacked extension may define it) —
+        // but when the delegate can't parse it either, Spark's
+        // PARSE_SYNTAX_ERROR would bury the actual problem (a typo'd or
+        // unregistered table) under "syntax error at OPTIMIZE". Rethrow
+        // with the resolution failure front and center.
+        case e: org.apache.spark.sql.catalyst.parser.ParseException
+            if GraftSqlParser.isMaintenanceShaped(sqlText) =>
+          throw new IllegalArgumentException(
+            s"cannot resolve the target of '${sqlText.trim.takeWhile(_ != '\n')}': " +
+              "not a registered snapshot table — register(name, root) it or " +
+              "address it as graft.`/path` (no other installed parser " +
+              "accepts the statement either)", e)
+      }
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -106,6 +122,23 @@ object GraftSqlParser {
   private val syncIdentityRe = Pattern.compile(
     """^\s*ALTER\s+TABLE\s+(.+?)\s+SYNC\s+IDENTITY\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  /** True when the statement LOOKS like one of the graft-only
+    * maintenance productions (head-word check only) — used to sharpen
+    * the delegate's parse error when resolution fell through. ALTER and
+    * CREATE are excluded: Spark owns those heads, so their parse errors
+    * are genuine syntax errors. */
+  private[sources] def isMaintenanceShaped(sqlText: String): Boolean = {
+    val trimmed = sqlText.trim
+    val head = trimmed.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
+    val secondWord = trimmed.split("\\s+").lift(1)
+    head == "OPTIMIZE" || head == "VACUUM" || head == "RESTORE" ||
+      head == "REORG" ||
+      (head == "CONVERT" && secondWord.exists(_.equalsIgnoreCase("TO"))) ||
+      (head == "COPY" && secondWord.exists(_.equalsIgnoreCase("INTO"))) ||
+      (head == "DESCRIBE" && secondWord.exists(w =>
+        w.equalsIgnoreCase("HISTORY") || w.equalsIgnoreCase("DETAIL")))
+  }
 
   private[sources] def parseMaintenance(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {

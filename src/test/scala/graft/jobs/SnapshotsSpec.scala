@@ -884,4 +884,20 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(ts.zip(ts.tail).forall { case (a, b) => a < b }, "in-commit timestamps strictly increase")
     assert(h.last.getBoolean(7), "init carries the schema")
   }
+
+  test("prop values that would corrupt the line codec are refused loudly") {
+    // the log is line-oriented (#prop:k=v) — a newline inside a value
+    // (e.g. a multiline CHECK expression) would shear the delta file;
+    // refusal must land BEFORE any log mutation
+    val root = Files.createTempDirectory("propg").toFile.getAbsolutePath + "/t"
+    val e = intercept[IllegalArgumentException](
+      Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"),
+        Map("constraint.c1" -> "k >\n 0")))
+    assert(e.getMessage.contains("newline"), e.getMessage)
+    assert(!new java.io.File(root, "_log").exists, "nothing committed")
+    // a single-line spelling of the same constraint lands fine
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"),
+      Map("constraint.c1" -> "k > 0"))
+    assert(Snapshots.readVersion(spark, root).count() == 1L)
+  }
 }

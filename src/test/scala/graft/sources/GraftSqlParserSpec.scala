@@ -194,4 +194,32 @@ class GraftSqlParserSpec extends AnyFunSuite {
     try assert(spark.sql("SELECT * FROM gsp_plain_create").count() == 0L)
     finally spark.sql("DROP TABLE gsp_plain_create")
   }
+
+  test("maintenance on an unresolved table names the real problem, not a syntax error") {
+    // VACUUM/OPTIMIZE/... on a typo'd or unregistered table falls
+    // through to Spark's parser, which has no such statement — the raw
+    // PARSE_SYNTAX_ERROR buried the actual cause. The rethrow must lead
+    // with the resolution failure.
+    // (DESCRIBE HISTORY/DETAIL are absent: Spark parses those as
+    // DescribeColumn, so they fail at ANALYSIS with the table name in
+    // the message already — only parse-level statements need the rethrow)
+    Seq("VACUUM not_registered_tbl",
+      "OPTIMIZE not_registered_tbl",
+      "RESTORE not_registered_tbl TO VERSION AS OF 0",
+      "REORG TABLE not_registered_tbl APPLY (PURGE)").foreach { stmt =>
+      val e = intercept[Exception](spark.sql(stmt))
+      assert(e.getMessage.contains("not a registered snapshot table"),
+        s"'$stmt' gave: ${e.getMessage.take(200)}")
+      assert(e.getMessage.contains("graft.`/path`"),
+        "the error tells the operator the two ways to address a table")
+    }
+    // a genuinely malformed statement on a REGISTERED name still
+    // surfaces the statement-shape error, not the resolution rethrow
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((1, 1.0)).toDF("k", "v"))
+    val e2 = intercept[Exception](
+      spark.sql(s"OPTIMIZE graft.`$root` WHERE k > 0 REBUCKET 4 ZORDER"))
+    assert(!e2.getMessage.contains("not a registered snapshot table"),
+      e2.getMessage.take(200))
+  }
 }

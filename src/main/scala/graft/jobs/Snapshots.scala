@@ -136,7 +136,7 @@ object Snapshots {
       * checks, bucket layout, CDC publication). */
     val supportedWriterFeatures: Set[String] =
       supportedReaderFeatures ++ Set("identityColumns", "generatedColumns",
-        "checkConstraints", "bucketing", "changeDataFeed")
+        "checkConstraints", "bucketing", "changeDataFeed", "rowTracking")
   }
 
   /** The features THIS delta's content requires, split (reader, writer).
@@ -162,6 +162,7 @@ object Snapshots {
     if (d.props.keys.exists(_.startsWith(generatedPrefix))) w += "generatedColumns"
     if (d.props.keys.exists(_.startsWith(constraintPrefix))) w += "checkConstraints"
     if (d.props.contains(bucketByProp)) w += "bucketing"
+    if (d.props.get(rowTrackingProp).contains("true")) w += "rowTracking"
     if (d.cdf.isDefined) w += "changeDataFeed"
     (r, w)
   }
@@ -1062,6 +1063,43 @@ object Snapshots {
     }.toMap
   }
 
+  // ---- Row tracking (Delta's rowTracking feature on this log) --------
+  //
+  // `graft.rowTracking = true` at init gives every row a STABLE unique
+  // id that survives the table's whole lifecycle. Implementation: the
+  // engine declares a hidden identity column `_row_id` — so fresh rows
+  // on EVERY ingest path (init, append, COPY INTO, MERGE inserts,
+  // streaming commits) allocate through the existing one-pass identity
+  // machinery, and every rewrite path (OPTIMIZE / REBUCKET / COW
+  // UPDATE-MERGE carry-through / MOR post-images / DV materialization)
+  // preserves ids for free because `_row_id` is an ordinary recorded
+  // schema column the rewrites carry like any other. Ids are unique and
+  // ascending but SPARSE (the identity allocator's documented gap
+  // admission). The catalog and spark.read front doors HIDE `_row_id`
+  // unless `.option("rowIds", "true")` asks for it (Delta hides row ids
+  // the same way); `readVersion` — and therefore every internal rewrite
+  // read — always carries it. CDC feeds on tracked tables carry the ids
+  // too, so a downstream consumer can follow one logical row across
+  // updates. Gated as writer feature `rowTracking`.
+
+  val rowTrackingProp = "graft.rowTracking"
+  val rowIdCol = "_row_id"
+
+  private[graft] def rowTrackingOn(props: Map[String, String]): Boolean =
+    props.get(rowTrackingProp).contains("true")
+
+  /** Engine-managed columns a FRONT DOOR hides by default (the recorded
+    * schema still carries them; opt back in per read). */
+  def hiddenColumns(props: Map[String, String]): Seq[String] =
+    if (rowTrackingOn(props)) Seq(rowIdCol) else Nil
+
+  /** `schema` minus the engine-hidden columns — what SELECT * shows. */
+  def visibleSchema(schema: StructType, props: Map[String, String]): StructType = {
+    val hide = hiddenColumns(props).toSet
+    if (hide.isEmpty) schema
+    else StructType(schema.fields.filterNot(f => hide.contains(f.name)))
+  }
+
   /** Create version 0 from `df`. Fails if a log already exists.
     * `props` are table-level writer options (e.g.
     * `parquet.bloom.filter.enabled#doc_id -> true`) recorded in the log
@@ -1072,8 +1110,20 @@ object Snapshots {
 
   private def initTxn(
       spark: SparkSession, root: String, df: DataFrame, txn: Option[Long],
-      props: Map[String, String] = Map.empty): Long = {
+      props0: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
+    // row tracking rides the identity machinery: declare the hidden
+    // `_row_id` identity column alongside whatever the user declared
+    val props =
+      if (!rowTrackingOn(props0)) props0
+      else {
+        require(!df.columns.contains(rowIdCol),
+          s"$rowIdCol is engine-managed under $rowTrackingProp — the init " +
+            "frame cannot carry it")
+        require(!props0.contains(identityPrefix + rowIdCol),
+          s"$rowIdCol identity is engine-declared under $rowTrackingProp")
+        props0 + (identityPrefix + rowIdCol -> "1,1")
+      }
     val (gen, _, injected) = withIdentity(withGenerated(df, props), props)
     // a partitioned table's layout columns must exist up front (validated
     // once here; every later commit writes the same Hive layout —
@@ -1111,6 +1161,13 @@ object Snapshots {
       spark: SparkSession, root: String, partitionBy: Seq[String] = Nil,
       props: Map[String, String] = Map.empty): Long = {
     require(versions(spark, root).isEmpty, s"snapshot log already exists at $root")
+    // adopted files carry no row ids and CONVERT promises zero data
+    // movement — backfilling ids would be a full rewrite. Refuse the
+    // combination loudly; init a tracked table and append instead.
+    require(!rowTrackingOn(props),
+      s"$rowTrackingProp cannot be enabled by CONVERT (adopted files carry " +
+        "no row ids and conversion moves no data) — init a row-tracked " +
+        "table and ingest into it instead")
     val (_, qroot) = fsOf(spark, root)
     val rootUri = qroot.toString.stripSuffix("/") + "/"
     val rels = graft.core.Skipping.dataFiles(spark, root, recursive = true)
@@ -1477,13 +1534,18 @@ object Snapshots {
   def overwrite(spark: SparkSession, root: String, df0: DataFrame): Long = {
     val base = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, base)
-    val df = withGenerated(df0, prevDelta.props)
+    // identity columns (incl. row tracking's `_row_id`) survive a full
+    // replace: absent columns inject fresh ids ABOVE the existing hwm —
+    // replaced rows' ids are never reused (Delta's overwrite admission)
+    val (df, _, injected) =
+      withIdentity(withGenerated(df0, prevDelta.props), prevDelta.props)
     checkConstraints(df, prevDelta.props)
     val removes = versionFileList(spark, root, base)
     val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, prevDelta.props)
     commitRewrite(spark, root, base + 1,
       Delta(adds, removes, schema = Some(nullable(df.schema).json),
-        props = prevDelta.props, stats = stats, op = Some("overwrite")))
+        props = prevDelta.props ++ identityPatch(stats, injected, identity),
+        stats = stats, op = Some("overwrite")))
   }
 
   /** The live files of `version` with their TYPED partition values as a
@@ -1552,7 +1614,11 @@ object Snapshots {
       spark: SparkSession, root: String, df0: DataFrame, predicateSql: String): Long = {
     val base = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, base)
-    val df = withGenerated(df0, prevDelta.props)
+    // partition-scoped replaces are still an INGEST path: absent
+    // identity columns (incl. row tracking's `_row_id`) inject fresh
+    // ids above the hwm — without this, tracked rows landed NULL ids
+    val (df, _, injected) =
+      withIdentity(withGenerated(df0, prevDelta.props), prevDelta.props)
     checkConstraints(df, prevDelta.props)
     val bad = df.where(coalesce(expr(predicateSql), lit(false)) === false).take(1)
     require(bad.isEmpty,
@@ -1565,7 +1631,9 @@ object Snapshots {
     val (adds, stats) = writeCommitFiles(
       spark, root, base + 1, conform(df, merged), prevDelta.props, Some(merged))
     commitRewrite(spark, root, base + 1,
-      Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
+      Delta(adds, removes, schema = Some(merged.json),
+        props = prevDelta.props ++
+          identityPatch(stats, injected, c => physicalMap(merged).getOrElse(c, c)),
         stats = stats, op = Some("overwrite"), dv = prevDelta.dv))
   }
 
@@ -1582,7 +1650,9 @@ object Snapshots {
     val partCols = graft.core.HivePartitions.columnsOf(prevDelta.props)
     require(partCols.nonEmpty, s"$root is not a partitioned table " +
       s"(no ${graft.core.HivePartitions.prop} property)")
-    val df = withGenerated(df0, prevDelta.props)
+    // same identity admission as replaceWhere: dynamic overwrite ingests
+    val (df, _, injected) =
+      withIdentity(withGenerated(df0, prevDelta.props), prevDelta.props)
     checkConstraints(df, prevDelta.props)
     val prevSchema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
     val merged = mergedSchema(prevSchema,
@@ -1595,7 +1665,9 @@ object Snapshots {
     val (adds, stats) = writeCommitFiles(
       spark, root, base + 1, conform(df, merged), prevDelta.props, Some(merged))
     commitRewrite(spark, root, base + 1,
-      Delta(adds, removes, schema = Some(merged.json), props = prevDelta.props,
+      Delta(adds, removes, schema = Some(merged.json),
+        props = prevDelta.props ++
+          identityPatch(stats, injected, c => physicalMap(merged).getOrElse(c, c)),
         stats = stats, op = Some("overwrite"), dv = prevDelta.dv))
   }
 
@@ -1617,6 +1689,19 @@ object Snapshots {
       dvDropped: Seq[String] = Nil): Long =
     commitRewrite(spark, root, v, d, dvDropped)
 
+  /** TEST HOOK: commit a full rewrite of `base`'s content computed
+    * against a STALE head — deterministically exercising the rebase's
+    * props/schema reconciliation (a live race can't be scheduled from a
+    * spec). `base` must be version 0's delta; the rewrite claims v1. */
+  private[graft] def rebaseProbeRewrite(
+      spark: SparkSession, root: String, content: DataFrame, base: Delta): Long = {
+    val schema = base.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val (adds, stats) = writeCommitFiles(spark, root, 1L, content, base.props, schema)
+    commitRewrite(spark, root, 1L,
+      Delta(adds, base.adds, schema = base.schema, props = base.props,
+        stats = stats, op = Some("optimize"), dv = base.dv))
+  }
+
   /** `dvDropped`: vectors this commit intends to REMOVE from the live
     * set (materialization) — they were part of the commit's base, so a
     * winner still carrying them is not a conflict, and a rebase must
@@ -1625,6 +1710,9 @@ object Snapshots {
       spark: SparkSession, root: String, v: Long, d0: Delta,
       dvDropped: Seq[String] = Nil): Long = {
     val (_, qroot) = fsOf(spark, root)
+    // the BASE this delta was computed against — rebase reconciliation
+    // diffs the commit's prop/schema INTENT against it (v0 has no base)
+    val base = if (v == 0) None else Some(readDelta(spark, root, v - 1))
     var d = d0
     var attempt = v
     var attempts = 0
@@ -1688,6 +1776,35 @@ object Snapshots {
                   s"(e.g. ${gone.head}) — recompute against the current version", e)
             }
             d = d.copy(dv = headDelta.dv.filterNot(dvDropped.contains) ++ d.dvAdd.toSeq)
+          }
+          // PROPS/SCHEMA reconciliation: the delta carries the BASE
+          // version's props/schema (plus this commit's own changes) —
+          // rebasing them verbatim would REVERT any winner's metadata
+          // commit: a concurrent append's identity-hwm advance (silently
+          // regressed hwm ⇒ future id collisions), an ADD CONSTRAINT, a
+          // type widening. Three-way merge: adopt the winner's state,
+          // re-apply OUR intended diff, refuse when both sides changed
+          // the same key.
+          base.foreach { b =>
+            val ourChanged = d.props.filter { case (k, pv) =>
+              !b.props.get(k).contains(pv) }
+            val ourRemoved = b.props.keySet -- d.props.keySet
+            val winChangedKeys = headDelta.props.filter { case (k, pv) =>
+              !b.props.get(k).contains(pv) }.keySet ++
+              (b.props.keySet -- headDelta.props.keySet)
+            val clash = winChangedKeys.intersect(ourChanged.keySet ++ ourRemoved)
+            if (clash.nonEmpty) throw new IllegalStateException(
+              s"rewrite conflict at $root: concurrent commits both changed " +
+                s"table propert${if (clash.size == 1) "y" else "ies"} " +
+                s"${clash.mkString(", ")} — recompute against the current version", e)
+            val ourSchemaChanged = d.schema != b.schema
+            val winSchemaChanged = headDelta.schema != b.schema
+            if (ourSchemaChanged && winSchemaChanged) throw new IllegalStateException(
+              s"rewrite conflict at $root: concurrent commits both changed " +
+                "the table schema — recompute against the current version", e)
+            d = d.copy(
+              props = (headDelta.props -- ourRemoved) ++ ourChanged,
+              schema = if (ourSchemaChanged) d.schema else headDelta.schema)
           }
           attempt = latest + 1
       }
@@ -1950,6 +2067,8 @@ object Snapshots {
     require(partSet.isEmpty,
       s"UPDATE cannot move rows across partitions (SET ${partSet.mkString(", ")}) — " +
         "delete + insert instead")
+    require(!rowTrackingOn(prevDelta.props) || !set.contains(rowIdCol),
+      s"$rowIdCol is engine-managed under $rowTrackingProp — UPDATE cannot SET it")
     val pred = expr(predicateSql)
     def applySet(df: DataFrame): DataFrame =
       df.select(schema.fields.toSeq.map { f =>
@@ -2042,6 +2161,8 @@ object Snapshots {
     require(partSet.isEmpty,
       s"UPDATE cannot move rows across partitions (SET ${partSet.mkString(", ")}) — " +
         "delete + insert instead")
+    require(!rowTrackingOn(prevDelta.props) || !set.contains(rowIdCol),
+      s"$rowIdCol is engine-managed under $rowTrackingProp — UPDATE cannot SET it")
     val pred = expr(predicateSql)
     def applySet(df: DataFrame): DataFrame =
       df.select(schema.fields.toSeq.map { f =>
@@ -2316,23 +2437,58 @@ object Snapshots {
     require(rewritten.size == matchedFiles.size,
       s"${matchedFiles.size} files hold matched keys but only ${rewritten.size} " +
         s"resolved to log entries — path normalization bug? $matchedFiles")
+    // Row tracking: a MATCHED row keeps its id (the merge updates a
+    // logical row, it doesn't mint one) — looked up from the MATCHED
+    // files only, O(rewritten) never O(table); unmatched source rows
+    // draw fresh ids above the hwm. The hwm patch + race refusal ride
+    // the commit like any identity allocation.
+    val tracked = rowTrackingOn(prevDelta.props) &&
+      prevSchema.fieldNames.contains(rowIdCol)
+    val hwmKey = identityPrefix + rowIdCol + ".hwm"
+    val srcFinal =
+      if (!tracked) conform(src, merged)
+      else {
+        val tgtIds =
+          if (rewritten.isEmpty)
+            conform(spark.emptyDataFrame, StructType(
+              keyCols.map(prevSchema(_)) :+ prevSchema(rowIdCol)))
+          else readFilesAs(spark, qroot,
+              rewritten.map(f => new Path(qroot, f).toString),
+              Some(prevSchema), prevDelta.props, prevDelta.dv)
+            .select((keyCols.map(col) :+ col(rowIdCol)): _*)
+        val hwm = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
+        conform(src, merged).drop(rowIdCol) // engine-managed: never source-supplied
+          .join(tgtIds, keyCols, "left")
+          .withColumn(rowIdCol, coalesce(col(rowIdCol),
+            lit(hwm + 1) + monotonically_increasing_id()))
+      }
     val cdfDir =
       if (changeFeed) Some(stageChangeFeed(spark, qroot, v,
         ChangeFeed.mergeFeed(
           conform(readVersion(spark, root, prev), merged),
-          conform(src, merged), keyCols)))
+          conform(srcFinal, merged), keyCols)))
       else None
     val kept =
-      if (rewritten.isEmpty) conform(src, merged)
+      if (rewritten.isEmpty) conform(srcFinal, merged)
       else conform(
           readFilesAs(spark, qroot,
               rewritten.map(f => new Path(qroot, f).toString),
               Some(prevSchema), prevDelta.props, prevDelta.dv)
             .join(srcKeys, keyCols, "left_anti"), merged)
-        .unionByName(conform(src, merged))
+        .unionByName(conform(srcFinal, merged))
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
+    val idPatch =
+      if (!tracked) Map.empty[String, String]
+      else {
+        // advance-only: an all-matched merge's stats max is the OLD ids'
+        // max (≤ hwm) — patching it would regress the hwm
+        val cur = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
+        identityPatch(stats, Seq(rowIdCol -> 1L),
+          c => physicalMap(merged).getOrElse(c, c))
+          .filter(_._2.toLong > cur)
+      }
     try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = Some(merged.json), props = prevDelta.props, stats = stats,
+      schema = Some(merged.json), props = prevDelta.props ++ idPatch, stats = stats,
       op = Some("merge"), dv = prevDelta.dv))
     catch { case e: Throwable =>
       cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
@@ -2620,8 +2776,22 @@ object Snapshots {
                 when(col("__act") === r.id, expr(r.set(f.name)).cast(f.dataType)).otherwise(els)
               }.as(f.name)
           }
-        val built = unmatchedSrc.withColumn("__act", insAct)
+        val built0 = unmatchedSrc.withColumn("__act", insAct)
           .where(col("__act") =!= "skip").select(insCols: _*)
+        // row tracking: INSERT clauses never assign the engine-managed
+        // `_row_id` — inserted rows draw fresh ids above the hwm
+        // (matched updates already preserve it: un-SET columns carry
+        // from the target row)
+        val built =
+          if (!rowTrackingOn(prevDelta.props) ||
+              !merged.fieldNames.contains(rowIdCol)) built0
+          else {
+            val hwm = prevDelta.props
+              .get(identityPrefix + rowIdCol + ".hwm")
+              .flatMap(_.toLongOption).getOrElse(0L)
+            built0.withColumn(rowIdCol, coalesce(col(rowIdCol),
+              lit(hwm + 1) + monotonically_increasing_id()))
+          }
         conform(withGenerated(built, prevDelta.props), merged)
       }
     // gates on CHANGED rows only (updated + inserted), O(changed)
@@ -2646,8 +2816,19 @@ object Snapshots {
       }
     val kept = newTgt.unionByName(inserted)
     val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
+    // advance-only hwm patch for freshly-inserted row ids (see mergeCow)
+    val idPatch =
+      if (!rowTrackingOn(prevDelta.props) ||
+          !merged.fieldNames.contains(rowIdCol)) Map.empty[String, String]
+      else {
+        val hwmKey = identityPrefix + rowIdCol + ".hwm"
+        val cur = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
+        identityPatch(stats, Seq(rowIdCol -> 1L),
+          c => physicalMap(merged).getOrElse(c, c))
+          .filter(_._2.toLong > cur)
+      }
     try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = Some(merged.json), props = prevDelta.props, stats = stats,
+      schema = Some(merged.json), props = prevDelta.props ++ idPatch, stats = stats,
       op = Some("merge"), dv = prevDelta.dv))
     catch { case e: Throwable =>
       cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
@@ -3058,6 +3239,10 @@ object Snapshots {
     require(identityStructural.isEmpty,
       s"$identityPrefix* properties are declared at init and maintained " +
         "by the engine — they cannot be altered")
+    // row tracking is structural the same way: enabling it later leaves
+    // existing rows id-less, disabling it orphans the hidden column
+    require(!(set.keys ++ unset).exists(_ == rowTrackingProp),
+      s"$rowTrackingProp is structural — declared at init only")
     val head = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, head)
     commitRewrite(spark, root, head + 1,

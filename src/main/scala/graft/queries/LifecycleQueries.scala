@@ -1696,6 +1696,77 @@ object LifecycleQueries {
              |FROM events WHERE event_id % 17 <> 3""".stripMargin)
     ),
 
+    // ---- Row tracking (r13): stable row identities through the whole
+    // lifecycle — `graft.rowTracking=true` gives every row an engine-
+    // managed `_row_id` (hidden from SELECT *, surfaced by the rowIds
+    // read option) that OPTIMIZE, MOR UPDATE and MERGE provably do not
+    // disturb: `ids_stable` joins the head's ids against version 0's on
+    // event_id and counts disagreements (zero), `fresh_above_hwm` pins
+    // merge-inserted rows allocating above the pre-merge high-water
+    // mark, `hidden` pins the SELECT * surface. At 100 TB the id is how
+    // a downstream consumer (a feature store, a training-data dedup
+    // ledger) follows one logical row across compactions and updates
+    // without trusting any user column to be a key.
+    QuerySpec(
+      "row_tracking_stable",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/rowtrack"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.repartition(4, col("event_id")),
+          Map("graft.rowTracking" -> "true"))
+        Snapshots.optimizeCompact(s, root, 1L << 30, 1L << 30)
+        Snapshots.updateWhereMor(s, root, Map("value" -> "value * 2"),
+          "event_id < 1000")
+        val hwm0 = Snapshots.tableProperties(s, root)("graft.identity._row_id.hwm").toLong
+        Snapshots.mergeCow(s, root,
+          e.where(col("event_id") % 10 === 3)
+            .withColumn("event_id", col("event_id") + 20000000L)
+            .unionByName(e.where(col("event_id") % 10 === 6)
+              .withColumn("value", -col("value"))),
+          Seq("event_id"))
+        def ids(v: Long) = s.read.format("graft.sources.SnapshotSource")
+          .option("rowIds", "true").option("versionAsOf", v).load(root)
+          .select(col("event_id"), col("_row_id"))
+        val head = Snapshots.latestVersion(s, root)
+        val disagreements = ids(0L).as("a")
+          .join(ids(head).as("b"), Seq("event_id"))
+          .where(col("a._row_id") =!= col("b._row_id")).count()
+        val freshBelow = ids(head).where(col("event_id") >= 20000000L)
+          .where(col("_row_id") <= hwm0).count()
+        val dup = ids(head).groupBy(col("_row_id")).count()
+          .where(col("count") > 1L).count()
+        val hidden = !s.sql(s"SELECT * FROM graft.`$root` LIMIT 1")
+          .columns.contains("_row_id")
+        s.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root`""".stripMargin)
+          .withColumn("ids_stable", lit(disagreements == 0L))
+          .withColumn("fresh_above_hwm", lit(freshBelow == 0L))
+          .withColumn("ids_unique", lit(dup == 0L))
+          .withColumn("hidden", lit(hidden))
+      },
+      Some("""WITH merged AS (
+             |  -- the merge UPSERTS source rows over the updated table:
+             |  -- a matched row (%10=6) takes the SOURCE value (-original,
+             |  -- not -updated); otherwise the earlier UPDATE applies
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 10 = 6 THEN -value
+             |         WHEN event_id < 1000 THEN value * 2
+             |         ELSE value END AS value
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_id + 20000000, value FROM events WHERE event_id % 10 = 3)
+             |SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS ids_stable, TRUE AS fresh_above_hwm,
+             |  TRUE AS ids_unique, TRUE AS hidden
+             |FROM merged""".stripMargin)
+    ),
+
     // ---- COPY INTO (r11, the Databricks/Delta statement): idempotent
     // landing-zone ingest. Three parquet batches land; the first COPY
     // loads two files, the RE-RUN loads zero (identity = path|size|mtime

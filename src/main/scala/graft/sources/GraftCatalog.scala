@@ -278,8 +278,13 @@ private[sources] class GraftTable(
   private[sources] lazy val index = new SnapshotFileIndex(spark, root, snapshotVersion, None)
 
   private lazy val fullSchema: StructType =
-    Snapshots.versionSchema(spark, root, snapshotVersion)
-      .getOrElse(Snapshots.readVersion(spark, root, snapshotVersion).schema)
+    // the catalog surface always hides engine-managed columns (row
+    // tracking's `_row_id`); the spark.read front door's
+    // .option("rowIds", "true") is the opt-in read surface for ids
+    Snapshots.visibleSchema(
+      Snapshots.versionSchema(spark, root, snapshotVersion)
+        .getOrElse(Snapshots.readVersion(spark, root, snapshotVersion).schema),
+      Snapshots.tableProperties(spark, root, snapshotVersion))
 
   override def name(): String =
     pinned.fold(root)(v => s"$root@v$v")
@@ -319,7 +324,8 @@ private[sources] class GraftTable(
       index,
       partitionSchema = index.partitionSchema,
       dataSchema =
-        if (index.partitionSchema.isEmpty) fullSchema else index.dataSchema,
+        if (index.partitionSchema.isEmpty) fullSchema
+        else Snapshots.visibleSchema(index.dataSchema, vProps),
       bucketSpec = Snapshots.bucketSpecOf(vProps),
       fileFormat =
         if (nameMap.isEmpty)

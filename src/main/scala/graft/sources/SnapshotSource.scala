@@ -106,7 +106,7 @@ class SnapshotSource extends RelationProvider
     Set("path", "versionasof", "timestampasof", "changesfrom", "changesto",
       "bloomon", "skiprewrites", "maxfilespertrigger", "maxbytespertrigger",
       "maxversionspertrigger", "startingversion", "startingtimestamp",
-      "readchangefeed")
+      "readchangefeed", "rowids")
 
   /** Epoch millis from either a raw long or a `Timestamp.valueOf` string
     * (`yyyy-mm-dd hh:mm:ss[.f…]`, session-local zone — the same spelling
@@ -149,8 +149,15 @@ class SnapshotSource extends RelationProvider
           GeneratedPruningRule.register(spark)
         // metadata-only COUNT/MIN/MAX from the log's stats envelopes
         MetadataAggRule.register(spark)
-        val fullSchema = Snapshots.versionSchema(spark, root, v)
+        val recorded = Snapshots.versionSchema(spark, root, v)
           .getOrElse(Snapshots.readVersion(spark, root, v).schema)
+        // row tracking: the engine-managed `_row_id` column is HIDDEN
+        // from SELECT * (Delta hides row ids the same way) — opt back
+        // in per read with .option("rowIds", "true")
+        val showRowIds = parameters.get("rowids").exists(_.equalsIgnoreCase("true"))
+        val fullSchema =
+          if (showRowIds) recorded
+          else Snapshots.visibleSchema(recorded, vProps)
         // a NATIVE file-source relation over the log's FileIndex: planned
         // by FileSourceStrategy into FileSourceScanExec — vectorized
         // parquet reads, whole-stage codegen, row-group pushdown — with
@@ -161,7 +168,9 @@ class SnapshotSource extends RelationProvider
         // file-source relation convention.
         val index = new SnapshotFileIndex(spark, root, v, parameters.get("bloomon"))
         val dataSchema =
-          if (index.partitionSchema.isEmpty) fullSchema else index.dataSchema
+          if (index.partitionSchema.isEmpty) fullSchema
+          else if (showRowIds) index.dataSchema
+          else Snapshots.visibleSchema(index.dataSchema, vProps)
         // column-mapped versions (renamed columns) scan through the
         // translating format: the plan speaks logical names, the files
         // physical ones
@@ -249,12 +258,16 @@ class SnapshotSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val s = schema.getOrElse {
       val v = Snapshots.latestVersion(spark, root)
-      val base = Snapshots.versionSchema(spark, root, v)
+      val recorded = Snapshots.versionSchema(spark, root, v)
         .getOrElse(Snapshots.readVersion(spark, root, v).schema)
+      // the change-feed stream KEEPS row tracking's `_row_id` (following
+      // one logical row across updates is what ids are for); the plain
+      // table tail hides it like the batch front doors
       if (parameters.get("readchangefeed").exists(_.toBoolean))
-        StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        StructType(recorded.fields :+ org.apache.spark.sql.types.StructField(
           graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.types.StringType))
-      else base
+      else Snapshots.visibleSchema(recorded,
+        Snapshots.tableProperties(spark, root, v))
     }
     (shortName(), s)
   }

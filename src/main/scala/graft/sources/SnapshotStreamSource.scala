@@ -101,8 +101,13 @@ private[sources] class SnapshotStreamSource(
 
   private def headSchema: StructType = {
     val v = Snapshots.latestVersion(spark, root)
-    Snapshots.versionSchema(spark, root, v)
+    val s = Snapshots.versionSchema(spark, root, v)
       .getOrElse(Snapshots.readVersion(spark, root, v).schema)
+    // plain table-tail streams hide row tracking's `_row_id` like the
+    // batch front doors; the CHANGE-FEED stream keeps it — following one
+    // logical row across updates is exactly what row ids are for
+    if (readChangeFeed) s
+    else Snapshots.visibleSchema(s, Snapshots.tableProperties(spark, root, v))
   }
 
   override val schema: StructType =

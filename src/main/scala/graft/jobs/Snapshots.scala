@@ -2910,9 +2910,12 @@ object Snapshots {
     val dropKeys = feed
       .where(col(ChangeFeed.opCol).isin("update_preimage", "delete"))
       .select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    // CDC METADATA columns (_op, _commit_version, _commit_timestamp)
+    // describe the feed, not the rows — a replica materializing them
+    // would silently widen its schema on the first applied batch
     val adds0 = feed
       .where(col(ChangeFeed.opCol).isin("insert", "update_postimage"))
-      .drop(ChangeFeed.opCol)
+      .drop(ChangeFeed.opCol, "_commit_version", "_commit_timestamp")
     if (versions(spark, root).isEmpty) {
       initTxn(spark, root, adds0, Some(batchId))
       return true

@@ -264,8 +264,13 @@ class SnapshotSource extends RelationProvider
       // one logical row across updates is what ids are for); the plain
       // table tail hides it like the batch front doors
       if (parameters.get("readchangefeed").exists(_.toBoolean))
-        StructType(recorded.fields :+ org.apache.spark.sql.types.StructField(
-          graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.types.StringType))
+        StructType(recorded.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(
+            "_commit_version", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            "_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
       else Snapshots.visibleSchema(recorded,
         Snapshots.tableProperties(spark, root, v))
     }

@@ -112,9 +112,13 @@ private[sources] class SnapshotStreamSource(
 
   override val schema: StructType =
     if (readChangeFeed)
-      StructType(headSchema.fields :+
+      StructType(headSchema.fields ++ Seq(
         org.apache.spark.sql.types.StructField(
-          graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.types.StringType))
+          graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "_commit_version", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
     else headSchema
 
   /** FROZEN at stream start, like `schema` itself: the column-mapping
@@ -248,7 +252,9 @@ private[sources] class SnapshotStreamSource(
       if (fromV >= toV) // recovery re-init of an empty range: typed, empty
         Snapshots.readVersion(spark, root, toV).limit(0)
           .withColumn(graft.jobs.ChangeFeed.opCol, org.apache.spark.sql.functions.lit("insert"))
-      else Snapshots.changesBetween(spark, root, fromV, toV)
+      // the TVF codec: each commit's frame stamped with _commit_version
+      // + the in-commit _commit_timestamp (Delta's streaming-CDF shape)
+      else GraftTableChanges.changes(spark, root, fromV + 1, toV)
     val conformed = batch.select(schema.fields.toIndexedSeq.map { f =>
       if (batch.columns.contains(f.name))
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)

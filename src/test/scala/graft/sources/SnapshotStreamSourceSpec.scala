@@ -119,21 +119,34 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
 
     val src = spark.readStream.format(fmt).option("readChangeFeed", "true").load(root)
     assert(src.columns.contains("_op"))
-    val got = new ConcurrentLinkedQueue[Seq[(Long, String, String)]]()
+    // the streaming CDF carries the same metadata as the batch TVF
+    assert(src.columns.contains("_commit_version") &&
+      src.columns.contains("_commit_timestamp"))
+    val got = new ConcurrentLinkedQueue[Seq[(Long, String, String, Long, Long)]]()
     val q = src.writeStream
       .option("checkpointLocation", cp)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, _: Long) =>
-        got.add(df.select(col("k"), col("s"), col("_op"))
-          .as[(Long, String, String)].collect().toSeq): Unit
+        got.add(df.select(col("k"), col("s"), col("_op"),
+            col("_commit_version"), unix_millis(col("_commit_timestamp")))
+          .as[(Long, String, String, Long, Long)].collect().toSeq): Unit
       }
       .start()
     q.awaitTermination()
-    val changes = { val b = Seq.newBuilder[(Long, String, String)]; got.forEach(e => b ++= e); b.result() }
+    val rows = { val b = Seq.newBuilder[(Long, String, String, Long, Long)]; got.forEach(e => b ++= e); b.result() }
+    val changes = rows.map(r => (r._1, r._2, r._3))
     assert(changes.toSet == Set(
       (1L, "a", "insert"), (2L, "b", "insert"),
       (2L, "b", "update_preimage"), (2L, "B", "update_postimage"), (3L, "c", "insert"),
       (1L, "a", "delete")), s"full CRUD feed expected: $changes")
+    // versions stamp per commit; timestamps are the in-commit headers
+    assert(rows.map(r => (r._3, r._4)).toSet == Set(
+      ("insert", 0L), ("update_preimage", 1L), ("update_postimage", 1L),
+      ("insert", 1L), ("delete", 2L)), rows.toString)
+    rows.foreach { r =>
+      assert(r._5 == Snapshots.commitTimestamp(spark, root, r._4),
+        s"v${r._4} row must carry its commit's in-commit timestamp")
+    }
 
     // a resumed CDC tail replays nothing
     Snapshots.append(spark, root, one(4L -> "d"))                           // v3: insert

@@ -3418,6 +3418,8 @@ object Snapshots {
     require(!graft.core.HivePartitions.columnsOf(prevDelta.props).contains(oldName),
       s"$oldName is a partition column — its name rides the file paths; " +
         "rewrite via replaceWhere/overwrite instead")
+    require(!(rowTrackingOn(prevDelta.props) && oldName == rowIdCol),
+      s"$rowIdCol is engine-managed under $rowTrackingProp — it cannot be renamed")
     val renamed = StructType(schema.fields.map { f =>
       if (f.name != oldName) f
       else f.copy(name = newName,
@@ -3448,6 +3450,8 @@ object Snapshots {
     require(schema.fields.length > 1, s"cannot drop the last column of $root")
     require(!graft.core.HivePartitions.columnsOf(prevDelta.props).contains(name),
       s"$name is a partition column — repartition via overwrite instead")
+    require(!(rowTrackingOn(prevDelta.props) && name == rowIdCol),
+      s"$rowIdCol is engine-managed under $rowTrackingProp — it cannot be dropped")
     val retired = (prevDelta.props.get(retiredProp).toSeq
       .flatMap(_.split(',').toSeq) :+ physicalName(field)).distinct
     commitRewrite(spark, root, head + 1,

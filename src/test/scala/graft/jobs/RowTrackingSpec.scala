@@ -194,6 +194,31 @@ class RowTrackingSpec extends AnyFunSuite {
       Snapshots.setProperties(spark, root, Map("graft.rowTracking" -> "false")))
   }
 
+  test("column mapping guards; renames elsewhere and streaming ingest compose") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("k", "v"), trackProps)
+    // the engine-managed column can be neither renamed nor dropped
+    intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, root, "_row_id", "rid2"))
+    intercept[IllegalArgumentException](
+      Snapshots.dropColumn(spark, root, "_row_id"))
+    // renaming a USER column leaves ids untouched
+    val before = Snapshots.readVersion(spark, root)
+      .select(col("k").cast("long"), col("_row_id")).as[(Long, Long)].collect().toMap
+    Snapshots.renameColumn(spark, root, "v", "w")
+    val after = Snapshots.readVersion(spark, root)
+      .select(col("k").cast("long"), col("_row_id")).as[(Long, Long)].collect().toMap
+    assert(after == before)
+    // streaming ingest (the exactly-once sink path) allocates fresh ids
+    assert(Snapshots.commitStreamingBatch(spark, root,
+      Seq((31L, 31.0)).toDF("k", "w"), 0L))
+    val ids = Snapshots.readVersion(spark, root)
+      .select(col("_row_id")).as[Long].collect()
+    assert(ids.length == 31 && ids.toSet.size == 31,
+      "streamed rows draw unique ids like any ingest")
+  }
+
   test("streams: the change feed carries ids, the plain tail hides them") {
     val root = tmp()
     Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"), trackProps)

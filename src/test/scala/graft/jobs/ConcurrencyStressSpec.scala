@@ -41,7 +41,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
   test("uncoordinated append/merge/compact/MOR-delete/materialize/vacuum keep every invariant") {
     val root = Files.createTempDirectory("storm").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root,
-      (0L until 1000L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+      ((0L until 1000L) ++ (20000L until 20100L))
+        .map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
 
     val stop = new AtomicBoolean(false)
     val committedBatches = new ConcurrentLinkedQueue[Long]() // batch ids whose appends committed
@@ -66,8 +67,8 @@ class ConcurrencyStressSpec extends AnyFunSuite {
         case e: Throwable => failures.add(e)
       }
 
-    val pool = Executors.newFixedThreadPool(5)
-    val done = new CountDownLatch(5)
+    val pool = Executors.newFixedThreadPool(6)
+    val done = new CountDownLatch(6)
     def worker(body: => Unit): Unit = pool.submit(new Runnable {
       override def run(): Unit = {
         try while (!stop.get()) body
@@ -106,6 +107,18 @@ class ConcurrencyStressSpec extends AnyFunSuite {
         } else
           Snapshots.optimizeCompact(spark, root,
             smallerThanBytes = 64L * 1024, targetFileBytes = 1024L * 1024)
+      }
+    }
+    // MOR updater: deletion-vector UPDATE of its own band (idempotent
+    // SET, so whenever it EVER won the band must read k*10) — its
+    // dvAdd commits race the compactor/materializer through the full
+    // DV + props reconciliation
+    val updaterWon = new AtomicBoolean(false)
+    worker {
+      guard {
+        Snapshots.updateWhereMor(spark, root,
+          Map("v" -> "k * 10"), "k >= 20000 AND k < 20100")
+        updaterWon.set(true)
       }
     }
     // MOR deleter + materializer on the base range only
@@ -153,6 +166,14 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     val merged = head.where(col("k") >= 10000L && col("k") < 10100L)
       .select(col("k"), col("v")).as[(Long, Double)].collect()
     merged.foreach { case (k, v) => assert(v == k * 2.0) }
+    // MOR-updated band: idempotent SET — any committed update pins it
+    if (updaterWon.get()) {
+      val band = head.where(col("k") >= 20000L && col("k") < 20100L)
+        .select(col("k"), col("v")).as[(Long, Double)].collect()
+      assert(band.length == 100, s"band lost rows: ${band.length}")
+      band.foreach { case (k, v) => assert(v == k * 10.0,
+        s"MOR update committed but k=$k reads v=$v (lost update or resurrected pre-image)") }
+    }
     // stats cover every live file (no torn/partial commit metadata)
     assert(Snapshots.statsMissingFromLog(spark, root).isEmpty)
 

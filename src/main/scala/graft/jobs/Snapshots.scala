@@ -130,7 +130,7 @@ object Snapshots {
     /** Features that change how FILE BYTES are interpreted — required
       * reading. */
     val supportedReaderFeatures: Set[String] =
-      Set("deletionVectors", "columnMapping", "typeWidening")
+      Set("deletionVectors", "columnMapping", "typeWidening", "columnDefaults")
     /** Features a WRITER must understand to keep the table's invariants
       * (identity allocation, generated-column validation, constraint
       * checks, bucket layout, CDC publication). */
@@ -158,6 +158,7 @@ object Snapshots {
           .exists(t => t != f.dataType && widens(t, f.dataType)))
       if (widened) both("typeWidening")
     }
+    if (d.props.keys.exists(_.startsWith(defaultPrefix))) both("columnDefaults")
     if (d.props.keys.exists(_.startsWith(identityPrefix))) w += "identityColumns"
     if (d.props.keys.exists(_.startsWith(generatedPrefix))) w += "generatedColumns"
     if (d.props.keys.exists(_.startsWith(constraintPrefix))) w += "checkConstraints"
@@ -958,16 +959,21 @@ object Snapshots {
       dvDirs: Seq[String] = Nil): DataFrame = {
     val cols = schema.map(_.fieldNames.toSeq)
     val framed = readFilesRaw(spark, qroot, absFiles, schema, props)
-    if (dvDirs.isEmpty) framed
-    else {
-      // merge-on-read deletion vectors: anti-join the (file, position)
-      // pairs the live DV sidecars name — the parquet reader's OWN
-      // `_metadata.row_index`/`file_path` identify rows, so no physical
-      // column and no file rewrite was ever needed to delete
-      val out = cols.getOrElse(framed.columns.toSeq)
-      applyDeletionVectors(spark, qroot, framed, dvDirs)
-        .select(out.map(col): _*)
-    }
+    val served =
+      if (dvDirs.isEmpty) framed
+      else {
+        // merge-on-read deletion vectors: anti-join the (file, position)
+        // pairs the live DV sidecars name — the parquet reader's OWN
+        // `_metadata.row_index`/`file_path` identify rows, so no physical
+        // column and no file rewrite was ever needed to delete
+        val out = cols.getOrElse(framed.columns.toSeq)
+        applyDeletionVectors(spark, qroot, framed, dvDirs)
+          .select(out.map(col): _*)
+      }
+    // NOT-NULL-DEFAULT contract: rows from files predating a default
+    // declaration null-fill the column — coalesce to the declared
+    // constant (identity on default-free versions)
+    applyDefaults(served, props)
   }
 
   private def readFilesRaw(
@@ -2974,10 +2980,14 @@ object Snapshots {
     * `graft.generated.event_day = date(ts)`) — writers ship raw rows,
     * the Hive layout and Catalyst partition pruning come for free. */
   private def withGenerated(df: DataFrame, props: Map[String, String]): DataFrame = {
+    // DEFAULTs apply FIRST: a generated column may derive from a
+    // defaulted one, and the default is a constant (no dependency the
+    // other way)
+    val defaulted = withDefaults(df, props)
     val gens = props.collect {
       case (k, e) if k.startsWith(generatedPrefix) => k.stripPrefix(generatedPrefix) -> e
     }.toSeq.sortBy(_._1)
-    gens.foldLeft(df) { case (d, (c, e)) =>
+    gens.foldLeft(defaulted) { case (d, (c, e)) =>
       if (!d.columns.contains(c)) d.withColumn(c, expr(e))
       else {
         val bad = d.where(!(col(c) <=> expr(e))).take(1)
@@ -2987,6 +2997,96 @@ object Snapshots {
         d
       }
     }
+  }
+
+  // ---- Column DEFAULT values (NOT NULL DEFAULT contract) -------------
+  //
+  // `graft.default.<col> = "<catalogType>|<constant sql>"` — declared by
+  // `addColumnDefault` (which also adds the column as ONE metadata
+  // commit, zero rewrites). The contract is NOT NULL DEFAULT: a
+  // declared column never surfaces NULL — ingest injects the constant
+  // for batches lacking the column and coalesces explicit NULLs; reads
+  // coalesce rows from files that PREDATE the declaration (parquet
+  // null-fills the missing column, so pre-add rows are exactly the NULL
+  // ones — the dichotomy the single-constant contract needs, which is
+  // why the default is immutable once declared and NULL-defaults are
+  // refused). Old versions read under their own props: time travel to a
+  // pre-declaration version never applies it. Rewrites MATERIALIZE
+  // defaults (they read coalesced and write concrete values), so an
+  // OPTIMIZE steadily upgrades old files. Gated as reader feature
+  // `columnDefaults` — a reader that ignored the prop would return
+  // wrong NULLs.
+
+  private[graft] val defaultPrefix = "graft.default."
+
+  private[graft] def defaultsOf(props: Map[String, String]): Seq[(String, DataType, String)] =
+    props.collect {
+      case (k, v) if k.startsWith(defaultPrefix) =>
+        val i = v.indexOf('|')
+        (k.stripPrefix(defaultPrefix),
+          org.apache.spark.sql.types.DataType.fromDDL(v.take(i)), v.drop(i + 1))
+    }.toSeq.sortBy(_._1)
+
+  /** Apply the NOT-NULL-DEFAULT contract to an INGEST frame: inject the
+    * constant when the column is absent, coalesce explicit NULLs. */
+  private def withDefaults(df: DataFrame, props: Map[String, String]): DataFrame =
+    defaultsOf(props).foldLeft(df) { case (d, (c, tpe, sql)) =>
+      if (d.columns.contains(c))
+        d.withColumn(c, coalesce(col(c), expr(sql).cast(tpe)))
+      else d.withColumn(c, expr(sql).cast(tpe))
+    }
+
+  /** READ-side coalesce for rows from files predating the declaration —
+    * identity when the version declares no defaults. */
+  private[graft] def applyDefaults(df: DataFrame, props: Map[String, String]): DataFrame =
+    defaultsOf(props).foldLeft(df) { case (d, (c, tpe, sql)) =>
+      if (d.columns.contains(c))
+        d.withColumn(c, coalesce(col(c), expr(sql).cast(tpe)))
+      else d
+    }
+
+  /** `ALTER TABLE … ADD COLUMN c t DEFAULT <expr>` — ONE metadata
+    * commit: the schema gains the column AND `graft.default.<c>`
+    * records the constant. The expression must be a CONSTANT (no column
+    * references — it applies to rows that don't exist yet) and
+    * non-NULL; it is evaluated once here to validate both. */
+  def addColumnDefault(
+      spark: SparkSession, root: String,
+      name: String, dataType: DataType, defaultSql: String): Long = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    require(!prevDelta.props.contains(defaultPrefix + name),
+      s"column $name already carries a default — defaults are immutable " +
+        "(the constant re-interprets every pre-declaration row)")
+    // constant + non-null validation: analysis over a columnless frame
+    // refuses column references; the evaluated value refuses NULL
+    val probe =
+      try spark.range(1).select(expr(defaultSql).cast(dataType).as("d")).head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"DEFAULT for $name must be a constant expression " +
+              s"(got: $defaultSql): ${e.getMessage}")
+      }
+    require(!probe.isNullAt(0),
+      s"DEFAULT for $name evaluates to NULL — a NULL default is the " +
+        "absence of one")
+    require(!defaultSql.contains('\n'), "DEFAULT expressions are single-line")
+    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$root has no recorded schema — cannot evolve a legacy log"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists in $root")
+    val widened = mergedSchema(Some(schema),
+      assignPhysical(Some(schema),
+        StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(name, dataType)),
+        prevDelta.props))
+    commitRewrite(spark, root, head + 1,
+      Delta(Nil, Nil, schema = Some(widened.json),
+        props = prevDelta.props +
+          (defaultPrefix + name -> s"${dataType.catalogString}|$defaultSql"),
+        op = Some("metadata"), dv = prevDelta.dv))
   }
 
   /** Identity columns (`graft.identity.<col> = "<start>,<step>"`,
@@ -3246,6 +3346,11 @@ object Snapshots {
     // existing rows id-less, disabling it orphans the hidden column
     require(!(set.keys ++ unset).exists(_ == rowTrackingProp),
       s"$rowTrackingProp is structural — declared at init only")
+    // a default re-interprets every pre-declaration row: declare via
+    // addColumnDefault, never flip by property
+    require(!(set.keys ++ unset).exists(_.startsWith(defaultPrefix)),
+      s"$defaultPrefix* properties are declared by addColumnDefault and " +
+        "immutable — they cannot be altered")
     val head = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, head)
     commitRewrite(spark, root, head + 1,

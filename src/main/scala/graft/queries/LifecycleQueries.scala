@@ -1696,6 +1696,48 @@ object LifecycleQueries {
              |FROM events WHERE event_id % 17 <> 3""".stripMargin)
     ),
 
+    // ---- Column DEFAULTs (r13): `ADD COLUMN … DEFAULT <const>` as ONE
+    // metadata commit under the NOT-NULL-DEFAULT contract — rows in
+    // files that PREDATE the declaration read the constant (the scan
+    // null-fills them; ColumnDefaultsRule coalesces in the plan),
+    // ingest injects absent columns, explicit values pass through.
+    // `metadata_only` pins zero rewrites at declaration; the GROUP BY
+    // runs through the SQL catalog door over a three-era history
+    // (pre-declaration / defaulted append / explicit append), so a
+    // reader that dropped the coalesce would land rows under NULL and
+    // flip the hash. 100 TB: schema evolution with a backfill is one
+    // header write, never a table rewrite — OPTIMIZE materializes
+    // lazily.
+    QuerySpec(
+      "column_defaults",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/coldefault"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.where(col("event_id") % 3 === 0))
+        val filesBefore = Snapshots.versionFiles(s, root).toSet
+        s.sql(s"ALTER TABLE graft.`$root` ADD COLUMN origin STRING DEFAULT 'legacy'")
+        val metadataOnly =
+          Snapshots.versionFiles(s, root).toSet == filesBefore
+        Snapshots.append(s, root, e.where(col("event_id") % 3 === 1)) // injected
+        Snapshots.append(s, root, e.where(col("event_id") % 3 === 2)
+          .withColumn("origin", lit("live"))) // explicit
+        s.sql(
+          s"""SELECT origin, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+             |FROM graft.`$root` GROUP BY origin ORDER BY origin""".stripMargin)
+          .withColumn("metadata_only", lit(metadataOnly))
+      },
+      Some("""SELECT CASE WHEN event_id % 3 = 2 THEN 'live' ELSE 'legacy' END AS origin,
+             |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS metadata_only
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // ---- Row tracking (r13): stable row identities through the whole
     // lifecycle — `graft.rowTracking=true` gives every row an engine-
     // managed `_row_id` (hidden from SELECT *, surfaced by the rowIds

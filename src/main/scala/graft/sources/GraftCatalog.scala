@@ -164,12 +164,19 @@ class GraftCatalog extends TableCatalog {
     val unsets = changes.collect { case r: RemoveProperty => r.property }
     if (sets.nonEmpty || unsets.nonEmpty)
       Snapshots.setProperties(session, root, sets, unsets)
-    val adds = changes.collect { case a: AddColumn =>
+    val (addDefaults, addPlain) = changes.collect { case a: AddColumn =>
       require(a.fieldNames.length == 1,
         s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
-      org.apache.spark.sql.types.StructField(
-        a.fieldNames.head, a.dataType, a.isNullable)
+      a
+    }.partition(a => a.defaultValue() != null)
+    // `ADD COLUMN c t DEFAULT <expr>` — the NOT-NULL-DEFAULT contract
+    // (one metadata commit: schema + constant; see addColumnDefault)
+    addDefaults.foreach { a =>
+      Snapshots.addColumnDefault(session, root, a.fieldNames.head,
+        a.dataType, a.defaultValue().getSql)
     }
+    val adds = addPlain.map(a => org.apache.spark.sql.types.StructField(
+      a.fieldNames.head, a.dataType, a.isNullable))
     if (adds.nonEmpty) Snapshots.addColumns(session, root, adds)
     changes.foreach {
       case _: SetProperty | _: RemoveProperty | _: AddColumn => ()
@@ -277,14 +284,29 @@ private[sources] class GraftTable(
 
   private[sources] lazy val index = new SnapshotFileIndex(spark, root, snapshotVersion, None)
 
-  private lazy val fullSchema: StructType =
+  private lazy val fullSchema: StructType = {
     // the catalog surface always hides engine-managed columns (row
     // tracking's `_row_id`); the spark.read front door's
     // .option("rowIds", "true") is the opt-in read surface for ids
-    Snapshots.visibleSchema(
+    val props = Snapshots.tableProperties(spark, root, snapshotVersion)
+    val visible = Snapshots.visibleSchema(
       Snapshots.versionSchema(spark, root, snapshotVersion)
         .getOrElse(Snapshots.readVersion(spark, root, snapshotVersion).schema),
-      Snapshots.tableProperties(spark, root, snapshotVersion))
+      props)
+    // defaulted columns surface Spark's own CURRENT_DEFAULT/
+    // EXISTS_DEFAULT field metadata, so the analyzer fills them for
+    // partial-column INSERTs (`INSERT INTO t (k, v) …`) natively
+    val defaults = Snapshots.defaultsOf(props).map(d => d._1 -> d._3).toMap
+    if (defaults.isEmpty) visible
+    else StructType(visible.fields.map { f =>
+      defaults.get(f.name).fold(f) { sql =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql).build())
+      }
+    })
+  }
 
   override def name(): String =
     pinned.fold(root)(v => s"$root@v$v")
@@ -318,6 +340,8 @@ private[sources] class GraftTable(
     if (graft.core.HivePartitions.columnsOf(vProps)
         .exists(c => vProps.contains(s"graft.generated.$c")))
       GeneratedPruningRule.register(spark)
+    if (vProps.keys.exists(_.startsWith("graft.default.")))
+      ColumnDefaultsRule.register(spark)
     MetadataAggRule.register(spark)
     val nameMap = Snapshots.physicalMap(fullSchema).filter { case (l, p) => l != p }
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(

@@ -147,6 +147,10 @@ class SnapshotSource extends RelationProvider
         if (graft.core.HivePartitions.columnsOf(vProps)
             .exists(c => vProps.contains(s"graft.generated.$c")))
           GeneratedPruningRule.register(spark)
+        // NOT-NULL-DEFAULT columns: pre-declaration files null-fill —
+        // the rule coalesces them to the declared constant in the plan
+        if (vProps.keys.exists(_.startsWith("graft.default.")))
+          ColumnDefaultsRule.register(spark)
         // metadata-only COUNT/MIN/MAX from the log's stats envelopes
         MetadataAggRule.register(spark)
         val recorded = Snapshots.versionSchema(spark, root, v)

@@ -222,12 +222,16 @@ private[sources] class SnapshotStreamSource(
     val files = TableSync
       .appendedFilesPerVersion(spark, root, fromV, toV, skipRewrites)
       .flatMap(_._2)
+    // NOT-NULL-DEFAULT columns: a replay of appends that predate the
+    // declaration null-fills the column — same coalesce as batch reads
+    def defaulted(df: DataFrame): DataFrame =
+      Snapshots.applyDefaults(df, Snapshots.tableProperties(spark, root, toV))
     if (partCols.nonEmpty)
       // partitioned table: partition values ride the paths — plan the
       // micro-batch through the partition-aware index (same explicit
       // file list, partition columns from the path fragments)
-      return PartitionedRead.frame(
-        spark, qroot, files, schema, partCols, streaming = true, nameMap = nameMap)
+      return defaulted(PartitionedRead.frame(
+        spark, qroot, files, schema, partCols, streaming = true, nameMap = nameMap))
     val relation = HadoopFsRelation(
       new ExplicitFileIndex(spark, qroot, files),
       partitionSchema = StructType(Nil),
@@ -238,8 +242,8 @@ private[sources] class SnapshotStreamSource(
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
         else new MappedParquetFileFormat(nameMap),
       options = Map.empty)(spark)
-    org.apache.spark.sql.classic.GraftSqlShim.ofRows(
-      spark, LogicalRelation(relation, isStreaming = true))
+    defaulted(org.apache.spark.sql.classic.GraftSqlShim.ofRows(
+      spark, LogicalRelation(relation, isStreaming = true)))
   }
 
   /** One CDC micro-batch: the feed rows of versions (fromV, toV],

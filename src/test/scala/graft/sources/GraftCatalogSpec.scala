@@ -304,4 +304,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(scan.metadata("PartitionFilters").contains("par"),
       s"catalog reads keep Catalyst partition pruning: ${scan.metadata("PartitionFilters")}")
   }
+
+  test("SHOW TBLPROPERTIES and DESCRIBE TABLE ride the catalog surface") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"),
+      Map("graft.rowTracking" -> "true"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$root`")
+      .as[(String, String)].collect().toMap
+    assert(props.get("graft.rowTracking").contains("true"))
+    assert(props.contains("graft.identity._row_id.hwm"),
+      "engine-maintained props surface too")
+    // DESCRIBE TABLE shows the VISIBLE schema: _row_id stays hidden
+    val cols = spark.sql(s"DESCRIBE TABLE graft.`$root`")
+      .select(col("col_name")).as[String].collect().toSeq
+    assert(cols.contains("k") && cols.contains("v") && !cols.contains("_row_id"),
+      cols.toString)
+  }
 }

@@ -1050,7 +1050,11 @@ object Snapshots {
     val files = versionFiles(spark, root, version)
     val raw = readFilesRaw(spark, qroot, files,
       versionSchema(spark, root, version), d.props)
-    val withPos = withPositionsDvApplied(spark, qroot, raw, d.dv)
+    // NOT-NULL-DEFAULT contract holds on the victim-detection path too:
+    // a merge key or clause condition on a defaulted column must see the
+    // declared constant in pre-declaration files, exactly as SELECT does
+    val withPos = applyDefaults(
+      withPositionsDvApplied(spark, qroot, raw, d.dv), d.props)
     withPos.withColumnRenamed("__pos_path", "__file").drop("__pos_idx")
   }
 
@@ -1719,6 +1723,15 @@ object Snapshots {
     // the BASE this delta was computed against — rebase reconciliation
     // diffs the commit's prop/schema INTENT against it (v0 has no base)
     val base = if (v == 0) None else Some(readDelta(spark, root, v - 1))
+    // the INTENT diff, computed ONCE against the original base: re-deriving
+    // it from the rebased `d` on a later retry would count an absorbed
+    // winner's changes (e.g. a concurrent append's identity-hwm advance)
+    // as ours, making the clash check refuse spuriously on the 2nd retry
+    val intentChanged = base.map(b => d0.props.filter { case (k, pv) =>
+      !b.props.get(k).contains(pv) }).getOrElse(Map.empty[String, String])
+    val intentRemoved = base.map(b => b.props.keySet -- d0.props.keySet)
+      .getOrElse(Set.empty[String])
+    val intentSchemaChanged = base.exists(b => d0.schema != b.schema)
     var d = d0
     var attempt = v
     var attempts = 0
@@ -1792,25 +1805,21 @@ object Snapshots {
           // re-apply OUR intended diff, refuse when both sides changed
           // the same key.
           base.foreach { b =>
-            val ourChanged = d.props.filter { case (k, pv) =>
-              !b.props.get(k).contains(pv) }
-            val ourRemoved = b.props.keySet -- d.props.keySet
             val winChangedKeys = headDelta.props.filter { case (k, pv) =>
               !b.props.get(k).contains(pv) }.keySet ++
               (b.props.keySet -- headDelta.props.keySet)
-            val clash = winChangedKeys.intersect(ourChanged.keySet ++ ourRemoved)
+            val clash = winChangedKeys.intersect(intentChanged.keySet ++ intentRemoved)
             if (clash.nonEmpty) throw new IllegalStateException(
               s"rewrite conflict at $root: concurrent commits both changed " +
                 s"table propert${if (clash.size == 1) "y" else "ies"} " +
                 s"${clash.mkString(", ")} — recompute against the current version", e)
-            val ourSchemaChanged = d.schema != b.schema
             val winSchemaChanged = headDelta.schema != b.schema
-            if (ourSchemaChanged && winSchemaChanged) throw new IllegalStateException(
+            if (intentSchemaChanged && winSchemaChanged) throw new IllegalStateException(
               s"rewrite conflict at $root: concurrent commits both changed " +
                 "the table schema — recompute against the current version", e)
             d = d.copy(
-              props = (headDelta.props -- ourRemoved) ++ ourChanged,
-              schema = if (ourSchemaChanged) d.schema else headDelta.schema)
+              props = (headDelta.props -- intentRemoved) ++ intentChanged,
+              schema = if (intentSchemaChanged) d0.schema else headDelta.schema)
           }
           attempt = latest + 1
       }
@@ -2006,10 +2015,13 @@ object Snapshots {
     def cand = readFilesAs(spark, qroot,
       candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props,
       prevDelta.dv)
-    def candPos = withPositionsDvApplied(spark, qroot,
+    // defaults coalesced BEFORE the predicate runs: a DELETE WHERE on a
+    // defaulted column must doom the same pre-declaration rows SELECT
+    // with that predicate returns (identity on default-free versions)
+    def candPos = applyDefaults(withPositionsDvApplied(spark, qroot,
       readFilesRaw(spark, qroot,
         candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props),
-      prevDelta.dv)
+      prevDelta.dv), prevDelta.props)
     val cdfDir =
       if (!changeFeed) None
       else if (candidates.isEmpty) None
@@ -2087,10 +2099,13 @@ object Snapshots {
     def cand = readFilesAs(spark, qroot,
       candidates.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props,
       prevDelta.dv)
-    def candPos = withPositionsDvApplied(spark, qroot,
+    // defaults coalesced BEFORE the predicate runs — an UPDATE WHERE on
+    // a defaulted column must hit the same pre-declaration rows SELECT
+    // with that predicate returns
+    def candPos = applyDefaults(withPositionsDvApplied(spark, qroot,
       readFilesRaw(spark, qroot,
         candidates.map(f => new Path(qroot, f).toString), Some(schema), prevDelta.props),
-      prevDelta.dv)
+      prevDelta.dv), prevDelta.props)
     val cdfDir =
       if (!changeFeed || candidates.isEmpty) None
       else Some(stageChangeFeed(spark, qroot, v,
@@ -2183,12 +2198,15 @@ object Snapshots {
           op = Some("update"), dv = prevDelta.dv))
     if (candidates.isEmpty) return commitMeta()
     // candidate scan WITH row positions, pre-filtered by the LIVE DV set
-    // (an already-deleted row can never be updated)
-    val cand = withPositionsDvApplied(spark, qroot,
+    // (an already-deleted row can never be updated), defaults coalesced
+    // BEFORE the predicate/SET run: pre-declaration rows must match the
+    // predicate, SET expressions must compute from the constant, and
+    // update_preimage must publish it — the NOT-NULL-DEFAULT contract
+    val cand = applyDefaults(withPositionsDvApplied(spark, qroot,
       readFilesRaw(spark, qroot,
         candidates.map(f => new Path(qroot, f).toString), Some(schema),
         prevDelta.props),
-      prevDelta.dv)
+      prevDelta.dv), prevDelta.props)
     val matched = cand.where(pred)
     val dvName = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     matched.select(col("__pos_path").as("file_path"), col("__pos_idx").as("row_index"))
@@ -2272,11 +2290,13 @@ object Snapshots {
       }
     if (candidates.isEmpty) return commitMeta(None, None)
     // candidate scan WITH row positions, already filtered by the LIVE
-    // DV set (a row can never be deleted twice)
-    val cand = withPositionsDvApplied(spark, qroot,
+    // DV set (a row can never be deleted twice), defaults coalesced so
+    // the predicate and the CDC delete rows see the declared constant
+    // in pre-declaration files
+    val cand = applyDefaults(withPositionsDvApplied(spark, qroot,
       readFilesRaw(spark, qroot,
         candidates.map(f => new Path(qroot, f).toString), schema, prevDelta.props),
-      prevDelta.dv)
+      prevDelta.dv), prevDelta.props)
     val doomed = cand.where(pred)
     val dvName = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     doomed.select(col("__pos_path").as("file_path"), col("__pos_idx").as("row_index"))
@@ -3052,40 +3072,64 @@ object Snapshots {
     * non-NULL; it is evaluated once here to validate both. */
   def addColumnDefault(
       spark: SparkSession, root: String,
-      name: String, dataType: DataType, defaultSql: String): Long = {
+      name: String, dataType: DataType, defaultSql: String): Long =
+    addColumnsWithDefaults(spark, root,
+      Seq(org.apache.spark.sql.types.StructField(name, dataType) -> Some(defaultSql)))
+
+  /** `ALTER TABLE … ADD COLUMNS (…)` as ONE metadata commit: every
+    * column of the statement — plain and DEFAULT-bearing alike — lands
+    * in a single delta (widened schema + all `graft.default.<c>` props
+    * together), so a commit failure or OCC refusal can never leave the
+    * ALTER half-applied (some columns committed, the rest lost). Each
+    * DEFAULT must be a CONSTANT (no column references — it applies to
+    * rows that don't exist yet) and non-NULL; validated here before any
+    * log mutation. */
+  def addColumnsWithDefaults(
+      spark: SparkSession, root: String,
+      cols: Seq[(org.apache.spark.sql.types.StructField, Option[String])]): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS of zero columns")
     val head = latestVersion(spark, root)
     val prevDelta = readDelta(spark, root, head)
-    require(!prevDelta.props.contains(defaultPrefix + name),
-      s"column $name already carries a default — defaults are immutable " +
-        "(the constant re-interprets every pre-declaration row)")
-    // constant + non-null validation: analysis over a columnless frame
-    // refuses column references; the evaluated value refuses NULL
-    val probe =
-      try spark.range(1).select(expr(defaultSql).cast(dataType).as("d")).head()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"DEFAULT for $name must be a constant expression " +
-              s"(got: $defaultSql): ${e.getMessage}")
-      }
-    require(!probe.isNullAt(0),
-      s"DEFAULT for $name evaluates to NULL — a NULL default is the " +
-        "absence of one")
-    require(!defaultSql.contains('\n'), "DEFAULT expressions are single-line")
     val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"$root has no recorded schema — cannot evolve a legacy log"))
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"column $name already exists in $root")
+    val names = cols.map(_._1.name)
+    val dupIn = names.groupBy(_.toLowerCase).collect { case (_, g) if g.size > 1 => g.head }
+    require(dupIn.isEmpty, s"duplicate column(s) in ADD COLUMNS: ${dupIn.mkString(", ")}")
+    val dup = names.filter(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty, s"column(s) already exist: ${dup.mkString(", ")}")
+    // validate EVERY default up front — refuse the whole statement
+    // before the log sees any of it
+    cols.foreach {
+      case (f, Some(defaultSql)) =>
+        require(!prevDelta.props.contains(defaultPrefix + f.name),
+          s"column ${f.name} already carries a default — defaults are immutable " +
+            "(the constant re-interprets every pre-declaration row)")
+        // constant + non-null validation: analysis over a columnless frame
+        // refuses column references; the evaluated value refuses NULL
+        val probe =
+          try spark.range(1).select(expr(defaultSql).cast(f.dataType).as("d")).head()
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"DEFAULT for ${f.name} must be a constant expression " +
+                  s"(got: $defaultSql): ${e.getMessage}")
+          }
+        require(!probe.isNullAt(0),
+          s"DEFAULT for ${f.name} evaluates to NULL — a NULL default is the " +
+            "absence of one")
+        require(!defaultSql.contains('\n'), "DEFAULT expressions are single-line")
+      case _ => ()
+    }
+    val newFields = cols.map(_._1.copy(nullable = true))
     val widened = mergedSchema(Some(schema),
-      assignPhysical(Some(schema),
-        StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField(name, dataType)),
+      assignPhysical(Some(schema), StructType(schema.fields ++ newFields),
         prevDelta.props))
+    val defaultProps = cols.collect { case (f, Some(sql)) =>
+      (defaultPrefix + f.name) -> s"${f.dataType.catalogString}|$sql" }
     commitRewrite(spark, root, head + 1,
       Delta(Nil, Nil, schema = Some(widened.json),
-        props = prevDelta.props +
-          (defaultPrefix + name -> s"${dataType.catalogString}|$defaultSql"),
+        props = prevDelta.props ++ defaultProps,
         op = Some("metadata"), dv = prevDelta.dv))
   }
 
@@ -3473,22 +3517,8 @@ object Snapshots {
     * of the same name can never resurrect. */
   def addColumns(
       spark: SparkSession, root: String,
-      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
-    val head = latestVersion(spark, root)
-    val prevDelta = readDelta(spark, root, head)
-    val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
-      .getOrElse(throw new IllegalStateException(
-        s"$root has no recorded schema — cannot evolve a legacy log"))
-    val dup = cols.map(_.name).filter(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
-    require(dup.isEmpty, s"column(s) already exist: ${dup.mkString(", ")}")
-    val widened = mergedSchema(Some(schema),
-      assignPhysical(Some(schema),
-        StructType(schema.fields ++ cols.map(_.copy(nullable = true))),
-        prevDelta.props))
-    commitRewrite(spark, root, head + 1,
-      Delta(Nil, Nil, schema = Some(widened.json), props = prevDelta.props,
-        op = Some("metadata"), dv = prevDelta.dv))
-  }
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long =
+    addColumnsWithDefaults(spark, root, cols.map(_ -> None))
 
   /** Drop a CHECK constraint — a metadata-only commit without it. */
   def dropCheckConstraint(spark: SparkSession, root: String, name: String): Long = {

@@ -164,20 +164,17 @@ class GraftCatalog extends TableCatalog {
     val unsets = changes.collect { case r: RemoveProperty => r.property }
     if (sets.nonEmpty || unsets.nonEmpty)
       Snapshots.setProperties(session, root, sets, unsets)
-    val (addDefaults, addPlain) = changes.collect { case a: AddColumn =>
+    // ALL AddColumn changes of one ALTER fold into ONE metadata commit
+    // (schema + every `graft.default.*` prop together) — a failed or
+    // OCC-refused commit can never leave the statement half-applied
+    val adds = changes.collect { case a: AddColumn =>
       require(a.fieldNames.length == 1,
         s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
-      a
-    }.partition(a => a.defaultValue() != null)
-    // `ADD COLUMN c t DEFAULT <expr>` — the NOT-NULL-DEFAULT contract
-    // (one metadata commit: schema + constant; see addColumnDefault)
-    addDefaults.foreach { a =>
-      Snapshots.addColumnDefault(session, root, a.fieldNames.head,
-        a.dataType, a.defaultValue().getSql)
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, a.isNullable) ->
+        Option(a.defaultValue()).map(_.getSql)
     }
-    val adds = addPlain.map(a => org.apache.spark.sql.types.StructField(
-      a.fieldNames.head, a.dataType, a.isNullable))
-    if (adds.nonEmpty) Snapshots.addColumns(session, root, adds)
+    if (adds.nonEmpty) Snapshots.addColumnsWithDefaults(session, root, adds)
     changes.foreach {
       case _: SetProperty | _: RemoveProperty | _: AddColumn => ()
       // NOTE: AddConstraint/DropConstraint never reach here — Spark's

@@ -121,8 +121,11 @@ class SnapshotSource extends RelationProvider
     val spark = sqlContext.sparkSession
     (parameters.get("changesfrom"), parameters.get("changesto")) match {
       case (Some(a), Some(b)) =>
+        // ONE CDC column contract across all three front doors (batch
+        // option, table_changes TVF, streaming CDF): every change row
+        // carries _commit_version/_commit_timestamp, like Delta's CDF
         new SnapshotRelation(sqlContext,
-          Snapshots.changesBetween(spark, root, a.toLong, b.toLong))
+          GraftTableChanges.changes(spark, root, a.toLong + 1, b.toLong))
       case (None, None) =>
         val v0 = parameters.get("versionasof").map(_.toLong).getOrElse(-1L)
         val v = parameters.get("timestampasof") match {

@@ -125,6 +125,56 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       s"SELECT tier FROM graft.`$root` WHERE k = 5").head().getString(0) == "basic")
   }
 
+  test("DML predicates on a defaulted column hit pre-declaration rows") {
+    // UPDATE/DELETE WHERE <defaulted-col> = <constant> must affect the
+    // same rows SELECT with that predicate returns — including rows in
+    // files written BEFORE the declaration (which physically null-fill)
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2))
+    Snapshots.addColumnDefault(spark, root, "tier", StringType, "'standard'")
+    // one post-declaration row with an explicit non-default value
+    Snapshots.append(spark, root, Seq((21L, 21.0, "gold")).toDF("k", "v", "tier"))
+
+    // COW UPDATE: victim selection must see the constant
+    Snapshots.updateWhere(spark, root, Map("v" -> "v + 1000"),
+      "tier = 'standard' AND k <= 5")
+    val afterCow = Snapshots.readVersion(spark, root)
+    assert(afterCow.where(col("v") > 999.0).count() == 5,
+      "COW UPDATE on a defaulted predicate hits pre-declaration rows")
+
+    // MOR UPDATE with CDC: SET referencing the defaulted column computes
+    // from the constant, and update_preimage publishes it (never NULL)
+    val updV = Snapshots.updateWhereMor(spark, root,
+      Map("tier" -> "concat(tier, '+')"), "tier = 'standard' AND k IN (6, 7)",
+      changeFeed = true)
+    val head = Snapshots.readVersion(spark, root)
+    assert(head.where(col("tier") === "standard+").count() == 2,
+      "MOR SET computes from the declared constant, not NULL")
+    val feed = Snapshots.changesBetween(spark, root, updV - 1, updV)
+    val pre = feed.where(col("_op") === "update_preimage")
+    assert(pre.count() == 2 && pre.where(col("tier").isNull).count() == 0 &&
+      pre.where(col("tier") === "standard").count() == 2,
+      "update_preimage publishes the constant for pre-declaration rows")
+
+    // MOR DELETE: the predicate sees the constant; CDC delete rows too
+    val delV = Snapshots.deleteWhereMor(spark, root,
+      "tier = 'standard' AND k IN (8, 9)", changeFeed = true)
+    assert(Snapshots.readVersion(spark, root).count() == 19)
+    val delFeed = Snapshots.changesBetween(spark, root, delV - 1, delV)
+      .where(col("_op") === "delete")
+    assert(delFeed.count() == 2 &&
+      delFeed.where(col("tier").isNull).count() == 0,
+      "CDC delete rows carry the constant")
+
+    // COW DELETE: doomed-file selection must see the constant
+    Snapshots.deleteWhere(spark, root, "tier = 'standard' AND k = 10")
+    assert(Snapshots.readVersion(spark, root).count() == 18)
+    // the explicitly-'gold' row never matched any of the above
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("k") === 21L).select(col("tier")).as[String].head() == "gold")
+  }
+
   test("guards: constants only, non-null, immutable; widening composes") {
     val root = tmp()
     Snapshots.init(spark, root, Seq((1L, 1)).toDF("k", "w"))

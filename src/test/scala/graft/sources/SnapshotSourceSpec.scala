@@ -62,6 +62,13 @@ class SnapshotSourceSpec extends AnyFunSuite {
       .option("changesFrom", 0).option("changesTo", 1).load(root)
     assert(feed.select("k", ChangeFeed.opCol).as[(Long, String)].collect().toSet
       == Set((7L, "update_preimage"), (7L, "update_postimage"), (200L, "insert")))
+    // ONE CDC column contract across front doors: the batch option
+    // carries _commit_version/_commit_timestamp like the TVF and the
+    // streaming CDF (Delta's CDF shape)
+    assert(feed.columns.contains("_commit_version") &&
+      feed.columns.contains("_commit_timestamp"))
+    assert(feed.select("_commit_version").distinct().as[Long].collect().toSeq
+      == Seq(1L))
     // half-set options fail loudly
     intercept[Exception](
       spark.read.format(fmt).option("changesFrom", 0).load(root).collect())

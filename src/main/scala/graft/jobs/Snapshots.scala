@@ -130,7 +130,8 @@ object Snapshots {
     /** Features that change how FILE BYTES are interpreted — required
       * reading. */
     val supportedReaderFeatures: Set[String] =
-      Set("deletionVectors", "columnMapping", "typeWidening", "columnDefaults")
+      Set("deletionVectors", "columnMapping", "typeWidening", "columnDefaults",
+        "parquetCheckpoint")
     /** Features a WRITER must understand to keep the table's invariants
       * (identity allocation, generated-column validation, constraint
       * checks, bucket layout, CDC publication). */
@@ -159,6 +160,11 @@ object Snapshots {
       if (widened) both("typeWidening")
     }
     if (d.props.keys.exists(_.startsWith(defaultPrefix))) both("columnDefaults")
+    // a parquet-checkpoint table's file list lives in a checkpoint a
+    // text-only reader cannot parse — reading without the feature would
+    // miss (or FileNotFound on) the manifest, not misread rows, but the
+    // refusal must still be loud and up-front
+    if (parquetCheckpointOn(d.props)) both("parquetCheckpoint")
     if (d.props.keys.exists(_.startsWith(identityPrefix))) w += "identityColumns"
     if (d.props.keys.exists(_.startsWith(generatedPrefix))) w += "generatedColumns"
     if (d.props.keys.exists(_.startsWith(constraintPrefix))) w += "checkConstraints"
@@ -188,6 +194,63 @@ object Snapshots {
     new Path(root, f"_log/v$v%08d.commit")
   private def checkpointPath(root: Path, v: Long) =
     new Path(root, f"_log/v$v%08d.checkpoint")
+  private def parquetCheckpointPath(root: Path, v: Long) =
+    new Path(root, f"_log/v$v%08d.checkpoint.parquet")
+
+  /** Table property selecting the checkpoint codec: `text` (default) —
+    * one line per live file, driver-parsed — or `parquet` — a columnar
+    * checkpoint directory readable as a DataFrame, written INCREMENTALLY
+    * (previous checkpoint rows + the tail deltas, distributed) and
+    * prunable as a distributed filter. At ~10⁶ files (100 TB at
+    * 100 MB/file) the text parse + driver-heap stats index is the
+    * planner's bottleneck; the parquet codec keeps the metadata path
+    * O(change) on the driver. Gated as reader feature
+    * `parquetCheckpoint`: a text-only reader build must refuse loudly
+    * instead of missing the checkpoint's file list. */
+  val checkpointFormatProp = "graft.checkpoint.format"
+
+  private def parquetCheckpointOn(props: Map[String, String]): Boolean =
+    props.get(checkpointFormatProp).contains("parquet")
+
+  /** One row of a parquet checkpoint: a live data file with its stats
+    * envelopes (`kind = "file"`; string envelopes hex-coded exactly like
+    * the text codec, so unsigned-lex byte order survives as plain string
+    * order) or one header (`kind = "header"`: schema, protocol, rfeat,
+    * wfeat, maxtxn, copied — the text checkpoint's `#key:value` lines as
+    * (hkey, hval) rows). `rows = None` means the log recorded no stats
+    * for the file (kept by every pruning family). */
+  private[jobs] final case class CkptRow(
+      kind: String, path: String, rows: Option[Long],
+      lmin: Map[String, Long], lmax: Map[String, Long],
+      dmin: Map[String, Double], dmax: Map[String, Double],
+      smin: Map[String, String], smax: Map[String, String],
+      nulls: Map[String, Long],
+      hkey: String, hval: String)
+
+  private implicit lazy val ckptEnc: org.apache.spark.sql.Encoder[CkptRow] =
+    org.apache.spark.sql.Encoders.product[CkptRow]
+
+  private def ckptRowOf(rel: String, s: Option[graft.core.Skipping.FileStats]): CkptRow =
+    s match {
+      case Some(st) => CkptRow("file", rel, Some(st.rows),
+        st.mins, st.maxs, st.dmins, st.dmaxs,
+        st.smins.map { case (k, b) => k -> graft.core.Skipping.toHex(b) },
+        st.smaxs.map { case (k, b) => k -> graft.core.Skipping.toHex(b) },
+        st.nullCounts, "", "")
+      case None => CkptRow("file", rel, None, Map.empty, Map.empty,
+        Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, "", "")
+    }
+
+  private def headerRowOf(k: String, v: String): CkptRow =
+    CkptRow("header", "", None, Map.empty, Map.empty, Map.empty, Map.empty,
+      Map.empty, Map.empty, Map.empty, k, v)
+
+  private def fileStatsOf(r: CkptRow): Option[graft.core.Skipping.FileStats] =
+    r.rows.map(n => graft.core.Skipping.FileStats(r.path, n,
+      r.lmin, r.lmax, r.dmin, r.dmax,
+      r.smin.map { case (k, h) => k -> graft.core.Skipping.fromHex(h) },
+      r.smax.map { case (k, h) => k -> graft.core.Skipping.fromHex(h) },
+      r.nulls))
 
   private def logVersions(spark: SparkSession, root: String, suffix: String): Seq[Long] = {
     val (fs, qroot) = fsOf(spark, root)
@@ -205,7 +268,8 @@ object Snapshots {
     logVersions(spark, root, ".commit")
 
   private def checkpointVersions(spark: SparkSession, root: String): Seq[Long] =
-    logVersions(spark, root, ".checkpoint")
+    (logVersions(spark, root, ".checkpoint") ++
+      logVersions(spark, root, ".checkpoint.parquet")).distinct.sorted
 
   def latestVersion(spark: SparkSession, root: String): Long = {
     val vs = versions(spark, root)
@@ -399,6 +463,7 @@ object Snapshots {
   private def purgeRootCaches(qroot: String): Unit = {
     deltaCache.keySet.removeIf(_._1 == qroot)
     indexCache.keySet.removeIf(_._1 == qroot)
+    reconstructCache.keySet.removeIf(_._1 == qroot)
   }
 
   /** Explicit cache invalidation for OUT-OF-BAND log surgery (manual
@@ -637,6 +702,10 @@ object Snapshots {
       require(!pv.contains('\n'),
         s"table property $k cannot be recorded: value contains a newline")
     }
+    d.props.get(checkpointFormatProp).foreach { f =>
+      require(f == "text" || f == "parquet",
+        s"$checkpointFormatProp must be 'text' or 'parquet' (got '$f')")
+    }
     // feature stamping is STICKY: this commit's requirements union the
     // predecessor's — old files keep needing every feature ever used
     val (needR, needW) = requiredFeatures(d, prevD)
@@ -700,8 +769,16 @@ object Snapshots {
     * re-renamed, which would open a FileNotFound window for a concurrent
     * reader whose listing already included it. Header lines carry the
     * version's schema and the highest streaming batch id at-or-below it,
-    * bounding `versionSchema` fallbacks and `lastCommittedBatch`. */
+    * bounding `versionSchema` fallbacks and `lastCommittedBatch`.
+    * Dispatches on the table's `graft.checkpoint.format`: the text codec
+    * (default) or the columnar parquet codec (`writeCheckpointParquet`). */
   private def writeCheckpoint(
+      spark: SparkSession, root: String, v: Long, files: => Seq[String]): Unit =
+    if (parquetCheckpointOn(readDelta(spark, root, v).props))
+      writeCheckpointParquet(spark, root, v)
+    else writeCheckpointText(spark, root, v, files)
+
+  private def writeCheckpointText(
       spark: SparkSession, root: String, v: Long, files: Seq[String]): Unit = {
     val (fs, qroot) = fsOf(spark, root)
     val dest = checkpointPath(qroot, v)
@@ -734,6 +811,161 @@ object Snapshots {
     if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
   }
 
+  /** The LIVE file rows of version `v` as a Dataset: nearest PARQUET
+    * checkpoint at-or-below `v` plus the (at most `checkpointEvery`)
+    * tail deltas applied as filter/union — per delta IN ORDER, because
+    * RESTORE can legally re-add a path an earlier commit removed.
+    * Driver cost O(tail change); the O(table) row set stays on the
+    * executors. None when the table has no parquet checkpoint at-or-
+    * below `v` (text-codec tables, or a pre-first-checkpoint version). */
+  private def checkpointFileFrame(
+      spark: SparkSession, root: String, v: Long)
+      : Option[org.apache.spark.sql.Dataset[CkptRow]] = {
+    val (_, qroot) = fsOf(spark, root)
+    logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v).lastOption.map { cv =>
+      val base = spark.read.parquet(parquetCheckpointPath(qroot, cv).toString)
+        .as[CkptRow].filter(col("kind") === "file")
+      ((cv + 1) to v).foldLeft(base) { (acc, w) =>
+        val d = readDelta(spark, root, w)
+        val afterRm =
+          if (d.removes.isEmpty) acc
+          else if (d.removes.size <= 1000)
+            acc.filter(!col("path").isin(d.removes: _*))
+          else {
+            // a wide rewrite (OPTIMIZE over many files): anti-join beats
+            // a 10k-literal IN — the removes side is metadata-small
+            val rm = spark.createDataset(d.removes)(
+              org.apache.spark.sql.Encoders.STRING).toDF("path")
+            acc.join(broadcast(rm), Seq("path"), "left_anti").as[CkptRow]
+          }
+        if (d.adds.isEmpty) afterRm
+        else afterRm.unionByName(spark.createDataset(
+          d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel)))))
+      }
+    }
+  }
+
+  /** The columnar checkpoint writer: one parquet directory holding a
+    * `CkptRow` per live file (stats envelopes in the text codec's typed
+    * families) plus header rows. INCREMENTAL when a previous parquet
+    * checkpoint exists — previous rows stay distributed, only the tail
+    * deltas' adds/removes and header refresh touch the driver — so at
+    * 10⁶ files a checkpoint costs O(change) driver work + one
+    * distributed write, never an O(table) text render. The first
+    * parquet checkpoint of a table (or after vacuum dropped all prior
+    * ones) is a one-time full build from `reconstruct`. Same
+    * skip-if-exists / tmp-then-rename publish discipline as the text
+    * codec. */
+  private def writeCheckpointParquet(
+      spark: SparkSession, root: String, v: Long): Unit = {
+    val (fs, qroot) = fsOf(spark, root)
+    val dest = parquetCheckpointPath(qroot, v)
+    if (fs.exists(dest)) return
+    val hd = readDelta(spark, root, v)
+    val fileRows = checkpointFileFrame(spark, root, v).getOrElse {
+      val (files, stats) = reconstruct(spark, root, v)
+      spark.createDataset(files.map(rel => ckptRowOf(rel, stats.get(rel))))
+    }
+    val prevPq = logVersions(spark, root, ".checkpoint.parquet")
+      .filter(_ < v).lastOption
+    val (copiedRows, maxTxn) = prevPq match {
+      case Some(cv) =>
+        // headers refresh incrementally too: prior `copied` rows stay a
+        // distributed frame (COPY INTO identities can be O(10⁶) at
+        // scale), maxtxn is one pushed-filter lookup + the tail's max
+        val prevHdr = spark.read
+          .parquet(parquetCheckpointPath(qroot, cv).toString)
+          .as[CkptRow].filter(col("kind") === "header")
+        val tailCopied = ((cv + 1) to v)
+          .flatMap(w => readDelta(spark, root, w).copied).distinct
+        val copied = prevHdr.filter(col("hkey") === "copied")
+          .unionByName(spark.createDataset(tailCopied.map(headerRowOf("copied", _))))
+          .dropDuplicates("hkey", "hval")
+        val prevMax = prevHdr.filter(col("hkey") === "maxtxn")
+          .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().headOption.map(_.toLong).getOrElse(-1L)
+        val tailMax = ((cv + 1) to v)
+          .flatMap(w => readDelta(spark, root, w).txn)
+          .foldLeft(-1L)(math.max)
+        (copied, math.max(prevMax, tailMax))
+      case None =>
+        (spark.createDataset(copiedUpTo(spark, root, v).toSeq.sorted
+          .map(headerRowOf("copied", _))), lastTxnUpTo(spark, root, v))
+    }
+    val headerRows = hd.schema.map(headerRowOf("schema", _)).toSeq ++
+      Seq(headerRowOf("protocol", s"${hd.minReader},${hd.minWriter}"),
+        headerRowOf("maxtxn", maxTxn.toString)) ++
+      hd.rfeat.map(headerRowOf("rfeat", _)) ++
+      hd.wfeat.map(headerRowOf("wfeat", _))
+    val tmp = new Path(qroot,
+      f"_log/.v$v%08d-ckpt-pq-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    fileRows.unionByName(copiedRows)
+      .unionByName(spark.createDataset(headerRows))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // a concurrent checkpointer may have landed first: same derived
+    // content, so losing this race is a silent no-op
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
+  }
+
+  /** The checkpoint at `cv` as (file list, stats) regardless of codec —
+    * what `reconstruct` replays tail deltas onto. Throws
+    * `FileNotFoundException` when the checkpoint vanished (vacuum racing
+    * a reader), so the caller's next-lower-checkpoint fallback fires for
+    * both codecs. */
+  private def readCheckpointContent(
+      spark: SparkSession, root: String, cv: Long)
+      : (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
+    val (fs, qroot) = fsOf(spark, root)
+    val txt = checkpointPath(qroot, cv)
+    if (fs.exists(txt)) {
+      val lines = readLines(spark, root, txt)
+      (lines.filterNot(_.startsWith("#")),
+        lines.filter(_.startsWith("#stats:")).map(parseStats).toMap)
+    } else {
+      val pq = parquetCheckpointPath(qroot, cv)
+      if (!fs.exists(pq))
+        throw new java.io.FileNotFoundException(
+          s"no checkpoint at version $cv of $root")
+      val rows =
+        try spark.read.parquet(pq.toString).as[CkptRow]
+          .filter(col("kind") === "file").collect()
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            throw new java.io.FileNotFoundException(
+              s"checkpoint at version $cv of $root vanished mid-read")
+        }
+      (rows.map(_.path).toSeq,
+        rows.flatMap(r => fileStatsOf(r).map(r.path -> _)).toMap)
+    }
+  }
+
+  /** One header family of the checkpoint at `cv` (`maxtxn`, `copied`,
+    * …) without materializing the file rows: a line-filter on the text
+    * codec, a pushed `kind/hkey` filter on the parquet codec. */
+  private def checkpointHeaders(
+      spark: SparkSession, root: String, cv: Long, key: String): Seq[String] = {
+    val (fs, qroot) = fsOf(spark, root)
+    val txt = checkpointPath(qroot, cv)
+    if (fs.exists(txt))
+      readLines(spark, root, txt)
+        .filter(_.startsWith(s"#$key:")).map(_.stripPrefix(s"#$key:"))
+    else {
+      val pq = parquetCheckpointPath(qroot, cv)
+      if (!fs.exists(pq))
+        throw new java.io.FileNotFoundException(
+          s"no checkpoint at version $cv of $root")
+      try spark.read.parquet(pq.toString)
+        .filter(col("kind") === "header" && col("hkey") === key)
+        .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          throw new java.io.FileNotFoundException(
+            s"checkpoint at version $cv of $root vanished mid-read")
+      }
+    }
+  }
+
   private def maybeCheckpoint(spark: SparkSession, root: String, v: Long): Unit =
     if (v % checkpointEvery == 0L)
       writeCheckpoint(spark, root, v, versionFileList(spark, root, v))
@@ -750,19 +982,25 @@ object Snapshots {
   private def reconstruct(
       spark: SparkSession, root: String, v: Long): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
     val (_, qroot) = fsOf(spark, root)
+    // a version's (files, stats) are IMMUTABLE (derived from immutable
+    // deltas), so one reconstruction serves every later consumer —
+    // under the parquet codec a cold read is a Spark job, not a line
+    // parse, which this memo keeps off the per-query path
+    val key = (qroot.toString, v)
+    val hit = reconstructCache.get(key)
+    if (hit != null) return hit
     val ckpts = checkpointVersions(spark, root).filter(_ <= v).reverse
     def attempt(candidates: Seq[Long]): (Seq[String], Map[String, graft.core.Skipping.FileStats]) = {
       val base = candidates.headOption
       try {
-        val lines: Seq[String] = base match {
-          case Some(cv) => readLines(spark, root, checkpointPath(qroot, cv))
-          case None => Seq.empty
+        val (ckptFiles, ckptStats) = base match {
+          case Some(cv) => readCheckpointContent(spark, root, cv)
+          case None => (Seq.empty[String], Map.empty[String, graft.core.Skipping.FileStats])
         }
         val start = base.map(_ + 1).getOrElse(0L)
-        val files = scala.collection.mutable.LinkedHashSet[String](
-          lines.filterNot(_.startsWith("#")): _*)
+        val files = scala.collection.mutable.LinkedHashSet[String](ckptFiles: _*)
         val stats = scala.collection.mutable.Map[String, graft.core.Skipping.FileStats](
-          lines.filter(_.startsWith("#stats:")).map(parseStats): _*)
+          ckptStats.toSeq: _*)
         (start to v).foreach { w =>
           val d = readDelta(spark, root, w)
           files ++= d.adds
@@ -776,8 +1014,17 @@ object Snapshots {
           attempt(candidates.tail)
       }
     }
-    attempt(ckpts)
+    val r = attempt(ckpts)
+    if (reconstructCache.size > 64) reconstructCache.clear()
+    reconstructCache.put(key, r)
+    r
   }
+
+  /** Reconstructed (files, stats) memoized per (qualified root, version)
+    * — bounded wholesale, purged on v0 publish, same discipline as
+    * `deltaCache`/`indexCache`. */
+  private val reconstructCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Seq[String], Map[String, graft.core.Skipping.FileStats])]()
 
   private def versionFileList(spark: SparkSession, root: String, v: Long): Seq[String] =
     reconstruct(spark, root, v)._1
@@ -1354,8 +1601,7 @@ object Snapshots {
       val base = candidates.headOption
       try {
         val fromCkpt: Seq[String] = base match {
-          case Some(cv) => readLines(spark, root, checkpointPath(qroot, cv))
-            .filter(_.startsWith("#copied:")).map(_.stripPrefix("#copied:"))
+          case Some(cv) => checkpointHeaders(spark, root, cv, "copied")
           case None => Seq.empty
         }
         val start = base.map(_ + 1).getOrElse(0L)
@@ -1902,6 +2148,74 @@ object Snapshots {
     * columns), so a predicate on the partition dimension prunes with
     * zero stats in the log. Always a sound OVER-approximation: columns
     * the bounds matcher can't constrain keep their files candidate. */
+  /** Distributed stats pruning: evaluate the four envelope families as
+    * a DataFrame FILTER over the parquet checkpoint's file rows (plus
+    * tail deltas), collecting ONLY the surviving root-relative paths —
+    * at 10⁶ files the driver never materializes the full stats index.
+    * Exact mirror of `Skipping.pruneFiles*`: a file without the column's
+    * envelope (or without stats at all) is always kept; string envelopes
+    * compare as hex strings, which order identically to unsigned-lex
+    * bytes. Returns None — caller falls back to the driver loop — when
+    * the table has no parquet checkpoint at-or-below `version`, when
+    * `spark.graft.prune.distributed = never`, or when the table is
+    * Hive-partitioned (the driver path additionally derives partition
+    * point envelopes from path fragments; skipping those here would
+    * only be conservative, but the driver path keeps exact parity).
+    * Bounds are keyed by PHYSICAL column names (caller translates). */
+  private[graft] def distributedCandidateFiles(
+      spark: SparkSession, root: String, version: Long,
+      bs: Map[String, (Long, Long)],
+      dbs: Map[String, (Double, Double)],
+      sbs: Map[String, graft.core.Skipping.StrRange],
+      nbs: Map[String, Set[Boolean]]): Option[Seq[String]] = {
+    if (spark.conf.getOption("spark.graft.prune.distributed").contains("never"))
+      return None
+    if (graft.core.HivePartitions.columnsOf(
+        readDelta(spark, root, version).props).nonEmpty) return None
+    try checkpointFileFrame(spark, root, version).map { rows =>
+      import org.apache.spark.sql.Column
+      def hasNo(m: String, c: String): Column = element_at(col(m), c).isNull
+      val keepLong = bs.map { case (c, (lo, hi)) =>
+        hasNo("lmin", c).or(hasNo("lmax", c)).or(
+          element_at(col("lmax"), c) >= lit(lo) &&
+            element_at(col("lmin"), c) <= lit(hi))
+      }
+      val keepDbl = dbs.map { case (c, (lo, hi)) =>
+        hasNo("dmin", c).or(hasNo("dmax", c)).or(
+          element_at(col("dmax"), c) >= lit(lo) &&
+            element_at(col("dmin"), c) <= lit(hi))
+      }
+      val keepStr = sbs.map { case (c, r) =>
+        val aboveLo = r.lo.map { b =>
+          val bh = lit(graft.core.Skipping.toHex(b.bytes))
+          hasNo("smax", c).or(
+            if (b.inclusive) element_at(col("smax"), c) >= bh
+            else element_at(col("smax"), c) > bh)
+        }.getOrElse(lit(true))
+        val belowHi = r.hi.map { b =>
+          val bh = lit(graft.core.Skipping.toHex(b.bytes))
+          hasNo("smin", c).or(
+            if (b.inclusive) element_at(col("smin"), c) <= bh
+            else element_at(col("smin"), c) < bh)
+        }.getOrElse(lit(true))
+        aboveLo.and(belowHi)
+      }
+      val keepNull = nbs.map { case (c, r) =>
+        val n = element_at(col("nulls"), c)
+        hasNo("nulls", c).or(col("rows").isNull).or(
+          if (r.head) n > lit(0L) else n < col("rows"))
+      }
+      val kept = (keepLong ++ keepDbl ++ keepStr ++ keepNull)
+        .foldLeft(rows.toDF())((df, k) => df.filter(k))
+      kept.select(col("path")).as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSeq.sorted
+    } catch {
+      // a vanished checkpoint or dropped tail delta (vacuum racing this
+      // prune) — the driver path has its own fallback chain
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   private[graft] def statsCandidateFiles(
       spark: SparkSession, root: String, version: Long,
       predicateSql: String): Seq[String] = {
@@ -1922,12 +2236,18 @@ object Snapshots {
       .map { case (c, r) => phys(c) -> r }
     val nbs = graft.sources.StatsBounds.nullBounds(parsed)
       .map { case (c, r) => phys(c) -> r }
-    val files = versionFileList(spark, root, version)
     if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
     if (dbs.exists { case (_, (lo, hi)) => lo > hi }) return Nil
     if (sbs.exists(_._2.isEmpty)) return Nil
     if (nbs.exists(_._2.size == 2)) return Nil
-    if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty) return files
+    if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty)
+      return versionFileList(spark, root, version)
+    // parquet-checkpoint tables prune DISTRIBUTED — the filter runs on
+    // the executors, only surviving paths reach the driver; the full
+    // file list is never materialized here
+    distributedCandidateFiles(spark, root, version, bs, dbs, sbs, nbs)
+      .foreach(kept => return kept)
+    val files = versionFileList(spark, root, version)
     val (_, qroot) = fsOf(spark, root)
     val partCols = graft.core.HivePartitions.columnsOf(delta.props)
     val idxRaw = statsIndex(spark, root, version) // abs paths
@@ -3882,10 +4202,8 @@ object Snapshots {
       .map(v => readDelta(spark, root, v).txn)
       .collectFirst { case Some(b) => b }
     fromDeltas.orElse {
-      ckpt.flatMap { cv =>
-        readLines(spark, root, checkpointPath(qroot, cv))
-          .find(_.startsWith("#maxtxn:")).map(_.stripPrefix("#maxtxn:").toLong)
-      }
+      ckpt.flatMap(cv =>
+        checkpointHeaders(spark, root, cv, "maxtxn").headOption.map(_.toLong))
     }.getOrElse {
       // legacy checkpoint without headers: scan the remaining deltas
       vs.reverseIterator.filter(_ <= floor)
@@ -3957,8 +4275,10 @@ object Snapshots {
     drop.foreach(v => fs.delete(deltaPath(qroot, v), false))
     droppedFeeds.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true))
     droppedDvs.foreach(n => fs.delete(new Path(qroot, s"_dv/$n"), true))
-    checkpointVersions(spark, root).filter(_ < floor)
-      .foreach(v => fs.delete(checkpointPath(qroot, v), false))
+    checkpointVersions(spark, root).filter(_ < floor).foreach { v =>
+      fs.delete(checkpointPath(qroot, v), false)
+      fs.delete(parquetCheckpointPath(qroot, v), true)
+    }
     orphans.size
   }
 

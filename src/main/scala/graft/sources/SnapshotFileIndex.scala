@@ -116,7 +116,14 @@ private[sources] class SnapshotFileIndex(
     val all = statuses.map(_.getPath.toString)
     val statsPruned =
       if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty) all
-      else {
+      else Snapshots.distributedCandidateFiles(
+          spark, root, version, bs, dbs, sbs, nbs) match {
+        // parquet-checkpoint tables: the envelope filter ran on the
+        // executors; only surviving rel paths reached the driver
+        case Some(rel) =>
+          val relSet = rel.map(f => new Path(qroot, f).toString).toSet
+          all.filter(relSet.contains)
+        case None =>
         val idx = Snapshots.statsIndex(spark, root, version)
         def fold[A](files: Seq[String], m: Map[String, A])(
             prune: (Seq[graft.core.Skipping.FileStats], String, A) => Seq[String]): Seq[String] =

@@ -1,0 +1,189 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Columnar (parquet) checkpoints — `graft.checkpoint.format = parquet`:
+  * the checkpoint is a parquet directory (one `CkptRow` per live file +
+  * header rows), written INCREMENTALLY from the previous checkpoint plus
+  * the tail deltas, and stats pruning evaluates as a DISTRIBUTED
+  * DataFrame filter collecting only surviving paths. Pins: exact parity
+  * with from-v0 delta replay (file-for-file), distributed-vs-driver
+  * prune equality across all four envelope families, front-door plan
+  * shrinkage, the `parquetCheckpoint` reader-feature gate, and header
+  * survival (maxtxn) across vacuum. */
+class ParquetCheckpointSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("pqckpt").toFile.getAbsolutePath + "/t"
+
+  private def logNames(root: String): Seq[String] = {
+    val p = new Path(root + "/_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** ~25 commits mixing appends, COW delete/update, OPTIMIZE and a
+    * RESTORE (which re-ADDS previously removed paths — the case that
+    * forces per-delta in-order tail replay in the incremental build). */
+  private def drive(root: String, props: Map[String, String]): Unit = {
+    Snapshots.init(spark, root,
+      (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2), props)
+    (1 to 8).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 50L).map(i => (200L + b * 100L + i, i * 2.0)).toDF("k", "v"))
+    }                                               // v1..v8
+    Snapshots.deleteWhere(spark, root, "k <= 20")   // v9
+    Snapshots.updateWhere(spark, root, Map("v" -> "v + 0.5"), "k > 1000") // v10 → ckpt
+    Snapshots.optimizeCompact(spark, root, 1L << 30, 1L << 30) // v11
+    val preRestore = Snapshots.latestVersion(spark, root)
+    Snapshots.append(spark, root, Seq((9001L, 1.0)).toDF("k", "v")) // v12
+    Snapshots.restore(spark, root, preRestore)      // v13: re-adds v11's files
+    (1 to 9).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 30L).map(i => (20000L + b * 100L + i, i * 3.0)).toDF("k", "v"))
+    }                                               // v14..v22 (ckpt at v20)
+  }
+
+  test("incremental parquet checkpoints reconstruct EXACTLY the delta replay") {
+    val root = tmp()
+    drive(root, Map(Snapshots.checkpointFormatProp -> "parquet"))
+    val head = Snapshots.latestVersion(spark, root)
+    assert(head >= 20L)
+    // checkpoints landed in the parquet codec, and ONLY that codec
+    assert(logNames(root).exists(_.endsWith(".checkpoint.parquet")))
+    assert(!logNames(root).exists(_.endsWith(".checkpoint")),
+      "a parquet-mode table must not write text checkpoints")
+    // the v20 checkpoint was built incrementally from v10's; a from-v0
+    // pure delta replay is the ground truth — file-for-file identical
+    val viaCkpt = (0L to head).map(v => Snapshots.versionFiles(spark, root, v))
+    val rowsViaCkpt = Snapshots.readVersion(spark, root)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    val p = new Path(root + "/_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logNames(root).filter(_.endsWith(".checkpoint.parquet"))
+      .foreach(n => fs.delete(new Path(p, n), true))
+    Snapshots.invalidateCaches(spark, root)
+    val viaReplay = (0L to head).map(v => Snapshots.versionFiles(spark, root, v))
+    assert(viaCkpt == viaReplay,
+      "checkpoint-based reconstruction must equal from-v0 replay at EVERY version")
+    assert(Snapshots.readVersion(spark, root)
+      .orderBy("k").as[(Long, Double)].collect().toSeq == rowsViaCkpt)
+  }
+
+  test("distributed prune == driver prune, all four envelope families") {
+    val root = tmp()
+    // clustered layout: each append covers a distinct k-range, so
+    // envelopes genuinely prune; strings/doubles/nulls ride along
+    Snapshots.init(spark, root,
+      (0L until 100L).map(i => (i, i * 1.0, f"s$i%04d", if (i % 2 == 0) Some(i) else None))
+        .toDF("k", "v", "s", "n").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 12).foreach { b =>
+      Snapshots.append(spark, root,
+        (0L until 100L).map(i => (b * 100L + i, (b * 100 + i) * 1.0,
+          f"s${b * 100 + i}%04d", if (i % 2 == 0) Some(i) else None))
+          .toDF("k", "v", "s", "n").coalesce(1))
+    }
+    val v = Snapshots.latestVersion(spark, root)
+    val preds = Seq(
+      "k BETWEEN 320 AND 340",          // long family
+      "v >= 550.0 AND v < 600.0",       // double family
+      "s >= 's0700' AND s <= 's0750'",  // string family
+      "k BETWEEN 100 AND 199 AND n IS NOT NULL", // null family composes
+      "k > 99999",                       // prunes everything
+      "k >= 0")                          // prunes nothing
+    preds.foreach { pred =>
+      val dist = Snapshots.statsCandidateFiles(spark, root, v, pred)
+      spark.conf.set("spark.graft.prune.distributed", "never")
+      val drv =
+        try Snapshots.statsCandidateFiles(spark, root, v, pred)
+        finally spark.conf.unset("spark.graft.prune.distributed")
+      assert(dist == drv, s"distributed vs driver prune diverged for: $pred")
+    }
+    // and the pruning is real: a tight range keeps a strict subset
+    val tight = Snapshots.statsCandidateFiles(spark, root, v, "k BETWEEN 320 AND 340")
+    assert(tight.nonEmpty &&
+      tight.size < Snapshots.versionFiles(spark, root, v).size)
+  }
+
+  test("the front door plans fewer files through the parquet checkpoint") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 4000L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(8),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    Snapshots.optimizeCow(spark, root, Seq("k"), 8)
+    (1 to 9).foreach(b => Snapshots.append(spark, root,
+      (1L to 10L).map(i => (4000L + b * 10L + i, 0.0)).toDF("k", "v").coalesce(1)))
+    val all = Snapshots.versionFiles(spark, root)
+    val q = spark.read.format("graft.sources.SnapshotSource").load(root)
+      .where(col("k").between(100, 199)).select("k")
+    assert(q.as[Long].collect().toSet == (100L to 199L).toSet)
+    val planned = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case pl => pl
+    }
+    val scan = planned.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    assert(scan.metrics("numFiles").value < all.size,
+      s"planned ${scan.metrics("numFiles").value} of ${all.size} files")
+  }
+
+  test("parquetCheckpoint gates as a reader feature; DML and vacuum compose") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 300L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(3),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    val (_, _, rfeat, wfeat) = Snapshots.protocol(spark, root)
+    assert(rfeat.contains("parquetCheckpoint") && wfeat.contains("parquetCheckpoint"),
+      s"feature must gate both sides: $rfeat / $wfeat")
+    // MOR + COW DML on a parquet-checkpoint table behave identically
+    Snapshots.deleteWhereMor(spark, root, "k % 50 = 0")
+    Snapshots.updateWhere(spark, root, Map("v" -> "v * 2"), "k <= 10")
+    assert(Snapshots.readVersion(spark, root).count() == 294)
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("k") <= 10).agg(sum("v")).head().getDouble(0) == 110.0)
+    // streaming txn ids survive vacuum through the parquet header rows
+    (1 to 9).foreach(b => Snapshots.commitStreamingBatch(spark, root,
+      Seq((1000L + b, 1.0)).toDF("k", "v"), b))
+    val head = Snapshots.latestVersion(spark, root)
+    assert(head >= 10L, s"expected a checkpointed version, got $head")
+    Snapshots.vacuum(spark, root, head)
+    assert(Snapshots.lastCommittedBatch(spark, root) == 9L,
+      "the #maxtxn header must survive history truncation in the parquet codec")
+    assert(Snapshots.readVersion(spark, root).count() == 303)
+    // pre-floor checkpoints (both codecs) are gone; the floor's remains
+    val ckpts = logNames(root).filter(_.contains(".checkpoint"))
+    assert(ckpts.nonEmpty && ckpts.forall(_.endsWith(".checkpoint.parquet")))
+    // a refreshed prop commit keeps the format valid; garbage refuses
+    intercept[IllegalArgumentException](
+      Snapshots.setProperties(spark, root,
+        Map(Snapshots.checkpointFormatProp -> "csv")))
+  }
+
+  test("a text table FLIPS to parquet checkpoints mid-life and stays exact") {
+    val root = tmp()
+    drive(root, Map.empty) // text codec for the first ~22 commits
+    assert(logNames(root).exists(_.endsWith(".checkpoint")))
+    val before = Snapshots.readVersion(spark, root)
+      .agg(count(lit(1)), sum("v")).head()
+    Snapshots.setProperties(spark, root,
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 10).foreach(b => Snapshots.append(spark, root,
+      Seq((90000L + b, 0.25)).toDF("k", "v")))
+    // the next checkpoint landed columnar (full build over the text base)
+    assert(logNames(root).exists(_.endsWith(".checkpoint.parquet")))
+    val after = Snapshots.readVersion(spark, root)
+      .where(col("k") < 90000L).agg(count(lit(1)), sum("v")).head()
+    assert(before == after, s"flip must not change content: $before vs $after")
+    assert(Snapshots.readVersion(spark, root)
+      .where(col("k") >= 90000L).count() == 10)
+  }
+}

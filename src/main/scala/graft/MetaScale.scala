@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Skipping.FileStats
+import graft.jobs.Snapshots
+
+/** Metadata-path latency at scale: how long do snapshot resolution
+  * (`versionFiles`), a cold stats prune, and a checkpoint write take as
+  * the LIVE FILE COUNT grows — 1k / 10k / 100k files — under the text
+  * checkpoint codec vs the parquet (columnar) one?
+  *
+  * This is the empirical backing for the parquet-checkpoint design: at
+  * ~10⁶ files (100 TB at 100 MB/file) a text checkpoint is an O(table)
+  * driver parse per snapshot resolution and an O(table) driver render
+  * per checkpoint, while the columnar codec keeps checkpoint WRITES
+  * O(change) on the driver (incremental: previous rows never leave the
+  * executors) and evaluates pruning as a distributed filter that
+  * collects only survivors.
+  *
+  * Tables are built with `commitMetadataOnlyAdds` — synthetic adds with
+  * synthetic k-envelopes, NO data files — because this measures the
+  * metadata path only; the data path is exercised by the oracle
+  * registry. Each table gets `files/100` adds per commit across 100
+  * commits, so checkpoints land every 10 commits and the parquet ones
+  * build incrementally, exactly as production would.
+  *
+  * Usage: runMain graft.MetaScale [outJsonlPath] [sizesCsv] [codecsCsv]
+  * Emits one JSON line per (codec, files) cell:
+  *   {"meta_scale":..,"files":..,"build_sec":..,"ckpt_commit_sec":..,
+  *    "plain_commit_sec":..,"resolve_cold_sec":..,"prune_cold_sec":..,
+  *    "prune_warm_sec":..,"survivors":..}
+  */
+object MetaScale {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val sink = out.map(p => new java.io.PrintWriter(
+      new java.io.FileWriter(p, false), true))
+    def emit(line: String): Unit = { println(line); sink.foreach(_.println(line)) }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val sizes = args.lift(1).map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1000, 10000, 100000))
+    val codecs = args.lift(2).map(_.split(',').map(_.trim).toSeq)
+      .getOrElse(Seq("text", "parquet"))
+    for (codec <- codecs; n <- sizes) {
+      val root = java.nio.file.Files.createTempDirectory("metascale")
+        .toFile.getAbsolutePath + "/t"
+      val props =
+        if (codec == "parquet") Map(Snapshots.checkpointFormatProp -> "parquet")
+        else Map.empty[String, String]
+      Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"), props)
+      val perCommit = n / 100
+      var ckptSec = 0.0; var plainSec = 0.0
+      val (_, buildSec) = time {
+        (0 until 100).foreach { c =>
+          val adds = (0 until perCommit).map { i =>
+            val fileNo = c * perCommit + i
+            val lo = fileNo.toLong * 100L
+            f"data/part-$fileNo%07d.parquet" ->
+              FileStats(f"data/part-$fileNo%07d.parquet", 100L,
+                Map("k" -> lo), Map("k" -> (lo + 99L)),
+                Map.empty, Map.empty, Map.empty, Map.empty,
+                Map("k" -> 0L))
+          }
+          val (_, sec) = time {
+            Snapshots.commitMetadataOnlyAdds(spark, root,
+              adds.map(_._1), adds.toMap)
+          }
+          // commit 100 lands v100 (a checkpoint commit); 99 is plain —
+          // their difference isolates the checkpoint cost at full size
+          if (c == 99) ckptSec = sec
+          if (c == 98) plainSec = sec
+        }
+      }
+      val head = Snapshots.latestVersion(spark, root)
+      Snapshots.invalidateCaches(spark, root)
+      val (files, resolveCold) = time(Snapshots.versionFiles(spark, root, head))
+      require(files.size == n + 1, s"expected ${n + 1} live files, got ${files.size}")
+      // a selective range: ~1% of the k-domain → ~1% of the files survive
+      val pred = s"k BETWEEN ${n / 2 * 100L} AND ${(n / 2 + n / 100) * 100L}"
+      Snapshots.invalidateCaches(spark, root)
+      val (cold, pruneCold) = time(
+        Snapshots.statsCandidateFiles(spark, root, head, pred))
+      val (warm, pruneWarm) = time(
+        Snapshots.statsCandidateFiles(spark, root, head, pred))
+      require(cold == warm, "cold and warm prunes must agree")
+      emit(f"""{"meta_scale":"$codec","files":$n,"build_sec":$buildSec%.3f,""" +
+        f""""ckpt_commit_sec":$ckptSec%.3f,"plain_commit_sec":$plainSec%.3f,""" +
+        f""""resolve_cold_sec":$resolveCold%.3f,"prune_cold_sec":$pruneCold%.3f,""" +
+        f""""prune_warm_sec":$pruneWarm%.3f,"survivors":${cold.size}}""")
+    }
+    sink.foreach(_.close())
+    spark.stop()
+  }
+}

@@ -108,7 +108,12 @@ object Snapshots {
       dv: Seq[String] = Nil, dvAdd: Option[String] = None,
       copied: Seq[String] = Nil,
       minReader: Int = 1, minWriter: Int = 1,
-      rfeat: Seq[String] = Nil, wfeat: Seq[String] = Nil)
+      rfeat: Seq[String] = Nil, wfeat: Seq[String] = Nil,
+      // WRITE-side only (never serialized): features this commit DROPS
+      // from the sticky lists — the DROP FEATURE protocol downgrade.
+      // writeDelta subtracts them after the predecessor union and
+      // refuses if the commit's own content still requires them.
+      featDrop: Seq[String] = Nil)
 
   /** Protocol versioning + table features — Delta's minReader/minWriter
     * + tableFeatures shape on this log. The engine ships features (type
@@ -182,6 +187,95 @@ object Snapshots {
     val v = if (version < 0) latestVersion(spark, root) else version
     val d = readDelta(spark, root, v)
     (d.minReader, d.minWriter, d.rfeat, d.wfeat)
+  }
+
+  /** `ALTER TABLE … DROP FEATURE <f>` — the protocol DOWNGRADE that
+    * un-sticks r13's gating, Delta's two-step contract on this log:
+    *
+    *   1. the caller first removes the feature's LIVE dependence
+    *      (`materializeDeletionVectors` for deletionVectors; for
+    *      rowTracking this commit itself drops the hidden `_row_id`
+    *      through the column-mapping path and removes the engine
+    *      props); a feature the head's state still demands refuses
+    *      loudly — including inside `writeDelta`, which re-derives the
+    *      commit's requirements and rejects any drop its own content
+    *      would resurrect;
+    *   2. the drop commit strips the feature from the sticky lists and
+    *      immediately CHECKPOINTS at the drop version (off-cycle), so a
+    *      build without the feature plans head reads from that
+    *      checkpoint + post-drop deltas and never touches a pre-drop
+    *      delta still carrying the mark. Time travel BELOW the drop
+    *      still gates (those versions genuinely need the feature);
+    *      `vacuum(root, dropVersion)` is the history-truncation step
+    *      that makes the table fully minimal-reader-clean — Delta's
+    *      DROP FEATURE TRUNCATE HISTORY analog.
+    *
+    * Reader features that old FILES permanently depend on
+    * (columnMapping, typeWidening, columnDefaults) are not droppable —
+    * the bytes would change meaning. `parquetCheckpoint` is droppable
+    * once the format property is back to `text` (this commit's own
+    * checkpoint then lands in the text codec). Writer-only features
+    * (identityColumns, checkConstraints, generatedColumns, bucketing,
+    * changeDataFeed) drop when no table property demands them anymore. */
+  def dropFeature(spark: SparkSession, root: String, feature: String): Long = {
+    val head = latestVersion(spark, root)
+    val prevDelta = readDelta(spark, root, head)
+    require(prevDelta.rfeat.contains(feature) || prevDelta.wfeat.contains(feature),
+      s"table at $root does not carry feature $feature " +
+        s"(reader: [${prevDelta.rfeat.mkString(", ")}], " +
+        s"writer: [${prevDelta.wfeat.mkString(", ")}])")
+    val committed = feature match {
+      case "deletionVectors" =>
+        require(prevDelta.dv.isEmpty,
+          s"cannot drop deletionVectors from $root while deletion vectors " +
+            "are live — run materializeDeletionVectors first")
+        commitRewrite(spark, root, head + 1,
+          Delta(Nil, Nil, schema = prevDelta.schema, props = prevDelta.props,
+            op = Some("metadata"), featDrop = Seq(feature)))
+      case "rowTracking" =>
+        val schema = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse(throw new IllegalStateException(
+            s"$root has no recorded schema — cannot evolve a legacy log"))
+        // one commit: retire _row_id's physical name (files keep the
+        // column; readers stop asking), remove the engine props, strip
+        // the feature — partial application is impossible
+        val (newSchema, retiredPatch) =
+          schema.fields.find(_.name == rowIdCol) match {
+            case Some(f) =>
+              (StructType(schema.fields.filterNot(_.name == rowIdCol)),
+                Map(retiredProp -> (prevDelta.props.get(retiredProp).toSeq
+                  .flatMap(_.split(',').toSeq) :+ physicalName(f))
+                  .distinct.mkString(",")))
+            case None => (schema, Map.empty[String, String])
+          }
+        val cleaned = prevDelta.props - rowTrackingProp -
+          (identityPrefix + rowIdCol) - (identityPrefix + rowIdCol + ".hwm") ++
+          retiredPatch
+        commitRewrite(spark, root, head + 1,
+          Delta(Nil, Nil, schema = Some(newSchema.json), props = cleaned,
+            op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(feature)))
+      case "parquetCheckpoint" =>
+        require(!parquetCheckpointOn(prevDelta.props),
+          s"cannot drop parquetCheckpoint from $root while " +
+            s"$checkpointFormatProp=parquet — set it to 'text' first")
+        commitRewrite(spark, root, head + 1,
+          Delta(Nil, Nil, schema = prevDelta.schema, props = prevDelta.props,
+            op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(feature)))
+      case wf if Protocol.supportedWriterFeatures.contains(wf) &&
+          !Protocol.supportedReaderFeatures.contains(wf) =>
+        // writer-only features: droppable exactly when the head's props
+        // no longer demand them (writeDelta's resurrect guard re-checks)
+        commitRewrite(spark, root, head + 1,
+          Delta(Nil, Nil, schema = prevDelta.schema, props = prevDelta.props,
+            op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(wf)))
+      case other => throw new UnsupportedOperationException(
+        s"feature $other is not droppable: old files permanently depend " +
+          "on it (the bytes would change meaning without it)")
+    }
+    // the off-cycle checkpoint that makes head reads feature-free
+    writeCheckpoint(spark, root, committed,
+      versionFileList(spark, root, committed))
+    committed
   }
 
   private def fsOf(spark: SparkSession, root: String) = {
@@ -707,13 +801,23 @@ object Snapshots {
         s"$checkpointFormatProp must be 'text' or 'parquet' (got '$f')")
     }
     // feature stamping is STICKY: this commit's requirements union the
-    // predecessor's — old files keep needing every feature ever used
+    // predecessor's — old files keep needing every feature ever used.
+    // The ONE exit is an explicit DROP FEATURE commit (featDrop), which
+    // subtracts AFTER the union — and refuses if this commit's own
+    // content would immediately resurrect the feature (e.g. dropping
+    // deletionVectors while still carrying a live vector).
     val (needR, needW) = requiredFeatures(d, prevD)
+    val resurrected = d.featDrop.toSet.intersect(needR ++ needW)
+    require(resurrected.isEmpty,
+      s"cannot drop feature(s) ${resurrected.mkString(", ")} — this " +
+        "commit's own content still requires them")
     val dStamped = d.copy(ts = Some(ts),
       minReader = math.max(d.minReader, prevD.map(_.minReader).getOrElse(1)),
       minWriter = math.max(d.minWriter, prevD.map(_.minWriter).getOrElse(1)),
-      rfeat = (prevD.map(_.rfeat).getOrElse(Nil) ++ needR).distinct.sorted,
-      wfeat = (prevD.map(_.wfeat).getOrElse(Nil) ++ needW).distinct.sorted)
+      rfeat = (prevD.map(_.rfeat).getOrElse(Nil) ++ needR).distinct.sorted
+        .filterNot(d.featDrop.contains),
+      wfeat = (prevD.map(_.wfeat).getOrElse(Nil) ++ needW).distinct.sorted
+        .filterNot(d.featDrop.contains))
     val lines =
       Seq(s"#ts:$ts",
         s"#protocol:${dStamped.minReader},${dStamped.minWriter}") ++
@@ -756,6 +860,7 @@ object Snapshots {
     deltaCache.put((qroot.toString, v),
       dStamped.copy(adds = d.adds.sorted, removes = d.removes.sorted,
         dv = d.dv.sorted, copied = d.copied.sorted,
+        featDrop = Nil, // write-side intent; a cold read-back never has it
         // EXACTLY what a cold read-back of the file returns — the stats
         // codec drops un-encodable column names, so the seeded cache
         // must too, or the writing JVM would prune on envelopes no
@@ -4437,6 +4542,22 @@ object Snapshots {
       indexCache.put(key, idx)
       idx
     }
+  }
+
+  /** DIAG/metadata-bench hook (graft.MetaScale): commit `adds` —
+    * root-relative paths that need NOT exist — with synthetic stats
+    * envelopes, so the metadata path (delta codec, checkpoint write,
+    * snapshot resolution, stats pruning) can be measured at arbitrary
+    * file counts without writing data files. Never part of the public
+    * write surface; a table built this way is unreadable as data. */
+  private[graft] def commitMetadataOnlyAdds(
+      spark: SparkSession, root: String, adds: Seq[String],
+      stats: Map[String, graft.core.Skipping.FileStats]): Long = {
+    val prev = latestVersion(spark, root)
+    val d = readDelta(spark, root, prev)
+    commitRewrite(spark, root, prev + 1,
+      Delta(adds, Nil, schema = d.schema, props = d.props, stats = stats,
+        op = Some("append"), dv = d.dv))
   }
 
   /** Files of `version` whose stats are NOT in the log (would need a

@@ -3257,6 +3257,113 @@ object LifecycleQueries {
              |FROM c JOIN p ON c.user_id = p.user_id
              |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ---- Columnar (parquet) checkpoints (r14): the log's metadata path
+    // at 100 TB. `graft.checkpoint.format=parquet` replaces the driver-
+    // parsed text manifest with a parquet checkpoint directory written
+    // INCREMENTALLY (previous checkpoint rows stay distributed; only the
+    // tail deltas touch the driver) and read as a DataFrame, so stats
+    // pruning runs as a distributed FILTER on the executors and only
+    // surviving paths reach the driver — at ~10⁶ files the planner
+    // never materializes the full stats index in heap. The query drives
+    // a 12-commit history (checkpoints at v0 and v10), clusters by
+    // event_id, then scans a selective range through the front door:
+    // `pruned` pins the planned file count strictly below the table's,
+    // `columnar` pins the codec actually in use (zero text checkpoints),
+    // `gated` pins the parquetCheckpoint reader feature. Parity with
+    // the driver-side prune and with from-v0 replay is ParquetCheckpointSpec.
+    QuerySpec(
+      "parquet_checkpoint_prune",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/pqckpt"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.where(col("event_id") % 12 === 0),
+          Map(Snapshots.checkpointFormatProp -> "parquet"))
+        (1 to 11).foreach(b =>
+          Snapshots.append(s, root, e.where(col("event_id") % 12 === b)))
+        Snapshots.optimizeCow(s, root, Seq("event_id"), 8) // v12, clustered
+        val logDir = new org.apache.hadoop.fs.Path(s"$root/_log")
+        val ckpts = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+          .filter(_.contains(".checkpoint"))
+        val columnar = ckpts.nonEmpty &&
+          ckpts.forall(_.endsWith(".checkpoint.parquet"))
+        val gated = Snapshots.protocol(s, root)._3.contains("parquetCheckpoint")
+        val total = Snapshots.versionFiles(s, root).size
+        val q = s.read.format("graft.sources.SnapshotSource").load(root)
+          .where(col("event_id").between(100L, 4000L))
+        val pruned = plannedFileCount(q) < total
+        q.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("columnar", lit(columnar))
+          .withColumn("gated", lit(gated))
+          .withColumn("pruned", lit(pruned))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS columnar, TRUE AS gated, TRUE AS pruned
+             |FROM events WHERE event_id BETWEEN 100 AND 4000""".stripMargin)
+    ),
+
+    // ---- DROP FEATURE (r14): the protocol DOWNGRADE that un-sticks
+    // the feature gating — Delta's `ALTER TABLE … DROP FEATURE` on this
+    // log. A table that used deletion vectors and row tracking drops
+    // BOTH once their live dependence is gone (materialize first; the
+    // rowTracking drop retires `_row_id` through column mapping in one
+    // commit), the drop checkpoints off-cycle so head reads never touch
+    // a pre-drop delta, and `vacuum` to the drop version is the
+    // TRUNCATE HISTORY step after which NO surviving log object carries
+    // the mark. `features_clear` pins the head lists, `history_was_gated`
+    // pins that pre-drop versions genuinely gated (the drop is a
+    // downgrade, not a retro-edit), `truncated_clean` pins the
+    // minimal-reader end state; the aggregate hash pins that none of it
+    // perturbed a row. 100 TB: a table can leave an expensive feature
+    // behind (and become readable by simpler engines) without a rewrite.
+    QuerySpec(
+      "sql_drop_feature",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/dropfeat"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.repartition(4, col("event_id")),
+          Map("graft.rowTracking" -> "true"))
+        Snapshots.deleteWhereMor(s, root, "event_id % 13 = 5") // DVs live
+        Snapshots.materializeDeletionVectors(s, root)
+        val dvDropV = s.sql(
+          s"ALTER TABLE graft.`$root` DROP FEATURE deletionVectors")
+          .head().getLong(0)
+        val rtDropV = s.sql(
+          s"ALTER TABLE graft.`$root` DROP FEATURE rowTracking")
+          .head().getLong(0)
+        val (_, _, r, w) = Snapshots.protocol(s, root)
+        val featuresClear = !r.contains("deletionVectors") &&
+          !w.contains("deletionVectors") && !w.contains("rowTracking")
+        val historyWasGated = Snapshots.protocol(s, root, dvDropV - 1)
+          ._3.contains("deletionVectors")
+        Snapshots.vacuum(s, root, rtDropV) // TRUNCATE HISTORY
+        val truncatedClean = Snapshots.versions(s, root).forall { v =>
+          val p = Snapshots.protocol(s, root, v)
+          !p._3.contains("deletionVectors") && !p._4.contains("rowTracking")
+        }
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("features_clear", lit(featuresClear))
+          .withColumn("history_was_gated", lit(historyWasGated))
+          .withColumn("truncated_clean", lit(truncatedClean))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS features_clear, TRUE AS history_was_gated,
+             |  TRUE AS truncated_clean
+             |FROM events WHERE event_id % 13 <> 5""".stripMargin)
     )
   )
 }

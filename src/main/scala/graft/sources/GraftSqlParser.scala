@@ -122,6 +122,9 @@ object GraftSqlParser {
   private val syncIdentityRe = Pattern.compile(
     """^\s*ALTER\s+TABLE\s+(.+?)\s+SYNC\s+IDENTITY\s*;?\s*$""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val dropFeatureRe = Pattern.compile(
+    """^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+FEATURE\s+`?(\w+)`?\s*;?\s*$""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
   /** True when the statement LOOKS like one of the graft-only
     * maintenance productions (head-word check only) — used to sharpen
@@ -170,10 +173,11 @@ object GraftSqlParser {
     def rootOf(tableText: String): Option[String] =
       try SnapshotSql.rootOf(delegate.parseMultipartIdentifier(tableText.trim))
       catch { case _: Exception => None }
-    // ALTER is Spark's statement; intercept ONLY the two CONSTRAINT
-    // shapes on snapshot tables (Spark's analyzer refuses constraint
-    // DDL for tables carrying the V1 streaming fallback) — every other
-    // ALTER, and any non-snapshot table, delegates untouched
+    // ALTER is Spark's statement; intercept ONLY the graft-specific
+    // shapes on snapshot tables (the two CONSTRAINT forms — Spark's
+    // analyzer refuses constraint DDL for tables carrying the V1
+    // streaming fallback — SYNC IDENTITY, and DROP FEATURE) — every
+    // other ALTER, and any non-snapshot table, delegates untouched
     if (head == "ALTER") {
       val add = addConstraintRe.matcher(sqlText)
       val drop = dropConstraintRe.matcher(sqlText)
@@ -186,6 +190,10 @@ object GraftSqlParser {
           .map(GraftDropConstraintCommand(_, drop.group(2)))
       if (sync.matches())
         return rootOf(sync.group(1)).map(GraftSyncIdentityCommand(_))
+      val dropFeat = dropFeatureRe.matcher(sqlText)
+      if (dropFeat.matches())
+        return rootOf(dropFeat.group(1))
+          .map(GraftDropFeatureCommand(_, dropFeat.group(2)))
       return None
     }
     if (isCopy) {
@@ -354,6 +362,19 @@ case class GraftDropConstraintCommand(root: String, cname: String)
     Snapshots.dropCheckConstraint(session, root, cname)
     Nil
   }
+}
+
+/** `ALTER TABLE t DROP FEATURE f` — the protocol downgrade (Delta's
+  * statement): strips the feature from the sticky lists once its live
+  * dependence is gone and checkpoints at the drop version; see
+  * `Snapshots.dropFeature` for the per-feature preconditions and the
+  * vacuum-as-TRUNCATE-HISTORY step. Returns the drop commit's version. */
+case class GraftDropFeatureCommand(root: String, feature: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.dropFeature(session, root, feature)))
 }
 
 /** `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF v` — one commit

@@ -163,6 +163,25 @@ class GraftSqlParserSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"REORG TABLE graft.`$root` APPLY (VACUUM)"))
   }
 
+  test("ALTER TABLE ... DROP FEATURE as SQL: statement shape + downgrade") {
+    val root = tmp()
+    Snapshots.init(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    Snapshots.deleteWhereMor(spark, root, "k <= 10")
+    Snapshots.materializeDeletionVectors(spark, root)
+    val v = spark.sql(s"ALTER TABLE graft.`$root` DROP FEATURE deletionVectors")
+      .as[Long].head()
+    assert(v == Snapshots.latestVersion(spark, root))
+    assert(!Snapshots.protocol(spark, root)._3.contains("deletionVectors"))
+    assert(Snapshots.readVersion(spark, root).count() == 90)
+    // backtick-quoted feature name parses too
+    intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE graft.`$root` DROP FEATURE `deletionVectors`"))
+    // (refuses because it's already dropped — the shape parsed)
+    // a non-snapshot table falls through to Spark's ALTER (which has no
+    // DROP FEATURE) — never silently swallowed
+    intercept[Exception](spark.sql("ALTER TABLE not_a_table DROP FEATURE x"))
+  }
+
   test("CREATE TABLE ... SHALLOW CLONE as SQL, version-pinned, IF NOT EXISTS no-op") {
     val src = tmp()
     Snapshots.init(spark, src, (1L to 60L).map(i => (i, i * 1.0)).toDF("k", "v"))

@@ -1622,24 +1622,43 @@ object Snapshots {
 
   private def appendTxn(
       spark: SparkSession, root: String, df0: DataFrame, txn: Option[Long]): Long = {
-    val base = latestVersion(spark, root)
-    val baseDelta = readDelta(spark, root, base)
-    val props = baseDelta.props
-    val tableSchema = baseDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val (df, idExpect, injected) =
-      withIdentity(withGenerated(upcastTo(df0, tableSchema), props), props)
-    checkConstraints(df, props)
-    // freeze this batch's logical→physical assignment BEFORE writing,
-    // so the files and the recorded schema can never disagree (OCC
-    // retries re-merge the same assigned schema)
-    val assigned = assignPhysical(
-      baseDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
-      df.schema, props)
-    val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props, Some(assigned))
-    val physOf = physicalMap(assigned)
-    commitAdds(spark, root, adds, txn, base + 1, Some(assigned), stats,
-      expectProps = idExpect,
-      patchProps = identityPatch(stats, injected, c => physOf.getOrElse(c, c)))
+    var attempts = 0
+    while (true) {
+      val base = latestVersion(spark, root)
+      val baseDelta = readDelta(spark, root, base)
+      val props = baseDelta.props
+      val tableSchema = baseDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      val (df, idExpect, injected) =
+        withIdentity(withGenerated(upcastTo(df0, tableSchema), props), props)
+      checkConstraints(df, props)
+      // freeze this batch's logical→physical assignment BEFORE writing,
+      // so the files and the recorded schema can never disagree (OCC
+      // retries re-merge the same assigned schema)
+      val assigned = assignPhysical(
+        baseDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]),
+        df.schema, props)
+      val (adds, stats) = writeCommitFiles(spark, root, base + 1, df, props, Some(assigned))
+      val physOf = physicalMap(assigned)
+      // the batch's files are STAMPED under this layout (bucket ids in
+      // their names) — commitAdds refuses if a concurrent REBUCKET
+      // changed it, and the whole append (re-stamp included) retries
+      val bucketExpect = props.filter(kv =>
+        kv._1 == bucketByProp || kv._1 == bucketCountProp)
+      try {
+        return commitAdds(spark, root, adds, txn, base + 1, Some(assigned), stats,
+          expectProps = idExpect ++ bucketExpect,
+          patchProps = identityPatch(stats, injected, c => physOf.getOrElse(c, c)))
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("bucket layout race") && attempts < 5 =>
+          attempts += 1
+          // the stamped files are stale under the new layout — remove
+          // them and re-run the whole append against the current head
+          val (fs, qroot) = fsOf(spark, root)
+          adds.foreach(f => fs.delete(new Path(qroot, f), false))
+      }
+    }
+    -1L // unreachable
   }
 
   /** Optimistic-concurrency commit of a PURE APPEND: attempt `startV`; on a
@@ -1660,13 +1679,19 @@ object Snapshots {
     var committed = false
     while (!committed) {
       val prevDelta = readDelta(spark, root, v - 1)
-      // identity allocation cannot rebase — the ids are already in the
-      // written files; a winner that moved the hwm makes them stale
+      // stamped state cannot rebase — identity ids and bucket ids are
+      // already in the written files' bytes/names; a winner that moved
+      // the hwm (or the bucket layout) makes them stale
       expectProps.foreach { case (k, want) =>
         val got = prevDelta.props.getOrElse(k, "")
-        if (got != want) throw new IllegalStateException(
-          s"identity allocation race on $k (allocated against '$want', " +
-            s"head now carries '$got') — retry the whole append")
+        if (got != want) {
+          val kind =
+            if (k.startsWith(identityPrefix)) "identity allocation race"
+            else "bucket layout race"
+          throw new IllegalStateException(
+            s"$kind on $k (allocated against '$want', " +
+              s"head now carries '$got') — retry the whole append")
+        }
       }
       val schema = addSchema.map(s =>
         mergedSchema(prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType]), s).json)
@@ -2155,6 +2180,29 @@ object Snapshots {
           // type widening. Three-way merge: adopt the winner's state,
           // re-apply OUR intended diff, refuse when both sides changed
           // the same key.
+          // BUCKET-LAYOUT reconciliation: a layout-changing rewrite
+          // (REBUCKET) re-stamped every file it SAW — a winner's
+          // concurrently added files carry bucket ids computed under
+          // the OLD layout, and rebasing would leave them live under
+          // the new props: bucketed planning (zero-exchange joins,
+          // bucket pruning) would then silently misplace their rows.
+          // Refuse; the caller re-runs against the current version.
+          // (Rewrites racing REBUCKET always clash on removes; MOR
+          // commits clash through DV reconciliation — adds-only
+          // winners are exactly the hole this closes. The append side
+          // holds the same line via commitAdds' bucket-layout guard.)
+          base.foreach { _ =>
+            val layoutKeys = Set(bucketByProp, bucketCountProp)
+            if (intentChanged.keySet.exists(layoutKeys) ||
+                intentRemoved.exists(layoutKeys)) {
+              val winnerAdds = (attempt to latest)
+                .exists(w => readDelta(spark, root, w).adds.nonEmpty)
+              if (winnerAdds) throw new IllegalStateException(
+                s"rewrite conflict at $root: the bucket layout changed while " +
+                  "a concurrent commit added files stamped under the old " +
+                  "layout — recompute against the current version", e)
+            }
+          }
           base.foreach { b =>
             val winChangedKeys = headDelta.props.filter { case (k, pv) =>
               !b.props.get(k).contains(pv) }.keySet ++

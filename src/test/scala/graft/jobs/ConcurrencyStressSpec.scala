@@ -184,4 +184,145 @@ class ConcurrencyStressSpec extends AnyFunSuite {
     }
     assert(raceLosses.get() + batches.size > 0, "storm ran")
   }
+
+  test("bucketed storm: REBUCKET and DROP FEATURE race ingest without desync") {
+    // the r12 bucket-widening bug class, now at the COUNT axis: a
+    // REBUCKET rebasing over a concurrent append would leave that
+    // append's files stamped under the OLD count while head props claim
+    // the new one — bucketed planning (zero-exchange joins, bucket
+    // pruning) would silently misplace its rows. The engine refuses the
+    // rebase (commitRewrite's layout guard) and appends re-stamp + retry
+    // (commitAdds' bucket-layout guard); this storm proves the guards
+    // hold under real races, then checks the STRONGEST end invariant:
+    // every live row's murmur3 bucket under the head's count equals its
+    // file's stamped id.
+    val root = Files.createTempDirectory("bstorm").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (0L until 1000L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      Map("graft.bucketBy" -> "k", "graft.buckets" -> "4"))
+
+    val stop = new AtomicBoolean(false)
+    val committedBatches = new ConcurrentLinkedQueue[Long]()
+    val nextBatch = new AtomicLong(0L)
+    val failures = new ConcurrentLinkedQueue[Throwable]()
+    val raceLosses = new AtomicLong(0L)
+    val drops = new AtomicLong(0L)
+
+    def guard(body: => Unit): Unit =
+      try body
+      catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            (e.getMessage.contains("commit race") ||
+              e.getMessage.contains("nothing to do") ||
+              // DROP FEATURE's legitimate refusals under the race:
+              // vectors went live again / already dropped / rebase
+              // would resurrect
+              e.getMessage.contains("materializeDeletionVectors") ||
+              e.getMessage.contains("does not carry feature") ||
+              e.getMessage.contains("cannot drop feature")) =>
+          raceLosses.incrementAndGet()
+        case e: IllegalStateException if e.getMessage != null &&
+            (e.getMessage.contains("rewrite conflict") ||
+              e.getMessage.contains("bucket layout race")) =>
+          raceLosses.incrementAndGet()
+        case e: Throwable => failures.add(e)
+      }
+
+    val pool = Executors.newFixedThreadPool(5)
+    val done = new CountDownLatch(5)
+    def worker(body: => Unit): Unit = pool.submit(new Runnable {
+      override def run(): Unit = {
+        try while (!stop.get()) body
+        finally done.countDown()
+      }
+    })
+
+    for (_ <- 0 until 2) worker {
+      val b = nextBatch.getAndIncrement()
+      val lo = 1000000L + b * 50L
+      guard {
+        Snapshots.append(spark, root,
+          (lo until lo + 50L).map(i => (i, i * 0.5)).toDF("k", "v"))
+        committedBatches.add(b)
+      }
+    }
+    // the REBUCKET writer: bucket-count evolution racing everything
+    val rebucketRound = new AtomicLong(0L)
+    worker {
+      val r = rebucketRound.getAndIncrement()
+      guard(Snapshots.rebucket(spark, root, if (r % 2 == 0) 8 else 4))
+    }
+    // MOR deleter + materializer (DV churn the dropper races against)
+    val delRound = new AtomicLong(0L)
+    worker {
+      val r = delRound.getAndIncrement()
+      guard {
+        if (r % 3 == 2) Snapshots.materializeDeletionVectors(spark, root)
+        else {
+          val lo = (r * 7) % 900
+          Snapshots.deleteWhereMor(spark, root, s"k >= $lo AND k < ${lo + 3}")
+        }
+      }
+    }
+    // the DROP FEATURE writer: protocol downgrade racing DV churn
+    worker {
+      guard {
+        Snapshots.materializeDeletionVectors(spark, root)
+        Snapshots.dropFeature(spark, root, "deletionVectors")
+        drops.incrementAndGet()
+      }
+    }
+
+    Thread.sleep(stormMillis)
+    stop.set(true)
+    assert(done.await(120, TimeUnit.SECONDS), "storm workers failed to drain")
+    pool.shutdown()
+
+    val firstFailure = Option(failures.peek()).map(e =>
+      s"unexpected failure under the bucketed storm (${failures.size} total): " +
+        s"${e.getClass.getName}: ${e.getMessage}\n" +
+        e.getStackTrace.take(12).mkString("\n")).getOrElse("")
+    assert(failures.isEmpty, firstFailure)
+
+    val vs = Snapshots.versions(spark, root)
+    assert(vs == (vs.min to vs.max), s"log has gaps: $vs")
+
+    // committed appends all present
+    val head = Snapshots.readVersion(spark, root)
+    val appendedKeys = head.where(col("k") >= 1000000L)
+      .select(col("k")).as[Long].collect().toSet
+    committedBatches.asScala.foreach { b =>
+      val lo = 1000000L + b * 50L
+      (lo until lo + 50L).foreach(k =>
+        assert(appendedKeys.contains(k), s"append batch $b lost key $k"))
+    }
+
+    // THE layout invariant: after folding any DVs away, every live
+    // row's bucket under the HEAD count matches its file's stamped id —
+    // a stale-stamped survivor of a count flip cannot hide (half its
+    // rows would land in the wrong bucket)
+    Snapshots.materializeDeletionVectors(spark, root)
+    val c = Snapshots.tableProperties(spark, root)("graft.buckets").toInt
+    val placed = spark.read.parquet(Snapshots.versionFiles(spark, root): _*)
+      .select(col("k"), pmod(hash(col("k")), lit(c)).as("expected"),
+        col("_metadata.file_path").as("p"))
+      .as[(Long, Int, String)].collect()
+    assert(placed.nonEmpty)
+    placed.foreach { case (k, expected, p) =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      val id = org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(name)
+        .getOrElse(fail(s"live file lost its bucket stamp: $name"))
+      assert(id == expected,
+        s"k=$k expects bucket $expected of $c but sits in bucket $id ($name) — " +
+          "a stale-stamped file survived a REBUCKET race")
+    }
+
+    // protocol coherent: vectors live ⇒ feature present; dropper's
+    // successes never left a live vector ungated
+    val (_, _, rfeat, _) = Snapshots.protocol(spark, root)
+    if (Snapshots.liveDeletionVectors(spark, root).nonEmpty)
+      assert(rfeat.contains("deletionVectors"))
+    assert(raceLosses.get() + committedBatches.size + drops.get() > 0, "storm ran")
+  }
 }

@@ -138,4 +138,80 @@ class InteropGauntletSpec extends AnyFunSuite {
       .select(countDistinct(col("rid"))).head().getLong(0) == 264L,
       "no id collision across the whole gauntlet")
   }
+
+  test("parquet checkpoint x compaction x vacuumRetain x DROP FEATURE composes") {
+    // the r14 metadata tier composed on ONE table: columnar checkpoints
+    // carrying the manifest, MOR deletes leaving vectors, small-file
+    // compaction rewriting under the checkpointed layout, a retention
+    // vacuum dropping history BELOW a parquet checkpoint, and a protocol
+    // downgrade at the end — the hash pinned after EVERY step, and the
+    // per-step file list always reconstructable.
+    val root = Files.createTempDirectory("gaunt2").toFile.getAbsolutePath + "/t"
+
+    def check(tag: String, expN: Long, expK: Long): Unit = {
+      val df = Snapshots.readVersion(spark, root)
+      val r = df.agg(count(lit(1)), sum(col("k")).cast("long")).head()
+      assert((r.getLong(0), r.getLong(1)) == ((expN, expK)),
+        s"$tag: (n,sumK) = (${r.getLong(0)},${r.getLong(1)}), " +
+          s"expected ($expN,$expK)")
+      // the metadata path serves every surviving version
+      Snapshots.versions(spark, root).foreach(v =>
+        assert(Snapshots.versionFiles(spark, root, v).nonEmpty ||
+          Snapshots.readVersion(spark, root, v).count() >= 0))
+    }
+
+    // v0 + 11 small appends → checkpoints at v0 and v10, all columnar
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 11).foreach(b => Snapshots.append(spark, root,
+      (1L to 10L).map(i => (1000L + b * 100L + i, 0.5)).toDF("k", "v").coalesce(1)))
+    val sum0 = (1L to 100L).sum +
+      (1 to 11).map(b => (1L to 10L).map(1000L + b * 100L + _).sum).sum
+    check("ingest", 210, sum0)
+
+    // MOR delete leaves a vector; compaction bin-packs the small files
+    Snapshots.deleteWhereMor(spark, root, "k <= 10")
+    val sum1 = sum0 - (1L to 10L).sum
+    check("mor-delete", 200, sum1)
+    val preFiles = Snapshots.versionFiles(spark, root).size
+    Snapshots.optimizeCompact(spark, root, smallerThanBytes = 1L << 20,
+      targetFileBytes = 1L << 30)
+    assert(Snapshots.versionFiles(spark, root).size < preFiles, "compacted")
+    check("compact", 200, sum1)
+    // compaction bin-packed the SMALL files; the DV'd init file carried
+    // over by reference WITH its vector — materialization is its own
+    // explicit step (REORG ... APPLY (PURGE))
+    assert(Snapshots.liveDeletionVectors(spark, root).nonEmpty)
+    Snapshots.materializeDeletionVectors(spark, root)
+    assert(Snapshots.liveDeletionVectors(spark, root).isEmpty)
+    check("materialize", 200, sum1)
+
+    // retention vacuum: keep the last 3 versions — the floor checkpoint
+    // lands COLUMNAR and pre-floor parquet checkpoints are reclaimed
+    val headBefore = Snapshots.latestVersion(spark, root)
+    Snapshots.vacuumRetain(spark, root, retainLast = 3, olderThanMs = 0L)
+    val vs = Snapshots.versions(spark, root)
+    assert(vs.min == headBefore - 2 && vs.max == headBefore, vs.toString)
+    check("vacuum-retain", 200, sum1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+      .map(_.getPath.getName).filter(_.contains(".checkpoint"))
+    assert(ckpts.nonEmpty && ckpts.forall(_.endsWith(".checkpoint.parquet")),
+      s"floor checkpoint must be columnar: ${ckpts.toSeq}")
+
+    // protocol downgrade at the end: DVs are gone (compaction
+    // materialized), so deletionVectors drops; then vacuum truncates
+    // the marks and EVERY surviving version is minimal-reader-clean for
+    // that feature
+    val dropV = Snapshots.dropFeature(spark, root, "deletionVectors")
+    check("drop-feature", 200, sum1)
+    Snapshots.vacuum(spark, root, dropV)
+    assert(Snapshots.versions(spark, root).forall(v =>
+      !Snapshots.protocol(spark, root, v)._3.contains("deletionVectors")))
+    check("truncate", 200, sum1)
+    // parquetCheckpoint itself still gates (the format is still on)
+    assert(Snapshots.protocol(spark, root)._3.contains("parquetCheckpoint"))
+  }
 }

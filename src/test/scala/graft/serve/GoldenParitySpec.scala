@@ -75,4 +75,91 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(Tables.readOptional(spark, "/tmp/does-not-exist-xyz").isEmpty)
     assert(Tables.readOptional(spark, s"${TestSpark.sfDir}/lineitem.parquet").isDefined)
   }
+
+  test("§5 golden CSV value parity: serve-layer recomputation diffs against month=01") {
+    // The committed month=01 exports are mutually consistent (the
+    // reference computed them from ONE curated frame): per-hour counts,
+    // weighted means, and cross-mart hour series must agree. Driving
+    // OUR serve layer (weightedRollup, the single-file CSV codec) over
+    // one mart and value-diffing the result against the reference's
+    // OTHER marts is a golden-file check of the serve math + CSV codec
+    // that needs no raw TLC input. Tolerance: 1e-9 relative (CSV
+    // round-trip of doubles), counts exact.
+    assume(available)
+    val m01 = s"$exportRoot/year=2024/month=01"
+    def mart(name: String) =
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$m01/$name")
+    def relDiff(a: Double, b: Double): Double =
+      math.abs(a - b) / math.max(1.0, math.abs(b))
+    val kpis = mart("kpis").head()
+    val totalViajes = kpis.getAs[Number]("total_viajes").longValue()
+
+    // mart 1 — kpis RE-DERIVED through our weightedRollup over
+    // variabilidad_hora, EXPORTED through our single-file CSV sink,
+    // read back, and value-diffed against the committed kpis
+    val varHora = mart("variabilidad_hora")
+    val rolled = Report.weightedRollup(
+      varHora.withColumn("all", lit(1)), Seq("all"),
+      Seq("duracion_promedio_min" -> "duracion_promedio_min",
+        "tarifa_promedio" -> "tarifa_promedio"),
+      "total_viajes")
+    val out = java.nio.file.Files.createTempDirectory("goldkpi").toFile
+      .getAbsolutePath + "/kpis"
+    graft.jobs.Jobs.exportCsv(rolled.drop("all"), out)
+    val ours = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(out).head()
+    assert(ours.getAs[Number]("total_viajes").longValue() == totalViajes,
+      "recomputed total_viajes must match the committed KPI exactly")
+    assert(relDiff(ours.getAs[Double]("duracion_promedio_min"),
+      kpis.getAs[Double]("duracion_promedio_min")) < 1e-9)
+    assert(relDiff(ours.getAs[Double]("tarifa_promedio"),
+      kpis.getAs[Double]("tarifa_promedio")) < 1e-9)
+
+    // mart 2 — viajes_por_hora_dia: the hour×dow counts sum to the KPI
+    // total exactly, and per-hour margins equal variabilidad_hora's
+    val hourDow = mart("viajes_por_hora_dia")
+    assert(hourDow.agg(sum("total_viajes")).head().getLong(0) == totalViajes)
+    val margins = hourDow.groupBy("pickup_hour")
+      .agg(sum("total_viajes").as("n"))
+      .join(varHora.select(col("pickup_hour"),
+        col("total_viajes").as("vn")), "pickup_hour")
+    assert(margins.count() == 24)
+    assert(margins.where(col("n") =!= col("vn")).count() == 0,
+      "hour margins must agree across the two committed marts")
+
+    // mart 3 — tarifa_promedio_hora and duracion_promedio_hora are the
+    // per-hour projections of variabilidad_hora (24-row value diff)
+    val tarifaHora = mart("tarifa_promedio_hora")
+    val durHora = mart("duracion_promedio_hora")
+    val j = varHora.select(col("pickup_hour"),
+        col("tarifa_promedio").as("t_full"),
+        col("duracion_promedio_min").as("d_full"))
+      .join(tarifaHora, "pickup_hour").join(durHora, "pickup_hour")
+      .select(col("t_full"), col("tarifa_promedio"),
+        col("d_full"), col("duracion_promedio_min"))
+      .collect()
+    assert(j.length == 24)
+    j.foreach { r =>
+      assert(relDiff(r.getDouble(0), r.getDouble(1)) < 1e-9, r.toString)
+      assert(relDiff(r.getDouble(2), r.getDouble(3)) < 1e-9, r.toString)
+    }
+
+    // mart 4 — errores_por_hora: the scored set is the full month, so
+    // its per-hour counts equal variabilidad_hora's and real_promedio
+    // is the committed per-hour duration series
+    val err = mart("errores_por_hora")
+    val ej = err.select(col("pickup_hour"), col("total_viajes").as("en"),
+        col("real_promedio"))
+      .join(varHora.select(col("pickup_hour"), col("total_viajes"),
+        col("duracion_promedio_min")), "pickup_hour")
+      .collect()
+    assert(ej.length == 24)
+    ej.foreach { r =>
+      assert(r.getAs[Number]("en").longValue() ==
+        r.getAs[Number]("total_viajes").longValue(), r.toString)
+      assert(relDiff(r.getAs[Double]("real_promedio"),
+        r.getAs[Double]("duracion_promedio_min")) < 1e-6, r.toString)
+    }
+  }
 }

@@ -197,9 +197,12 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(mainScan.metadata("PushedFilters").contains("GreaterThanOrEqual(k,5)"),
       s"predicate must still push to the parquet scan under the DV join: " +
         s"${mainScan.metadata("PushedFilters")}")
-    assert(finalPlan.toString.contains("BroadcastHashJoin") ||
-      finalPlan.toString.contains("BroadcastNestedLoopJoin") == false,
-      "the DV anti-join broadcasts the sidecar")
+    // (was `a || b == false`, which precedence made vacuously true —
+    // the broadcast pin must be strict)
+    assert(finalPlan.toString.contains("BroadcastHashJoin"),
+      s"the DV anti-join must broadcast the sidecar:\n$finalPlan")
+    assert(!finalPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "the DV anti-join must be a hash join, never a nested loop")
     assert(q.as[Long].collect().toSet == (11L to 25L).toSet)
     // versionAsOf before the delete still reads everything natively
     assert(spark.read.format("graft.sources.SnapshotSource")

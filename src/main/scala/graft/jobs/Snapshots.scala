@@ -1744,6 +1744,39 @@ object Snapshots {
     attempt(ckpts)
   }
 
+  /** The identities among `candidates` that the log already ingested —
+    * O(candidates) driver memory regardless of table history: on
+    * parquet-checkpoint tables the all-time `#copied:` union stays a
+    * distributed frame (pushed `kind/hkey` filter + an IN over the
+    * landing set, which is one COPY run's file list — small by
+    * construction); the text codec keeps the driver set. A vanished
+    * checkpoint falls back to the full driver path, which has its own
+    * fallback chain. */
+  private def copiedAmong(
+      spark: SparkSession, root: String, v: Long,
+      candidates: Seq[String]): Set[String] = {
+    if (candidates.isEmpty) return Set.empty
+    val (_, qroot) = fsOf(spark, root)
+    logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v).lastOption match {
+      case Some(cv) =>
+        try {
+          val tail = ((cv + 1) to v)
+            .flatMap(w => readDelta(spark, root, w).copied).toSet
+          val prev = spark.read
+            .parquet(parquetCheckpointPath(qroot, cv).toString)
+            .filter(col("kind") === "header" && col("hkey") === "copied")
+            .filter(col("hval").isin(candidates: _*))
+            .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
+            .collect().toSet
+          candidates.toSet.intersect(tail) ++ prev
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            copiedUpTo(spark, root, v).intersect(candidates.toSet)
+        }
+      case None => copiedUpTo(spark, root, v).intersect(candidates.toSet)
+    }
+  }
+
   final case class CopyResult(
       version: Long, filesLoaded: Long, filesSkipped: Long, rowsInserted: Long)
 
@@ -1803,7 +1836,9 @@ object Snapshots {
       }
     def identity(s: org.apache.hadoop.fs.FileStatus) =
       s"${s.getPath.toString}|${s.getLen}|${s.getModificationTime}"
-    val already = if (force) Set.empty[String] else copiedUpTo(spark, root, base)
+    val already =
+      if (force) Set.empty[String]
+      else copiedAmong(spark, root, base, statuses.map(identity))
     val fresh = statuses.filterNot(s => already.contains(identity(s)))
     val skipped = (statuses.size - fresh.size).toLong
     if (fresh.isEmpty) return CopyResult(base, 0L, skipped, 0L)
@@ -4160,8 +4195,25 @@ object Snapshots {
     val v = if (version < 0) latestVersion(spark, root) else version
     // live deletion vectors subtract rows the file envelopes still count
     if (readDelta(spark, root, v).dv.nonEmpty) return None
-    val (files, stats) = reconstruct(spark, root, v)
-    if (files.forall(stats.contains)) Some(files.map(stats(_).rows).sum) else None
+    // parquet-checkpoint tables answer from ONE distributed aggregate
+    // over the checkpoint rows — never an O(files) driver sum (the
+    // metadata-only COUNT(*) path at 10⁶ files); a stats-less file
+    // (rows NULL) nulls the SUM, which is exactly the None contract
+    val distributed =
+      try checkpointFileFrame(spark, root, v).map { rows =>
+        val r = rows.toDF().agg(
+          count(lit(1)).as("files"),
+          count(col("rows")).as("withStats"),
+          sum(col("rows")).as("total")).head()
+        if (r.getLong(0) == 0L) Some(0L) // empty table counts as zero
+        else if (r.getLong(0) == r.getLong(1) && !r.isNullAt(2)) Some(r.getLong(2))
+        else None
+      }
+      catch { case scala.util.control.NonFatal(_) => None }
+    distributed.getOrElse {
+      val (files, stats) = reconstruct(spark, root, v)
+      if (files.forall(stats.contains)) Some(files.map(stats(_).rows).sum) else None
+    }
   }
 
   /** Bin-packing small-file compaction as a commit: rewrite ONLY the

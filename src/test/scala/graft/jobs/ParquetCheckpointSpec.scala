@@ -112,6 +112,9 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     val tight = Snapshots.statsCandidateFiles(spark, root, v, "k BETWEEN 320 AND 340")
     assert(tight.nonEmpty &&
       tight.size < Snapshots.versionFiles(spark, root, v).size)
+    // metadata-only COUNT(*) answers from one distributed aggregate
+    // over the checkpoint rows (never an O(files) driver sum)
+    assert(Snapshots.rowCount(spark, root) == Some(1300L))
   }
 
   test("the front door plans fewer files through the parquet checkpoint") {
@@ -166,6 +169,37 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Snapshots.setProperties(spark, root,
         Map(Snapshots.checkpointFormatProp -> "csv")))
+  }
+
+  test("COPY INTO idempotence rides the parquet checkpoint's copied rows") {
+    // the skip check on a parquet-checkpoint table is a pushed-filter
+    // lookup over the checkpoint's copied header rows — O(landing set)
+    // driver memory — and must behave exactly like the text-codec set:
+    // re-runs skip, post-checkpoint ingests skip through the header,
+    // vacuum can't resurrect a double-load
+    val base = Files.createTempDirectory("pqcopy").toFile.getAbsolutePath
+    val root = s"$base/t"; val landing = s"$base/landing"
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1L to 3L).foreach(i => Seq((i, i * 1.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$landing/b$i"))
+    val r1 = Snapshots.copyInto(spark, root, landing)
+    assert(r1.filesLoaded == 3L && r1.rowsInserted == 3L)
+    assert(Snapshots.copyInto(spark, root, landing).filesSkipped == 3L)
+    // drive past a checkpoint so the copied markers ride the PARQUET
+    // header rows, then vacuum the ingesting deltas away
+    (1 to 10).foreach(b => Snapshots.append(spark, root,
+      Seq((100L + b, 0.0)).toDF("k", "v")))
+    val head = Snapshots.latestVersion(spark, root)
+    Snapshots.vacuum(spark, root, head)
+    val r3 = Snapshots.copyInto(spark, root, landing)
+    assert(r3.filesLoaded == 0L && r3.filesSkipped == 3L,
+      "the parquet checkpoint's copied rows must survive history truncation")
+    // a NEW landing file still loads incrementally
+    Seq((4L, 4.0)).toDF("k", "v").coalesce(1).write.parquet(s"$landing/b4")
+    val r4 = Snapshots.copyInto(spark, root, landing)
+    assert(r4.filesLoaded == 1L && r4.filesSkipped == 3L)
+    assert(Snapshots.readVersion(spark, root).count() == 15)
   }
 
   test("a text table FLIPS to parquet checkpoints mid-life and stays exact") {

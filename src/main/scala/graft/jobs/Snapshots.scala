@@ -4543,9 +4543,19 @@ object Snapshots {
     var removed = 0
     val log = new Path(qroot, "_log")
     if (fs.exists(log)) fs.listStatus(log).foreach { s =>
-      if (s.isFile && s.getPath.getName.startsWith(".") &&
-          s.getPath.getName.endsWith(".tmp") && s.getModificationTime < cutoff) {
+      val tmpName = s.getPath.getName.startsWith(".") &&
+        s.getPath.getName.endsWith(".tmp")
+      if (s.isFile && tmpName && s.getModificationTime < cutoff) {
         fs.delete(s.getPath, false); removed += 1
+      } else if (s.isDirectory && tmpName) {
+        // a crashed parquet-checkpoint write leaves its tmp DIRECTORY
+        // (the text codec's crash leaves a file) — reclaim once every
+        // file inside is old enough
+        val files = fs.listStatus(s.getPath).toSeq
+        if (files.isEmpty || files.forall(_.getModificationTime < cutoff)) {
+          removed += math.max(1, files.count(_.isFile))
+          fs.delete(s.getPath, true)
+        }
       }
     }
     val committed = versions(spark, root)

@@ -202,6 +202,26 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root).count() == 15)
   }
 
+  test("vacuumDebris reclaims a crashed parquet-checkpoint tmp DIRECTORY") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    // simulate a writer that died mid-checkpoint: a tmp DIR with a file
+    val p = new Path(root + "/_log/.v00000010-ckpt-pq-deadbeef.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "part-00000.parquet"), false)
+    out.write("junk".getBytes("UTF-8")); out.close()
+    // young debris is protected, aged debris goes (dir-grain)
+    assert(Snapshots.vacuumDebris(spark, root, olderThanMs = 60000L) == 0)
+    assert(fs.exists(p))
+    assert(Snapshots.vacuumDebris(spark, root, olderThanMs = -1L) >= 1)
+    assert(!fs.exists(p), "the crashed checkpoint's tmp dir must be reclaimed")
+    // and the live checkpoint was never touched
+    assert(fs.exists(new Path(root + "/_log/v00000000.checkpoint.parquet")))
+    assert(Snapshots.readVersion(spark, root).count() == 1)
+  }
+
   test("a text table FLIPS to parquet checkpoints mid-life and stays exact") {
     val root = tmp()
     drive(root, Map.empty) // text codec for the first ~22 commits

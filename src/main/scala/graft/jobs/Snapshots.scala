@@ -558,6 +558,7 @@ object Snapshots {
     deltaCache.keySet.removeIf(_._1 == qroot)
     indexCache.keySet.removeIf(_._1 == qroot)
     reconstructCache.keySet.removeIf(_._1 == qroot)
+    envelopeSummaryCache.keySet.removeIf(_._1 == qroot)
   }
 
   /** Explicit cache invalidation for OUT-OF-BAND log surgery (manual
@@ -2336,6 +2337,103 @@ object Snapshots {
     * columns), so a predicate on the partition dimension prunes with
     * zero stats in the log. Always a sound OVER-approximation: columns
     * the bounds matcher can't constrain keep their files candidate. */
+  /** Per-column slice of a distributed envelope summary: the non-null
+    * row count (None = some file lacks the null count — COUNT(col) not
+    * answerable), and the global long/double bounds (outer None = some
+    * file with possible values lacks the envelope; inner None = every
+    * file is provably value-free on the column). */
+  private[graft] final case class ColEnvelopeSummary(
+      nonNullRows: Option[Long],
+      longBounds: Option[(Option[Long], Option[Long])],
+      dblBounds: Option[(Option[Double], Option[Double])])
+
+  /** Table-grain envelope summary: `allStats` = every live file carries
+    * a stats row (the metadata-only-aggregate precondition). */
+  private[graft] final case class EnvelopeSummary(
+      totalRows: Long, allStats: Boolean,
+      cols: Map[String, ColEnvelopeSummary])
+
+  /** The global envelope summary for `cols` (PHYSICAL names) as ONE
+    * distributed aggregate over the parquet checkpoint's file rows —
+    * the metadata-only COUNT/MIN/MAX path at 10⁶ files, where the
+    * driver-held stats index would be the planner's bottleneck. The
+    * answerability proofs ride the same pass: a file with rows and no
+    * null count disqualifies COUNT(col); a file that could hold values
+    * but has no envelope disqualifies MIN/MAX. None when the table has
+    * no parquet checkpoint at-or-below `version` (caller falls back to
+    * the driver index) or the checkpoint vanished mid-read. */
+  /** Envelope summaries memoized per immutable (root, version, cols) —
+    * the optimizer batch hosting MetadataAggRule may iterate, and each
+    * miss is a Spark job. Bounded wholesale like the other caches. */
+  private val envelopeSummaryCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), Option[EnvelopeSummary]]()
+
+  private[graft] def distributedEnvelopeSummary(
+      spark: SparkSession, root: String, version: Long,
+      cols: Seq[String]): Option[EnvelopeSummary] = {
+    val (_, qroot0) = fsOf(spark, root)
+    val key = (qroot0.toString, version, cols.distinct.sorted.mkString("|"))
+    val hit = envelopeSummaryCache.get(key)
+    if (hit != null) return hit
+    val computed = computeEnvelopeSummary(spark, root, version, cols)
+    if (envelopeSummaryCache.size > 64) envelopeSummaryCache.clear()
+    envelopeSummaryCache.put(key, computed)
+    computed
+  }
+
+  private def computeEnvelopeSummary(
+      spark: SparkSession, root: String, version: Long,
+      cols: Seq[String]): Option[EnvelopeSummary] = {
+    try checkpointFileFrame(spark, root, version).map { rows =>
+      def n(c: String) = element_at(col("nulls"), c)
+      // NULL-SAFE value-free: rows = 0, or a PRESENT null count equal
+      // to rows (an absent count must never read as value-free)
+      def vfree(c: String) = col("rows") === lit(0L) ||
+        (n(c).isNotNull && n(c) === col("rows"))
+      val aggs = Seq(
+        sum(col("rows")).as("_rows"),
+        count(lit(1)).as("_files"),
+        count(col("rows")).as("_withStats")) ++
+        cols.distinct.flatMap { c => Seq(
+          count(when(col("rows") > 0L && n(c).isNull, 1)).as(s"_nmiss_$c"),
+          sum(coalesce(n(c), lit(0L))).as(s"_nulls_$c"),
+          count(when(!vfree(c) && element_at(col("lmin"), c).isNull, 1))
+            .as(s"_lmiss_$c"),
+          min(element_at(col("lmin"), c)).as(s"_lmin_$c"),
+          max(element_at(col("lmax"), c)).as(s"_lmax_$c"),
+          count(when(!vfree(c) && element_at(col("dmin"), c).isNull, 1))
+            .as(s"_dmiss_$c"),
+          min(element_at(col("dmin"), c)).as(s"_dmin_$c"),
+          max(element_at(col("dmax"), c)).as(s"_dmax_$c"))
+        }
+      val r = rows.toDF().agg(aggs.head, aggs.tail: _*).head()
+      def get[A](name: String): Option[A] = {
+        val i = r.fieldIndex(name)
+        if (r.isNullAt(i)) None else Some(r.get(i).asInstanceOf[A])
+      }
+      val colSummaries = cols.distinct.map { c =>
+        c -> ColEnvelopeSummary(
+          nonNullRows =
+            if (get[Long](s"_nmiss_$c").contains(0L))
+              Some(get[Long]("_rows").getOrElse(0L) -
+                get[Long](s"_nulls_$c").getOrElse(0L))
+            else None,
+          longBounds =
+            if (get[Long](s"_lmiss_$c").contains(0L))
+              Some((get[Long](s"_lmin_$c"), get[Long](s"_lmax_$c")))
+            else None,
+          dblBounds =
+            if (get[Long](s"_dmiss_$c").contains(0L))
+              Some((get[Double](s"_dmin_$c"), get[Double](s"_dmax_$c")))
+            else None)
+      }.toMap
+      EnvelopeSummary(
+        totalRows = get[Long]("_rows").getOrElse(0L),
+        allStats = get[Long]("_files") == get[Long]("_withStats"),
+        cols = colSummaries)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Distributed stats pruning: evaluate the four envelope families as
     * a DataFrame FILTER over the parquet checkpoint's file rows (plus
     * tail deltas), collecting ONLY the surviving root-relative paths —

@@ -69,28 +69,82 @@ object MetadataAggRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The envelope facts the rewrite consults — two sources: the
+    * driver-held stats index (text-codec tables), or ONE distributed
+    * aggregate over the parquet checkpoint's rows (so a 10⁶-file
+    * metadata-only COUNT/MIN/MAX never materializes the index in
+    * driver heap). Contracts per method: outer None = not answerable
+    * (leave the scan); inner None on bounds = provably value-free
+    * everywhere (the SQL answer is NULL). */
+  private sealed trait Envelopes {
+    def totalRows: Long
+    def nonNull(c: String): Option[Long]
+    def longBound(c: String, isMin: Boolean): Option[Option[Long]]
+    def dblBound(c: String, isMin: Boolean): Option[Option[Double]]
+  }
+
+  private final class DriverEnvelopes(
+      stats: Seq[graft.core.Skipping.FileStats]) extends Envelopes {
+    val totalRows: Long = stats.map(_.rows).sum
+    private def valueFree(f: graft.core.Skipping.FileStats, c: String) =
+      f.rows == 0L || f.nullCounts.get(c).contains(f.rows)
+    def nonNull(c: String): Option[Long] =
+      if (stats.forall(f => f.nullCounts.contains(c) || f.rows == 0L))
+        Some(stats.map(f => f.rows - f.nullCounts.getOrElse(c, 0L)).sum)
+      else None
+    def longBound(c: String, isMin: Boolean): Option[Option[Long]] = {
+      if (!stats.forall(f => f.mins.contains(c) || valueFree(f, c))) return None
+      val vs = stats.flatMap(f => (if (isMin) f.mins else f.maxs).get(c))
+      Some(if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max))
+    }
+    def dblBound(c: String, isMin: Boolean): Option[Option[Double]] = {
+      if (!stats.forall(f => f.dmins.contains(c) || valueFree(f, c))) return None
+      val vs = stats.flatMap(f => (if (isMin) f.dmins else f.dmaxs).get(c))
+      Some(if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max))
+    }
+  }
+
+  private final class SummaryEnvelopes(
+      s: Snapshots.EnvelopeSummary) extends Envelopes {
+    val totalRows: Long = s.totalRows
+    def nonNull(c: String): Option[Long] = s.cols.get(c).flatMap(_.nonNullRows)
+    def longBound(c: String, isMin: Boolean): Option[Option[Long]] =
+      s.cols.get(c).flatMap(_.longBounds)
+        .map(b => if (isMin) b._1 else b._2)
+    def dblBound(c: String, isMin: Boolean): Option[Option[Double]] =
+      s.cols.get(c).flatMap(_.dblBounds)
+        .map(b => if (isMin) b._1 else b._2)
+  }
+
   private def rewrite(
       agg: Aggregate, aggExprs: Seq[NamedExpression],
       idx: SnapshotFileIndex): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val root = idx.root; val version = idx.version
     if (Snapshots.liveDeletionVectors(spark, root, version).nonEmpty) return None
-    if (Snapshots.statsMissingFromLog(spark, root, version).nonEmpty) return None
-    val stats = Snapshots.statsIndex(spark, root, version)
     val physMap = Snapshots.versionSchema(spark, root, version)
       .map(Snapshots.physicalMap).getOrElse(Map.empty[String, String])
     def phys(c: String) = physMap.getOrElse(c, c)
-    val totalRows = stats.map(_.rows).sum
+    // the columns the aggregate touches, physical names
+    val needed = aggExprs.flatMap(_.collect {
+      case a: AttributeReference => phys(a.name) }).distinct
+    // parquet-checkpoint tables: one distributed pass over the
+    // checkpoint rows; the allStats flag IS the stats-missing gate.
+    // Otherwise the driver index (with its own gate).
+    val env: Envelopes =
+      Snapshots.distributedEnvelopeSummary(spark, root, version, needed) match {
+        case Some(s) => if (!s.allStats) return None else new SummaryEnvelopes(s)
+        case None =>
+          if (Snapshots.statsMissingFromLog(spark, root, version).nonEmpty)
+            return None
+          new DriverEnvelopes(Snapshots.statsIndex(spark, root, version))
+      }
 
     def answer(e: Expression): Option[Any] = e match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) => Some(totalRows)
-          case Count(Seq(a: AttributeReference)) =>
-            val c = phys(a.name)
-            if (stats.forall(f => f.nullCounts.contains(c) || f.rows == 0L))
-              Some(stats.map(f => f.rows - f.nullCounts.getOrElse(c, 0L)).sum)
-            else None
+          case Count(Seq(Literal(_, _))) => Some(env.totalRows)
+          case Count(Seq(a: AttributeReference)) => env.nonNull(phys(a.name))
           case Min(a: AttributeReference) => bound(a, isMin = true)
           case Max(a: AttributeReference) => bound(a, isMin = false)
           case _ => None
@@ -104,14 +158,9 @@ object MetadataAggRule extends Rule[LogicalPlan] {
       * ints, doubles) are exactly the envelope spaces. */
     def bound(a: AttributeReference, isMin: Boolean): Option[Option[Any]] = {
       val c = phys(a.name)
-      def valueFree(f: graft.core.Skipping.FileStats): Boolean =
-        f.rows == 0L || f.nullCounts.get(c).contains(f.rows)
       a.dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType =>
-          if (!stats.forall(f => f.mins.contains(c) || valueFree(f))) return None
-          val vs = stats.flatMap(f => (if (isMin) f.mins else f.maxs).get(c))
-          val raw: Option[Long] = if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max)
-          Some(raw.map { v =>
+          env.longBound(c, isMin).map(_.map { v =>
             a.dataType match {
               case ByteType => v.toByte
               case ShortType => v.toShort
@@ -119,14 +168,8 @@ object MetadataAggRule extends Rule[LogicalPlan] {
               case _ => v
             }
           })
-        case DoubleType =>
-          if (!stats.forall(f => f.dmins.contains(c) || valueFree(f))) return None
-          val vs = stats.flatMap(f => (if (isMin) f.dmins else f.dmaxs).get(c))
-          Some(if (vs.isEmpty) None else Some(if (isMin) vs.min else vs.max))
-        case FloatType =>
-          if (!stats.forall(f => f.dmins.contains(c) || valueFree(f))) return None
-          val vs = stats.flatMap(f => (if (isMin) f.dmins else f.dmaxs).get(c))
-          Some(if (vs.isEmpty) None else Some((if (isMin) vs.min else vs.max).toFloat))
+        case DoubleType => env.dblBound(c, isMin).map(identity)
+        case FloatType => env.dblBound(c, isMin).map(_.map(_.toFloat))
         case _ => None // strings are truncated (inexact); others unindexed
       }
     }
@@ -145,7 +188,7 @@ object MetadataAggRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     logInfo(s"answering aggregate over $root@v$version from log statistics " +
-      s"(${stats.size} file envelopes, zero data files scanned)")
+      "(envelope metadata only, zero data files scanned)")
     Some(LocalRelation(agg.output.map(_.toAttribute), Seq(InternalRow(values: _*))))
   }
 }

@@ -62,6 +62,35 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 0L && r2.isNullAt(1))
   }
 
+  test("parquet-checkpoint tables answer from ONE distributed summary pass") {
+    // same answers as the driver-index path, but the envelope facts
+    // come from a distributed aggregate over the checkpoint rows — at
+    // 10⁶ files the driver never materializes the stats index for a
+    // metadata-only COUNT/MIN/MAX
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 300L).map(i => (i, i * 0.5, s"s$i")).toDF("k", "v", "s").repartition(2),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 10).foreach(b => Snapshots.append(spark, root,
+      (1L to 10L).map(i => (1000L + b * 10L + i, null.asInstanceOf[java.lang.Double],
+        "x")).toDF("k", "v", "s").coalesce(1)))
+    val agg = front(root).agg(
+      count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+      min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+    val row = agg.head()
+    assert(scansOf(agg) == 0,
+      "the aggregate must be answered WITHOUT scanning data files")
+    assert(row.getLong(0) == 400L && row.getLong(1) == 300L)
+    assert(row.getLong(2) == 1L && row.getLong(3) == 1110L)
+    assert(row.getDouble(4) == 0.5 && row.getDouble(5) == 150.0)
+    // a filtered aggregate still falls back to the scan, same answers
+    val filtered = front(root).where(col("k") <= 100)
+      .agg(count(lit(1)).as("n"))
+    assert(filtered.head().getLong(0) == 100L)
+    assert(scansOf(filtered) > 0)
+  }
+
   test("filters, string bounds, DVs and NaN all fall back to the scan — same answers") {
     val root = tmp()
     Snapshots.init(spark, root,

@@ -202,6 +202,100 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root).count() == 15)
   }
 
+  test("the streaming tail replays a parquet-checkpoint table exactly") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 12).foreach(b => Snapshots.append(spark, root,
+      Seq((100L + b, b * 1.0)).toDF("k", "v")))
+    val base = root.stripSuffix("/t")
+    spark.readStream.format("graft.sources.SnapshotSource")
+      .option("skipRewrites", "true").load(root)
+      .writeStream.format("parquet").option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.read.parquet(s"$base/sink")
+    assert(streamed.count() == 62)
+    assert(streamed.agg(sum("k")).head().getLong(0) ==
+      (1L to 50L).sum + (1 to 12).map(100L + _).sum)
+  }
+
+  test("a 4-writer storm on a parquet-checkpoint table keeps every invariant") {
+    // checkpoint publication (skip-if-exists + tmp rename) racing
+    // commits, MOR deletes, materialization and vacuum — the columnar
+    // codec must hold the same invariants the text codec's storm pins
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (0L until 500L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val nextBatch = new java.util.concurrent.atomic.AtomicLong(0L)
+    def guard(body: => Unit): Unit =
+      try body catch {
+        case e: IllegalArgumentException if e.getMessage != null &&
+            (e.getMessage.contains("commit race") ||
+              e.getMessage.contains("nothing to do")) => ()
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("rewrite conflict") => ()
+        case e: Throwable => failures.add(e)
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val done = new java.util.concurrent.CountDownLatch(4)
+    def worker(body: => Unit): Unit = pool.submit(new Runnable {
+      override def run(): Unit =
+        try while (!stop.get()) body finally done.countDown()
+    })
+    for (_ <- 0 until 2) worker {
+      val b = nextBatch.getAndIncrement()
+      val lo = 1000000L + b * 20L
+      guard {
+        Snapshots.append(spark, root,
+          (lo until lo + 20L).map(i => (i, 1.0)).toDF("k", "v"))
+        batches.add(b)
+      }
+    }
+    val delRound = new java.util.concurrent.atomic.AtomicLong(0L)
+    worker {
+      val r = delRound.getAndIncrement()
+      guard {
+        if (r % 3 == 2) Snapshots.materializeDeletionVectors(spark, root)
+        else Snapshots.deleteWhereMor(spark, root,
+          s"k >= ${(r * 11) % 450} AND k < ${(r * 11) % 450 + 3}")
+      }
+    }
+    worker {
+      guard {
+        val head = Snapshots.latestVersion(spark, root)
+        if (head > 25) Snapshots.vacuum(spark, root, head - 20)
+        else Snapshots.optimizeCompact(spark, root, 32L * 1024, 1L << 20)
+      }
+    }
+    Thread.sleep(6000L)
+    stop.set(true)
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val firstFailure = Option(failures.peek()).map(e =>
+      s"${e.getClass.getName}: ${e.getMessage}").getOrElse("")
+    assert(failures.isEmpty, firstFailure)
+    val vs = Snapshots.versions(spark, root)
+    assert(vs == (vs.min to vs.max), s"log has gaps: $vs")
+    val head = Snapshots.readVersion(spark, root)
+    val keys = head.where(col("k") >= 1000000L).select("k")
+      .as[Long].collect().toSet
+    batches.forEach { b =>
+      val lo = 1000000L + b * 20L
+      (lo until lo + 20L).foreach(k => assert(keys.contains(k),
+        s"append batch $b committed but key $k missing"))
+    }
+    // every surviving version reconstructs through the columnar codec
+    vs.foreach(v => assert(Snapshots.readVersion(spark, root, v).count() >= 0L))
+    assert(Snapshots.statsMissingFromLog(spark, root).isEmpty)
+  }
+
   test("vacuumDebris reclaims a crashed parquet-checkpoint tmp DIRECTORY") {
     val root = tmp()
     Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"),

@@ -928,7 +928,16 @@ object Snapshots {
       spark: SparkSession, root: String, v: Long)
       : Option[org.apache.spark.sql.Dataset[CkptRow]] = {
     val (_, qroot) = fsOf(spark, root)
-    logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v).lastOption.map { cv =>
+    // the distributed paths apply only while the table's CURRENT format
+    // is parquet — after a flip back to text (the DROP FEATURE
+    // precursor) a stale surviving checkpoint must not be replayed
+    // against an ever-growing delta tail; and even in-format, a tail
+    // past 4× the checkpoint cadence (a crashed checkpointer's gap)
+    // falls back to the driver path rather than chain O(history) plan
+    // nodes
+    if (!parquetCheckpointOn(readDelta(spark, root, v).props)) return None
+    logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v).lastOption
+      .filter(cv => v - cv <= checkpointEvery * 4).map { cv =>
       val base = spark.read.parquet(parquetCheckpointPath(qroot, cv).toString)
         .as[CkptRow].filter(col("kind") === "file")
       ((cv + 1) to v).foldLeft(base) { (acc, w) =>
@@ -964,16 +973,35 @@ object Snapshots {
     * codec. */
   private def writeCheckpointParquet(
       spark: SparkSession, root: String, v: Long): Unit = {
+    // the incremental build reads the PREVIOUS checkpoint lazily (at
+    // write-job time) — a concurrent vacuum can delete it mid-build.
+    // The commit this checkpoint derives from is already durable, so a
+    // vanished base must never surface as a commit failure: retry once
+    // as a FULL rebuild, whose `reconstruct` input has its own
+    // fallback chain (next-lower checkpoint, from-v0 replay).
+    try writeCheckpointParquetOnce(spark, root, v, allowIncremental = true)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        writeCheckpointParquetOnce(spark, root, v, allowIncremental = false)
+    }
+  }
+
+  private def writeCheckpointParquetOnce(
+      spark: SparkSession, root: String, v: Long,
+      allowIncremental: Boolean): Unit = {
     val (fs, qroot) = fsOf(spark, root)
     val dest = parquetCheckpointPath(qroot, v)
     if (fs.exists(dest)) return
     val hd = readDelta(spark, root, v)
-    val fileRows = checkpointFileFrame(spark, root, v).getOrElse {
+    val fileRows = (if (allowIncremental) checkpointFileFrame(spark, root, v)
+                    else None).getOrElse {
       val (files, stats) = reconstruct(spark, root, v)
       spark.createDataset(files.map(rel => ckptRowOf(rel, stats.get(rel))))
     }
-    val prevPq = logVersions(spark, root, ".checkpoint.parquet")
-      .filter(_ < v).lastOption
+    val prevPq =
+      if (allowIncremental)
+        logVersions(spark, root, ".checkpoint.parquet").filter(_ < v).lastOption
+      else None
     val (copiedRows, maxTxn) = prevPq match {
       case Some(cv) =>
         // headers refresh incrementally too: prior `copied` rows stay a
@@ -1033,12 +1061,19 @@ object Snapshots {
         throw new java.io.FileNotFoundException(
           s"no checkpoint at version $cv of $root")
       val rows =
+        // a vacuum racing this read can delete the directory (analysis-
+        // time AnalysisException) OR its part-files mid-collect
+        // (SparkException) — both must fire the caller's next-lower-
+        // checkpoint fallback, which is exact for ANY failure here
+        // (checkpoints are derived; the terminal fallback is a from-v0
+        // replay that fails loudly on genuine IO trouble)
         try spark.read.parquet(pq.toString).as[CkptRow]
           .filter(col("kind") === "file").collect()
         catch {
-          case _: org.apache.spark.sql.AnalysisException =>
+          case scala.util.control.NonFatal(e) =>
             throw new java.io.FileNotFoundException(
-              s"checkpoint at version $cv of $root vanished mid-read")
+              s"checkpoint at version $cv of $root vanished mid-read: " +
+                e.getMessage)
         }
       (rows.map(_.path).toSeq,
         rows.flatMap(r => fileStatsOf(r).map(r.path -> _)).toMap)
@@ -1065,9 +1100,12 @@ object Snapshots {
         .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSeq
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        // same contract as readCheckpointContent: ANY mid-read failure
+        // fires the caller's fallback chain (exact by derivation)
+        case scala.util.control.NonFatal(e) =>
           throw new java.io.FileNotFoundException(
-            s"checkpoint at version $cv of $root vanished mid-read")
+            s"checkpoint at version $cv of $root vanished mid-read: " +
+              e.getMessage)
       }
     }
   }
@@ -1651,12 +1689,14 @@ object Snapshots {
           patchProps = identityPatch(stats, injected, c => physOf.getOrElse(c, c)))
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
-            e.getMessage.contains("bucket layout race") && attempts < 5 =>
-          attempts += 1
+            e.getMessage.contains("bucket layout race") =>
           // the stamped files are stale under the new layout — remove
-          // them and re-run the whole append against the current head
+          // them either way (no orphan debris on the FINAL attempt),
+          // then re-run the whole append against the current head
           val (fs, qroot) = fsOf(spark, root)
           adds.foreach(f => fs.delete(new Path(qroot, f), false))
+          if (attempts >= 5) throw e
+          attempts += 1
       }
     }
     -1L // unreachable
@@ -1912,6 +1952,18 @@ object Snapshots {
         val got = prevDelta.props.getOrElse(k, "")
         if (got != want) throw new IllegalStateException(
           s"identity allocation race on $k — retry the COPY INTO")
+      }
+      // bucket-layout race: the staged files carry bucket stamps from
+      // the layout read at `base` — a concurrent REBUCKET makes them
+      // stale; abandon the stage and re-plan from the new head (same
+      // self-healing shape as the racing-COPY replan below)
+      if (Seq(bucketByProp, bucketCountProp)
+          .exists(k => prevDelta.props.get(k) != props.get(k))) {
+        adds.foreach(f => fs.delete(new Path(qroot, f), false))
+        require(attemptsLeft > 1,
+          s"COPY INTO lost ${4 - attemptsLeft} bucket-layout races at $root")
+        return copyInto(spark, root, from, format, pattern,
+          formatOptions, force, attemptsLeft - 1)
       }
       try {
         writeDelta(spark, root, v,
@@ -2227,7 +2279,7 @@ object Snapshots {
           // commits clash through DV reconciliation — adds-only
           // winners are exactly the hole this closes. The append side
           // holds the same line via commitAdds' bucket-layout guard.)
-          base.foreach { _ =>
+          base.foreach { b =>
             val layoutKeys = Set(bucketByProp, bucketCountProp)
             if (intentChanged.keySet.exists(layoutKeys) ||
                 intentRemoved.exists(layoutKeys)) {
@@ -2238,6 +2290,18 @@ object Snapshots {
                   "a concurrent commit added files stamped under the old " +
                   "layout — recompute against the current version", e)
             }
+            // the REVERSE direction: a WINNER changed the layout while
+            // THIS commit adds files stamped under the old one — a
+            // pure-insert merge (no removes, so the remove-overlap
+            // clash never fires) would otherwise rebase its
+            // stale-stamped files straight past the REBUCKET
+            val winLayoutChange = layoutKeys.exists(k =>
+              headDelta.props.get(k) != b.props.get(k))
+            if (winLayoutChange && d.adds.nonEmpty)
+              throw new IllegalStateException(
+                s"rewrite conflict at $root: a concurrent commit changed the " +
+                  "bucket layout; this commit's files are stamped under the " +
+                  "old one — recompute against the current version", e)
           }
           base.foreach { b =>
             val winChangedKeys = headDelta.props.filter { case (k, pv) =>
@@ -2375,16 +2439,23 @@ object Snapshots {
     val key = (qroot0.toString, version, cols.distinct.sorted.mkString("|"))
     val hit = envelopeSummaryCache.get(key)
     if (hit != null) return hit
-    val computed = computeEnvelopeSummary(spark, root, version, cols)
+    val computed =
+      try Some(computeEnvelopeSummary(spark, root, version, cols))
+      catch {
+        // TRANSIENT failure (vacuum racing the read): answer None now
+        // but never cache it — caching would permanently downgrade
+        // this (version, cols) to the driver path
+        case scala.util.control.NonFatal(_) => return None
+      }
     if (envelopeSummaryCache.size > 64) envelopeSummaryCache.clear()
-    envelopeSummaryCache.put(key, computed)
-    computed
+    envelopeSummaryCache.put(key, computed.flatten)
+    computed.flatten
   }
 
   private def computeEnvelopeSummary(
       spark: SparkSession, root: String, version: Long,
       cols: Seq[String]): Option[EnvelopeSummary] = {
-    try checkpointFileFrame(spark, root, version).map { rows =>
+    checkpointFileFrame(spark, root, version).map { rows =>
       def n(c: String) = element_at(col("nulls"), c)
       // NULL-SAFE value-free: rows = 0, or a PRESENT null count equal
       // to rows (an absent count must never read as value-free)
@@ -2431,7 +2502,7 @@ object Snapshots {
         totalRows = get[Long]("_rows").getOrElse(0L),
         allStats = get[Long]("_files") == get[Long]("_withStats"),
         cols = colSummaries)
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Distributed stats pruning: evaluate the four envelope families as

@@ -722,6 +722,53 @@ object LifecycleQueries {
              |FROM t""".stripMargin)
     ),
 
+    // ---- Metadata-only aggregates, COLUMNAR-checkpoint edition (r14):
+    // the same unfiltered COUNT/COUNT(col)/MIN/MAX shape, but the
+    // envelope facts come from ONE distributed aggregate over the
+    // parquet checkpoint's file rows (Snapshots.distributedEnvelopeSummary)
+    // instead of the driver-held stats index — the shape that keeps a
+    // 10⁶-file COUNT(*) off the driver heap entirely. `meta_only` pins
+    // zero data files planned; the values hash against DuckDB.
+    QuerySpec(
+      "agg_metadata_only_pq",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/metaaggpq"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root,
+          e.where(col("event_id") % 3 === 1).repartition(2),
+          Map(Snapshots.checkpointFormatProp -> "parquet"))
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 3 === 0)
+            .withColumn("value", lit(null).cast("double")).repartition(2))
+        Snapshots.append(s, root,
+          e.where(col("event_id") % 3 === 2).repartition(2))
+        val front = s.read.format("graft.sources.SnapshotSource").load(root)
+        def aggDf = front.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_value"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        val planned = plannedFileCount(aggDf)
+        aggDf.withColumn("meta_only", lit(planned == 0L))
+          .withColumn("columnar", lit(
+            Snapshots.protocol(s, root)._3.contains("parquetCheckpoint")))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value
+             |  FROM events)
+             |SELECT COUNT(*) AS n_rows, COUNT(value) AS n_value,
+             |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+             |  MIN(value) AS min_value, MAX(value) AS max_value,
+             |  TRUE AS meta_only, TRUE AS columnar
+             |FROM t""".stripMargin)
+    ),
+
     // ---- Bloom-filter file skipping: a point lookup on a
     // HIGH-CARDINALITY string key over an UNCLUSTERED layout — min/max
     // envelopes span the domain and prune nothing (SkippingSpec proves

@@ -89,7 +89,11 @@ object GraftTableChanges {
     * IN-COMMIT `#ts:` header — strictly increasing by construction and
     * immune to log-file mtime skew — so replay order, windowing, and
     * downstream `timestampAsOf` anchoring are deterministic. */
-  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame =
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    // the loud guard `changesBetween` gave the batch door before it
+    // routed here — an inverted range must never surface as
+    // `empty.reduce`
+    require(fromV <= toV, s"empty change range [$fromV, $toV]")
     (fromV to toV).map { v =>
       Snapshots.changesBetween(spark, root, v - 1, v)
         .withColumn("_commit_version", lit(v))
@@ -97,4 +101,5 @@ object GraftTableChanges {
           org.apache.spark.sql.functions.timestamp_millis(
             lit(Snapshots.commitTimestamp(spark, root, v))))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

@@ -124,6 +124,8 @@ class SnapshotSource extends RelationProvider
         // ONE CDC column contract across all three front doors (batch
         // option, table_changes TVF, streaming CDF): every change row
         // carries _commit_version/_commit_timestamp, like Delta's CDF
+        require(a.toLong < b.toLong,
+          s"empty change range (${a.toLong}, ${b.toLong}]")
         new SnapshotRelation(sqlContext,
           GraftTableChanges.changes(spark, root, a.toLong + 1, b.toLong))
       case (None, None) =>

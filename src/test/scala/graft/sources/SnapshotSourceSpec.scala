@@ -72,6 +72,12 @@ class SnapshotSourceSpec extends AnyFunSuite {
     // half-set options fail loudly
     intercept[Exception](
       spark.read.format(fmt).option("changesFrom", 0).load(root).collect())
+    // an EMPTY/inverted range keeps its loud guard through the unified
+    // door (never a cryptic empty.reduce)
+    val empty = intercept[IllegalArgumentException](
+      spark.read.format(fmt)
+        .option("changesFrom", 1).option("changesTo", 1).load(root))
+    assert(empty.getMessage.contains("empty change range"))
   }
 
   test("the scan is NATIVE: FileSourceScanExec with pushed filters, not an RDD bridge") {

@@ -1798,7 +1798,15 @@ object Snapshots {
       candidates: Seq[String]): Set[String] = {
     if (candidates.isEmpty) return Set.empty
     val (_, qroot) = fsOf(spark, root)
-    logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v).lastOption match {
+    // same gate as checkpointFileFrame: the pushed-filter path applies
+    // only while the CURRENT format is parquet and the tail since the
+    // checkpoint is bounded — a stale checkpoint after a text flip must
+    // not grow an O(history) tail loop
+    val gated =
+      if (!parquetCheckpointOn(readDelta(spark, root, v).props)) None
+      else logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v)
+        .lastOption.filter(cv => v - cv <= checkpointEvery * 4)
+    gated match {
       case Some(cv) =>
         try {
           val tail = ((cv + 1) to v)

@@ -166,4 +166,41 @@ class BucketedTableSpec extends AnyFunSuite {
       Snapshots.init(spark, bad, Seq((1L, 1.0)).toDF("k", "v"),
         props + ("graft.clusterBy" -> "v")))
   }
+
+  test("DETERMINISTIC layout-race refusals: both rebase directions") {
+    // the storm proves the guards probabilistically; this schedules the
+    // two races exactly. Direction 1: an adds-only commit (a pure-insert
+    // merge's shape — no removes, so the remove-overlap clash never
+    // fires) computed against a pre-REBUCKET base must refuse the
+    // rebase: its files are stamped under the OLD layout.
+    val a = tmp()
+    Snapshots.init(spark, a,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"), props)
+    val baseA = Snapshots.readDelta(spark, a, 0L)
+    Snapshots.rebucket(spark, a, 8) // the winner at v1
+    val e1 = intercept[IllegalStateException](
+      Snapshots.commitRewriteRetry(spark, a, 1L,
+        Snapshots.Delta(Seq("data/stale-stamped.parquet"), Nil,
+          schema = baseA.schema, props = baseA.props, op = Some("merge"))))
+    assert(e1.getMessage.contains("bucket layout"), e1.getMessage)
+    assert(Snapshots.latestVersion(spark, a) == 1L, "nothing committed")
+
+    // Direction 2: a REBUCKET computed against a stale base must refuse
+    // once a concurrent APPEND added files stamped under the old count.
+    val b = tmp()
+    Snapshots.init(spark, b,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"), props)
+    val baseB = Snapshots.readDelta(spark, b, 0L)
+    Snapshots.append(spark, b, Seq((101L, 101.0)).toDF("k", "v")) // winner at v1
+    val e2 = intercept[IllegalStateException](
+      Snapshots.commitRewriteRetry(spark, b, 1L,
+        Snapshots.Delta(Seq("data/rebucketed.parquet"), baseB.adds,
+          schema = baseB.schema,
+          props = baseB.props + ("graft.buckets" -> "8"),
+          op = Some("optimize"))))
+    assert(e2.getMessage.contains("bucket layout"), e2.getMessage)
+    assert(Snapshots.tableProperties(spark, b)("graft.buckets") == "4",
+      "the stale REBUCKET must not land its count")
+    assert(Snapshots.readVersion(spark, b).count() == 101)
+  }
 }

@@ -30,9 +30,12 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
-  /** ~25 commits mixing appends, COW delete/update, OPTIMIZE and a
-    * RESTORE (which re-ADDS previously removed paths — the case that
-    * forces per-delta in-order tail replay in the incremental build). */
+  /** ~30 commits mixing appends, COW delete/update, MOR delete +
+    * materialization, merge, schema evolution (ADD COLUMN DEFAULT +
+    * RENAME — the checkpoint's stats keys are PHYSICAL names),
+    * OPTIMIZE and a RESTORE (which re-ADDS previously removed paths —
+    * the case that forces per-delta in-order tail replay in the
+    * incremental build). */
   private def drive(root: String, props: Map[String, String]): Unit = {
     Snapshots.init(spark, root,
       (1L to 200L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2), props)
@@ -50,22 +53,34 @@ class ParquetCheckpointSpec extends AnyFunSuite {
       Snapshots.append(spark, root,
         (1L to 30L).map(i => (20000L + b * 100L + i, i * 3.0)).toDF("k", "v"))
     }                                               // v14..v22 (ckpt at v20)
+    // MOR + merge + evolution across the NEXT checkpoint boundary
+    Snapshots.deleteWhereMor(spark, root, "k % 97 = 5")      // v23: DV
+    Snapshots.addColumnDefault(spark, root, "tier",
+      org.apache.spark.sql.types.StringType, "'std'")        // v24
+    Snapshots.mergeCow(spark, root,
+      Seq((50000L, 1.0, "gold"), (100L, -1.0, "gold"))
+        .toDF("k", "v", "tier"), Seq("k"))                   // v25
+    Snapshots.materializeDeletionVectors(spark, root)        // v26
+    Snapshots.renameColumn(spark, root, "v", "val")          // v27: column mapping
+    (1 to 4).foreach(b => Snapshots.append(spark, root,
+      Seq((60000L + b, b * 1.0, "live")).toDF("k", "val", "tier"))) // v28..v31 (ckpt v30)
   }
 
   test("incremental parquet checkpoints reconstruct EXACTLY the delta replay") {
     val root = tmp()
     drive(root, Map(Snapshots.checkpointFormatProp -> "parquet"))
     val head = Snapshots.latestVersion(spark, root)
-    assert(head >= 20L)
+    assert(head >= 30L)
     // checkpoints landed in the parquet codec, and ONLY that codec
     assert(logNames(root).exists(_.endsWith(".checkpoint.parquet")))
     assert(!logNames(root).exists(_.endsWith(".checkpoint")),
       "a parquet-mode table must not write text checkpoints")
-    // the v20 checkpoint was built incrementally from v10's; a from-v0
-    // pure delta replay is the ground truth — file-for-file identical
+    // the v20/v30 checkpoints were built incrementally; a from-v0 pure
+    // delta replay is the ground truth — file-for-file identical
     val viaCkpt = (0L to head).map(v => Snapshots.versionFiles(spark, root, v))
     val rowsViaCkpt = Snapshots.readVersion(spark, root)
-      .orderBy("k").as[(Long, Double)].collect().toSeq
+      .select("k", "val", "tier")
+      .orderBy("k").as[(Long, Double, String)].collect().toSeq
     val p = new Path(root + "/_log")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     logNames(root).filter(_.endsWith(".checkpoint.parquet"))
@@ -75,7 +90,8 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     assert(viaCkpt == viaReplay,
       "checkpoint-based reconstruction must equal from-v0 replay at EVERY version")
     assert(Snapshots.readVersion(spark, root)
-      .orderBy("k").as[(Long, Double)].collect().toSeq == rowsViaCkpt)
+      .select("k", "val", "tier")
+      .orderBy("k").as[(Long, Double, String)].collect().toSeq == rowsViaCkpt)
   }
 
   test("distributed prune == driver prune, all four envelope families") {
@@ -318,18 +334,18 @@ class ParquetCheckpointSpec extends AnyFunSuite {
 
   test("a text table FLIPS to parquet checkpoints mid-life and stays exact") {
     val root = tmp()
-    drive(root, Map.empty) // text codec for the first ~22 commits
+    drive(root, Map.empty) // text codec for the first ~31 commits
     assert(logNames(root).exists(_.endsWith(".checkpoint")))
     val before = Snapshots.readVersion(spark, root)
-      .agg(count(lit(1)), sum("v")).head()
+      .agg(count(lit(1)), sum("val")).head()
     Snapshots.setProperties(spark, root,
       Map(Snapshots.checkpointFormatProp -> "parquet"))
     (1 to 10).foreach(b => Snapshots.append(spark, root,
-      Seq((90000L + b, 0.25)).toDF("k", "v")))
+      Seq((90000L + b, 0.25, "new")).toDF("k", "val", "tier")))
     // the next checkpoint landed columnar (full build over the text base)
     assert(logNames(root).exists(_.endsWith(".checkpoint.parquet")))
     val after = Snapshots.readVersion(spark, root)
-      .where(col("k") < 90000L).agg(count(lit(1)), sum("v")).head()
+      .where(col("k") < 90000L).agg(count(lit(1)), sum("val")).head()
     assert(before == after, s"flip must not change content: $before vs $after")
     assert(Snapshots.readVersion(spark, root)
       .where(col("k") >= 90000L).count() == 10)

@@ -335,6 +335,56 @@ object Snapshots {
         Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, "", "")
     }
 
+  /** Path-encoded partition values of one file as POINT stats envelopes
+    * in the family they parse as — integral, double, or string. A
+    * numeric-looking value NEVER enters the string family: DML
+    * predicates are UNRESOLVED, so `part = '05'` on an integer
+    * partition carries a string literal whose bytes differ from the
+    * path's "5" even though the resolved comparison matches —
+    * byte-space point envelopes are only sound for values with no
+    * numeric reading. An exact value is its own lower AND upper bound;
+    * partition-value lengths need no truncation. Nullness is exact: a
+    * concrete value means zero nulls in the file; the default partition
+    * means every row is null there. The ONE augmentation both pruning
+    * paths share — the driver stats-index loop and the distributed
+    * checkpoint-row filter — so they can never disagree on a file. */
+  private[jobs] def partitionPointEnvelopes(
+      path: String, partCols: Seq[String], rows: Long):
+      (Map[String, Long], Map[String, Double],
+        Map[String, Seq[Byte]], Map[String, Long]) = {
+    val pvsAll = graft.core.HivePartitions.valuesOf(path, partCols)
+    val pvs = pvsAll.collect { case (c, Some(v)) => c -> v }
+    val lv = pvs.collect { case (c, v) if v.toLongOption.isDefined => c -> v.toLong }
+    val dv = pvs.collect {
+      case (c, v) if v.toLongOption.isEmpty &&
+        v.toDoubleOption.exists(d => !d.isNaN && !d.isInfinite) => c -> v.toDouble
+    }
+    val sv = pvs.collect {
+      case (c, v) if v.toDoubleOption.isEmpty => c -> v.getBytes("UTF-8").toSeq
+    }
+    val nv = pvsAll.map { case (c, ov) => c -> (if (ov.isDefined) 0L else rows) }
+    (lv, dv, sv, nv)
+  }
+
+  /** `partitionPointEnvelopes` folded into one checkpoint row — runs on
+    * the EXECUTORS (a `Dataset.map` over the checkpoint frame), so a
+    * partitioned table's distributed prune sees exactly the envelopes
+    * the driver loop would synthesize. Rows without stats stay
+    * untouched: the driver index never holds them, so augmenting them
+    * here would prune MORE than the driver path — sound, but the two
+    * paths are pinned equal by spec. */
+  private def withPartitionEnvelopes(r: CkptRow, partCols: Seq[String]): CkptRow =
+    r.rows match {
+      case Some(n) if r.kind == "file" =>
+        val (lv, dv, sv, nv) = partitionPointEnvelopes(r.path, partCols, n)
+        val svh = sv.map { case (c, b) => c -> graft.core.Skipping.toHex(b) }
+        r.copy(lmin = r.lmin ++ lv, lmax = r.lmax ++ lv,
+          dmin = r.dmin ++ dv, dmax = r.dmax ++ dv,
+          smin = r.smin ++ svh, smax = r.smax ++ svh,
+          nulls = r.nulls ++ nv)
+      case _ => r
+    }
+
   private def headerRowOf(k: String, v: String): CkptRow =
     CkptRow("header", "", None, Map.empty, Map.empty, Map.empty, Map.empty,
       Map.empty, Map.empty, Map.empty, k, v)
@@ -942,20 +992,24 @@ object Snapshots {
         .as[CkptRow].filter(col("kind") === "file")
       ((cv + 1) to v).foldLeft(base) { (acc, w) =>
         val d = readDelta(spark, root, w)
-        val afterRm =
-          if (d.removes.isEmpty) acc
-          else if (d.removes.size <= 1000)
-            acc.filter(!col("path").isin(d.removes: _*))
-          else {
-            // a wide rewrite (OPTIMIZE over many files): anti-join beats
-            // a 10k-literal IN — the removes side is metadata-small
-            val rm = spark.createDataset(d.removes)(
-              org.apache.spark.sql.Encoders.STRING).toDF("path")
-            acc.join(broadcast(rm), Seq("path"), "left_anti").as[CkptRow]
-          }
-        if (d.adds.isEmpty) afterRm
-        else afterRm.unionByName(spark.createDataset(
-          d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel)))))
+        // adds BEFORE removes, mirroring the driver `reconstruct` replay
+        // exactly — a (pathological) delta naming one path in both adds
+        // and removes must reconstruct identically dead under both
+        // codecs, never live-here-dead-there
+        val afterAdd =
+          if (d.adds.isEmpty) acc
+          else acc.unionByName(spark.createDataset(
+            d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel)))))
+        if (d.removes.isEmpty) afterAdd
+        else if (d.removes.size <= 1000)
+          afterAdd.filter(!col("path").isin(d.removes: _*))
+        else {
+          // a wide rewrite (OPTIMIZE over many files): anti-join beats
+          // a 10k-literal IN — the removes side is metadata-small
+          val rm = spark.createDataset(d.removes)(
+            org.apache.spark.sql.Encoders.STRING).toDF("path")
+          afterAdd.join(broadcast(rm), Seq("path"), "left_anti").as[CkptRow]
+        }
       }
     }
   }
@@ -1689,10 +1743,13 @@ object Snapshots {
           patchProps = identityPatch(stats, injected, c => physOf.getOrElse(c, c)))
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
-            e.getMessage.contains("bucket layout race") =>
-          // the stamped files are stale under the new layout — remove
-          // them either way (no orphan debris on the FINAL attempt),
-          // then re-run the whole append against the current head
+            (e.getMessage.contains("bucket layout race") ||
+              e.getMessage.contains("identity allocation race")) =>
+          // BOTH stamped-state refusals (bucket ids in file names,
+          // identity values in file bytes) leave this attempt's files
+          // stale under the new head — remove them either way (no
+          // orphan debris on the FINAL attempt), then re-run the whole
+          // append (re-stamp included) against the current head
           val (fs, qroot) = fsOf(spark, root)
           adds.foreach(f => fs.delete(new Path(qroot, f), false))
           if (attempts >= 5) throw e
@@ -1811,10 +1868,21 @@ object Snapshots {
         try {
           val tail = ((cv + 1) to v)
             .flatMap(w => readDelta(spark, root, w).copied).toSet
-          val prev = spark.read
+          val prevHdr = spark.read
             .parquet(parquetCheckpointPath(qroot, cv).toString)
             .filter(col("kind") === "header" && col("hkey") === "copied")
-            .filter(col("hval").isin(candidates: _*))
+          // a huge landing set (tens of thousands of source files) must
+          // not become a driver-built literal IN — same >1000 valve as
+          // checkpointFileFrame's removes: broadcast-semi-join instead
+          val prevMatch =
+            if (candidates.size <= 1000)
+              prevHdr.filter(col("hval").isin(candidates: _*))
+            else {
+              val cand = spark.createDataset(candidates)(
+                org.apache.spark.sql.Encoders.STRING).toDF("hval")
+              prevHdr.join(broadcast(cand), Seq("hval"), "left_semi")
+            }
+          val prev = prevMatch
             .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
             .collect().toSet
           candidates.toSet.intersect(tail) ++ prev
@@ -2520,12 +2588,13 @@ object Snapshots {
     * Exact mirror of `Skipping.pruneFiles*`: a file without the column's
     * envelope (or without stats at all) is always kept; string envelopes
     * compare as hex strings, which order identically to unsigned-lex
-    * bytes. Returns None — caller falls back to the driver loop — when
-    * the table has no parquet checkpoint at-or-below `version`, when
-    * `spark.graft.prune.distributed = never`, or when the table is
-    * Hive-partitioned (the driver path additionally derives partition
-    * point envelopes from path fragments; skipping those here would
-    * only be conservative, but the driver path keeps exact parity).
+    * bytes. Hive-partitioned tables contribute their path-encoded
+    * partition values as point envelopes EXECUTOR-SIDE
+    * (`withPartitionEnvelopes` — the same augmentation the driver loop
+    * applies), so the reference's own `year=/month=` layout prunes
+    * distributed too. Returns None — caller falls back to the driver
+    * loop — when the table has no parquet checkpoint at-or-below
+    * `version` or when `spark.graft.prune.distributed = never`.
     * Bounds are keyed by PHYSICAL column names (caller translates). */
   private[graft] def distributedCandidateFiles(
       spark: SparkSession, root: String, version: Long,
@@ -2535,9 +2604,12 @@ object Snapshots {
       nbs: Map[String, Set[Boolean]]): Option[Seq[String]] = {
     if (spark.conf.getOption("spark.graft.prune.distributed").contains("never"))
       return None
-    if (graft.core.HivePartitions.columnsOf(
-        readDelta(spark, root, version).props).nonEmpty) return None
-    try checkpointFileFrame(spark, root, version).map { rows =>
+    val partCols = graft.core.HivePartitions.columnsOf(
+      readDelta(spark, root, version).props)
+    try checkpointFileFrame(spark, root, version).map { rows0 =>
+      val rows =
+        if (partCols.isEmpty) rows0
+        else rows0.map(withPartitionEnvelopes(_, partCols))(ckptEnc)
       import org.apache.spark.sql.Column
       def hasNo(m: String, c: String): Column = element_at(col(m), c).isNull
       val keepLong = bs.map { case (c, (lo, hi)) =>
@@ -2619,30 +2691,7 @@ object Snapshots {
     val idx =
       if (partCols.isEmpty) idxRaw
       else idxRaw.map { s =>
-        // path-encoded partition values act as POINT envelopes in the
-        // family they parse as — integral, double, or string. A
-        // numeric-looking value NEVER enters the string family: the
-        // predicate here is UNRESOLVED, so `part = '05'` on an integer
-        // partition carries a string literal whose bytes differ from
-        // the path's "5" even though the resolved comparison matches —
-        // byte-space point envelopes are only sound for values with no
-        // numeric reading. An exact value is its own lower AND upper
-        // bound; partition-value lengths need no truncation.
-        val pvsAll = graft.core.HivePartitions.valuesOf(s.path, partCols)
-        val pvs = pvsAll.collect { case (c, Some(v)) => c -> v }
-        val lv = pvs.collect { case (c, v) if v.toLongOption.isDefined => c -> v.toLong }
-        val dv = pvs.collect {
-          case (c, v) if v.toLongOption.isEmpty && v.toDoubleOption.exists(d => !d.isNaN && !d.isInfinite) =>
-            c -> v.toDouble
-        }
-        val sv = pvs.collect {
-          case (c, v) if v.toDoubleOption.isEmpty => c -> v.getBytes("UTF-8").toSeq
-        }
-        // nullness is exact for partition columns: a concrete value
-        // means zero nulls in the file; the default partition means
-        // every row is null there
-        val nv = pvsAll.map { case (c, ov) =>
-          c -> (if (ov.isDefined) 0L else s.rows) }
+        val (lv, dv, sv, nv) = partitionPointEnvelopes(s.path, partCols, s.rows)
         s.copy(mins = s.mins ++ lv, maxs = s.maxs ++ lv,
           dmins = s.dmins ++ dv, dmaxs = s.dmaxs ++ dv,
           smins = s.smins ++ sv, smaxs = s.smaxs ++ sv,

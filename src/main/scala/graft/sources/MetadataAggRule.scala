@@ -125,6 +125,29 @@ object MetadataAggRule extends Rule[LogicalPlan] {
     val physMap = Snapshots.versionSchema(spark, root, version)
       .map(Snapshots.physicalMap).getOrElse(Map.empty[String, String])
     def phys(c: String) = physMap.getOrElse(c, c)
+    // SHAPE gate before any envelope work: unless every output column is
+    // a literal or a COUNT/MIN/MAX the envelopes could possibly answer
+    // (non-distinct, unfiltered, over an exactly-enveloped type), bail
+    // without launching the distributed summary — otherwise every
+    // unanswerable unfiltered aggregate (SUM/AVG/stddev/…) on a parquet-
+    // checkpoint table would pay a checkpoint-scan Spark job at planning
+    // time for an answer that is always "leave the plan alone".
+    val exactTypes: Set[DataType] = Set(
+      ByteType, ShortType, IntegerType, LongType, DateType, TimestampType,
+      DoubleType, FloatType)
+    val shapeOk = aggExprs.forall {
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) => true
+          case Count(Seq(_: AttributeReference)) => true
+          case Min(a: AttributeReference) => exactTypes.contains(a.dataType)
+          case Max(a: AttributeReference) => exactTypes.contains(a.dataType)
+          case _ => false
+        }
+      case Alias(_: Literal, _) => true
+      case _ => false
+    }
+    if (!shapeOk) return None
     // the columns the aggregate touches, physical names
     val needed = aggExprs.flatMap(_.collect {
       case a: AttributeReference => phys(a.name) }).distinct

@@ -133,6 +133,52 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     assert(Snapshots.rowCount(spark, root) == Some(1300L))
   }
 
+  test("distributed prune == driver prune on a PARTITIONED table") {
+    val root = tmp()
+    // the reference's own storage model (year=/month= Hive layout, ref
+    // scripts/02_spark_etl.py:140-144) — partition values are
+    // path-encoded point envelopes, derived EXECUTOR-SIDE on the
+    // distributed path and driver-side on the fallback; both must
+    // select the identical file set for every predicate family
+    Snapshots.init(spark, root,
+      (0L until 60L).map(i => (2020L + i % 3, 1L + i % 4, i, i * 1.0))
+        .toDF("year", "month", "k", "v").repartition(2),
+      Map("graft.partitionBy" -> "year,month",
+        Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 12).foreach { b =>
+      Snapshots.append(spark, root,
+        (0L until 30L).map(i => (2020L + (b + i) % 3, 1L + i % 4,
+          b * 100L + i, (b * 100 + i) * 1.0))
+          .toDF("year", "month", "k", "v").coalesce(1))
+    }
+    val v = Snapshots.latestVersion(spark, root)
+    val preds = Seq(
+      "year = 2021",                      // partition point envelope alone
+      "year = 2021 AND month <= 2",       // two partition dimensions
+      "year >= 2022 AND k BETWEEN 300 AND 400", // partition × data stats
+      "month = 9",                        // prunes everything
+      "year <= 2022")                     // prunes nothing
+    preds.foreach { pred =>
+      val dist = Snapshots.statsCandidateFiles(spark, root, v, pred)
+      spark.conf.set("spark.graft.prune.distributed", "never")
+      val drv =
+        try Snapshots.statsCandidateFiles(spark, root, v, pred)
+        finally spark.conf.unset("spark.graft.prune.distributed")
+      assert(dist == drv, s"partitioned distributed vs driver prune diverged for: $pred")
+    }
+    // the partition envelope genuinely prunes on the distributed path
+    val tight = Snapshots.statsCandidateFiles(spark, root, v, "year = 2021")
+    assert(tight.nonEmpty &&
+      tight.size < Snapshots.versionFiles(spark, root, v).size)
+    assert(Snapshots.statsCandidateFiles(spark, root, v, "month = 9").isEmpty)
+    // and a partitioned COW delete keeps exact rows (victims selected
+    // through the distributed prune)
+    val before = Snapshots.readVersion(spark, root)
+      .filter("NOT (year = 2020 AND k < 50)").count()
+    Snapshots.deleteWhere(spark, root, "year = 2020 AND k < 50")
+    assert(Snapshots.readVersion(spark, root).count() == before)
+  }
+
   test("the front door plans fewer files through the parquet checkpoint") {
     val root = tmp()
     Snapshots.init(spark, root,

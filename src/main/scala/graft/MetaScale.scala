@@ -78,9 +78,13 @@ object MetaScale {
                 Map.empty, Map.empty, Map.empty, Map.empty,
                 Map("k" -> 0L))
           }
+          // synthetic fmeta (the files never exist): what a real commit
+          // records for free — lets plan-time FileStatus synthesis run
+          val fmeta = adds.map { case (rel, _) =>
+            rel -> (10L * 1024 * 1024, 1700000000000L) }.toMap
           val (_, sec) = time {
             Snapshots.commitMetadataOnlyAdds(spark, root,
-              adds.map(_._1), adds.toMap)
+              adds.map(_._1), adds.toMap, fmeta)
           }
           // commit 100 lands v100 (a checkpoint commit); 99 is plain —
           // their difference isolates the checkpoint cost at full size
@@ -100,10 +104,23 @@ object MetaScale {
       val (warm, pruneWarm) = time(
         Snapshots.statsCandidateFiles(spark, root, head, pred))
       require(cold == warm, "cold and warm prunes must agree")
+      // plan-time file-list construction through the FileIndex front
+      // door (FileStatus synthesis included) — the scan operator's
+      // actual plan-time wait. Parquet-checkpoint tables synthesize
+      // from the recorded fmeta with zero stat RPCs; text tables would
+      // listStatus real directories, which synthetic files lack → -1.
+      Snapshots.invalidateCaches(spark, root)
+      val (planned, planCold) =
+        if (codec == "parquet")
+          time(graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
+        else (-1L, -1.0)
+      if (codec == "parquet")
+        require(planned == n + 1, s"planned $planned files, expected ${n + 1}")
       emit(f"""{"meta_scale":"$codec","files":$n,"build_sec":$buildSec%.3f,""" +
         f""""ckpt_commit_sec":$ckptSec%.3f,"plain_commit_sec":$plainSec%.3f,""" +
         f""""resolve_cold_sec":$resolveCold%.3f,"prune_cold_sec":$pruneCold%.3f,""" +
-        f""""prune_warm_sec":$pruneWarm%.3f,"survivors":${cold.size}}""")
+        f""""prune_warm_sec":$pruneWarm%.3f,"plan_cold_sec":$planCold%.3f,""" +
+        f""""survivors":${cold.size}}""")
     }
     sink.foreach(_.close())
     spark.stop()

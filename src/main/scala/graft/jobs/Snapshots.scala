@@ -109,6 +109,15 @@ object Snapshots {
       copied: Seq[String] = Nil,
       minReader: Int = 1, minWriter: Int = 1,
       rfeat: Seq[String] = Nil, wfeat: Seq[String] = Nil,
+      // per-added-file (size bytes, mtime ms) keyed by rel path
+      // (`#fmeta:` lines) — captured at COMMIT time, when the writer
+      // holds the statuses for free, so parquet checkpoints can carry
+      // them and plan-time FileStatus construction needs ZERO
+      // filesystem RPCs (Delta Lake records `size`/`modificationTime`
+      // on every AddFile for the same reason). Absent on legacy
+      // deltas; readers fall back to one getFileStatus per missing
+      // file.
+      fmeta: Map[String, (Long, Long)] = Map.empty,
       // WRITE-side only (never serialized): features this commit DROPS
       // from the sticky lists — the DROP FEATURE protocol downgrade.
       // writeDelta subtracts them after the predecessor union and
@@ -168,8 +177,11 @@ object Snapshots {
     // a parquet-checkpoint table's file list lives in a checkpoint a
     // text-only reader cannot parse — reading without the feature would
     // miss (or FileNotFound on) the manifest, not misread rows, but the
-    // refusal must still be loud and up-front
-    if (parquetCheckpointOn(d.props)) both("parquetCheckpoint")
+    // refusal must still be loud and up-front. `auto` stamps the
+    // feature IMMEDIATELY (not at first flip): the table may write a
+    // parquet checkpoint at any later commit, possibly from a session a
+    // legacy reader is concurrently following.
+    if (parquetPathOn(d.props)) both("parquetCheckpoint")
     if (d.props.keys.exists(_.startsWith(identityPrefix))) w += "identityColumns"
     if (d.props.keys.exists(_.startsWith(generatedPrefix))) w += "generatedColumns"
     if (d.props.keys.exists(_.startsWith(constraintPrefix))) w += "checkConstraints"
@@ -255,9 +267,10 @@ object Snapshots {
           Delta(Nil, Nil, schema = Some(newSchema.json), props = cleaned,
             op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(feature)))
       case "parquetCheckpoint" =>
-        require(!parquetCheckpointOn(prevDelta.props),
+        require(!parquetPathOn(prevDelta.props),
           s"cannot drop parquetCheckpoint from $root while " +
-            s"$checkpointFormatProp=parquet — set it to 'text' first")
+            s"$checkpointFormatProp is 'parquet' or 'auto' — set it to " +
+            "'text' first")
         commitRewrite(spark, root, head + 1,
           Delta(Nil, Nil, schema = prevDelta.schema, props = prevDelta.props,
             op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(feature)))
@@ -303,8 +316,36 @@ object Snapshots {
     * instead of missing the checkpoint's file list. */
   val checkpointFormatProp = "graft.checkpoint.format"
 
-  private def parquetCheckpointOn(props: Map[String, String]): Boolean =
-    props.get(checkpointFormatProp).contains("parquet")
+  /** `auto` threshold: live-file count at-or-above which an `auto`
+    * table writes parquet checkpoints instead of text. Below it the
+    * text codec is strictly cheaper (MetaScale 1k files: text commit
+    * 0.07 s vs a 1.5 s distributed parquet write); above it the text
+    * render/parse is the O(table) driver wall. Overridable per table
+    * via `graft.checkpoint.autoThreshold`. */
+  private val autoThresholdProp = "graft.checkpoint.autoThreshold"
+  private val autoThresholdDefault = 10000L
+
+  /** READ gate for the distributed checkpoint paths: `parquet` tables
+    * always qualify; `auto` tables qualify too — whether a usable
+    * parquet checkpoint actually exists is decided by the checkpoint
+    * files themselves (nearest `.checkpoint.parquet` within the tail
+    * bound), so an auto table still in its text regime just falls
+    * through to the driver path. */
+  private def parquetPathOn(props: Map[String, String]): Boolean =
+    props.get(checkpointFormatProp).exists(f => f == "parquet" || f == "auto")
+
+  /** Recent fallback events (stale-checkpoint gate trips, distributed
+    * prune/summary declines) — WARN-logged for production
+    * diagnosability and kept in a bounded ring so specs can pin that
+    * the pathology is at least VISIBLE when it happens. */
+  private[graft] val fallbackEvents =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.jobs.Snapshots")
+  private def noteFallback(msg: String): Unit = {
+    log.warn(msg)
+    fallbackEvents.add(msg)
+    while (fallbackEvents.size > 64) fallbackEvents.poll()
+  }
 
   /** One row of a parquet checkpoint: a live data file with its stats
     * envelopes (`kind = "file"`; string envelopes hex-coded exactly like
@@ -319,21 +360,41 @@ object Snapshots {
       dmin: Map[String, Double], dmax: Map[String, Double],
       smin: Map[String, String], smax: Map[String, String],
       nulls: Map[String, Long],
-      hkey: String, hval: String)
+      hkey: String, hval: String,
+      // the file's (immutable) length and mtime, from the adding
+      // delta's `#fmeta:` — lets plan-time FileStatus construction run
+      // with ZERO filesystem RPCs (Delta's AddFile.size). None on rows
+      // descending from legacy logs; readers stat exactly those.
+      fsize: Option[Long] = None, mtime: Option[Long] = None)
 
   private implicit lazy val ckptEnc: org.apache.spark.sql.Encoder[CkptRow] =
     org.apache.spark.sql.Encoders.product[CkptRow]
 
-  private def ckptRowOf(rel: String, s: Option[graft.core.Skipping.FileStats]): CkptRow =
+  private def ckptRowOf(rel: String, s: Option[graft.core.Skipping.FileStats],
+      fm: Option[(Long, Long)]): CkptRow =
     s match {
       case Some(st) => CkptRow("file", rel, Some(st.rows),
         st.mins, st.maxs, st.dmins, st.dmaxs,
         st.smins.map { case (k, b) => k -> graft.core.Skipping.toHex(b) },
         st.smaxs.map { case (k, b) => k -> graft.core.Skipping.toHex(b) },
-        st.nullCounts, "", "")
+        st.nullCounts, "", "", fm.map(_._1), fm.map(_._2))
       case None => CkptRow("file", rel, None, Map.empty, Map.empty,
-        Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, "", "")
+        Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, "", "",
+        fm.map(_._1), fm.map(_._2))
     }
+
+  /** A checkpoint parquet directory as `Dataset[CkptRow]`, tolerant of
+    * checkpoints written before `fsize`/`mtime` rode the rows — missing
+    * columns null-fill, exactly what `Option` fields decode as. */
+  private def readCkptRows(
+      spark: SparkSession, pq: Path): org.apache.spark.sql.Dataset[CkptRow] = {
+    val df0 = spark.read.parquet(pq.toString)
+    val df = Seq("fsize", "mtime").foldLeft(df0) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast("long"))
+    }
+    df.as[CkptRow]
+  }
 
   /** Path-encoded partition values of one file as POINT stats envelopes
     * in the family they parse as — integral, double, or string. A
@@ -609,6 +670,7 @@ object Snapshots {
     indexCache.keySet.removeIf(_._1 == qroot)
     reconstructCache.keySet.removeIf(_._1 == qroot)
     envelopeSummaryCache.keySet.removeIf(_._1 == qroot)
+    liveMetaCache.keySet.removeIf(_._1 == qroot)
   }
 
   /** Explicit cache invalidation for OUT-OF-BAND log surgery (manual
@@ -653,7 +715,11 @@ object Snapshots {
       minReader = protoOf(lines).map(_._1).getOrElse(1),
       minWriter = protoOf(lines).map(_._2).getOrElse(1),
       rfeat = lines.filter(_.startsWith("#rfeat:")).map(_.stripPrefix("#rfeat:")),
-      wfeat = lines.filter(_.startsWith("#wfeat:")).map(_.stripPrefix("#wfeat:")))
+      wfeat = lines.filter(_.startsWith("#wfeat:")).map(_.stripPrefix("#wfeat:")),
+      fmeta = lines.filter(_.startsWith("#fmeta:")).map { l =>
+        val parts = l.stripPrefix("#fmeta:").split(",", 3)
+        parts(2) -> (parts(0).toLong, parts(1).toLong)
+      }.toMap)
     // READER gate: refuse loudly before returning metadata another code
     // path could act on — a protocol this build can't honor means the
     // file bytes don't mean what our readers would assume (DVs ignored,
@@ -848,8 +914,8 @@ object Snapshots {
         s"table property $k cannot be recorded: value contains a newline")
     }
     d.props.get(checkpointFormatProp).foreach { f =>
-      require(f == "text" || f == "parquet",
-        s"$checkpointFormatProp must be 'text' or 'parquet' (got '$f')")
+      require(f == "text" || f == "parquet" || f == "auto",
+        s"$checkpointFormatProp must be 'text', 'parquet' or 'auto' (got '$f')")
     }
     // feature stamping is STICKY: this commit's requirements union the
     // predecessor's — old files keep needing every feature ever used.
@@ -869,6 +935,18 @@ object Snapshots {
         .filterNot(d.featDrop.contains),
       wfeat = (prevD.map(_.wfeat).getOrElse(Nil) ++ needW).distinct.sorted
         .filterNot(d.featDrop.contains))
+    // fmeta auto-capture at the ONE choke point every commit path
+    // crosses: any added file the caller didn't annotate gets one
+    // tolerant getFileStatus here — O(new files), a cost the commit
+    // already paid several times over (footer stats, listing). Synthetic
+    // adds (metadata-only commits whose files never exist) simply skip.
+    val fmetaAll = d.fmeta ++
+      d.adds.filterNot(d.fmeta.contains).flatMap { rel =>
+        try {
+          val st = fs.getFileStatus(new Path(qroot, rel))
+          Some(rel -> (st.getLen, st.getModificationTime))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
     val lines =
       Seq(s"#ts:$ts",
         s"#protocol:${dStamped.minReader},${dStamped.minWriter}") ++
@@ -883,6 +961,10 @@ object Snapshots {
         d.copied.sorted.map(c => s"#copied:$c") ++
         d.props.toSeq.sorted.map { case (k, v2) => s"#prop:$k=$v2" } ++
         d.stats.toSeq.sortBy(_._1).map { case (rel, s) => renderStats(rel, s) } ++
+        // size,mtime FIRST, rel LAST: rel paths may themselves contain
+        // commas (partition values), the two numbers never do
+        fmetaAll.toSeq.sortBy(_._1).map { case (rel, (sz, mt)) =>
+          s"#fmeta:$sz,$mt,$rel" } ++
         d.adds.sorted.map("+" + _) ++ d.removes.sorted.map("-" + _)
     val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -916,7 +998,8 @@ object Snapshots {
         // codec drops un-encodable column names, so the seeded cache
         // must too, or the writing JVM would prune on envelopes no
         // other reader of this version has
-        stats = statsAsReadBack(d.stats)))
+        stats = statsAsReadBack(d.stats),
+        fmeta = fmetaAll))
   }
 
   /** Checkpoints are derived (a pure function of the deltas), so the
@@ -930,9 +1013,35 @@ object Snapshots {
     * (default) or the columnar parquet codec (`writeCheckpointParquet`). */
   private def writeCheckpoint(
       spark: SparkSession, root: String, v: Long, files: => Seq[String]): Unit =
-    if (parquetCheckpointOn(readDelta(spark, root, v).props))
+    if (shouldWriteParquetCheckpoint(spark, root, v))
       writeCheckpointParquet(spark, root, v)
     else writeCheckpointText(spark, root, v, files)
+
+  /** Which codec THIS checkpoint uses: `parquet` always, `text` never,
+    * `auto` by live-file count against the threshold — text below (a
+    * distributed write costs more than a small render), parquet above
+    * (the text render/parse is the O(table) driver wall). The count is
+    * a distributed `count()` when the table is already in its parquet
+    * regime, the (memoized, small-by-induction) driver reconstruct
+    * while still in text. Flips ride the existing format-transition
+    * machinery: readers dispatch on the checkpoint FILES present, not
+    * the property. */
+  private def shouldWriteParquetCheckpoint(
+      spark: SparkSession, root: String, v: Long): Boolean = {
+    val props = readDelta(spark, root, v).props
+    props.get(checkpointFormatProp) match {
+      case Some("parquet") => true
+      case Some("auto") =>
+        val threshold = props.get(autoThresholdProp).flatMap(_.toLongOption)
+          .getOrElse(autoThresholdDefault)
+        val liveCount = checkpointFileFrame(spark, root, v) match {
+          case Some(fr) => fr.count()
+          case None => reconstruct(spark, root, v)._1.size.toLong
+        }
+        liveCount >= threshold
+      case _ => false
+    }
+  }
 
   private def writeCheckpointText(
       spark: SparkSession, root: String, v: Long, files: Seq[String]): Unit = {
@@ -985,11 +1094,20 @@ object Snapshots {
     // past 4× the checkpoint cadence (a crashed checkpointer's gap)
     // falls back to the driver path rather than chain O(history) plan
     // nodes
-    if (!parquetCheckpointOn(readDelta(spark, root, v).props)) return None
+    if (!parquetPathOn(readDelta(spark, root, v).props)) return None
     logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v).lastOption
-      .filter(cv => v - cv <= checkpointEvery * 4).map { cv =>
-      val base = spark.read.parquet(parquetCheckpointPath(qroot, cv).toString)
-        .as[CkptRow].filter(col("kind") === "file")
+      .filter { cv =>
+        val ok = v - cv <= checkpointEvery * 4
+        if (!ok) noteFallback(
+          s"stale-checkpoint gate tripped on $root@v$v: nearest parquet " +
+            s"checkpoint is v$cv (tail of ${v - cv} deltas exceeds the " +
+            s"${checkpointEvery * 4}-delta bound) — falling back to the " +
+            "driver metadata path; is the checkpointer crashed or the " +
+            "format mid-transition?")
+        ok
+      }.map { cv =>
+      val base = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
+        .filter(col("kind") === "file")
       ((cv + 1) to v).foldLeft(base) { (acc, w) =>
         val d = readDelta(spark, root, w)
         // adds BEFORE removes, mirroring the driver `reconstruct` replay
@@ -999,7 +1117,7 @@ object Snapshots {
         val afterAdd =
           if (d.adds.isEmpty) acc
           else acc.unionByName(spark.createDataset(
-            d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel)))))
+            d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel), d.fmeta.get(rel)))))
         if (d.removes.isEmpty) afterAdd
         else if (d.removes.size <= 1000)
           afterAdd.filter(!col("path").isin(d.removes: _*))
@@ -1050,7 +1168,24 @@ object Snapshots {
     val fileRows = (if (allowIncremental) checkpointFileFrame(spark, root, v)
                     else None).getOrElse {
       val (files, stats) = reconstruct(spark, root, v)
-      spark.createDataset(files.map(rel => ckptRowOf(rel, stats.get(rel))))
+      // full rebuild (first parquet checkpoint, or post-vacuum): fmeta
+      // comes from whichever adding deltas still exist; files whose
+      // adding delta was vacuumed below a TEXT checkpoint get one
+      // tolerant driver stat here — a ONE-TIME backfill, after which
+      // every later incremental checkpoint inherits the values
+      val fmetaAll = versions(spark, root).filter(_ <= v)
+        .foldLeft(Map.empty[String, (Long, Long)]) { (m, w) =>
+          val d = readDelta(spark, root, w)
+          (m ++ d.fmeta) -- d.removes
+        }
+      def fm(rel: String): Option[(Long, Long)] =
+        fmetaAll.get(rel).orElse {
+          try {
+            val st = fs.getFileStatus(new Path(qroot, rel))
+            Some((st.getLen, st.getModificationTime))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      spark.createDataset(files.map(rel => ckptRowOf(rel, stats.get(rel), fm(rel))))
     }
     val prevPq =
       if (allowIncremental)
@@ -1061,9 +1196,8 @@ object Snapshots {
         // headers refresh incrementally too: prior `copied` rows stay a
         // distributed frame (COPY INTO identities can be O(10⁶) at
         // scale), maxtxn is one pushed-filter lookup + the tail's max
-        val prevHdr = spark.read
-          .parquet(parquetCheckpointPath(qroot, cv).toString)
-          .as[CkptRow].filter(col("kind") === "header")
+        val prevHdr = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
+          .filter(col("kind") === "header")
         val tailCopied = ((cv + 1) to v)
           .flatMap(w => readDelta(spark, root, w).copied).distinct
         val copied = prevHdr.filter(col("hkey") === "copied")
@@ -1121,7 +1255,7 @@ object Snapshots {
         // checkpoint fallback, which is exact for ANY failure here
         // (checkpoints are derived; the terminal fallback is a from-v0
         // replay that fails loudly on genuine IO trouble)
-        try spark.read.parquet(pq.toString).as[CkptRow]
+        try readCkptRows(spark, pq)
           .filter(col("kind") === "file").collect()
         catch {
           case scala.util.control.NonFatal(e) =>
@@ -1860,7 +1994,7 @@ object Snapshots {
     // checkpoint is bounded — a stale checkpoint after a text flip must
     // not grow an O(history) tail loop
     val gated =
-      if (!parquetCheckpointOn(readDelta(spark, root, v).props)) None
+      if (!parquetPathOn(readDelta(spark, root, v).props)) None
       else logVersions(spark, root, ".checkpoint.parquet").filter(_ <= v)
         .lastOption.filter(cv => v - cv <= checkpointEvery * 4)
     gated match {
@@ -2521,7 +2655,11 @@ object Snapshots {
         // TRANSIENT failure (vacuum racing the read): answer None now
         // but never cache it — caching would permanently downgrade
         // this (version, cols) to the driver path
-        case scala.util.control.NonFatal(_) => return None
+        case scala.util.control.NonFatal(e) =>
+          noteFallback(
+            s"distributed envelope summary declined on $root@v$version " +
+              s"(transient, not cached): ${e.getMessage}")
+          return None
       }
     if (envelopeSummaryCache.size > 64) envelopeSummaryCache.clear()
     envelopeSummaryCache.put(key, computed.flatten)
@@ -2601,7 +2739,47 @@ object Snapshots {
       bs: Map[String, (Long, Long)],
       dbs: Map[String, (Double, Double)],
       sbs: Map[String, graft.core.Skipping.StrRange],
-      nbs: Map[String, Set[Boolean]]): Option[Seq[String]] = {
+      nbs: Map[String, Set[Boolean]]): Option[Seq[String]] =
+    distributedCandidateMeta(spark, root, version, bs, dbs, sbs, nbs)
+      .map(_.map(_.path))
+
+  /** One live-file row of a distributed prune/list: root-relative path
+    * plus the recorded length and mtime (None on legacy rows — the
+    * reader stats exactly those). What `SnapshotFileIndex` synthesizes
+    * plan-time `FileStatus` from, RPC-free. */
+  private[graft] final case class LiveFileMeta(
+      path: String, fsize: Option[Long], mtime: Option[Long])
+
+  /** The UNFILTERED live-file meta list of an immutable (root, version)
+    * — what `SnapshotFileIndex` synthesizes its full `FileStatus` list
+    * from with zero filesystem RPCs. One distributed collect per
+    * version, then cached: the planner asks for `sizeInBytes` on every
+    * query. None on text-codec tables (callers keep the listing path).
+    * Bounded small — entries are O(files) driver memory each. */
+  private val liveMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[LiveFileMeta]]()
+
+  private[graft] def liveFileMeta(
+      spark: SparkSession, root: String, version: Long): Option[Seq[LiveFileMeta]] = {
+    val (_, qroot) = fsOf(spark, root)
+    val key = (qroot.toString, version)
+    val hit = liveMetaCache.get(key)
+    if (hit != null) return Some(hit)
+    val computed = distributedCandidateMeta(spark, root, version,
+      Map.empty, Map.empty, Map.empty, Map.empty)
+    computed.foreach { metas =>
+      if (liveMetaCache.size > 8) liveMetaCache.clear()
+      liveMetaCache.put(key, metas)
+    }
+    computed
+  }
+
+  private[graft] def distributedCandidateMeta(
+      spark: SparkSession, root: String, version: Long,
+      bs: Map[String, (Long, Long)],
+      dbs: Map[String, (Double, Double)],
+      sbs: Map[String, graft.core.Skipping.StrRange],
+      nbs: Map[String, Set[Boolean]]): Option[Seq[LiveFileMeta]] = {
     if (spark.conf.getOption("spark.graft.prune.distributed").contains("never"))
       return None
     val partCols = graft.core.HivePartitions.columnsOf(
@@ -2644,12 +2822,17 @@ object Snapshots {
       }
       val kept = (keepLong ++ keepDbl ++ keepStr ++ keepNull)
         .foldLeft(rows.toDF())((df, k) => df.filter(k))
-      kept.select(col("path")).as[String](org.apache.spark.sql.Encoders.STRING)
-        .collect().toSeq.sorted
+      kept.select(col("path"), col("fsize"), col("mtime"))
+        .as[LiveFileMeta](org.apache.spark.sql.Encoders.product[LiveFileMeta])
+        .collect().toSeq.sortBy(_.path)
     } catch {
       // a vanished checkpoint or dropped tail delta (vacuum racing this
       // prune) — the driver path has its own fallback chain
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(e) =>
+        noteFallback(
+          s"distributed prune fell back to the driver path on " +
+            s"$root@v$version: ${e.getMessage}")
+        None
     }
   }
 
@@ -4888,12 +5071,13 @@ object Snapshots {
     * write surface; a table built this way is unreadable as data. */
   private[graft] def commitMetadataOnlyAdds(
       spark: SparkSession, root: String, adds: Seq[String],
-      stats: Map[String, graft.core.Skipping.FileStats]): Long = {
+      stats: Map[String, graft.core.Skipping.FileStats],
+      fmeta: Map[String, (Long, Long)] = Map.empty): Long = {
     val prev = latestVersion(spark, root)
     val d = readDelta(spark, root, prev)
     commitRewrite(spark, root, prev + 1,
       Delta(adds, Nil, schema = d.schema, props = d.props, stats = stats,
-        op = Some("append"), dv = d.dv))
+        op = Some("append"), dv = d.dv, fmeta = fmeta))
   }
 
   /** Files of `version` whose stats are NOT in the log (would need a

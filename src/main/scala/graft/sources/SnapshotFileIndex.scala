@@ -50,12 +50,38 @@ private[sources] class SnapshotFileIndex(
   private[sources] lazy val dvDirs: Seq[String] =
     Snapshots.liveDeletionVectors(spark, root, version)
 
-  private lazy val statuses: Seq[FileStatus] = {
-    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Snapshots.versionFiles(spark, root, version).toSet
-    files.map(f => new Path(f).getParent).toSeq.distinct
-      .flatMap(dir => fs.listStatus(dir).toSeq)
-      .filter(s => s.isFile && files.contains(s.getPath.toString))
+  /** The version's full live list as metadata rows — parquet-checkpoint
+    * tables answer from the checkpoint's recorded (size, mtime) with
+    * ZERO filesystem RPCs; None keeps the listing path. */
+  private lazy val liveMetas: Option[Seq[Snapshots.LiveFileMeta]] =
+    Snapshots.liveFileMeta(spark, root, version)
+
+  /** One plan-time `FileStatus`, synthesized from a checkpoint row when
+    * it carries the length (files are immutable once committed, so the
+    * recorded length is exact — the parquet reader seeks the footer by
+    * it); a legacy row without one pays a single stat RPC. */
+  private def statusOf(
+      m: Snapshots.LiveFileMeta,
+      fs: org.apache.hadoop.fs.FileSystem): FileStatus = {
+    val p = new Path(qroot, m.path)
+    m.fsize match {
+      case Some(len) =>
+        new FileStatus(len, false, 1, 128L * 1024 * 1024,
+          m.mtime.getOrElse(0L), p)
+      case None => fs.getFileStatus(p)
+    }
+  }
+
+  private lazy val statuses: Seq[FileStatus] = liveMetas match {
+    case Some(metas) =>
+      val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      metas.map(statusOf(_, fs))
+    case None =>
+      val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = Snapshots.versionFiles(spark, root, version).toSet
+      files.map(f => new Path(f).getParent).toSeq.distinct
+        .flatMap(dir => fs.listStatus(dir).toSeq)
+        .filter(s => s.isFile && files.contains(s.getPath.toString))
   }
 
   /** Hive-partitioned tables (the `graft.partitionBy` property) expose
@@ -88,15 +114,20 @@ private[sources] class SnapshotFileIndex(
     case _ => Nil
   }
 
-  /** The version's files surviving stats (and bloom) pruning for the
-    * given filters — exposed for the spec to pin the PLANNED set. */
-  private[sources] def survivingPaths(dataFilters: Seq[Expression]): Set[String] = {
-    // stats envelopes and parquet blooms are keyed by PHYSICAL column
-    // names; the filters speak logical ones — translate (identity on
-    // never-renamed tables)
-    val physMap = Snapshots.versionSchema(spark, root, version)
+  /** The physical-name translation the stats/bloom machinery needs —
+    * filters speak logical names (identity on never-renamed tables). */
+  private def phys(c: String): String = {
+    lazy val physMap = Snapshots.versionSchema(spark, root, version)
       .map(Snapshots.physicalMap).getOrElse(Map.empty[String, String])
-    def phys(c: String) = physMap.getOrElse(c, c)
+    physMap.getOrElse(c, c)
+  }
+
+  /** The four envelope-bound families implied by `dataFilters`, keyed
+    * by PHYSICAL names. None = some family is provably empty (the scan
+    * can plan zero files). */
+  private def boundsOf(dataFilters: Seq[Expression])
+      : Option[(Map[String, (Long, Long)], Map[String, (Double, Double)],
+        Map[String, graft.core.Skipping.StrRange], Map[String, Set[Boolean]])] = {
     val bs = dataFilters.map(StatsBounds.bounds)
       .foldLeft(Map.empty[String, (Long, Long)])(StatsBounds.intersect)
       .map { case (c, r) => phys(c) -> r }
@@ -109,58 +140,75 @@ private[sources] class SnapshotFileIndex(
     val nbs = dataFilters.map(StatsBounds.nullBounds)
       .foldLeft(Map.empty[String, Set[Boolean]])(StatsBounds.nullIntersect)
       .map { case (c, r) => phys(c) -> r }
-    if (bs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
-    if (dbs.exists { case (_, (lo, hi)) => lo > hi }) return Set.empty
-    if (sbs.exists(_._2.isEmpty)) return Set.empty
-    if (nbs.exists(_._2.size == 2)) return Set.empty
-    val all = statuses.map(_.getPath.toString)
-    val statsPruned =
-      if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty) all
-      else Snapshots.distributedCandidateFiles(
-          spark, root, version, bs, dbs, sbs, nbs) match {
-        // parquet-checkpoint tables: the envelope filter ran on the
-        // executors; only surviving rel paths reached the driver
-        case Some(rel) =>
-          val relSet = rel.map(f => new Path(qroot, f).toString).toSet
-          all.filter(relSet.contains)
-        case None =>
-        val idx = Snapshots.statsIndex(spark, root, version)
-        def fold[A](files: Seq[String], m: Map[String, A])(
-            prune: (Seq[graft.core.Skipping.FileStats], String, A) => Seq[String]): Seq[String] =
-          m.foldLeft(files) { case (fs, (c, r)) =>
-            val fileSet = fs.toSet // O(files) member tests, not O(files²)
-            val keep = prune(idx.filter(s => fileSet.contains(s.path)), c, r).toSet
-            fs.filter(keep.contains)
-          }
-        val afterLong = fold(all, bs)((i, c, r) =>
-          graft.core.Skipping.pruneFiles(i, c, r._1, r._2))
-        val afterDbl = fold(afterLong, dbs)((i, c, r) =>
-          graft.core.Skipping.pruneFilesDouble(i, c, r._1, r._2))
-        val afterStr = fold(afterDbl, sbs)((i, c, r) =>
-          graft.core.Skipping.pruneFilesString(i, c, r))
-        fold(afterStr, nbs)((i, c, r) =>
-          graft.core.Skipping.pruneFilesNull(i, c, r.head))
-      }
+    if (bs.exists { case (_, (lo, hi)) => lo > hi }) return None
+    if (dbs.exists { case (_, (lo, hi)) => lo > hi }) return None
+    if (sbs.exists(_._2.isEmpty)) return None
+    if (nbs.exists(_._2.size == 2)) return None
+    Some((bs, dbs, sbs, nbs))
+  }
+
+  /** The version's `FileStatus`es surviving stats (and bloom) pruning
+    * for the given filters — what `listFiles` plans. On parquet-
+    * checkpoint tables the envelope filter runs on the EXECUTORS and
+    * only the surviving (path, size, mtime) rows reach the driver; the
+    * full status list is never materialized for a selective scan. */
+  private def survivingStatuses(dataFilters: Seq[Expression]): Seq[FileStatus] = {
+    val statsPruned: Seq[FileStatus] = boundsOf(dataFilters) match {
+      case None => Nil // some conjunct is provably unsatisfiable
+      case Some((bs, dbs, sbs, nbs)) =>
+        if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty) statuses
+        else Snapshots.distributedCandidateMeta(
+            spark, root, version, bs, dbs, sbs, nbs) match {
+          case Some(metas) =>
+            val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            metas.map(statusOf(_, fs))
+          case None =>
+            val all = statuses.map(_.getPath.toString)
+            val idx = Snapshots.statsIndex(spark, root, version)
+            def fold[A](files: Seq[String], m: Map[String, A])(
+                prune: (Seq[graft.core.Skipping.FileStats], String, A) => Seq[String]): Seq[String] =
+              m.foldLeft(files) { case (fs, (c, r)) =>
+                val fileSet = fs.toSet // O(files) member tests, not O(files²)
+                val keep = prune(idx.filter(s => fileSet.contains(s.path)), c, r).toSet
+                fs.filter(keep.contains)
+              }
+            val afterLong = fold(all, bs)((i, c, r) =>
+              graft.core.Skipping.pruneFiles(i, c, r._1, r._2))
+            val afterDbl = fold(afterLong, dbs)((i, c, r) =>
+              graft.core.Skipping.pruneFilesDouble(i, c, r._1, r._2))
+            val afterStr = fold(afterDbl, sbs)((i, c, r) =>
+              graft.core.Skipping.pruneFilesString(i, c, r))
+            val keep = fold(afterStr, nbs)((i, c, r) =>
+              graft.core.Skipping.pruneFilesNull(i, c, r.head)).toSet
+            statuses.filter(s => keep.contains(s.getPath.toString))
+        }
+    }
     bloomOn match {
       case Some(c) =>
         val values = dataFilters.flatMap(bloomValues(_, c)).distinct
-        values.foldLeft(statsPruned) { (files, v) =>
-          if (files.isEmpty) files
-          else graft.core.Skipping.pruneFilesByBloomEqualityDistributed(
-            spark, files, phys(c), v)
-        }.toSet
-      case None => statsPruned.toSet
+        values.foldLeft(statsPruned) { (sts, v) =>
+          if (sts.isEmpty) sts
+          else {
+            val keep = graft.core.Skipping.pruneFilesByBloomEqualityDistributed(
+              spark, sts.map(_.getPath.toString), phys(c), v).toSet
+            sts.filter(s => keep.contains(s.getPath.toString))
+          }
+        }
+      case None => statsPruned
     }
   }
 
+  /** The version's files surviving stats (and bloom) pruning for the
+    * given filters — exposed for the spec to pin the PLANNED set. */
+  private[sources] def survivingPaths(dataFilters: Seq[Expression]): Set[String] =
+    survivingStatuses(dataFilters).map(_.getPath.toString).toSet
+
   override def listFiles(
-      partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val keep = survivingPaths(dataFilters)
+      partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     PartitionedRead.partitionDirectories(
-      statuses.filter(s => keep.contains(s.getPath.toString)),
+      survivingStatuses(dataFilters),
       partitionSchema, partitionFilters,
       spark.sessionState.conf.sessionLocalTimeZone)
-  }
 }
 
 /** Integral-bounds extraction from predicate conjuncts — the shared

@@ -378,6 +378,91 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, root).count() == 1)
   }
 
+  test("auto checkpoint format: text while small, parquet once big, exact throughout") {
+    val root = tmp()
+    // threshold 25: the first checkpoint (v10, ~11 files) stays text;
+    // wide appends push the live count past 25 before v20, which lands
+    // as the table's first PARQUET checkpoint — one table, both regimes
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "auto",
+        "graft.checkpoint.autoThreshold" -> "25"))
+    (1 to 9).foreach { b =>
+      Snapshots.append(spark, root,
+        Seq((b * 100L, b * 1.0)).toDF("k", "v").coalesce(1))
+    } // v9: 10 files
+    Snapshots.append(spark, root, Seq((10000L, 1.0)).toDF("k", "v")) // v10
+    assert(logNames(root).exists(_ == "v00000010.checkpoint"),
+      "below the threshold an auto table checkpoints as TEXT")
+    (11 to 20).foreach { b =>
+      Snapshots.append(spark, root,
+        (0L until 3L).map(i => (b * 100L + i, i * 1.0)).toDF("k", "v")
+          .repartition(3))
+    } // +30 files by v20 → count ≥ 25 at the v20 checkpoint
+    assert(logNames(root).exists(_ == "v00000020.checkpoint.parquet"),
+      "past the threshold the SAME auto table checkpoints as PARQUET")
+    // the parquet regime serves the distributed paths: prune parity
+    val head = Snapshots.latestVersion(spark, root)
+    val dist = Snapshots.statsCandidateFiles(spark, root, head, "k BETWEEN 1100 AND 1400")
+    spark.conf.set("spark.graft.prune.distributed", "never")
+    val drv =
+      try Snapshots.statsCandidateFiles(spark, root, head, "k BETWEEN 1100 AND 1400")
+      finally spark.conf.unset("spark.graft.prune.distributed")
+    assert(dist == drv && dist.nonEmpty)
+    // reconstruction across the regime flip equals a from-v0 replay
+    val viaCkpt = (0L to head).map(v => Snapshots.versionFiles(spark, root, v))
+    val p = new Path(root + "/_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logNames(root).filter(n => n.endsWith(".checkpoint") || n.endsWith(".checkpoint.parquet"))
+      .foreach(n => fs.delete(new Path(p, n), true))
+    Snapshots.invalidateCaches(spark, root)
+    assert((0L to head).map(v => Snapshots.versionFiles(spark, root, v)) == viaCkpt)
+    // an auto table stamps the reader feature up front — a text-only
+    // build must refuse before it can miss a future parquet manifest
+    val (_, _, rfeat, _) = Snapshots.protocol(spark, root)
+    assert(rfeat.contains("parquetCheckpoint"))
+    // and OPTIMIZE shrinking the table below the threshold flips the
+    // NEXT checkpoint back to text (hysteresis-free by design: both
+    // directions are exact, only relative cost differs)
+    Snapshots.optimizeCompact(spark, root, 1L << 30, 1L << 30)
+    val at = Snapshots.latestVersion(spark, root)
+    ((at + 1) to (at + (10 - at % 10))).foreach { _ =>
+      Snapshots.append(spark, root, Seq((99999L, 9.0)).toDF("k", "v"))
+    }
+    val ckptV = Snapshots.latestVersion(spark, root) / 10 * 10
+    assert(logNames(root).exists(_ == f"v$ckptV%08d.checkpoint"),
+      "an auto table shrunk below the threshold checkpoints as TEXT again")
+  }
+
+  test("the stale-checkpoint gate trips VISIBLY (WARN + event ring)") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 51).foreach { c => // head v51: a 41-delta tail past v10 > the 40 bound
+      val rel = f"data/ghost-$c%05d.parquet"
+      Snapshots.commitMetadataOnlyAdds(spark, root, Seq(rel),
+        Map(rel -> graft.core.Skipping.FileStats(rel, 10L,
+          Map("k" -> c * 100L), Map("k" -> (c * 100L + 99L)),
+          Map.empty, Map.empty, Map.empty, Map.empty, Map("k" -> 0L))),
+        Map(rel -> (1024L, 1L)))
+    }
+    val head = Snapshots.latestVersion(spark, root)
+    // simulate a crashed checkpointer: every checkpoint past v10 vanishes
+    val p = new Path(root + "/_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logNames(root).filter(n => n.endsWith(".checkpoint.parquet") &&
+        n.stripPrefix("v").takeWhile(_.isDigit).toLong > 10L)
+      .foreach(n => fs.delete(new Path(p, n), true))
+    Snapshots.invalidateCaches(spark, root)
+    Snapshots.fallbackEvents.clear()
+    val kept = Snapshots.statsCandidateFiles(spark, root, head, "k BETWEEN 1200 AND 1450")
+    assert(kept == Seq("data/ghost-00012.parquet", "data/ghost-00013.parquet",
+      "data/ghost-00014.parquet"),
+      "the driver fallback still prunes exactly")
+    val events = Snapshots.fallbackEvents.toArray.map(_.toString)
+    assert(events.exists(e => e.contains("stale-checkpoint gate") && e.contains("v10")),
+      s"the 40-delta tail past v10 must be diagnosable from the log; got: ${events.mkString(" | ")}")
+  }
+
   test("a text table FLIPS to parquet checkpoints mid-life and stays exact") {
     val root = tmp()
     drive(root, Map.empty) // text codec for the first ~31 commits

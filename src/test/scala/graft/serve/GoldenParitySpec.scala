@@ -76,6 +76,75 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(Tables.readOptional(spark, s"${TestSpark.sfDir}/lineitem.parquet").isDefined)
   }
 
+  test("§5 golden parity SWEEPS all 12 committed months, then the annual rollup") {
+    // Every committed month is mutually consistent the way month=01 is;
+    // sweeping all twelve exercises the weighted-rollup math over the
+    // reference's full year, and the ANNUAL rollup (the dashboard's
+    // streamlit_app.py:219-229 path) is checked against an independent
+    // recomputation from the 12×24 per-hour rows — no pandas, no
+    // committed aggregate trusted twice.
+    assume(available)
+    def mart(mm: String, name: String) =
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$exportRoot/year=2024/month=$mm/$name")
+    def relDiff(a: Double, b: Double): Double =
+      math.abs(a - b) / math.max(1.0, math.abs(b))
+    (1 to 12).foreach { m =>
+      val mm = f"$m%02d"
+      val kpis = mart(mm, "kpis").head()
+      val totalViajes = kpis.getAs[Number]("total_viajes").longValue()
+      val varHora = mart(mm, "variabilidad_hora")
+      // our weighted rollup over the 24 per-hour rows reproduces the
+      // committed monthly KPI row (counts exact, means 1e-9 relative)
+      val rolled = Report.weightedRollup(
+        varHora.withColumn("all", lit(1)), Seq("all"),
+        Seq("duracion_promedio_min" -> "d", "tarifa_promedio" -> "t"),
+        "total_viajes").head()
+      assert(rolled.getAs[Number]("total_viajes").longValue() == totalViajes,
+        s"month $mm: recomputed total_viajes")
+      assert(relDiff(rolled.getAs[Double]("d"),
+        kpis.getAs[Double]("duracion_promedio_min")) < 1e-9, s"month $mm: duration")
+      assert(relDiff(rolled.getAs[Double]("t"),
+        kpis.getAs[Double]("tarifa_promedio")) < 1e-9, s"month $mm: fare")
+      // hour×dow counts sum to the KPI total exactly
+      assert(mart(mm, "viajes_por_hora_dia")
+        .agg(sum("total_viajes")).head().getLong(0) == totalViajes, s"month $mm: hour×dow sum")
+      // the two single-metric hour series are projections of variabilidad_hora
+      val j = varHora.select(col("pickup_hour"),
+          col("tarifa_promedio").as("t_full"),
+          col("duracion_promedio_min").as("d_full"))
+        .join(mart(mm, "tarifa_promedio_hora"), "pickup_hour")
+        .join(mart(mm, "duracion_promedio_hora"), "pickup_hour")
+        .select(col("t_full"), col("tarifa_promedio"),
+          col("d_full"), col("duracion_promedio_min"))
+        .collect()
+      assert(j.length == 24, s"month $mm: hour series length")
+      j.foreach { r =>
+        assert(relDiff(r.getDouble(0), r.getDouble(1)) < 1e-9, s"month $mm: $r")
+        assert(relDiff(r.getDouble(2), r.getDouble(3)) < 1e-9, s"month $mm: $r")
+      }
+    }
+    // ANNUAL: the rollup of the 12 committed KPI rows must equal a
+    // recomputation from the year's 288 per-hour rows
+    val annual = Report.weightedRollup(
+      readKpis.withColumn("anio", col("year")), Seq("anio"),
+      Seq("duracion_promedio_min" -> "dur_anual", "tarifa_promedio" -> "tarifa_anual"),
+      "total_viajes").head()
+    val allVar = (1 to 12).map(m => mart(f"$m%02d", "variabilidad_hora"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val r = allVar.agg(
+      sum("total_viajes").as("n"),
+      sum(col("duracion_promedio_min") * col("total_viajes")).as("wd"),
+      sum(col("tarifa_promedio") * col("total_viajes")).as("wt")).head()
+    val n = r.getAs[Number]("n").longValue()
+    assert(annual.getAs[Number]("total_viajes").longValue() == n,
+      "annual total_viajes: committed-kpis rollup vs per-hour recomputation")
+    assert(relDiff(annual.getAs[Double]("dur_anual"),
+      r.getAs[Double]("wd") / n) < 1e-9, "annual weighted duration")
+    assert(relDiff(annual.getAs[Double]("tarifa_anual"),
+      r.getAs[Double]("wt") / n) < 1e-9, "annual weighted fare")
+  }
+
   test("§5 golden CSV value parity: serve-layer recomputation diffs against month=01") {
     // The committed month=01 exports are mutually consistent (the
     // reference computed them from ONE curated frame): per-hour counts,

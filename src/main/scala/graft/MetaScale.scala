@@ -61,10 +61,24 @@ object MetaScale {
     for (codec <- codecs; n <- sizes) {
       val root = java.nio.file.Files.createTempDirectory("metascale")
         .toFile.getAbsolutePath + "/t"
-      val props =
-        if (codec == "parquet") Map(Snapshots.checkpointFormatProp -> "parquet")
-        else Map.empty[String, String]
-      Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"), props)
+      // "partpq": a Hive-PARTITIONED parquet-checkpoint table (the
+      // reference's own year=/month= storage model) — partition values
+      // ride the synthetic paths, the prune predicate constrains the
+      // partition dimension, and the point envelopes derive
+      // EXECUTOR-SIDE on the distributed path (r15)
+      val partitioned = codec == "partpq"
+      val props = codec match {
+        case "parquet" | "auto" => Map(Snapshots.checkpointFormatProp -> codec)
+        case "sidecar" => Map(Snapshots.checkpointFormatProp -> "parquet",
+          Snapshots.checkpointSidecarsProp -> "true")
+        case "partpq" => Map(Snapshots.checkpointFormatProp -> "parquet",
+          "graft.partitionBy" -> "month")
+        case _ => Map.empty[String, String]
+      }
+      val seed =
+        if (partitioned) Seq((0L, 0.0, 0L)).toDF("k", "v", "month")
+        else Seq((0L, 0.0)).toDF("k", "v")
+      Snapshots.init(spark, root, seed, props)
       val perCommit = n / 100
       var ckptSec = 0.0; var plainSec = 0.0
       val (_, buildSec) = time {
@@ -72,8 +86,11 @@ object MetaScale {
           val adds = (0 until perCommit).map { i =>
             val fileNo = c * perCommit + i
             val lo = fileNo.toLong * 100L
-            f"data/part-$fileNo%07d.parquet" ->
-              FileStats(f"data/part-$fileNo%07d.parquet", 100L,
+            val rel =
+              if (partitioned) f"data/month=${fileNo % 12}%d/part-$fileNo%07d.parquet"
+              else f"data/part-$fileNo%07d.parquet"
+            rel ->
+              FileStats(rel, 100L,
                 Map("k" -> lo), Map("k" -> (lo + 99L)),
                 Map.empty, Map.empty, Map.empty, Map.empty,
                 Map("k" -> 0L))
@@ -96,8 +113,12 @@ object MetaScale {
       Snapshots.invalidateCaches(spark, root)
       val (files, resolveCold) = time(Snapshots.versionFiles(spark, root, head))
       require(files.size == n + 1, s"expected ${n + 1} live files, got ${files.size}")
-      // a selective range: ~1% of the k-domain → ~1% of the files survive
-      val pred = s"k BETWEEN ${n / 2 * 100L} AND ${(n / 2 + n / 100) * 100L}"
+      // a selective range: ~1% of the k-domain → ~1% of the files
+      // survive; the partitioned cell ALSO constrains the partition
+      // dimension (point envelopes from the paths cut a further ~11/12)
+      val pred =
+        (s"k BETWEEN ${n / 2 * 100L} AND ${(n / 2 + n / 100) * 100L}") +
+          (if (partitioned) s" AND month = ${(n / 2) % 12}" else "")
       Snapshots.invalidateCaches(spark, root)
       val (cold, pruneCold) = time(
         Snapshots.statsCandidateFiles(spark, root, head, pred))
@@ -110,17 +131,47 @@ object MetaScale {
       // from the recorded fmeta with zero stat RPCs; text tables would
       // listStatus real directories, which synthetic files lack → -1.
       Snapshots.invalidateCaches(spark, root)
+      // only meaningful when a parquet checkpoint exists (the RPC-free
+      // FileStatus synthesis path); the text regime would listStatus
+      // real directories, which synthetic files lack
+      val hasPq = new java.io.File(root + "/_log").listFiles
+        .exists(_.getName.endsWith(".checkpoint.parquet"))
       val (planned, planCold) =
-        if (codec == "parquet")
+        if (hasPq)
           time(graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
         else (-1L, -1.0)
-      if (codec == "parquet")
+      if (planned >= 0)
         require(planned == n + 1, s"planned $planned files, expected ${n + 1}")
+      // STEADY-STATE checkpoint cost: a FIXED 1k-file change (10 commits
+      // of 100 adds) driven to the next checkpoint boundary at the
+      // CURRENT table size. This is the column that separates O(change)
+      // sidecar manifests from O(table) full-row rewrites — the build
+      // loop's per-commit change grows with n, so ckpt_commit_sec alone
+      // cannot show it.
+      var steadySec = -1.0
+      (1 to 10).foreach { c =>
+        val adds = (0 until 100).map { i =>
+          val fileNo = n + c * 100 + i
+          val lo = fileNo.toLong * 100L
+          val rel =
+            if (partitioned) f"data/month=${fileNo % 12}%d/part-$fileNo%07d.parquet"
+            else f"data/part-$fileNo%07d.parquet"
+          rel -> FileStats(rel, 100L, Map("k" -> lo), Map("k" -> (lo + 99L)),
+            Map.empty, Map.empty, Map.empty, Map.empty, Map("k" -> 0L))
+        }
+        val fmeta = adds.map { case (rel, _) =>
+          rel -> (10L * 1024 * 1024, 1700000000000L) }.toMap
+        val (_, sec) = time {
+          Snapshots.commitMetadataOnlyAdds(spark, root,
+            adds.map(_._1), adds.toMap, fmeta)
+        }
+        if (c == 10) steadySec = sec // the boundary commit carries the checkpoint
+      }
       emit(f"""{"meta_scale":"$codec","files":$n,"build_sec":$buildSec%.3f,""" +
         f""""ckpt_commit_sec":$ckptSec%.3f,"plain_commit_sec":$plainSec%.3f,""" +
         f""""resolve_cold_sec":$resolveCold%.3f,"prune_cold_sec":$pruneCold%.3f,""" +
         f""""prune_warm_sec":$pruneWarm%.3f,"plan_cold_sec":$planCold%.3f,""" +
-        f""""survivors":${cold.size}}""")
+        f""""steady_ckpt_sec":$steadySec%.3f,"survivors":${cold.size}}""")
     }
     sink.foreach(_.close())
     spark.stop()

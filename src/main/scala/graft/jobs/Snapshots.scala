@@ -145,7 +145,7 @@ object Snapshots {
       * reading. */
     val supportedReaderFeatures: Set[String] =
       Set("deletionVectors", "columnMapping", "typeWidening", "columnDefaults",
-        "parquetCheckpoint")
+        "parquetCheckpoint", "checkpointSidecars")
     /** Features a WRITER must understand to keep the table's invariants
       * (identity allocation, generated-column validation, constraint
       * checks, bucket layout, CDC publication). */
@@ -182,6 +182,10 @@ object Snapshots {
     // parquet checkpoint at any later commit, possibly from a session a
     // legacy reader is concurrently following.
     if (parquetPathOn(d.props)) both("parquetCheckpoint")
+    // sidecar manifests: a reader without the assembly would take the
+    // manifest's FRESH rows for the whole table — silent data loss, the
+    // worst class — so the gate is a reader feature
+    if (sidecarsOn(d.props)) both("checkpointSidecars")
     if (d.props.keys.exists(_.startsWith(identityPrefix))) w += "identityColumns"
     if (d.props.keys.exists(_.startsWith(generatedPrefix))) w += "generatedColumns"
     if (d.props.keys.exists(_.startsWith(constraintPrefix))) w += "checkConstraints"
@@ -266,6 +270,20 @@ object Snapshots {
         commitRewrite(spark, root, head + 1,
           Delta(Nil, Nil, schema = Some(newSchema.json), props = cleaned,
             op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(feature)))
+      case "checkpointSidecars" =>
+        require(!sidecarsOn(prevDelta.props),
+          s"cannot drop checkpointSidecars from $root while " +
+            s"$checkpointSidecarsProp=true — unset it first")
+        val (_, qroot) = fsOf(spark, root)
+        val withRefs = checkpointVersions(spark, root)
+          .filter(cv => sidecarRefsOf(spark, qroot, cv).nonEmpty)
+        require(withRefs.isEmpty,
+          s"cannot drop checkpointSidecars from $root: surviving " +
+            s"checkpoint(s) ${withRefs.mkString(", ")} still reference " +
+            "sidecars — write a post-flip checkpoint and vacuum below them first")
+        commitRewrite(spark, root, head + 1,
+          Delta(Nil, Nil, schema = prevDelta.schema, props = prevDelta.props,
+            op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(feature)))
       case "parquetCheckpoint" =>
         require(!parquetPathOn(prevDelta.props),
           s"cannot drop parquetCheckpoint from $root while " +
@@ -333,6 +351,95 @@ object Snapshots {
     * through to the driver path. */
   private def parquetPathOn(props: Map[String, String]): Boolean =
     props.get(checkpointFormatProp).exists(f => f == "parquet" || f == "auto")
+
+  // ---- Sidecar checkpoints (Delta v2-checkpoint shape) ---------------
+  //
+  // `graft.checkpoint.sidecars = true` (parquet/auto format required):
+  // the checkpoint at v becomes a thin MANIFEST — header rows, sidecar
+  // REFERENCE rows naming immutable row files under `_log/_sidecars/`,
+  // TOMBSTONE rows, and the not-yet-spilled FRESH file rows — so an
+  // incremental checkpoint writes O(change since the last spill), never
+  // the O(table) full row set. Generations are CHECKPOINT VERSIONS
+  // (monotone for free): a sidecar written at checkpoint v carries
+  // gen v; a tombstone recorded at v kills any sidecar row of the same
+  // path with gen < v; fresh manifest rows implicitly carry the
+  // manifest's own version. Correctness of the gen rule: a path only
+  // re-enters a sidecar via a re-add AFTER its removal, so the new copy
+  // always lands at a gen ≥ the killing tombstone's and survives it.
+  // Readers assemble live = (∪ sidecars ∪ fresh) ⟕̸ tombstones with ONE
+  // broadcast anti-join; compaction (ref-count or tombstone caps) folds
+  // everything into one sidecar and clears the tombstones, amortizing
+  // the O(table) write to 1/K of checkpoints. Gated as reader feature
+  // `checkpointSidecars` — a build without this assembly would read the
+  // manifest's fresh rows as the whole table.
+  val checkpointSidecarsProp = "graft.checkpoint.sidecars"
+  private val sidecarSpillRowsProp = "graft.checkpoint.sidecar.spillRows"
+  private val sidecarSpillRowsDefault = 50000L
+  private val sidecarMaxRefs = 16
+  private val sidecarTombCap = 100000L
+
+  private[jobs] def sidecarsOn(props: Map[String, String]): Boolean =
+    props.get(checkpointSidecarsProp).contains("true")
+
+  private def sidecarsDir(qroot: Path) = new Path(qroot, "_log/_sidecars")
+  private def sidecarPath(qroot: Path, name: String) =
+    new Path(sidecarsDir(qroot), name)
+  private def newSidecarName(gen: Long) =
+    f"g$gen%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+  private[jobs] def sidecarGenOf(name: String): Long =
+    name.stripPrefix("g").takeWhile(_.isDigit).toLong
+
+  private def tombRowOf(rel: String, gen: Long): CkptRow =
+    CkptRow("tomb", rel, None, Map.empty, Map.empty, Map.empty, Map.empty,
+      Map.empty, Map.empty, Map.empty, gen.toString, "")
+
+  private def sidecarRefRowOf(gen: Long, name: String): CkptRow =
+    CkptRow("sidecar", "", None, Map.empty, Map.empty, Map.empty, Map.empty,
+      Map.empty, Map.empty, Map.empty, gen.toString, name)
+
+  /** The sidecar references of the parquet checkpoint at `cv` (empty on
+    * plain checkpoints and non-parquet versions) — (gen, dirName). */
+  private def sidecarRefsOf(
+      spark: SparkSession, qroot: Path, cv: Long): Seq[(Long, String)] = {
+    val pq = parquetCheckpointPath(qroot, cv)
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pq)) return Nil
+    readCkptRows(spark, pq).filter(col("kind") === "sidecar")
+      .select(col("hkey"), col("hval"))
+      .collect().map(r => (r.getString(0).toLong, r.getString(1))).toSeq
+  }
+
+  /** The LIVE file rows of the parquet checkpoint at `cv`, whichever
+    * shape it has: a plain checkpoint's `kind = "file"` rows directly, a
+    * sidecar MANIFEST assembled as (∪ sidecar rows at their gens ∪ fresh
+    * rows at the manifest's version) anti-joined against the broadcast
+    * tombstone set (kill iff tombGen > rowGen). The single read
+    * primitive every parquet-checkpoint consumer shares. */
+  private def assembleCheckpointRows(
+      spark: SparkSession, qroot: Path, cv: Long)
+      : org.apache.spark.sql.Dataset[CkptRow] = {
+    val man = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
+    val refs = sidecarRefsOf(spark, qroot, cv)
+    val fresh = man.filter(col("kind") === "file")
+    if (refs.isEmpty) return fresh
+    val tombs = man.filter(col("kind") === "tomb")
+      .select(col("path"), col("hkey"))
+      .collect().map(r => (r.getString(0), r.getString(1).toLong)).toSeq
+    val parts = refs.map { case (g, name) =>
+      readCkptRows(spark, sidecarPath(qroot, name))
+        .filter(col("kind") === "file").toDF()
+        .withColumn("_gen", lit(g))
+    } :+ fresh.toDF().withColumn("_gen", lit(cv))
+    val all = parts.reduce(_ unionByName _)
+    val live =
+      if (tombs.isEmpty) all
+      else {
+        val t = spark.createDataFrame(tombs).toDF("_tpath", "_tgen")
+        all.join(broadcast(t),
+          all("path") === t("_tpath") && t("_tgen") > col("_gen"), "left_anti")
+      }
+    live.drop("_gen").as[CkptRow]
+  }
 
   /** Recent fallback events (stale-checkpoint gate trips, distributed
     * prune/summary declines) — WARN-logged for production
@@ -917,6 +1024,10 @@ object Snapshots {
       require(f == "text" || f == "parquet" || f == "auto",
         s"$checkpointFormatProp must be 'text', 'parquet' or 'auto' (got '$f')")
     }
+    if (sidecarsOn(d.props))
+      require(parquetPathOn(d.props),
+        s"$checkpointSidecarsProp=true requires $checkpointFormatProp " +
+          "'parquet' or 'auto' (sidecars are a parquet-checkpoint shape)")
     // feature stamping is STICKY: this commit's requirements union the
     // predecessor's — old files keep needing every feature ever used.
     // The ONE exit is an explicit DROP FEATURE commit (featDrop), which
@@ -1106,8 +1217,7 @@ object Snapshots {
             "format mid-transition?")
         ok
       }.map { cv =>
-      val base = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
-        .filter(col("kind") === "file")
+      val base = assembleCheckpointRows(spark, qroot, cv)
       ((cv + 1) to v).foldLeft(base) { (acc, w) =>
         val d = readDelta(spark, root, w)
         // adds BEFORE removes, mirroring the driver `reconstruct` replay
@@ -1158,6 +1268,31 @@ object Snapshots {
     }
   }
 
+  /** Full (non-incremental) live row build: `reconstruct` + whatever
+    * fmeta the surviving deltas carry; files whose adding delta was
+    * vacuumed below a TEXT checkpoint get one tolerant driver stat — a
+    * ONE-TIME backfill, after which every later incremental checkpoint
+    * inherits the values. */
+  private def fullLiveRows(
+      spark: SparkSession, root: String, v: Long,
+      fs: org.apache.hadoop.fs.FileSystem, qroot: Path)
+      : org.apache.spark.sql.Dataset[CkptRow] = {
+    val (files, stats) = reconstruct(spark, root, v)
+    val fmetaAll = versions(spark, root).filter(_ <= v)
+      .foldLeft(Map.empty[String, (Long, Long)]) { (m, w) =>
+        val d = readDelta(spark, root, w)
+        (m ++ d.fmeta) -- d.removes
+      }
+    def fm(rel: String): Option[(Long, Long)] =
+      fmetaAll.get(rel).orElse {
+        try {
+          val st = fs.getFileStatus(new Path(qroot, rel))
+          Some((st.getLen, st.getModificationTime))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    spark.createDataset(files.map(rel => ckptRowOf(rel, stats.get(rel), fm(rel))))
+  }
+
   private def writeCheckpointParquetOnce(
       spark: SparkSession, root: String, v: Long,
       allowIncremental: Boolean): Unit = {
@@ -1165,32 +1300,21 @@ object Snapshots {
     val dest = parquetCheckpointPath(qroot, v)
     if (fs.exists(dest)) return
     val hd = readDelta(spark, root, v)
-    val fileRows = (if (allowIncremental) checkpointFileFrame(spark, root, v)
-                    else None).getOrElse {
-      val (files, stats) = reconstruct(spark, root, v)
-      // full rebuild (first parquet checkpoint, or post-vacuum): fmeta
-      // comes from whichever adding deltas still exist; files whose
-      // adding delta was vacuumed below a TEXT checkpoint get one
-      // tolerant driver stat here — a ONE-TIME backfill, after which
-      // every later incremental checkpoint inherits the values
-      val fmetaAll = versions(spark, root).filter(_ <= v)
-        .foldLeft(Map.empty[String, (Long, Long)]) { (m, w) =>
-          val d = readDelta(spark, root, w)
-          (m ++ d.fmeta) -- d.removes
-        }
-      def fm(rel: String): Option[(Long, Long)] =
-        fmetaAll.get(rel).orElse {
-          try {
-            val st = fs.getFileStatus(new Path(qroot, rel))
-            Some((st.getLen, st.getModificationTime))
-          } catch { case scala.util.control.NonFatal(_) => None }
-        }
-      spark.createDataset(files.map(rel => ckptRowOf(rel, stats.get(rel), fm(rel))))
-    }
     val prevPq =
       if (allowIncremental)
         logVersions(spark, root, ".checkpoint.parquet").filter(_ < v).lastOption
       else None
+    // sidecar manifests split the file rows three ways (fresh rows here,
+    // reference + tombstone rows alongside); plain checkpoints carry the
+    // complete live set as file rows
+    val (fileRows, extraRows) =
+      if (sidecarsOn(hd.props))
+        sidecarManifestRows(spark, root, v, fs, qroot, prevPq)
+      else {
+        val rows = (if (allowIncremental) checkpointFileFrame(spark, root, v)
+                    else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
+        (rows, Seq.empty[CkptRow])
+      }
     val (copiedRows, maxTxn) = prevPq match {
       case Some(cv) =>
         // headers refresh incrementally too: prior `copied` rows stay a
@@ -1222,11 +1346,100 @@ object Snapshots {
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-ckpt-pq-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     fileRows.unionByName(copiedRows)
-      .unionByName(spark.createDataset(headerRows))
+      .unionByName(spark.createDataset(headerRows ++ extraRows))
       .write.mode("overwrite").parquet(tmp.toString)
     // a concurrent checkpointer may have landed first: same derived
     // content, so losing this race is a silent no-op
     if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
+  }
+
+  /** The three row groups of a SIDECAR manifest at checkpoint `v`:
+    * returns (fresh file rows — a distributed frame, O(change since the
+    * last spill)) and (sidecar-reference + tombstone rows — driver-small
+    * by the caps). Incremental from the previous manifest when one
+    * exists: carry its refs, fold the tail deltas' per-path FINAL ops
+    * into fresh'/tombstones', then SPILL fresh to a new immutable
+    * sidecar once it outgrows the spill threshold, or COMPACT everything
+    * into one sidecar when the ref count or tombstone set hits its cap
+    * (amortized O(table)/K). Bootstrap (no previous parquet checkpoint,
+    * or the full-rebuild retry) spills the complete live set as the
+    * first sidecar — the manifest itself stays O(headers). */
+  private def sidecarManifestRows(
+      spark: SparkSession, root: String, v: Long,
+      fs: org.apache.hadoop.fs.FileSystem, qroot: Path,
+      prevPq: Option[Long])
+      : (org.apache.spark.sql.Dataset[CkptRow], Seq[CkptRow]) = {
+    val props = readDelta(spark, root, v).props
+    val spillRows = props.get(sidecarSpillRowsProp).flatMap(_.toLongOption)
+      .getOrElse(sidecarSpillRowsDefault)
+    def spill(rows: org.apache.spark.sql.Dataset[CkptRow], gen: Long): (Long, String) = {
+      val name = newSidecarName(gen)
+      // the name is globally unique, so the write needs no tmp+rename:
+      // nothing references the directory until THIS manifest publishes
+      rows.write.mode("overwrite").parquet(sidecarPath(qroot, name).toString)
+      (gen, name)
+    }
+    prevPq match {
+      case Some(cv) =>
+        val man = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
+        val refs0 = sidecarRefsOf(spark, qroot, cv)
+        val tombs0: Map[String, Long] =
+          if (refs0.isEmpty) Map.empty
+          else man.filter(col("kind") === "tomb")
+            .select(col("path"), col("hkey")).collect()
+            .map(r => r.getString(0) -> r.getString(1).toLong).toMap
+        val prevFresh = man.filter(col("kind") === "file")
+        // the tail's per-path FINAL op, adds applied before removes per
+        // delta exactly like `reconstruct`
+        val ops = scala.collection.mutable.LinkedHashMap[
+          String, Option[(Option[graft.core.Skipping.FileStats], Option[(Long, Long)])]]()
+        ((cv + 1) to v).foreach { w =>
+          val d = readDelta(spark, root, w)
+          d.adds.foreach(r => ops(r) = Some((d.stats.get(r), d.fmeta.get(r))))
+          d.removes.foreach(r => ops(r) = None)
+        }
+        val touched = ops.keys.toSeq
+        val finalAdds = ops.collect { case (r, Some((s, f))) =>
+          ckptRowOf(r, s, f) }.toSeq
+        val freshKept =
+          if (touched.isEmpty) prevFresh
+          else if (touched.size <= 1000)
+            prevFresh.filter(!col("path").isin(touched: _*))
+          else {
+            val t = spark.createDataset(touched)(
+              org.apache.spark.sql.Encoders.STRING).toDF("path")
+            prevFresh.join(broadcast(t), Seq("path"), "left_anti").as[CkptRow]
+          }
+        val fresh1 =
+          if (finalAdds.isEmpty) freshKept
+          else freshKept.unionByName(spark.createDataset(finalAdds))
+        // a tombstone for EVERY touched path: re-adds land in fresh at a
+        // gen ≥ v so the tomb can never kill them, and tombs for paths
+        // with no sidecar copy are harmless (bounded by the compact cap)
+        val tombs1 = tombs0 ++ touched.map(_ -> v)
+        if (refs0.size >= sidecarMaxRefs || tombs1.size > sidecarTombCap) {
+          // COMPACT: fold sidecars + tombs + fresh into one sidecar
+          val all = checkpointFileFrame(spark, root, v).getOrElse(
+            fullLiveRows(spark, root, v, fs, qroot))
+          val ref = spill(all, v)
+          (spark.emptyDataset[CkptRow],
+            Seq(sidecarRefRowOf(ref._1, ref._2)))
+        } else if (fresh1.count() >= spillRows) {
+          val ref = spill(fresh1, v)
+          (spark.emptyDataset[CkptRow],
+            (refs0 :+ ref).map(r => sidecarRefRowOf(r._1, r._2)) ++
+              tombs1.toSeq.map { case (p, g) => tombRowOf(p, g) })
+        } else {
+          (fresh1,
+            refs0.map(r => sidecarRefRowOf(r._1, r._2)) ++
+              tombs1.toSeq.map { case (p, g) => tombRowOf(p, g) })
+        }
+      case None =>
+        // bootstrap / full rebuild: the whole live set becomes sidecar #1
+        val all = fullLiveRows(spark, root, v, fs, qroot)
+        val ref = spill(all, v)
+        (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref._1, ref._2)))
+    }
   }
 
   /** The checkpoint at `cv` as (file list, stats) regardless of codec —
@@ -1255,8 +1468,7 @@ object Snapshots {
         // checkpoint fallback, which is exact for ANY failure here
         // (checkpoints are derived; the terminal fallback is a from-v0
         // replay that fails loudly on genuine IO trouble)
-        try readCkptRows(spark, pq)
-          .filter(col("kind") === "file").collect()
+        try assembleCheckpointRows(spark, qroot, cv).collect()
         catch {
           case scala.util.control.NonFatal(e) =>
             throw new java.io.FileNotFoundException(
@@ -1358,8 +1570,21 @@ object Snapshots {
   private val reconstructCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), (Seq[String], Map[String, graft.core.Skipping.FileStats])]()
 
-  private def versionFileList(spark: SparkSession, root: String, v: Long): Seq[String] =
-    reconstruct(spark, root, v)._1
+  private def versionFileList(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    // parquet-checkpoint tables: answer from the (cached) distributed
+    // live-meta collect — 3 thin columns off the checkpoint instead of
+    // the full stats-map rows `reconstruct` materializes; both are the
+    // same replay, pinned equal by ParquetCheckpointSpec. Warm hits on
+    // either cache are free; the driver reconstruct remains for text
+    // tables and for consumers that need the stats maps.
+    val key = (fsOf(spark, root)._2.toString, v)
+    val rHit = reconstructCache.get(key)
+    if (rHit != null) return rHit._1
+    liveFileMeta(spark, root, v) match {
+      case Some(metas) => metas.map(_.path)
+      case None => reconstruct(spark, root, v)._1
+    }
+  }
 
   /** A version's absolute data-file paths — the input a file-skipping
     * index build (core/Skipping) or any external reader needs; the log IS
@@ -2784,9 +3009,15 @@ object Snapshots {
       return None
     val partCols = graft.core.HivePartitions.columnsOf(
       readDelta(spark, root, version).props)
+    // the executor-side augmentation deserializes whole rows — pay it
+    // ONLY when some bound actually constrains a partition column
+    // (same outcome as the driver path, which augments unconditionally
+    // but whose extra envelopes never affect unconstrained columns)
+    val constrained = bs.keySet ++ dbs.keySet ++ sbs.keySet ++ nbs.keySet
+    val augment = partCols.exists(constrained.contains)
     try checkpointFileFrame(spark, root, version).map { rows0 =>
       val rows =
-        if (partCols.isEmpty) rows0
+        if (!augment) rows0
         else rows0.map(withPartitionEnvelopes(_, partCols))(ckptEnc)
       import org.apache.spark.sql.Column
       def hasNo(m: String, c: String): Column = element_at(col(m), c).isNull
@@ -4892,6 +5123,22 @@ object Snapshots {
     checkpointVersions(spark, root).filter(_ < floor).foreach { v =>
       fs.delete(checkpointPath(qroot, v), false)
       fs.delete(parquetCheckpointPath(qroot, v), true)
+    }
+    // sidecar GC: a sidecar is dead once no SURVIVING manifest references
+    // it. The gen < floor guard protects a CONCURRENT checkpointer's
+    // just-written, not-yet-referenced sidecar (its gen is its checkpoint
+    // version, necessarily ≥ the floor we just kept) — a dead high-gen
+    // sidecar from a lost publish race lingers until a later vacuum's
+    // floor passes it.
+    val scDir = sidecarsDir(qroot)
+    if (fs.exists(scDir)) {
+      val live = checkpointVersions(spark, root)
+        .flatMap(cv => sidecarRefsOf(spark, qroot, cv)).map(_._2).toSet
+      fs.listStatus(scDir).foreach { s =>
+        val name = s.getPath.getName
+        val gen = try sidecarGenOf(name) catch { case _: Exception => Long.MaxValue }
+        if (!live.contains(name) && gen < floor) fs.delete(s.getPath, true)
+      }
     }
     orphans.size
   }

@@ -3411,6 +3411,156 @@ object LifecycleQueries {
              |  TRUE AS features_clear, TRUE AS history_was_gated,
              |  TRUE AS truncated_clean
              |FROM events WHERE event_id % 13 <> 5""".stripMargin)
+    ),
+
+    // ---- PARTITIONED × parquet-checkpoint pruning (r15): the
+    // reference's own storage model (Hive `year=/month=` layout,
+    // ref scripts/02_spark_etl.py:140-144) on the columnar metadata
+    // path. Until r15 partitioned tables were EXCLUDED from the
+    // distributed prune and fell back to the driver stats loop; now the
+    // path-encoded partition values derive as point envelopes on the
+    // EXECUTORS. `dist_parity` pins distributed == driver file sets for
+    // a partition×data predicate; `pruned` pins the front door planned
+    // fewer files than the table holds; the aggregate hashes against
+    // DuckDB. 100 TB: the dominant pruning dimension (partitions) no
+    // longer costs an O(files) driver loop at plan/DML time.
+    QuerySpec(
+      "partitioned_pq_prune",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/partpq"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.where(col("event_id") % 12 === 0).repartition(2),
+          Map("graft.partitionBy" -> "event_type",
+            Snapshots.checkpointFormatProp -> "parquet"))
+        (1 to 11).foreach(b =>
+          Snapshots.append(s, root,
+            e.where(col("event_id") % 12 === b).repartition(2)))
+        val head = Snapshots.latestVersion(s, root)
+        val pred = "event_type = 'click' AND event_id BETWEEN 100 AND 40000"
+        val dist = Snapshots.statsCandidateFiles(s, root, head, pred)
+        s.conf.set("spark.graft.prune.distributed", "never")
+        val drv =
+          try Snapshots.statsCandidateFiles(s, root, head, pred)
+          finally s.conf.unset("spark.graft.prune.distributed")
+        val distParity = dist == drv
+        val total = Snapshots.versionFiles(s, root).size
+        val q = s.read.format("graft.sources.SnapshotSource").load(root)
+          .where(col("event_type") === "click" &&
+            col("event_id").between(100L, 40000L))
+        val pruned = plannedFileCount(q) < total
+        q.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("dist_parity", lit(distParity))
+          .withColumn("pruned", lit(pruned))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS dist_parity, TRUE AS pruned
+             |FROM events
+             |WHERE event_type = 'click' AND event_id BETWEEN 100 AND 40000""".stripMargin)
+    ),
+
+    // ---- SIDECAR checkpoints (r15): Delta's v2-checkpoint shape — the
+    // checkpoint is a thin MANIFEST (headers + sidecar references +
+    // tombstones + fresh rows) over immutable row files in
+    // `_log/_sidecars/`, so a steady-state checkpoint writes O(change
+    // since the last spill) instead of O(table). `thin` pins the head
+    // manifest's fresh-row count strictly below the live file count
+    // (the O(change) write shape), `spilled` pins sidecars on disk,
+    // `gated` pins the checkpointSidecars reader feature; the aggregate
+    // (after a COW delete, so tombstones are genuinely exercised)
+    // hashes against DuckDB. 100 TB at 10⁷–10⁸ files: checkpoint I/O no
+    // longer rewrites the world every cadence.
+    QuerySpec(
+      "sidecar_checkpoint_scan",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/scckpt"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.where(col("event_id") % 12 === 0).repartition(2),
+          Map(Snapshots.checkpointFormatProp -> "parquet",
+            Snapshots.checkpointSidecarsProp -> "true",
+            "graft.checkpoint.sidecar.spillRows" -> "8"))
+        (1 to 8).foreach(b =>
+          Snapshots.append(s, root,
+            e.where(col("event_id") % 12 === b).repartition(2)))
+        // the delete lands BEFORE the v10 checkpoint boundary, so its
+        // removes become real TOMBSTONES in the v10 manifest (killing
+        // rows the v0 bootstrap sidecar still carries)
+        Snapshots.deleteWhere(s, root, "event_id % 13 = 5") // v9
+        (9 to 11).foreach(b =>
+          Snapshots.append(s, root,
+            e.where(col("event_id") % 12 === b).repartition(2)))
+        val head = Snapshots.latestVersion(s, root)
+        val live = Snapshots.versionFiles(s, root).size.toLong
+        val manifest = s.read.parquet(
+          f"$root/_log/v${head / 10 * 10}%08d.checkpoint.parquet")
+        val thin = manifest.where(col("kind") === "file").count() < live
+        val spilled = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/_log/_sidecars")) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log/_sidecars")).nonEmpty
+        val gated = Snapshots.protocol(s, root)._3.contains("checkpointSidecars")
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("thin", lit(thin))
+          .withColumn("spilled", lit(spilled))
+          .withColumn("gated", lit(gated))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS thin, TRUE AS spilled, TRUE AS gated
+             |FROM events
+             |WHERE NOT (event_id % 13 = 5 AND event_id % 12 <= 8)""".stripMargin)
+    ),
+
+    // ---- AUTO checkpoint format (r15): `graft.checkpoint.format=auto`
+    // picks the codec by live-file count — text below the threshold
+    // (MetaScale: a 1k-file text checkpoint costs 0.05 s vs a 1.3 s
+    // distributed parquet write), parquet above (the text render/parse
+    // is the O(table) driver wall) — so one table property serves both
+    // ends of its own growth curve. `text_first` pins the early
+    // checkpoint landed as text, `parquet_later` pins the post-threshold
+    // one as parquet, `gated` pins the reader feature stamped UP FRONT;
+    // the aggregate hashes against DuckDB.
+    QuerySpec(
+      "auto_checkpoint_format",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/autockpt"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.where(col("event_id") % 24 === 0).coalesce(1),
+          Map(Snapshots.checkpointFormatProp -> "auto",
+            "graft.checkpoint.autoThreshold" -> "15"))
+        (1 to 20).foreach(b =>
+          Snapshots.append(s, root,
+            e.where(col("event_id") % 24 === b).coalesce(1)))
+        val logDir = new org.apache.hadoop.fs.Path(s"$root/_log")
+        val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        val textFirst = names.contains("v00000010.checkpoint")
+        val parquetLater = names.contains("v00000020.checkpoint.parquet")
+        val gated = Snapshots.protocol(s, root)._3.contains("parquetCheckpoint")
+        s.read.format("graft.sources.SnapshotSource").load(root)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("text_first", lit(textFirst))
+          .withColumn("parquet_later", lit(parquetLater))
+          .withColumn("gated", lit(gated))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS text_first, TRUE AS parquet_later, TRUE AS gated
+             |FROM events WHERE event_id % 24 <= 20""".stripMargin)
     )
   )
 }

@@ -214,4 +214,74 @@ class InteropGauntletSpec extends AnyFunSuite {
     // parquetCheckpoint itself still gates (the format is still on)
     assert(Snapshots.protocol(spark, root)._3.contains("parquetCheckpoint"))
   }
+
+  test("SIDECAR checkpoint x MOR x compaction x vacuum x full feature exit composes") {
+    // the same metadata-tier composition over the sidecar manifest
+    // shape, ending with the complete EXIT ramp: unset the property,
+    // land a post-flip plain checkpoint, vacuum the referencing
+    // manifests away, then DROP FEATURE checkpointSidecars — the one
+    // sequence a table uses to hand itself back to a sidecar-unaware
+    // reader build.
+    val root = Files.createTempDirectory("gaunt3").toFile.getAbsolutePath + "/t"
+
+    def check(tag: String, expN: Long, expK: Long): Unit = {
+      val df = Snapshots.readVersion(spark, root)
+      val r = df.agg(count(lit(1)), sum(col("k")).cast("long")).head()
+      assert((r.getLong(0), r.getLong(1)) == ((expN, expK)),
+        s"$tag: (n,sumK) = (${r.getLong(0)},${r.getLong(1)}), " +
+          s"expected ($expN,$expK)")
+      Snapshots.versions(spark, root).foreach(v =>
+        assert(Snapshots.versionFiles(spark, root, v).nonEmpty ||
+          Snapshots.readVersion(spark, root, v).count() >= 0))
+    }
+
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet",
+        Snapshots.checkpointSidecarsProp -> "true",
+        "graft.checkpoint.sidecar.spillRows" -> "20"))
+    (1 to 11).foreach(b => Snapshots.append(spark, root,
+      (1L to 10L).map(i => (1000L + b * 100L + i, 0.5)).toDF("k", "v").coalesce(1)))
+    val sum0 = (1L to 100L).sum +
+      (1 to 11).map(b => (1L to 10L).map(1000L + b * 100L + _).sum).sum
+    check("ingest", 210, sum0)
+
+    Snapshots.deleteWhereMor(spark, root, "k <= 10")
+    val sum1 = sum0 - (1L to 10L).sum
+    check("mor-delete", 200, sum1)
+    val preFiles = Snapshots.versionFiles(spark, root).size
+    Snapshots.optimizeCompact(spark, root, smallerThanBytes = 1L << 20,
+      targetFileBytes = 1L << 30)
+    assert(Snapshots.versionFiles(spark, root).size < preFiles, "compacted")
+    check("compact", 200, sum1)
+    Snapshots.materializeDeletionVectors(spark, root)
+    check("materialize", 200, sum1)
+
+    Snapshots.vacuumRetain(spark, root, retainLast = 3, olderThanMs = 0L)
+    check("vacuum-retain", 200, sum1)
+
+    // ---- the exit ramp ----
+    Snapshots.setProperties(spark, root, Map.empty,
+      unset = Seq(Snapshots.checkpointSidecarsProp))
+    // drive to the next checkpoint boundary: it lands PLAIN parquet
+    val at = Snapshots.latestVersion(spark, root)
+    ((at + 1) to (at / 10 * 10 + 10)).foreach { _ =>
+      Snapshots.append(spark, root, Seq((999999L, 0.0)).toDF("k", "v"))
+    }
+    val n1 = 200L + (Snapshots.latestVersion(spark, root) - at)
+    val k1 = sum1 + 999999L * (Snapshots.latestVersion(spark, root) - at)
+    check("post-flip", n1, k1)
+    // vacuum below the plain checkpoint: referencing manifests (and
+    // their sidecars) go away
+    Snapshots.vacuum(spark, root, Snapshots.latestVersion(spark, root))
+    val dropV = Snapshots.dropFeature(spark, root, "checkpointSidecars")
+    Snapshots.vacuum(spark, root, dropV)
+    assert(Snapshots.versions(spark, root).forall(v =>
+      !Snapshots.protocol(spark, root, v)._3.contains("checkpointSidecars")))
+    check("feature-exit", n1, k1)
+    val scDir = new org.apache.hadoop.fs.Path(s"$root/_log/_sidecars")
+    val fs = scDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(scDir) || fs.listStatus(scDir).isEmpty,
+      "the exit ramp must leave no sidecar debris")
+  }
 }

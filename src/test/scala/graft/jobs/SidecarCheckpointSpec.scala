@@ -1,0 +1,185 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Sidecar checkpoints (`graft.checkpoint.sidecars = true`): the
+  * checkpoint becomes a thin manifest (headers + sidecar references +
+  * tombstones + fresh rows) over immutable row files in
+  * `_log/_sidecars/`, so a steady-state checkpoint writes O(change since
+  * the last spill) instead of the O(table) full row set. Pins: exact
+  * parity with from-v0 replay through a DML mix, the O(change) write
+  * shape (manifest fresh-row bound, spills), distributed==driver prune
+  * parity, tombstone correctness across remove/re-add (RESTORE), vacuum
+  * reclaiming dead sidecars while reads stay exact, the reader-feature
+  * gate, and DROP FEATURE refusing while references survive. */
+class SidecarCheckpointSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("scckpt").toFile.getAbsolutePath + "/t"
+
+  private val props = Map(
+    Snapshots.checkpointFormatProp -> "parquet",
+    Snapshots.checkpointSidecarsProp -> "true",
+    // tiny spill bound so the tests exercise spills + multi-ref reads
+    "graft.checkpoint.sidecar.spillRows" -> "20")
+
+  private def logNames(root: String): Seq[String] = {
+    val p = new Path(root + "/_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  private def sidecarNames(root: String): Seq[String] = {
+    val p = new Path(root + "/_log/_sidecars")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  test("a DML mix on a sidecar table reconstructs EXACTLY the delta replay") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2), props)
+    (1 to 12).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 20L).map(i => (b * 1000L + i, i * 2.0)).toDF("k", "v").repartition(2))
+    }                                                // v1..v12 (ckpt v10)
+    Snapshots.deleteWhere(spark, root, "k <= 10")    // v13
+    Snapshots.updateWhere(spark, root, Map("v" -> "v + 0.5"), "k > 11000") // v14
+    Snapshots.optimizeCompact(spark, root, 1L << 30, 1L << 30) // v15: wide remove+add
+    val preRestore = Snapshots.latestVersion(spark, root)
+    Snapshots.append(spark, root, Seq((777777L, 1.0)).toDF("k", "v")) // v16
+    Snapshots.restore(spark, root, preRestore)       // v17: RE-ADDS removed paths
+    (1 to 8).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 5L).map(i => (50000L + b * 100L + i, i * 3.0)).toDF("k", "v"))
+    }                                                // → past the v20 ckpt
+    val head = Snapshots.latestVersion(spark, root)
+    assert(head >= 20L)
+    assert(sidecarNames(root).nonEmpty, "spills must have landed sidecars")
+    val viaCkpt = (0L to head).map(v => Snapshots.versionFiles(spark, root, v))
+    val rows = Snapshots.readVersion(spark, root)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    // ground truth: from-v0 pure delta replay (checkpoints deleted)
+    val p = new Path(root + "/_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logNames(root).filter(_.endsWith(".checkpoint.parquet"))
+      .foreach(n => fs.delete(new Path(p, n), true))
+    Snapshots.invalidateCaches(spark, root)
+    assert((0L to head).map(v => Snapshots.versionFiles(spark, root, v)) == viaCkpt,
+      "sidecar-assembled reconstruction must equal from-v0 replay at EVERY version")
+    assert(Snapshots.readVersion(spark, root)
+      .orderBy("k").as[(Long, Double)].collect().toSeq == rows)
+  }
+
+  test("steady-state sidecar checkpoints write O(change): manifest stays thin") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"), props)
+    // 30 single-file commits → checkpoints at v10/v20/v30, spills when
+    // fresh exceeds 20 rows
+    (1 to 30).foreach { b =>
+      Snapshots.append(spark, root,
+        Seq((b * 10L, b * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val (fs, _) = (new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), ())
+    def manifestFileRows(v: Long): Long =
+      spark.read.parquet(f"$root/_log/v$v%08d.checkpoint.parquet")
+        .filter(col("kind") === "file").count()
+    // every manifest's FRESH row count is bounded by the spill threshold
+    // + one checkpoint's change — never the full table
+    Seq(10L, 20L, 30L).foreach { v =>
+      assert(manifestFileRows(v) <= 20L + 10L,
+        s"manifest at v$v must carry fresh rows only (O(change)), " +
+          s"got ${manifestFileRows(v)} of ${v + 1} live files")
+    }
+    assert(sidecarNames(root).nonEmpty)
+    // and the head manifest + sidecars assemble the exact live set
+    val head = Snapshots.latestVersion(spark, root)
+    assert(Snapshots.versionFiles(spark, root, head).size == 31)
+    assert(Snapshots.readVersion(spark, root).count() == 31L)
+  }
+
+  test("distributed prune == driver prune on a sidecar table") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (0L until 100L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), props)
+    (1 to 12).foreach { b =>
+      Snapshots.append(spark, root,
+        (0L until 100L).map(i => (b * 100L + i, i * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val v = Snapshots.latestVersion(spark, root)
+    Seq("k BETWEEN 320 AND 340", "k > 99999", "k >= 0", "v >= 50.0 AND k < 500")
+      .foreach { pred =>
+        val dist = Snapshots.statsCandidateFiles(spark, root, v, pred)
+        spark.conf.set("spark.graft.prune.distributed", "never")
+        val drv =
+          try Snapshots.statsCandidateFiles(spark, root, v, pred)
+          finally spark.conf.unset("spark.graft.prune.distributed")
+        assert(dist == drv, s"sidecar distributed vs driver prune diverged for: $pred")
+      }
+    val tight = Snapshots.statsCandidateFiles(spark, root, v, "k BETWEEN 320 AND 340")
+    assert(tight.nonEmpty && tight.size < Snapshots.versionFiles(spark, root, v).size)
+    // metadata-only COUNT(*) still answers through the assembled rows
+    assert(Snapshots.rowCount(spark, root) == Some(1300L))
+  }
+
+  test("vacuum reclaims DEAD sidecars, keeps referenced ones, reads stay exact") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"), props)
+    (1 to 25).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 5L).map(i => (b * 100L + i, i * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    // churn: OPTIMIZE rewrites everything → old sidecar rows all tombstoned
+    Snapshots.optimizeCompact(spark, root, 1L << 30, 1L << 30)
+    (1 to 10).foreach { b =>
+      Snapshots.append(spark, root, Seq((90000L + b, 1.0)).toDF("k", "v"))
+    }
+    val head = Snapshots.latestVersion(spark, root)
+    val before = sidecarNames(root).size
+    val rows = Snapshots.readVersion(spark, root).count()
+    Snapshots.vacuum(spark, root, keepFrom = head - 2)
+    assert(Snapshots.readVersion(spark, root).count() == rows,
+      "reads must be exact after vacuum")
+    val after = sidecarNames(root).size
+    assert(after <= before, s"vacuum must not grow the sidecar set ($before -> $after)")
+    // surviving manifests' references all resolve
+    val (survCkpts) = logNames(root).filter(_.endsWith(".checkpoint.parquet"))
+    assert(survCkpts.nonEmpty)
+    val live = survCkpts.flatMap { n =>
+      spark.read.parquet(s"$root/_log/$n").filter(col("kind") === "sidecar")
+        .select("hval").as[String].collect()
+    }.toSet
+    assert(live.subsetOf(sidecarNames(root).toSet),
+      "every surviving reference must resolve to a surviving sidecar")
+  }
+
+  test("reader feature gate + DROP FEATURE refusal while references survive") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"), props)
+    (1 to 25).foreach { b =>
+      Snapshots.append(spark, root, Seq((b * 10L, 1.0)).toDF("k", "v"))
+    }
+    val (_, _, rfeat, wfeat) = Snapshots.protocol(spark, root)
+    assert(rfeat.contains("checkpointSidecars") && rfeat.contains("parquetCheckpoint"))
+    assert(wfeat.contains("checkpointSidecars"))
+    // dropping while the prop is on refuses
+    val e1 = intercept[Exception](
+      Snapshots.dropFeature(spark, root, "checkpointSidecars"))
+    assert(e1.getMessage.contains("unset it first"))
+    // prop off but references survive: still refuses, names the versions
+    Snapshots.setProperties(spark, root, Map.empty,
+      unset = Seq(Snapshots.checkpointSidecarsProp))
+    val e2 = intercept[Exception](
+      Snapshots.dropFeature(spark, root, "checkpointSidecars"))
+    assert(e2.getMessage.contains("still reference"))
+  }
+}

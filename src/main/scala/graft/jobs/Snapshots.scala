@@ -397,6 +397,34 @@ object Snapshots {
     CkptRow("sidecar", "", None, Map.empty, Map.empty, Map.empty, Map.empty,
       Map.empty, Map.empty, Map.empty, gen.toString, name)
 
+  /** (sidecar refs, tombstones) of an immutable parquet checkpoint
+    * manifest — ONE pushed-filter collect, memoized per (root, cv) so a
+    * plain manifest's "no sidecars here" answer costs ZERO extra jobs
+    * after the first read of any (version, query) stream. Bounded +
+    * purged like the sibling caches. */
+  private val manifestMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Seq[(Long, String)], Seq[(String, Long)])]()
+
+  private def manifestMeta(
+      spark: SparkSession, qroot: Path, cv: Long)
+      : (Seq[(Long, String)], Seq[(String, Long)]) = {
+    val key = (qroot.toString, cv)
+    val hit = manifestMetaCache.get(key)
+    if (hit != null) return hit
+    val rows = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
+      .filter(col("kind") === "sidecar" || col("kind") === "tomb")
+      .select(col("kind"), col("path"), col("hkey"), col("hval"))
+      .collect()
+    val refs = rows.filter(_.getString(0) == "sidecar")
+      .map(r => (r.getString(2).toLong, r.getString(3))).toSeq
+    val tombs = rows.filter(_.getString(0) == "tomb")
+      .map(r => (r.getString(1), r.getString(2).toLong)).toSeq
+    val computed = (refs, tombs)
+    if (manifestMetaCache.size > 256) manifestMetaCache.clear()
+    manifestMetaCache.put(key, computed)
+    computed
+  }
+
   /** The sidecar references of the parquet checkpoint at `cv` (empty on
     * plain checkpoints and non-parquet versions) — (gen, dirName). */
   private def sidecarRefsOf(
@@ -404,9 +432,7 @@ object Snapshots {
     val pq = parquetCheckpointPath(qroot, cv)
     val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(pq)) return Nil
-    readCkptRows(spark, pq).filter(col("kind") === "sidecar")
-      .select(col("hkey"), col("hval"))
-      .collect().map(r => (r.getString(0).toLong, r.getString(1))).toSeq
+    manifestMeta(spark, qroot, cv)._1
   }
 
   /** The LIVE file rows of the parquet checkpoint at `cv`, whichever
@@ -419,12 +445,9 @@ object Snapshots {
       spark: SparkSession, qroot: Path, cv: Long)
       : org.apache.spark.sql.Dataset[CkptRow] = {
     val man = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
-    val refs = sidecarRefsOf(spark, qroot, cv)
+    val (refs, tombs) = manifestMeta(spark, qroot, cv)
     val fresh = man.filter(col("kind") === "file")
     if (refs.isEmpty) return fresh
-    val tombs = man.filter(col("kind") === "tomb")
-      .select(col("path"), col("hkey"))
-      .collect().map(r => (r.getString(0), r.getString(1).toLong)).toSeq
     val parts = refs.map { case (g, name) =>
       readCkptRows(spark, sidecarPath(qroot, name))
         .filter(col("kind") === "file").toDF()
@@ -778,6 +801,7 @@ object Snapshots {
     reconstructCache.keySet.removeIf(_._1 == qroot)
     envelopeSummaryCache.keySet.removeIf(_._1 == qroot)
     liveMetaCache.keySet.removeIf(_._1 == qroot)
+    manifestMetaCache.keySet.removeIf(_._1 == qroot)
   }
 
   /** Explicit cache invalidation for OUT-OF-BAND log surgery (manual
@@ -1382,12 +1406,8 @@ object Snapshots {
     prevPq match {
       case Some(cv) =>
         val man = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
-        val refs0 = sidecarRefsOf(spark, qroot, cv)
-        val tombs0: Map[String, Long] =
-          if (refs0.isEmpty) Map.empty
-          else man.filter(col("kind") === "tomb")
-            .select(col("path"), col("hkey")).collect()
-            .map(r => r.getString(0) -> r.getString(1).toLong).toMap
+        val (refs0, tombSeq) = manifestMeta(spark, qroot, cv)
+        val tombs0: Map[String, Long] = tombSeq.toMap
         val prevFresh = man.filter(col("kind") === "file")
         // the tail's per-path FINAL op, adds applied before removes per
         // delta exactly like `reconstruct`

@@ -557,25 +557,6 @@ object Snapshots {
     (lv, dv, sv, nv)
   }
 
-  /** `partitionPointEnvelopes` folded into one checkpoint row — runs on
-    * the EXECUTORS (a `Dataset.map` over the checkpoint frame), so a
-    * partitioned table's distributed prune sees exactly the envelopes
-    * the driver loop would synthesize. Rows without stats stay
-    * untouched: the driver index never holds them, so augmenting them
-    * here would prune MORE than the driver path — sound, but the two
-    * paths are pinned equal by spec. */
-  private def withPartitionEnvelopes(r: CkptRow, partCols: Seq[String]): CkptRow =
-    r.rows match {
-      case Some(n) if r.kind == "file" =>
-        val (lv, dv, sv, nv) = partitionPointEnvelopes(r.path, partCols, n)
-        val svh = sv.map { case (c, b) => c -> graft.core.Skipping.toHex(b) }
-        r.copy(lmin = r.lmin ++ lv, lmax = r.lmax ++ lv,
-          dmin = r.dmin ++ dv, dmax = r.dmax ++ dv,
-          smin = r.smin ++ svh, smax = r.smax ++ svh,
-          nulls = r.nulls ++ nv)
-      case _ => r
-    }
-
   private def headerRowOf(k: String, v: String): CkptRow =
     CkptRow("header", "", None, Map.empty, Map.empty, Map.empty, Map.empty,
       Map.empty, Map.empty, Map.empty, k, v)
@@ -3029,47 +3010,95 @@ object Snapshots {
       return None
     val partCols = graft.core.HivePartitions.columnsOf(
       readDelta(spark, root, version).props)
-    // the executor-side augmentation deserializes whole rows — pay it
-    // ONLY when some bound actually constrains a partition column
-    // (same outcome as the driver path, which augments unconditionally
-    // but whose extra envelopes never affect unconstrained columns)
-    val constrained = bs.keySet ++ dbs.keySet ++ sbs.keySet ++ nbs.keySet
-    val augment = partCols.exists(constrained.contains)
-    try checkpointFileFrame(spark, root, version).map { rows0 =>
-      val rows =
-        if (!augment) rows0
-        else rows0.map(withPartitionEnvelopes(_, partCols))(ckptEnc)
+    val isPart = partCols.toSet
+    try checkpointFileFrame(spark, root, version).map { rows =>
       import org.apache.spark.sql.Column
       def hasNo(m: String, c: String): Column = element_at(col(m), c).isNull
+      // Partition-column conjuncts evaluate against POINT envelopes
+      // derived from the `path` column — NARROW per-column UDFs sharing
+      // `partitionPointEnvelopes`' exact family logic with the driver
+      // loop (toLongOption / non-NaN toDoubleOption / bytes), so the
+      // non-partition conjuncts keep their parquet pushdown and no row
+      // ever fully deserializes. A file without stats (`rows` null) is
+      // ALWAYS kept, mirroring the driver index that never holds it.
+      def guard(k: Column) = col("rows").isNull.or(k)
       val keepLong = bs.map { case (c, (lo, hi)) =>
-        hasNo("lmin", c).or(hasNo("lmax", c)).or(
-          element_at(col("lmax"), c) >= lit(lo) &&
-            element_at(col("lmin"), c) <= lit(hi))
+        if (isPart(c)) {
+          val v = udf { p: String =>
+            graft.core.HivePartitions.valuesOf(p, partCols)
+              .get(c).flatten.flatMap(_.toLongOption)
+          }.apply(col("path"))
+          guard(v.isNull.or(v >= lit(lo) && v <= lit(hi)))
+        } else
+          hasNo("lmin", c).or(hasNo("lmax", c)).or(
+            element_at(col("lmax"), c) >= lit(lo) &&
+              element_at(col("lmin"), c) <= lit(hi))
       }
       val keepDbl = dbs.map { case (c, (lo, hi)) =>
-        hasNo("dmin", c).or(hasNo("dmax", c)).or(
-          element_at(col("dmax"), c) >= lit(lo) &&
-            element_at(col("dmin"), c) <= lit(hi))
+        if (isPart(c)) {
+          val v = udf { p: String =>
+            graft.core.HivePartitions.valuesOf(p, partCols)
+              .get(c).flatten.filter(_.toLongOption.isEmpty)
+              .flatMap(_.toDoubleOption).filter(d => !d.isNaN && !d.isInfinite)
+          }.apply(col("path"))
+          guard(v.isNull.or(v >= lit(lo) && v <= lit(hi)))
+        } else
+          hasNo("dmin", c).or(hasNo("dmax", c)).or(
+            element_at(col("dmax"), c) >= lit(lo) &&
+              element_at(col("dmin"), c) <= lit(hi))
       }
       val keepStr = sbs.map { case (c, r) =>
-        val aboveLo = r.lo.map { b =>
-          val bh = lit(graft.core.Skipping.toHex(b.bytes))
-          hasNo("smax", c).or(
-            if (b.inclusive) element_at(col("smax"), c) >= bh
-            else element_at(col("smax"), c) > bh)
-        }.getOrElse(lit(true))
-        val belowHi = r.hi.map { b =>
-          val bh = lit(graft.core.Skipping.toHex(b.bytes))
-          hasNo("smin", c).or(
-            if (b.inclusive) element_at(col("smin"), c) <= bh
-            else element_at(col("smin"), c) < bh)
-        }.getOrElse(lit(true))
-        aboveLo.and(belowHi)
+        if (isPart(c)) {
+          val h = udf { p: String =>
+            graft.core.HivePartitions.valuesOf(p, partCols)
+              .get(c).flatten.filter(_.toDoubleOption.isEmpty)
+              .map(v => graft.core.Skipping.toHex(v.getBytes("UTF-8")))
+          }.apply(col("path"))
+          val aboveLo = r.lo.map { b =>
+            val bh = lit(graft.core.Skipping.toHex(b.bytes))
+            if (b.inclusive) h >= bh else h > bh
+          }.getOrElse(lit(true))
+          val belowHi = r.hi.map { b =>
+            val bh = lit(graft.core.Skipping.toHex(b.bytes))
+            if (b.inclusive) h <= bh else h < bh
+          }.getOrElse(lit(true))
+          guard(h.isNull.or(aboveLo.and(belowHi)))
+        } else {
+          val aboveLo = r.lo.map { b =>
+            val bh = lit(graft.core.Skipping.toHex(b.bytes))
+            hasNo("smax", c).or(
+              if (b.inclusive) element_at(col("smax"), c) >= bh
+              else element_at(col("smax"), c) > bh)
+          }.getOrElse(lit(true))
+          val belowHi = r.hi.map { b =>
+            val bh = lit(graft.core.Skipping.toHex(b.bytes))
+            hasNo("smin", c).or(
+              if (b.inclusive) element_at(col("smin"), c) <= bh
+              else element_at(col("smin"), c) < bh)
+          }.getOrElse(lit(true))
+          aboveLo.and(belowHi)
+        }
       }
       val keepNull = nbs.map { case (c, r) =>
-        val n = element_at(col("nulls"), c)
-        hasNo("nulls", c).or(col("rows").isNull).or(
-          if (r.head) n > lit(0L) else n < col("rows"))
+        if (isPart(c)) {
+          // null count per driver augmentation: concrete value → 0,
+          // default partition → rows (all null), absent fragment → no
+          // envelope (kept); flat marker because nested Options do not
+          // encode through a UDF
+          val m = udf { p: String =>
+            graft.core.HivePartitions.valuesOf(p, partCols).get(c) match {
+              case None => None: Option[Long]
+              case Some(Some(_)) => Some(0L)
+              case Some(None) => Some(-1L)
+            }
+          }.apply(col("path"))
+          val n = when(m === lit(-1L), col("rows")).otherwise(m)
+          guard(m.isNull.or(if (r.head) n > lit(0L) else n < col("rows")))
+        } else {
+          val n = element_at(col("nulls"), c)
+          hasNo("nulls", c).or(col("rows").isNull).or(
+            if (r.head) n > lit(0L) else n < col("rows"))
+        }
       }
       val kept = (keepLong ++ keepDbl ++ keepStr ++ keepNull)
         .foldLeft(rows.toDF())((df, k) => df.filter(k))

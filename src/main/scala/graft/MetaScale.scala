@@ -134,8 +134,10 @@ object MetaScale {
       // only meaningful when a parquet checkpoint exists (the RPC-free
       // FileStatus synthesis path); the text regime would listStatus
       // real directories, which synthetic files lack
-      val hasPq = new java.io.File(root + "/_log").listFiles
-        .exists(_.getName.endsWith(".checkpoint.parquet"))
+      val logPath = new org.apache.hadoop.fs.Path(root + "/_log")
+      val lfs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasPq = lfs.listStatus(logPath)
+        .exists(_.getPath.getName.endsWith(".checkpoint.parquet"))
       val (planned, planCold) =
         if (hasPq)
           time(graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))

@@ -773,6 +773,27 @@ object Snapshots {
     * for the ≤1-log-read-per-version pin. */
   private[graft] val deltaFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Tiny synchronized access-order LRU — per-entry eviction instead of
+    * a wholesale `clear()`, so a multi-table workload keeps its hot
+    * entries when a cold one pushes the cache past capacity. */
+  private[jobs] final class LruCache[K, V](cap: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size > cap
+    }
+    def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+    def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+    def removeKeysIf(p: K => Boolean): Unit = m.synchronized {
+      val it = m.keySet.iterator
+      while (it.hasNext) if (p(it.next())) it.remove()
+    }
+    def keys: Seq[K] = m.synchronized {
+      val out = Seq.newBuilder[K]
+      m.keySet.forEach(k => out += k)
+      out.result()
+    }
+  }
+
   /** Drop every cached artifact of `qroot` — called when a NEW log is
     * born at a path (v0 publish), the one event that can change what a
     * (root, version) key means. */
@@ -781,7 +802,7 @@ object Snapshots {
     indexCache.keySet.removeIf(_._1 == qroot)
     reconstructCache.keySet.removeIf(_._1 == qroot)
     envelopeSummaryCache.keySet.removeIf(_._1 == qroot)
-    liveMetaCache.keySet.removeIf(_._1 == qroot)
+    liveMetaCache.removeKeysIf(_._1 == qroot)
     manifestMetaCache.keySet.removeIf(_._1 == qroot)
   }
 
@@ -2981,22 +3002,23 @@ object Snapshots {
     * from with zero filesystem RPCs. One distributed collect per
     * version, then cached: the planner asks for `sizeInBytes` on every
     * query. None on text-codec tables (callers keep the listing path).
-    * Bounded small — entries are O(files) driver memory each. */
-  private val liveMetaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Seq[LiveFileMeta]]()
+    * Bounded small (entries are O(files) driver memory each) with
+    * PER-ENTRY LRU eviction — a 9-table workload keeps its hot
+    * versions instead of re-collecting the world on every miss. */
+  private val liveMetaCache =
+    new LruCache[(String, Long), Seq[LiveFileMeta]](8)
+
+  /** Test hook: the cache's current keys, most-recently-used last. */
+  private[graft] def liveMetaCacheKeys: Seq[(String, Long)] = liveMetaCache.keys
 
   private[graft] def liveFileMeta(
       spark: SparkSession, root: String, version: Long): Option[Seq[LiveFileMeta]] = {
     val (_, qroot) = fsOf(spark, root)
     val key = (qroot.toString, version)
-    val hit = liveMetaCache.get(key)
-    if (hit != null) return Some(hit)
+    liveMetaCache.get(key).foreach(hit => return Some(hit))
     val computed = distributedCandidateMeta(spark, root, version,
       Map.empty, Map.empty, Map.empty, Map.empty)
-    computed.foreach { metas =>
-      if (liveMetaCache.size > 8) liveMetaCache.clear()
-      liveMetaCache.put(key, metas)
-    }
+    computed.foreach(liveMetaCache.put(key, _))
     computed
   }
 

@@ -57,18 +57,23 @@ private[sources] class SnapshotFileIndex(
     Snapshots.liveFileMeta(spark, root, version)
 
   /** One plan-time `FileStatus`, synthesized from a checkpoint row when
-    * it carries the length (files are immutable once committed, so the
-    * recorded length is exact — the parquet reader seeks the footer by
-    * it); a legacy row without one pays a single stat RPC. */
+    * it carries the full (length, mtime) pair (files are immutable once
+    * committed, so the recorded length is exact — the parquet reader
+    * seeks the footer by it; the mtime keeps (path, mtime)-keyed caches
+    * honest). A legacy row missing EITHER field pays a single stat RPC —
+    * the pair is recorded together, so a half-present row only descends
+    * from hand-edited logs. Note the stat is intentionally LOUD: a
+    * vacuum-raced missing file fails here at plan time, where the old
+    * listing path silently dropped it — planning a version whose files
+    * are gone should never quietly return partial data. */
   private def statusOf(
       m: Snapshots.LiveFileMeta,
       fs: org.apache.hadoop.fs.FileSystem): FileStatus = {
     val p = new Path(qroot, m.path)
-    m.fsize match {
-      case Some(len) =>
-        new FileStatus(len, false, 1, 128L * 1024 * 1024,
-          m.mtime.getOrElse(0L), p)
-      case None => fs.getFileStatus(p)
+    (m.fsize, m.mtime) match {
+      case (Some(len), Some(mt)) =>
+        new FileStatus(len, false, 1, 128L * 1024 * 1024, mt, p)
+      case _ => fs.getFileStatus(p)
     }
   }
 

@@ -500,9 +500,16 @@ object Snapshots {
   private implicit lazy val ckptEnc: org.apache.spark.sql.Encoder[CkptRow] =
     org.apache.spark.sql.Encoders.product[CkptRow]
 
+  /** One file row for the parquet checkpoint. On partitioned tables the
+    * path-encoded partition values are BAKED IN as point envelopes (the
+    * exact `partitionPointEnvelopes` families) at write time, so a
+    * partition conjunct prunes as a plain envelope comparison on the
+    * distributed path — the per-row path-parsing UDFs survive only as
+    * the fallback for rows written before this (r16), detected per row
+    * by the envelope's absence. */
   private def ckptRowOf(rel: String, s: Option[graft.core.Skipping.FileStats],
-      fm: Option[(Long, Long)]): CkptRow =
-    s match {
+      fm: Option[(Long, Long)], partCols: Seq[String]): CkptRow = {
+    val base = s match {
       case Some(st) => CkptRow("file", rel, Some(st.rows),
         st.mins, st.maxs, st.dmins, st.dmaxs,
         st.smins.map { case (k, b) => k -> graft.core.Skipping.toHex(b) },
@@ -512,6 +519,21 @@ object Snapshots {
         Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, "", "",
         fm.map(_._1), fm.map(_._2))
     }
+    if (partCols.isEmpty) base
+    else {
+      val (lv, dv, sv, nv) =
+        partitionPointEnvelopes(rel, partCols, s.map(_.rows).getOrElse(0L))
+      val svHex = sv.map { case (k, b) => k -> graft.core.Skipping.toHex(b) }
+      // without a row count the all-null (default-partition) null count
+      // is unknowable — record only the exact zero-null entries
+      val nvSafe = if (s.isDefined) nv else nv.filter(_._2 == 0L)
+      base.copy(
+        lmin = base.lmin ++ lv, lmax = base.lmax ++ lv,
+        dmin = base.dmin ++ dv, dmax = base.dmax ++ dv,
+        smin = base.smin ++ svHex, smax = base.smax ++ svHex,
+        nulls = base.nulls ++ nvSafe)
+    }
+  }
 
   /** A checkpoint parquet directory as `Dataset[CkptRow]`, tolerant of
     * checkpoints written before `fsize`/`mtime` rode the rows — missing
@@ -1246,6 +1268,7 @@ object Snapshots {
       val base = assembleCheckpointRows(spark, qroot, cv)
       ((cv + 1) to v).foldLeft(base) { (acc, w) =>
         val d = readDelta(spark, root, w)
+        val pc = graft.core.HivePartitions.columnsOf(d.props)
         // adds BEFORE removes, mirroring the driver `reconstruct` replay
         // exactly — a (pathological) delta naming one path in both adds
         // and removes must reconstruct identically dead under both
@@ -1253,7 +1276,7 @@ object Snapshots {
         val afterAdd =
           if (d.adds.isEmpty) acc
           else acc.unionByName(spark.createDataset(
-            d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel), d.fmeta.get(rel)))))
+            d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel), d.fmeta.get(rel), pc))))
         if (d.removes.isEmpty) afterAdd
         else if (d.removes.size <= 1000)
           afterAdd.filter(!col("path").isin(d.removes: _*))
@@ -1295,10 +1318,9 @@ object Snapshots {
   }
 
   /** Full (non-incremental) live row build: `reconstruct` + whatever
-    * fmeta the surviving deltas carry; files whose adding delta was
-    * vacuumed below a TEXT checkpoint get one tolerant driver stat — a
-    * ONE-TIME backfill, after which every later incremental checkpoint
-    * inherits the values. */
+    * fmeta the surviving deltas carry; missing fmeta is backfilled by a
+    * DISTRIBUTED stat pass — a ONE-TIME cost, after which every later
+    * incremental checkpoint inherits the values. */
   private def fullLiveRows(
       spark: SparkSession, root: String, v: Long,
       fs: org.apache.hadoop.fs.FileSystem, qroot: Path)
@@ -1309,14 +1331,36 @@ object Snapshots {
         val d = readDelta(spark, root, w)
         (m ++ d.fmeta) -- d.removes
       }
-    def fm(rel: String): Option[(Long, Long)] =
-      fmetaAll.get(rel).orElse {
-        try {
-          val st = fs.getFileStatus(new Path(qroot, rel))
-          Some((st.getLen, st.getModificationTime))
-        } catch { case scala.util.control.NonFatal(_) => None }
+    // files whose adding delta was vacuumed below a TEXT checkpoint have
+    // no recorded fmeta — a ONE-TIME backfill stats them on the
+    // EXECUTORS (a driver loop would serialize O(table) filesystem RPCs;
+    // on an object store that is a stall at 10⁷ files), tolerant of
+    // vanished files (those rows keep None and readers stat lazily)
+    val missing = files.filterNot(fmetaAll.contains)
+    val backfilled: Map[String, (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val qrootStr = qroot.toString
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.createDataset(missing)(org.apache.spark.sql.Encoders.STRING)
+          .mapPartitions { iter =>
+            val q = new Path(qrootStr)
+            val pfs = q.getFileSystem(hconf.value)
+            iter.flatMap { rel =>
+              try {
+                val st = pfs.getFileStatus(new Path(q, rel))
+                Iterator.single((rel, st.getLen, st.getModificationTime))
+              } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+            }
+          }(org.apache.spark.sql.Encoders.product[(String, Long, Long)])
+          .collect().map { case (rel, len, mt) => rel -> (len, mt) }.toMap
       }
-    spark.createDataset(files.map(rel => ckptRowOf(rel, stats.get(rel), fm(rel))))
+    val fmAll = fmetaAll ++ backfilled
+    val pc = graft.core.HivePartitions.columnsOf(
+      readDelta(spark, root, v).props)
+    spark.createDataset(
+      files.map(rel => ckptRowOf(rel, stats.get(rel), fmAll.get(rel), pc)))
   }
 
   private def writeCheckpointParquetOnce(
@@ -1413,16 +1457,17 @@ object Snapshots {
         val prevFresh = man.filter(col("kind") === "file")
         // the tail's per-path FINAL op, adds applied before removes per
         // delta exactly like `reconstruct`
-        val ops = scala.collection.mutable.LinkedHashMap[
-          String, Option[(Option[graft.core.Skipping.FileStats], Option[(Long, Long)])]]()
+        val ops = scala.collection.mutable.LinkedHashMap[String, Option[(
+          Option[graft.core.Skipping.FileStats], Option[(Long, Long)], Seq[String])]]()
         ((cv + 1) to v).foreach { w =>
           val d = readDelta(spark, root, w)
-          d.adds.foreach(r => ops(r) = Some((d.stats.get(r), d.fmeta.get(r))))
+          val pc = graft.core.HivePartitions.columnsOf(d.props)
+          d.adds.foreach(r => ops(r) = Some((d.stats.get(r), d.fmeta.get(r), pc)))
           d.removes.foreach(r => ops(r) = None)
         }
         val touched = ops.keys.toSeq
-        val finalAdds = ops.collect { case (r, Some((s, f))) =>
-          ckptRowOf(r, s, f) }.toSeq
+        val finalAdds = ops.collect { case (r, Some((s, f, pc))) =>
+          ckptRowOf(r, s, f, pc) }.toSeq
         val freshKept =
           if (touched.isEmpty) prevFresh
           else if (touched.size <= 1000)
@@ -2973,11 +3018,12 @@ object Snapshots {
     * Exact mirror of `Skipping.pruneFiles*`: a file without the column's
     * envelope (or without stats at all) is always kept; string envelopes
     * compare as hex strings, which order identically to unsigned-lex
-    * bytes. Hive-partitioned tables contribute their path-encoded
-    * partition values as point envelopes EXECUTOR-SIDE
-    * (`withPartitionEnvelopes` — the same augmentation the driver loop
-    * applies), so the reference's own `year=/month=` layout prunes
-    * distributed too. Returns None — caller falls back to the driver
+    * bytes. Hive-partitioned tables prune on point envelopes the
+    * checkpoint writer BAKED INTO the rows (same values the driver
+    * loop's `partitionPointEnvelopes` augmentation derives), so the
+    * reference's own `year=/month=` layout prunes distributed as plain
+    * codegen'd expressions; pre-r16 rows fall back per row to a narrow
+    * path-parsing UDF. Returns None — caller falls back to the driver
     * loop — when the table has no parquet checkpoint at-or-below
     * `version` or when `spark.graft.prune.distributed = never`.
     * Bounds are keyed by PHYSICAL column names (caller translates). */
@@ -3036,41 +3082,67 @@ object Snapshots {
     try checkpointFileFrame(spark, root, version).map { rows =>
       import org.apache.spark.sql.Column
       def hasNo(m: String, c: String): Column = element_at(col(m), c).isNull
-      // Partition-column conjuncts evaluate against POINT envelopes
-      // derived from the `path` column — NARROW per-column UDFs sharing
-      // `partitionPointEnvelopes`' exact family logic with the driver
-      // loop (toLongOption / non-NaN toDoubleOption / bytes), so the
-      // non-partition conjuncts keep their parquet pushdown and no row
-      // ever fully deserializes. A file without stats (`rows` null) is
-      // ALWAYS kept, mirroring the driver index that never holds it.
+      // Partition-column conjuncts evaluate against POINT envelopes the
+      // checkpoint writer BAKES INTO the stats maps (r16,
+      // `ckptRowOf` ++ `partitionPointEnvelopes`) — the same codegen'd
+      // `element_at` comparisons the data columns use, no per-row work
+      // beyond the map probe. Rows written BEFORE the baking (legacy
+      // checkpoints) are detected per row by the envelope's absence and
+      // fall back to a narrow path-parsing UDF sharing
+      // `partitionPointEnvelopes`' exact family logic; when even the
+      // UDF derives nothing (no path fragment), the row falls through
+      // to whatever envelope the family recorded — a mixed-layout file
+      // carrying real column stats still prunes, mirroring the driver
+      // loop's `mins ++ lv` overlay. A file without stats (`rows` null)
+      // is kept on the legacy branch, mirroring the driver index.
       def guard(k: Column) = col("rows").isNull.or(k)
       val keepLong = bs.map { case (c, (lo, hi)) =>
-        if (isPart(c)) {
+        val env = hasNo("lmin", c).or(hasNo("lmax", c)).or(
+          element_at(col("lmax"), c) >= lit(lo) &&
+            element_at(col("lmin"), c) <= lit(hi))
+        if (!isPart(c)) env
+        else {
           val v = udf { p: String =>
             graft.core.HivePartitions.valuesOf(p, partCols)
               .get(c).flatten.flatMap(_.toLongOption)
           }.apply(col("path"))
-          guard(v.isNull.or(v >= lit(lo) && v <= lit(hi)))
-        } else
-          hasNo("lmin", c).or(hasNo("lmax", c)).or(
-            element_at(col("lmax"), c) >= lit(lo) &&
-              element_at(col("lmin"), c) <= lit(hi))
+          when(element_at(col("lmin"), c).isNotNull, env)
+            .otherwise(guard(when(v.isNull, env)
+              .otherwise(v >= lit(lo) && v <= lit(hi))))
+        }
       }
       val keepDbl = dbs.map { case (c, (lo, hi)) =>
-        if (isPart(c)) {
+        val env = hasNo("dmin", c).or(hasNo("dmax", c)).or(
+          element_at(col("dmax"), c) >= lit(lo) &&
+            element_at(col("dmin"), c) <= lit(hi))
+        if (!isPart(c)) env
+        else {
           val v = udf { p: String =>
             graft.core.HivePartitions.valuesOf(p, partCols)
               .get(c).flatten.filter(_.toLongOption.isEmpty)
               .flatMap(_.toDoubleOption).filter(d => !d.isNaN && !d.isInfinite)
           }.apply(col("path"))
-          guard(v.isNull.or(v >= lit(lo) && v <= lit(hi)))
-        } else
-          hasNo("dmin", c).or(hasNo("dmax", c)).or(
-            element_at(col("dmax"), c) >= lit(lo) &&
-              element_at(col("dmin"), c) <= lit(hi))
+          when(element_at(col("dmin"), c).isNotNull, env)
+            .otherwise(guard(when(v.isNull, env)
+              .otherwise(v >= lit(lo) && v <= lit(hi))))
+        }
       }
       val keepStr = sbs.map { case (c, r) =>
-        if (isPart(c)) {
+        val aboveLoEnv = r.lo.map { b =>
+          val bh = lit(graft.core.Skipping.toHex(b.bytes))
+          hasNo("smax", c).or(
+            if (b.inclusive) element_at(col("smax"), c) >= bh
+            else element_at(col("smax"), c) > bh)
+        }.getOrElse(lit(true))
+        val belowHiEnv = r.hi.map { b =>
+          val bh = lit(graft.core.Skipping.toHex(b.bytes))
+          hasNo("smin", c).or(
+            if (b.inclusive) element_at(col("smin"), c) <= bh
+            else element_at(col("smin"), c) < bh)
+        }.getOrElse(lit(true))
+        val env = aboveLoEnv.and(belowHiEnv)
+        if (!isPart(c)) env
+        else {
           val h = udf { p: String =>
             graft.core.HivePartitions.valuesOf(p, partCols)
               .get(c).flatten.filter(_.toDoubleOption.isEmpty)
@@ -3084,29 +3156,21 @@ object Snapshots {
             val bh = lit(graft.core.Skipping.toHex(b.bytes))
             if (b.inclusive) h <= bh else h < bh
           }.getOrElse(lit(true))
-          guard(h.isNull.or(aboveLo.and(belowHi)))
-        } else {
-          val aboveLo = r.lo.map { b =>
-            val bh = lit(graft.core.Skipping.toHex(b.bytes))
-            hasNo("smax", c).or(
-              if (b.inclusive) element_at(col("smax"), c) >= bh
-              else element_at(col("smax"), c) > bh)
-          }.getOrElse(lit(true))
-          val belowHi = r.hi.map { b =>
-            val bh = lit(graft.core.Skipping.toHex(b.bytes))
-            hasNo("smin", c).or(
-              if (b.inclusive) element_at(col("smin"), c) <= bh
-              else element_at(col("smin"), c) < bh)
-          }.getOrElse(lit(true))
-          aboveLo.and(belowHi)
+          when(element_at(col("smin"), c).isNotNull, env)
+            .otherwise(guard(when(h.isNull, env)
+              .otherwise(aboveLo.and(belowHi))))
         }
       }
       val keepNull = nbs.map { case (c, r) =>
-        if (isPart(c)) {
-          // null count per driver augmentation: concrete value → 0,
-          // default partition → rows (all null), absent fragment → no
-          // envelope (kept); flat marker because nested Options do not
-          // encode through a UDF
+        val n = element_at(col("nulls"), c)
+        val env = hasNo("nulls", c).or(col("rows").isNull).or(
+          if (r.head) n > lit(0L) else n < col("rows"))
+        if (!isPart(c)) env
+        else {
+          // legacy null count per driver augmentation: concrete value →
+          // 0, default partition → rows (all null), absent fragment →
+          // envelope fallback; flat marker because nested Options do
+          // not encode through a UDF
           val m = udf { p: String =>
             graft.core.HivePartitions.valuesOf(p, partCols).get(c) match {
               case None => None: Option[Long]
@@ -3114,12 +3178,10 @@ object Snapshots {
               case Some(None) => Some(-1L)
             }
           }.apply(col("path"))
-          val n = when(m === lit(-1L), col("rows")).otherwise(m)
-          guard(m.isNull.or(if (r.head) n > lit(0L) else n < col("rows")))
-        } else {
-          val n = element_at(col("nulls"), c)
-          hasNo("nulls", c).or(col("rows").isNull).or(
-            if (r.head) n > lit(0L) else n < col("rows"))
+          val nm = when(m === lit(-1L), col("rows")).otherwise(m)
+          when(element_at(col("nulls"), c).isNotNull, env)
+            .otherwise(guard(when(m.isNull, env)
+              .otherwise(if (r.head) nm > lit(0L) else nm < col("rows"))))
         }
       }
       val kept = (keepLong ++ keepDbl ++ keepStr ++ keepNull)

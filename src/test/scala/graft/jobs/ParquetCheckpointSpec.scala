@@ -51,6 +51,55 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     assert(keys.exists(_.endsWith(roots(8))), "the new entry lands")
   }
 
+  test("partition envelopes BAKE into checkpoint rows; stripped (legacy) rows fall back per row") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (0L until 60L).map(i => (i, i % 6, i * 1.0)).toDF("k", "p", "v").repartition(3),
+      Map(Snapshots.checkpointFormatProp -> "parquet", "graft.partitionBy" -> "p"))
+    (1 to 10).foreach(b => Snapshots.append(spark, root,
+      (0L until 30L).map(i => (b * 1000L + i, i % 6, i * 2.0))
+        .toDF("k", "p", "v").repartition(2)))
+    val head = Snapshots.latestVersion(spark, root)
+    // (a) every file row bakes the partition value as a point envelope —
+    // the distributed prune needs no path parsing on these rows
+    val ckPath = f"$root/_log/v${head / 10 * 10}%08d.checkpoint.parquet"
+    val allBaked = spark.read.parquet(ckPath).filter(col("kind") === "file")
+      .select(element_at(col("lmin"), "p").isNotNull.as("has"))
+      .agg(min(col("has"))).head.getBoolean(0)
+    assert(allBaked, "every file row must bake the partition value as a point envelope")
+    val pred = "p = 3 AND k >= 1000"
+    def prune(): (Seq[String], Seq[String]) = {
+      val dist = Snapshots.statsCandidateFiles(spark, root, head, pred)
+      spark.conf.set("spark.graft.prune.distributed", "never")
+      val drv =
+        try Snapshots.statsCandidateFiles(spark, root, head, pred)
+        finally spark.conf.unset("spark.graft.prune.distributed")
+      (dist, drv)
+    }
+    val (d1, r1) = prune()
+    assert(d1 == r1, "baked: distributed == driver")
+    assert(d1.nonEmpty && d1.size < Snapshots.versionFiles(spark, root, head).size,
+      "the partition conjunct must genuinely prune")
+    // (b) strip the baked envelopes from every checkpoint — simulating a
+    // pre-bake (legacy) checkpoint — and re-prune: the per-row UDF
+    // fallback must reproduce the exact same file set
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logNames(root).filter(_.endsWith(".checkpoint.parquet")).foreach { n =>
+      val p = s"$root/_log/$n"
+      val stripped = spark.read.parquet(p)
+        .withColumn("lmin", map_filter(col("lmin"), (k, _) => k =!= "p"))
+        .withColumn("lmax", map_filter(col("lmax"), (k, _) => k =!= "p"))
+        .withColumn("nulls", map_filter(col("nulls"), (k, _) => k =!= "p"))
+      stripped.write.mode("overwrite").parquet(s"$p.strip")
+      fs.delete(new Path(p), true)
+      fs.rename(new Path(s"$p.strip"), new Path(p))
+    }
+    Snapshots.invalidateCaches(spark, root)
+    val (d2, r2) = prune()
+    assert(d2 == d1, "stripped (legacy) distributed prune must equal the baked one")
+    assert(d2 == r2, "stripped: distributed == driver")
+  }
+
   /** ~30 commits mixing appends, COW delete/update, MOR delete +
     * materialization, merge, schema evolution (ADD COLUMN DEFAULT +
     * RENAME — the checkpoint's stats keys are PHYSICAL names),

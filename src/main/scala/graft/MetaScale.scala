@@ -65,13 +65,19 @@ object MetaScale {
       // reference's own year=/month= storage model) — partition values
       // ride the synthetic paths, the prune predicate constrains the
       // partition dimension, and the point envelopes derive
-      // EXECUTOR-SIDE on the distributed path (r15)
-      val partitioned = codec == "partpq"
+      // EXECUTOR-SIDE on the distributed path (r15).
+      // "partsc": the FLAGSHIP COMPOSITION (r16) — partitioned layout +
+      // sidecar manifests + format=auto on ONE table, i.e. exactly how
+      // the reference's year=/month= store would be configured at scale.
+      val partitioned = codec == "partpq" || codec == "partsc"
       val props = codec match {
         case "parquet" | "auto" => Map(Snapshots.checkpointFormatProp -> codec)
         case "sidecar" => Map(Snapshots.checkpointFormatProp -> "parquet",
           Snapshots.checkpointSidecarsProp -> "true")
         case "partpq" => Map(Snapshots.checkpointFormatProp -> "parquet",
+          "graft.partitionBy" -> "month")
+        case "partsc" => Map(Snapshots.checkpointFormatProp -> "auto",
+          Snapshots.checkpointSidecarsProp -> "true",
           "graft.partitionBy" -> "month")
         case _ => Map.empty[String, String]
       }
@@ -144,6 +150,32 @@ object MetaScale {
         else (-1L, -1.0)
       if (planned >= 0)
         require(planned == n + 1, s"planned $planned files, expected ${n + 1}")
+      // what the OPTIMIZER waits for on every query — `sizeInBytes`,
+      // answered from the checkpoint's aggr header (r16): O(tail
+      // change), flat in file count. And a SELECTIVE scan's plan-time
+      // listing: only the prune survivors' FileStatuses are built.
+      Snapshots.invalidateCaches(spark, root)
+      val (sized, sizeCold) =
+        if (hasPq)
+          time(graft.sources.SnapshotPlanProbe.planSize(spark, root, head))
+        else (-1L, -1.0)
+      // n synthetic 10 MiB files + one REAL seed file of unknown size
+      if (sized >= 0)
+        require(sized >= n.toLong * 10L * 1024 * 1024 &&
+          sized < (n + 2).toLong * 10L * 1024 * 1024,
+          s"sizeInBytes $sized out of range for $n synthetic 10 MiB files")
+      Snapshots.invalidateCaches(spark, root)
+      val (planSel, planSelCold) =
+        if (hasPq)
+          time(graft.sources.SnapshotPlanProbe.planSelective(spark, root, head,
+            "k", n / 2 * 100L, (n / 2 + n / 100) * 100L))
+        else (-1L, -1.0)
+      // the probe's filter carries the k-range only; on partitioned
+      // tables the prune's predicate ALSO cut the month dimension, so
+      // the probe legitimately lists more there
+      if (planSel >= 0)
+        require(planSel <= (if (partitioned) n + 1 else cold.size + 1),
+          s"selective plan listed $planSel files, prune says ${cold.size}")
       // STEADY-STATE checkpoint cost: a FIXED 1k-file change (10 commits
       // of 100 adds) driven to the next checkpoint boundary at the
       // CURRENT table size. This is the column that separates O(change)
@@ -151,6 +183,10 @@ object MetaScale {
       // loop's per-commit change grows with n, so ckpt_commit_sec alone
       // cannot show it.
       var steadySec = -1.0
+      // sidecar maintenance (spill/fold) deltas across the BOUNDARY
+      // commit — attributes a slow steady_ckpt cell to the amortized
+      // work it performed instead of leaving an unexplained spike
+      var maint = (0L, 0.0, 0L, 0L, 0.0, 0L)
       (1 to 10).foreach { c =>
         val adds = (0 until 100).map { i =>
           val fileNo = n + c * 100 + i
@@ -163,17 +199,30 @@ object MetaScale {
         }
         val fmeta = adds.map { case (rel, _) =>
           rel -> (10L * 1024 * 1024, 1700000000000L) }.toMap
+        val before = Snapshots.SidecarMaintenance.snapshot
         val (_, sec) = time {
           Snapshots.commitMetadataOnlyAdds(spark, root,
             adds.map(_._1), adds.toMap, fmeta)
         }
-        if (c == 10) steadySec = sec // the boundary commit carries the checkpoint
+        if (c == 10) { // the boundary commit carries the checkpoint
+          steadySec = sec
+          val a = Snapshots.SidecarMaintenance.snapshot
+          maint = (a._1 - before._1, a._2 - before._2, a._3 - before._3,
+            a._4 - before._4, a._5 - before._5, a._6 - before._6)
+        }
       }
       emit(f"""{"meta_scale":"$codec","files":$n,"build_sec":$buildSec%.3f,""" +
         f""""ckpt_commit_sec":$ckptSec%.3f,"plain_commit_sec":$plainSec%.3f,""" +
         f""""resolve_cold_sec":$resolveCold%.3f,"prune_cold_sec":$pruneCold%.3f,""" +
         f""""prune_warm_sec":$pruneWarm%.3f,"plan_cold_sec":$planCold%.3f,""" +
-        f""""steady_ckpt_sec":$steadySec%.3f,"survivors":${cold.size}}""")
+        f""""size_cold_sec":$sizeCold%.3f,"plan_sel_sec":$planSelCold%.3f,""" +
+        f""""plan_sel_files":$planSel,""" +
+        f""""steady_ckpt_sec":$steadySec%.3f,""" +
+        f""""steady_spills":${maint._1},"steady_spill_sec":${maint._2}%.3f,""" +
+        f""""steady_spill_rows":${maint._3},""" +
+        f""""steady_folds":${maint._4},"steady_fold_sec":${maint._5}%.3f,""" +
+        f""""steady_fold_rows":${maint._6},""" +
+        f""""survivors":${cold.size}}""")
     }
     sink.foreach(_.close())
     spark.stop()

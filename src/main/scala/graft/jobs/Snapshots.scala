@@ -393,9 +393,18 @@ object Snapshots {
     CkptRow("tomb", rel, None, Map.empty, Map.empty, Map.empty, Map.empty,
       Map.empty, Map.empty, Map.empty, gen.toString, "")
 
-  private def sidecarRefRowOf(gen: Long, name: String): CkptRow =
-    CkptRow("sidecar", "", None, Map.empty, Map.empty, Map.empty, Map.empty,
-      Map.empty, Map.empty, Map.empty, gen.toString, name)
+  /** One immutable sidecar the manifest references: generation (the
+    * version whose rows it holds — tombstones with a HIGHER gen kill its
+    * rows), directory name, and the row count recorded at spill time
+    * (None on refs written before counts rode the row) — what the
+    * size-tiered compactor sorts by so a fold rewrites the SMALLEST
+    * sidecars and the big bootstrap one is never re-spilled. */
+  private[jobs] final case class SidecarRef(
+      gen: Long, name: String, rows: Option[Long])
+
+  private def sidecarRefRowOf(ref: SidecarRef): CkptRow =
+    CkptRow("sidecar", "", ref.rows, Map.empty, Map.empty, Map.empty, Map.empty,
+      Map.empty, Map.empty, Map.empty, ref.gen.toString, ref.name)
 
   /** (sidecar refs, tombstones) of an immutable parquet checkpoint
     * manifest — ONE pushed-filter collect, memoized per (root, cv) so a
@@ -403,20 +412,21 @@ object Snapshots {
     * after the first read of any (version, query) stream. Bounded +
     * purged like the sibling caches. */
   private val manifestMetaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), (Seq[(Long, String)], Seq[(String, Long)])]()
+    (String, Long), (Seq[SidecarRef], Seq[(String, Long)])]()
 
   private def manifestMeta(
       spark: SparkSession, qroot: Path, cv: Long)
-      : (Seq[(Long, String)], Seq[(String, Long)]) = {
+      : (Seq[SidecarRef], Seq[(String, Long)]) = {
     val key = (qroot.toString, cv)
     val hit = manifestMetaCache.get(key)
     if (hit != null) return hit
     val rows = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
       .filter(col("kind") === "sidecar" || col("kind") === "tomb")
-      .select(col("kind"), col("path"), col("hkey"), col("hval"))
+      .select(col("kind"), col("path"), col("hkey"), col("hval"), col("rows"))
       .collect()
     val refs = rows.filter(_.getString(0) == "sidecar")
-      .map(r => (r.getString(2).toLong, r.getString(3))).toSeq
+      .map(r => SidecarRef(r.getString(2).toLong, r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
     val tombs = rows.filter(_.getString(0) == "tomb")
       .map(r => (r.getString(1), r.getString(2).toLong)).toSeq
     val computed = (refs, tombs)
@@ -426,9 +436,9 @@ object Snapshots {
   }
 
   /** The sidecar references of the parquet checkpoint at `cv` (empty on
-    * plain checkpoints and non-parquet versions) — (gen, dirName). */
+    * plain checkpoints and non-parquet versions). */
   private def sidecarRefsOf(
-      spark: SparkSession, qroot: Path, cv: Long): Seq[(Long, String)] = {
+      spark: SparkSession, qroot: Path, cv: Long): Seq[SidecarRef] = {
     val pq = parquetCheckpointPath(qroot, cv)
     val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(pq)) return Nil
@@ -448,10 +458,10 @@ object Snapshots {
     val (refs, tombs) = manifestMeta(spark, qroot, cv)
     val fresh = man.filter(col("kind") === "file")
     if (refs.isEmpty) return fresh
-    val parts = refs.map { case (g, name) =>
-      readCkptRows(spark, sidecarPath(qroot, name))
+    val parts = refs.map { r =>
+      readCkptRows(spark, sidecarPath(qroot, r.name))
         .filter(col("kind") === "file").toDF()
-        .withColumn("_gen", lit(g))
+        .withColumn("_gen", lit(r.gen))
     } :+ fresh.toDF().withColumn("_gen", lit(cv))
     val all = parts.reduce(_ unionByName _)
     val live =
@@ -475,6 +485,36 @@ object Snapshots {
     log.warn(msg)
     fallbackEvents.add(msg)
     while (fallbackEvents.size > 64) fallbackEvents.poll()
+  }
+
+  /** Sidecar maintenance (spill / compaction fold) events — INFO-logged
+    * (normal amortized work, not a pathology) and kept in their own
+    * bounded ring so benches and operators can ATTRIBUTE a slow
+    * checkpoint boundary to the maintenance it performed. */
+  private[graft] val maintenanceEvents =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def noteMaintenance(msg: String): Unit = {
+    log.info(msg)
+    maintenanceEvents.add(msg)
+    while (maintenanceEvents.size > 64) maintenanceEvents.poll()
+  }
+
+  /** Cumulative sidecar maintenance counters for the whole JVM —
+    * MetaScale snapshots them around a boundary commit and emits the
+    * deltas, so every steady-state checkpoint cell carries its
+    * maintenance cost explicitly instead of an unexplained spike. */
+  private[graft] object SidecarMaintenance {
+    import java.util.concurrent.atomic.AtomicLong
+    val spills = new AtomicLong(0L)
+    val spillNanos = new AtomicLong(0L)
+    val spilledRows = new AtomicLong(0L)
+    val folds = new AtomicLong(0L)
+    val foldNanos = new AtomicLong(0L)
+    val foldedRows = new AtomicLong(0L)
+    /** (spills, spillSec, spilledRows, folds, foldSec, foldedRows). */
+    def snapshot: (Long, Double, Long, Long, Double, Long) =
+      (spills.get, spillNanos.get / 1e9, spilledRows.get,
+        folds.get, foldNanos.get / 1e9, foldedRows.get)
   }
 
   /** One row of a parquet checkpoint: a live data file with its stats
@@ -825,6 +865,7 @@ object Snapshots {
     reconstructCache.keySet.removeIf(_._1 == qroot)
     envelopeSummaryCache.keySet.removeIf(_._1 == qroot)
     liveMetaCache.removeKeysIf(_._1 == qroot)
+    liveAggrCache.removeKeysIf(_._1 == qroot)
     manifestMetaCache.keySet.removeIf(_._1 == qroot)
   }
 
@@ -1193,10 +1234,13 @@ object Snapshots {
       case Some("auto") =>
         val threshold = props.get(autoThresholdProp).flatMap(_.toLongOption)
           .getOrElse(autoThresholdDefault)
-        val liveCount = checkpointFileFrame(spark, root, v) match {
-          case Some(fr) => fr.count()
-          case None => reconstruct(spark, root, v)._1.size.toLong
-        }
+        // the codec decision needs only the COUNT: the aggr header
+        // answers it O(tail change); the full distributed assembly is
+        // the fallback, the (memoized, small-by-induction) driver
+        // reconstruct serves the text regime
+        val liveCount = liveAggregate(spark, root, v).map(_._1)
+          .orElse(checkpointFileFrame(spark, root, v).map(_.count()))
+          .getOrElse(reconstruct(spark, root, v)._1.size.toLong)
         liveCount >= threshold
       case _ => false
     }
@@ -1377,7 +1421,7 @@ object Snapshots {
     // sidecar manifests split the file rows three ways (fresh rows here,
     // reference + tombstone rows alongside); plain checkpoints carry the
     // complete live set as file rows
-    val (fileRows, extraRows) =
+    val (fileRows0, extraRows) =
       if (sidecarsOn(hd.props))
         sidecarManifestRows(spark, root, v, fs, qroot, prevPq)
       else {
@@ -1385,6 +1429,39 @@ object Snapshots {
                     else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
         (rows, Seq.empty[CkptRow])
       }
+    // persist once: the incremental lineage (previous-manifest read +
+    // anti-join + union) feeds BOTH the aggregate header and the final
+    // write — unpersisted it would re-run per consumer
+    val fileRows =
+      if (fileRows0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        fileRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fileRows0
+    // the (liveFiles, totalBytes) header: incremental from the previous
+    // checkpoint's own header (O(tail change)); otherwise ONE distributed
+    // aggregate over the complete live set — plain checkpoints already
+    // hold it (persisted), sidecar manifests assemble it once. Omitted
+    // when any live file's size is unrecorded (hand-edited legacy logs)
+    // — readers fall back to per-file statuses exactly then.
+    val aggrRows: Seq[CkptRow] = {
+      val incr = liveAggregate(spark, root, v)
+      val full = if (incr.isDefined) None else {
+        val frame =
+          if (!sidecarsOn(hd.props)) Some(fileRows)
+          else (if (allowIncremental) checkpointFileFrame(spark, root, v)
+                else None).orElse(
+            scala.util.Try(fullLiveRows(spark, root, v, fs, qroot)).toOption)
+        frame.flatMap { fr =>
+          val r = fr.agg(count(lit(1)), sum(col("fsize")),
+            count(col("fsize"))).head
+          val n = r.getLong(0)
+          if (n == 0L) Some((0L, 0L))
+          else if (r.getLong(2) == n) Some((n, r.getLong(1)))
+          else None
+        }
+      }
+      incr.orElse(full).map { case (c, b) =>
+        headerRowOf("aggr", s"$c,$b") }.toSeq
+    }
     val (copiedRows, maxTxn) = prevPq match {
       case Some(cv) =>
         // headers refresh incrementally too: prior `copied` rows stay a
@@ -1412,12 +1489,14 @@ object Snapshots {
       Seq(headerRowOf("protocol", s"${hd.minReader},${hd.minWriter}"),
         headerRowOf("maxtxn", maxTxn.toString)) ++
       hd.rfeat.map(headerRowOf("rfeat", _)) ++
-      hd.wfeat.map(headerRowOf("wfeat", _))
+      hd.wfeat.map(headerRowOf("wfeat", _)) ++ aggrRows
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-ckpt-pq-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    fileRows.unionByName(copiedRows)
-      .unionByName(spark.createDataset(headerRows ++ extraRows))
-      .write.mode("overwrite").parquet(tmp.toString)
+    try {
+      fileRows.unionByName(copiedRows)
+        .unionByName(spark.createDataset(headerRows ++ extraRows))
+        .write.mode("overwrite").parquet(tmp.toString)
+    } finally fileRows.unpersist()
     // a concurrent checkpointer may have landed first: same derived
     // content, so losing this race is a silent no-op
     if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
@@ -1442,12 +1521,28 @@ object Snapshots {
     val props = readDelta(spark, root, v).props
     val spillRows = props.get(sidecarSpillRowsProp).flatMap(_.toLongOption)
       .getOrElse(sidecarSpillRowsDefault)
-    def spill(rows: org.apache.spark.sql.Dataset[CkptRow], gen: Long): (Long, String) = {
+    // `rows` must be PERSISTED by the caller (or counted already) — the
+    // write consumes it a second time and an unpersisted lineage would
+    // re-run the whole assembly
+    def spill(rows: org.apache.spark.sql.Dataset[CkptRow], gen: Long,
+        count: Long): SidecarRef = {
       val name = newSidecarName(gen)
+      val t0 = System.nanoTime()
       // the name is globally unique, so the write needs no tmp+rename:
       // nothing references the directory until THIS manifest publishes
       rows.write.mode("overwrite").parquet(sidecarPath(qroot, name).toString)
-      (gen, name)
+      SidecarMaintenance.spills.incrementAndGet()
+      SidecarMaintenance.spillNanos.addAndGet(System.nanoTime() - t0)
+      SidecarMaintenance.spilledRows.addAndGet(count)
+      noteMaintenance(s"sidecar spill on $root@v$v: $count rows -> $name " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      SidecarRef(gen, name, Some(count))
+    }
+    // one distributed pass over a persisted frame: materialize + count
+    def persistCount(rows: org.apache.spark.sql.Dataset[CkptRow])
+        : (org.apache.spark.sql.Dataset[CkptRow], Long) = {
+      val p = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, p.count())
     }
     prevPq match {
       case Some(cv) =>
@@ -1484,28 +1579,89 @@ object Snapshots {
         // gen ≥ v so the tomb can never kill them, and tombs for paths
         // with no sidecar copy are harmless (bounded by the compact cap)
         val tombs1 = tombs0 ++ touched.map(_ -> v)
-        if (refs0.size >= sidecarMaxRefs || tombs1.size > sidecarTombCap) {
-          // COMPACT: fold sidecars + tombs + fresh into one sidecar
-          val all = checkpointFileFrame(spark, root, v).getOrElse(
-            fullLiveRows(spark, root, v, fs, qroot))
-          val ref = spill(all, v)
-          (spark.emptyDataset[CkptRow],
-            Seq(sidecarRefRowOf(ref._1, ref._2)))
-        } else if (fresh1.count() >= spillRows) {
-          val ref = spill(fresh1, v)
-          (spark.emptyDataset[CkptRow],
-            (refs0 :+ ref).map(r => sidecarRefRowOf(r._1, r._2)) ++
-              tombs1.toSeq.map { case (p, g) => tombRowOf(p, g) })
+        // the tombstone cap forces a FULL fold — tombs only vanish for
+        // good when every ref older than them is rewritten. The ref cap
+        // takes the SIZE-TIERED path when every ref carries its row
+        // count: fold only the smallest half (LSM-style), so the big
+        // bootstrap sidecar is never rewritten for ref-count hygiene and
+        // a fixed change's amortized maintenance stays flat in table size.
+        if (tombs1.size > sidecarTombCap ||
+            (refs0.size >= sidecarMaxRefs && refs0.exists(_.rows.isEmpty))) {
+          // FULL COMPACT: fold sidecars + tombs + fresh into one sidecar
+          val t0 = System.nanoTime()
+          val (all, n) = persistCount(checkpointFileFrame(spark, root, v)
+            .getOrElse(fullLiveRows(spark, root, v, fs, qroot)))
+          val ref = try spill(all, v, n) finally all.unpersist()
+          SidecarMaintenance.folds.incrementAndGet()
+          SidecarMaintenance.foldNanos.addAndGet(System.nanoTime() - t0)
+          SidecarMaintenance.foldedRows.addAndGet(n)
+          noteMaintenance(s"sidecar FULL fold on $root@v$v: ${refs0.size} " +
+            s"refs + ${tombs1.size} tombs -> 1 ref ($n rows, " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s)")
+          (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref)))
         } else {
-          (fresh1,
-            refs0.map(r => sidecarRefRowOf(r._1, r._2)) ++
-              tombs1.toSeq.map { case (p, g) => tombRowOf(p, g) })
+          val (refs1, tombs2) =
+            if (refs0.size < sidecarMaxRefs) (refs0, tombs1)
+            else {
+              // SIZE-TIERED fold: rewrite the smallest half of the refs
+              // into one sidecar at the max folded gen. Current tombs are
+              // applied to the folded rows FIRST — a row re-tagged at the
+              // higher gen would otherwise outrun a tombstone between its
+              // old gen and the fold gen. Tombs stay for the unfolded
+              // refs; ones no kept ref is older than are GC'd.
+              val t0 = System.nanoTime()
+              val sorted = refs0.sortBy(_.rows.get)
+              val (foldRefs, keepRefs) =
+                sorted.splitAt(math.max(2, refs0.size / 2))
+              val foldGen = foldRefs.map(_.gen).max
+              val unioned = foldRefs.map { r =>
+                readCkptRows(spark, sidecarPath(qroot, r.name))
+                  .filter(col("kind") === "file").toDF()
+                  .withColumn("_gen", lit(r.gen))
+              }.reduce(_ unionByName _)
+              val survivors =
+                if (tombs1.isEmpty) unioned
+                else {
+                  val t = spark.createDataFrame(tombs1.toSeq)
+                    .toDF("_tpath", "_tgen")
+                  unioned.join(broadcast(t),
+                    unioned("path") === t("_tpath") && t("_tgen") > col("_gen"),
+                    "left_anti")
+                }
+              val (folded, n) = persistCount(
+                survivors.drop("_gen").as[CkptRow])
+              val newRef = try spill(folded, foldGen, n) finally folded.unpersist()
+              SidecarMaintenance.folds.incrementAndGet()
+              SidecarMaintenance.foldNanos.addAndGet(System.nanoTime() - t0)
+              SidecarMaintenance.foldedRows.addAndGet(n)
+              val kept = keepRefs :+ newRef
+              val minGen = kept.map(_.gen).min
+              val gced = tombs1.filter { case (_, g) => g > minGen }
+              noteMaintenance(s"sidecar size-tiered fold on $root@v$v: " +
+                s"${foldRefs.size} of ${refs0.size} refs -> 1 ($n rows, " +
+                s"tombs ${tombs1.size} -> ${gced.size}, " +
+                f"${(System.nanoTime() - t0) / 1e9}%.2f s)")
+              (kept, gced)
+            }
+          val (freshP, freshN) = persistCount(fresh1)
+          if (freshN >= spillRows) {
+            val ref = try spill(freshP, v, freshN) finally freshP.unpersist()
+            (spark.emptyDataset[CkptRow],
+              (refs1 :+ ref).map(sidecarRefRowOf) ++
+                tombs2.toSeq.map { case (p, g) => tombRowOf(p, g) })
+          } else {
+            // freshP stays persisted: the caller's checkpoint write
+            // consumes it and unpersists afterwards
+            (freshP,
+              refs1.map(sidecarRefRowOf) ++
+                tombs2.toSeq.map { case (p, g) => tombRowOf(p, g) })
+          }
         }
       case None =>
         // bootstrap / full rebuild: the whole live set becomes sidecar #1
-        val all = fullLiveRows(spark, root, v, fs, qroot)
-        val ref = spill(all, v)
-        (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref._1, ref._2)))
+        val (all, n) = persistCount(fullLiveRows(spark, root, v, fs, qroot))
+        val ref = try spill(all, v, n) finally all.unpersist()
+        (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref)))
     }
   }
 
@@ -3066,6 +3222,86 @@ object Snapshots {
       Map.empty, Map.empty, Map.empty, Map.empty)
     computed.foreach(liveMetaCache.put(key, _))
     computed
+  }
+
+  private val liveAggrCache = new LruCache[(String, Long), (Long, Long)](64)
+
+  /** (liveFiles, totalBytes) of an immutable (root, version) WITHOUT
+    * materializing the per-file list anywhere: the nearest parquet
+    * checkpoint's `aggr` header (recorded at write time, one pushed-
+    * filter lookup) rolled forward through the tail deltas — driver
+    * work O(tail change), plus at most one pushed-filter scan that
+    * collects ONLY the touched rows' sizes. This is what breaks the
+    * last O(files) plan-time cost: `SnapshotFileIndex.sizeInBytes` (the
+    * optimizer asks on EVERY query, join sizing included) answers from
+    * here, so a selective scan of a 10⁸-file table never collects the
+    * live list to the driver at all. None on text-codec tables, before
+    * the first aggr-bearing checkpoint, or when a needed size is
+    * unrecorded — callers keep the per-file path exactly then. */
+  private[graft] def liveAggregate(
+      spark: SparkSession, root: String, version: Long): Option[(Long, Long)] = {
+    val (_, qroot) = fsOf(spark, root)
+    val key = (qroot.toString, version)
+    liveAggrCache.get(key).foreach(hit => return Some(hit))
+    if (!parquetPathOn(readDelta(spark, root, version).props)) return None
+    val computed: Option[(Long, Long)] =
+      try logVersions(spark, root, ".checkpoint.parquet")
+        .filter(_ <= version).lastOption
+        // same staleness gate as the file frame: a tail past 4× the
+        // cadence means a crashed checkpointer — don't trust the header
+        .filter(cv => version - cv <= checkpointEvery * 4)
+        .flatMap { cv =>
+          checkpointHeaders(spark, root, cv, "aggr").headOption.flatMap { h =>
+            val parts = h.split(',')
+            val base = (parts(0).toLong, parts(1).toLong)
+            if (cv == version) Some(base)
+            else adjustAggregate(spark, root, qroot, cv, version, base)
+          }
+        }
+      catch { case scala.util.control.NonFatal(_) => None }
+    computed.foreach(liveAggrCache.put(key, _))
+    computed
+  }
+
+  /** `base` = (count, bytes) at checkpoint `cv`, rolled forward to `v`:
+    * per-path FINAL tail ops on the driver (adds before removes per
+    * delta, mirroring `reconstruct`), previously-live sizes of the
+    * touched paths via ONE pushed-filter scan of the cv assembly that
+    * collects only those rows. Every touched path's PRIOR row leaves
+    * the live set (removed or replaced) and every final add enters it,
+    * so: count' = count − |prior live ∩ touched| + |final adds|, bytes
+    * likewise. None when a final add lacks recorded fmeta or a touched
+    * prior row lacks fsize (legacy rows) — the caller falls back. */
+  private def adjustAggregate(
+      spark: SparkSession, root: String, qroot: Path,
+      cv: Long, v: Long, base: (Long, Long)): Option[(Long, Long)] = {
+    val ops = scala.collection.mutable.LinkedHashMap[
+      String, Option[Option[(Long, Long)]]]()
+    ((cv + 1) to v).foreach { w =>
+      val d = readDelta(spark, root, w)
+      d.adds.foreach(r => ops(r) = Some(d.fmeta.get(r)))
+      d.removes.foreach(r => ops(r) = None)
+    }
+    if (ops.isEmpty) return Some(base)
+    val finalAdds = ops.collect { case (_, Some(fm)) => fm }.toSeq
+    if (finalAdds.exists(_.isEmpty)) return None
+    val touched = ops.keys.toSeq
+    val frame = assembleCheckpointRows(spark, qroot, cv).toDF()
+    val hit =
+      if (touched.size <= 1000) frame.filter(col("path").isin(touched: _*))
+      else {
+        val t = spark.createDataset(touched)(
+          org.apache.spark.sql.Encoders.STRING).toDF("path")
+        frame.join(broadcast(t), Seq("path"), "left_semi")
+      }
+    val prior = hit.select(col("path"), col("fsize"))
+      .as[(String, Option[Long])](
+        org.apache.spark.sql.Encoders.product[(String, Option[Long])])
+      .collect().toSeq
+    if (prior.exists(_._2.isEmpty)) return None
+    Some((base._1 - prior.size + finalAdds.size,
+      base._2 - prior.iterator.map(_._2.get).sum +
+        finalAdds.iterator.map(_.get._1).sum))
   }
 
   private[graft] def distributedCandidateMeta(
@@ -5266,7 +5502,7 @@ object Snapshots {
     val scDir = sidecarsDir(qroot)
     if (fs.exists(scDir)) {
       val live = checkpointVersions(spark, root)
-        .flatMap(cv => sidecarRefsOf(spark, qroot, cv)).map(_._2).toSet
+        .flatMap(cv => sidecarRefsOf(spark, qroot, cv)).map(_.name).toSet
       fs.listStatus(scDir).foreach { s =>
         val name = s.getPath.getName
         val gen = try sidecarGenOf(name) catch { case _: Exception => Long.MaxValue }

@@ -3561,6 +3561,78 @@ object LifecycleQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
              |  TRUE AS text_first, TRUE AS parquet_later, TRUE AS gated
              |FROM events WHERE event_id % 24 <= 20""".stripMargin)
+    ),
+
+    // ---- FLAGSHIP COMPOSITION (r16): partitioned layout + sidecar
+    // manifests + format=auto on ONE table — exactly how the
+    // reference's `year=/month=` store (scripts/02_spark_etl.py:140-144)
+    // would be configured at 10⁷–10⁸ files. Each piece has its own
+    // oracle row; this one exists because their composition is the
+    // production shape: auto must flip INTO sidecar manifests (not
+    // plain checkpoints), the bootstrap sidecar must carry the baked
+    // partition point-envelopes, and a partition×data predicate must
+    // prune DISTRIBUTED through the manifest assembly. `composed` pins
+    // text-then-manifest-with-sidecars; `dist_parity` pins distributed
+    // == driver pruning; `pruned` pins the front door planning fewer
+    // files than live; `sized` pins the aggr header answering the
+    // optimizer's sizeInBytes without the O(files) collect.
+    QuerySpec(
+      "partitioned_sidecar_auto",
+      (s, dir) => {
+        val root = s"${Dumps.forSf(dir)}/partsc"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true) // fresh log per run
+        val e = eventsSlim(s, dir)
+        Snapshots.init(s, root, e.where(col("event_id") % 12 === 0).repartition(2),
+          // the Hive layout multiplies files (2 shuffle partitions × 5
+          // event types ≈ 10 per commit): 40 keeps v0 under the bar and
+          // the v10 boundary (~110 live) well over it
+          Map(Snapshots.checkpointFormatProp -> "auto",
+            "graft.checkpoint.autoThreshold" -> "40",
+            Snapshots.checkpointSidecarsProp -> "true",
+            "graft.checkpoint.sidecar.spillRows" -> "8",
+            "graft.partitionBy" -> "event_type"))
+        (1 to 11).foreach(b =>
+          Snapshots.append(s, root,
+            e.where(col("event_id") % 12 === b).repartition(2)))
+        val head = Snapshots.latestVersion(s, root)
+        val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_log"))
+          .map(_.getPath.getName).toSeq
+        val composed = names.contains("v00000000.checkpoint") &&
+          names.contains("v00000010.checkpoint.parquet") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/_log/_sidecars"))
+        val pred = "event_type = 'click' AND event_id BETWEEN 100 AND 40000"
+        val dist = Snapshots.statsCandidateFiles(s, root, head, pred)
+        s.conf.set("spark.graft.prune.distributed", "never")
+        val drv =
+          try Snapshots.statsCandidateFiles(s, root, head, pred)
+          finally s.conf.unset("spark.graft.prune.distributed")
+        val distParity = dist == drv
+        val files = Snapshots.versionFiles(s, root)
+        val qroot = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val sized = Snapshots.liveAggregate(s, root, head).contains(
+          (files.size.toLong, files.map(f => qroot.getFileStatus(
+            new org.apache.hadoop.fs.Path(f)).getLen).sum))
+        val q = s.read.format("graft.sources.SnapshotSource").load(root)
+          .where(col("event_type") === "click" &&
+            col("event_id").between(100L, 40000L))
+        val pruned = plannedFileCount(q) < files.size
+        q.agg(count(lit(1)).as("n"),
+            sum(col("event_id")).cast("bigint").as("id_sum"),
+            dsum(col("value")).as("value_sum"))
+          .withColumn("composed", lit(composed))
+          .withColumn("dist_parity", lit(distParity))
+          .withColumn("pruned", lit(pruned))
+          .withColumn("sized", lit(sized))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             |  TRUE AS composed, TRUE AS dist_parity, TRUE AS pruned,
+             |  TRUE AS sized
+             |FROM events
+             |WHERE event_type = 'click' AND event_id BETWEEN 100 AND 40000""".stripMargin)
     )
   )
 }

@@ -107,7 +107,17 @@ private[sources] class SnapshotFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(qroot)
   override def partitionSchema: StructType = schemas._2
-  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  /** The optimizer asks for the table's byte size on EVERY query (join
+    * sizing, broadcast decisions) — answered O(tail change) from the
+    * checkpoint's `aggr` header, so planning a selective scan of a
+    * 10⁸-file table never materializes the per-file list at all; the
+    * per-file sum survives only as the legacy fallback (pre-aggr
+    * checkpoints, text-codec tables). */
+  override def sizeInBytes: Long =
+    Snapshots.liveAggregate(spark, root, version).map(_._2)
+      .getOrElse(statuses.map(_.getLen).sum)
+
   override def inputFiles: Array[String] = statuses.map(_.getPath.toString).toArray
   override def refresh(): Unit = () // versions are immutable
 

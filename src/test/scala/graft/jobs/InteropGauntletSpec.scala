@@ -284,4 +284,126 @@ class InteropGauntletSpec extends AnyFunSuite {
     assert(!fs.exists(scDir) || fs.listStatus(scDir).isEmpty,
       "the exit ramp must leave no sidecar debris")
   }
+
+  test("FLAGSHIP composition: partitioned + sidecars + auto through a DML mix, " +
+      "vacuum, and the exit ramp") {
+    val root = Files.createTempDirectory("gauntpsc").toFile.getAbsolutePath + "/t"
+    def mk(ks: Seq[Long], month: Int) =
+      ks.map(k => (k, k * 2.0, month)).toDF("k", "v", "month")
+
+    // the in-memory MIRROR: every step's expected row set, updated in
+    // lockstep — reads compare EXACTLY (no hash shortcuts)
+    var mirror = Set.empty[(Long, Double, Int)]
+    def check(tag: String): Unit = {
+      val got = Snapshots.readVersion(spark, root)
+        .as[(Long, Double, Int)].collect().toSet
+      assert(got == mirror,
+        s"$tag: table diverged from mirror (got ${got.size}, want ${mirror.size}; " +
+          s"missing=${(mirror -- got).take(3)}, extra=${(got -- mirror).take(3)})")
+      // partition × data prune parity: distributed == driver, and the
+      // tight band is a strict subset of the live set
+      val head = Snapshots.latestVersion(spark, root)
+      val pred = "month = 3 AND k >= 300"
+      val dist = Snapshots.statsCandidateFiles(spark, root, head, pred)
+      spark.conf.set("spark.graft.prune.distributed", "never")
+      val drv =
+        try Snapshots.statsCandidateFiles(spark, root, head, pred)
+        finally spark.conf.unset("spark.graft.prune.distributed")
+      assert(dist == drv, s"$tag: distributed vs driver prune diverged")
+      // when a parquet checkpoint exists the aggr header answers
+      // (count, bytes) exactly — the scale path stays truthful through
+      // every composition step
+      Snapshots.liveAggregate(spark, root, head).foreach { case (c, b) =>
+        val qroot = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration).makeQualified(
+          new org.apache.hadoop.fs.Path(root))
+        val files = Snapshots.versionFiles(spark, root, head)
+        val truth = (files.size.toLong, files.map(f => qroot.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum)
+        assert((c, b) == truth, s"$tag: aggr ($c,$b) != stat truth $truth")
+      }
+    }
+
+    val props = Map(
+      Snapshots.checkpointFormatProp -> "auto",
+      "graft.checkpoint.autoThreshold" -> "12",
+      Snapshots.checkpointSidecarsProp -> "true",
+      "graft.checkpoint.sidecar.spillRows" -> "8",
+      "graft.partitionBy" -> "month")
+    Snapshots.init(spark, root, mk(1L to 20L, 0).repartition(2), props)
+    mirror ++= (1L to 20L).map(k => (k, k * 2.0, 0))
+    check("init")
+    (1 to 11).foreach { b =>
+      val ks = (b * 100L + 1) to (b * 100L + 20)
+      Snapshots.append(spark, root, mk(ks, b % 6).repartition(2))
+      mirror ++= ks.map(k => (k, k * 2.0, b % 6))
+    }                                                     // v1..v11
+    check("ingest")
+    // auto really flipped: the v0 checkpoint is TEXT (2 files < 12),
+    // the v10 one PARQUET (a sidecar manifest)
+    val lfs = new org.apache.hadoop.fs.Path(root + "/_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names0 = lfs.listStatus(new org.apache.hadoop.fs.Path(root + "/_log"))
+      .map(_.getPath.getName).toSeq
+    assert(names0.contains("v00000000.checkpoint"), "v0 must be text (auto)")
+    assert(names0.contains("v00000010.checkpoint.parquet"),
+      "v10 must be parquet (auto crossed the threshold)")
+    assert(lfs.exists(new org.apache.hadoop.fs.Path(root + "/_log/_sidecars")),
+      "the parquet checkpoint must be a sidecar manifest")
+
+    Snapshots.deleteWhere(spark, root, "month = 2 AND k % 2 = 0") // v12
+    mirror = mirror.filterNot(r => r._3 == 2 && r._1 % 2 == 0)
+    check("cow-delete")
+    Snapshots.updateWhere(spark, root, Map("v" -> "v + 0.25"), "month = 3") // v13
+    mirror = mirror.map(r => if (r._3 == 3) (r._1, r._2 + 0.25, r._3) else r)
+    check("cow-update")
+    Snapshots.optimizeCompact(spark, root, 1L << 30, 1L << 30) // v14: wide rewrite
+    check("optimize")
+    val preRestore = Snapshots.latestVersion(spark, root)
+    val preMirror = mirror
+    Snapshots.append(spark, root, mk(Seq(777777L), 1))    // v15
+    mirror += ((777777L, 777777L * 2.0, 1))
+    check("pre-restore")
+    Snapshots.restore(spark, root, preRestore)            // v16: re-adds
+    mirror = preMirror
+    check("restore")
+    (1 to 6).foreach { b =>
+      val ks = (2000L + b * 10L) to (2000L + b * 10L + 4)
+      Snapshots.append(spark, root, mk(ks, b % 6).coalesce(1))
+      mirror ++= ks.map(k => (k, k * 2.0, b % 6))
+    }                                                     // crosses v20
+    check("post-boundary")
+    val head0 = Snapshots.latestVersion(spark, root)
+    Snapshots.vacuum(spark, root, keepFrom = head0 - 2)
+    check("vacuum")
+
+    // ---- exit ramp: sidecars off → plain parquet boundary → vacuum →
+    // DROP FEATURE → text → DROP parquetCheckpoint
+    Snapshots.setProperties(spark, root, Map.empty,
+      unset = Seq(Snapshots.checkpointSidecarsProp))
+    val at = Snapshots.latestVersion(spark, root)
+    ((at + 1) to (at / 10 * 10 + 10)).foreach { i =>
+      Snapshots.append(spark, root, mk(Seq(3000L + i), 4).coalesce(1))
+      mirror += ((3000L + i, (3000L + i) * 2.0, 4))
+    }
+    check("post-flip")
+    Snapshots.vacuum(spark, root, Snapshots.latestVersion(spark, root))
+    val dropV = Snapshots.dropFeature(spark, root, "checkpointSidecars")
+    Snapshots.vacuum(spark, root, dropV)
+    check("sidecars-dropped")
+    val scDir2 = new org.apache.hadoop.fs.Path(s"$root/_log/_sidecars")
+    assert(!lfs.exists(scDir2) || lfs.listStatus(scDir2).isEmpty,
+      "no sidecar debris after the exit ramp")
+    Snapshots.setProperties(spark, root,
+      Map(Snapshots.checkpointFormatProp -> "text"))
+    val at2 = Snapshots.latestVersion(spark, root)
+    ((at2 + 1) to (at2 / 10 * 10 + 10)).foreach { i =>
+      Snapshots.append(spark, root, mk(Seq(4000L + i), 5).coalesce(1))
+      mirror += ((4000L + i, (4000L + i) * 2.0, 5))
+    }
+    Snapshots.vacuum(spark, root, Snapshots.latestVersion(spark, root))
+    Snapshots.dropFeature(spark, root, "parquetCheckpoint")
+    check("full-exit")
+  }
 }

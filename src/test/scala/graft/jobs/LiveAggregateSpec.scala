@@ -1,0 +1,134 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The checkpoint `aggr` header — (liveFiles, totalBytes) recorded at
+  * every parquet checkpoint and rolled forward O(tail change), so
+  * `SnapshotFileIndex.sizeInBytes` (asked by the optimizer on EVERY
+  * query) never materializes the per-file live list. Pins: exact
+  * parity with a real stat-every-file ground truth through a DML mix
+  * (appends, COW delete/update, OPTIMIZE, RESTORE), at checkpoint
+  * versions AND between them; parity on sidecar-manifest tables; and
+  * the load-bearing scale property — answering `sizeInBytes` populates
+  * NO per-file cache entry (the O(files) collect provably never ran). */
+class LiveAggregateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("liveaggr").toFile.getAbsolutePath + "/t"
+
+  /** Ground truth: stat every live file of `v` through the filesystem. */
+  private def statTruth(root: String, v: Long): (Long, Long) = {
+    val qroot = new Path(root)
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Snapshots.versionFiles(spark, root, v)
+    (files.size.toLong,
+      files.map(f => fs.getFileStatus(new Path(qroot, f)).getLen).sum)
+  }
+
+  private def dmlMix(root: String, props: Map[String, String]): Long = {
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2), props)
+    (1 to 12).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 20L).map(i => (b * 1000L + i, i * 2.0)).toDF("k", "v").repartition(2))
+    }                                                // v1..v12 (ckpt v10)
+    Snapshots.deleteWhere(spark, root, "k <= 10")    // v13: COW remove+add
+    Snapshots.updateWhere(spark, root, Map("v" -> "v + 0.5"), "k > 11000") // v14
+    Snapshots.optimizeCompact(spark, root, 1L << 30, 1L << 30) // v15: wide rewrite
+    val preRestore = Snapshots.latestVersion(spark, root)
+    Snapshots.append(spark, root, Seq((777777L, 1.0)).toDF("k", "v")) // v16
+    Snapshots.restore(spark, root, preRestore)       // v17: re-adds removed paths
+    (1 to 5).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 5L).map(i => (50000L + b * 100L + i, i * 3.0)).toDF("k", "v"))
+    }                                                // → past the v20 ckpt
+    Snapshots.latestVersion(spark, root)
+  }
+
+  test("aggr parity with stat-every-file truth through a DML mix (plain parquet)") {
+    val root = tmp()
+    val head = dmlMix(root, Map(Snapshots.checkpointFormatProp -> "parquet"))
+    assert(head >= 20L)
+    // at the checkpoint version, one past it (tail adjustment), and head
+    Seq(20L, 21L, head).foreach { v =>
+      Snapshots.invalidateCaches(spark, root)
+      val got = Snapshots.liveAggregate(spark, root, v)
+      assert(got.isDefined, s"v$v must answer from the aggr header")
+      assert(got.get == statTruth(root, v),
+        s"v$v aggr ${got.get} != filesystem truth ${statTruth(root, v)}")
+    }
+  }
+
+  test("aggr parity on a SIDECAR-manifest table") {
+    val root = tmp()
+    val head = dmlMix(root, Map(
+      Snapshots.checkpointFormatProp -> "parquet",
+      Snapshots.checkpointSidecarsProp -> "true",
+      "graft.checkpoint.sidecar.spillRows" -> "20"))
+    Seq(head / 10 * 10, head).distinct.foreach { v =>
+      Snapshots.invalidateCaches(spark, root)
+      val got = Snapshots.liveAggregate(spark, root, v)
+      assert(got.isDefined && got.get == statTruth(root, v),
+        s"sidecar v$v aggr $got != truth ${statTruth(root, v)}")
+    }
+  }
+
+  test("sizeInBytes answers WITHOUT collecting the per-file live list") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 10).foreach { b =>
+      Snapshots.append(spark, root,
+        Seq((b * 1000L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val head = Snapshots.latestVersion(spark, root)
+    val truth = statTruth(root, head)._2 // before: versionFiles itself caches
+    Snapshots.invalidateCaches(spark, root)
+    val size = graft.sources.SnapshotPlanProbe.planSize(spark, root, head)
+    val qroot = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new Path(root)).toString
+    assert(!Snapshots.liveMetaCacheKeys.contains((qroot, head)),
+      "sizeInBytes must NOT have forced the O(files) liveFileMeta collect")
+    assert(size == truth)
+  }
+
+  test("text-codec tables answer None and the per-file fallback serves") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1), Map.empty)
+    (1 to 11).foreach { b =>
+      Snapshots.append(spark, root,
+        Seq((b * 100L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val head = Snapshots.latestVersion(spark, root)
+    assert(Snapshots.liveAggregate(spark, root, head).isEmpty)
+    // the front door still answers sizeInBytes (via statuses)
+    val size = graft.sources.SnapshotPlanProbe.planSize(spark, root, head)
+    assert(size == statTruth(root, head)._2)
+  }
+
+  test("auto-codec decision consumes the aggr count O(change)") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "auto",
+        "graft.checkpoint.autoThreshold" -> "5"))
+    (1 to 25).foreach { b =>
+      Snapshots.append(spark, root,
+        Seq((b * 10L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val head = Snapshots.latestVersion(spark, root)
+    // past the threshold the checkpoints are parquet and carry aggr
+    Snapshots.invalidateCaches(spark, root)
+    val got = Snapshots.liveAggregate(spark, root, head)
+    assert(got.isDefined && got.get == statTruth(root, head))
+  }
+}

@@ -162,6 +162,63 @@ class SidecarCheckpointSpec extends AnyFunSuite {
       "every surviving reference must resolve to a surviving sidecar")
   }
 
+  test("size-tiered fold: ref cap folds the SMALLEST sidecars, bootstrap survives") {
+    val root = tmp()
+    val tiered = props + ("graft.checkpoint.sidecar.spillRows" -> "5")
+    // 4 real seed files (k 1..100); the v10 sidecar is the BIG one
+    Snapshots.init(spark, root,
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(4), tiered)
+    def metaCommit(from: Int, count: Int): Unit = {
+      val adds = (0 until count).map { j =>
+        val fileNo = from + j
+        val lo = 10000L + fileNo * 100L
+        val rel = f"data/part-$fileNo%05d.parquet"
+        rel -> graft.core.Skipping.FileStats(rel, 10L,
+          Map("k" -> lo), Map("k" -> (lo + 99L)),
+          Map.empty, Map.empty, Map.empty, Map.empty, Map("k" -> 0L))
+      }
+      Snapshots.commitMetadataOnlyAdds(spark, root, adds.map(_._1), adds.toMap,
+        adds.map { case (rel, _) => rel -> (1024L * 1024, 1700000000000L) }.toMap)
+    }
+    // v1..v9: 10 adds each → the v10 boundary spills ONE ~91-row sidecar
+    // (the big one a fold must never rewrite); then single adds per
+    // commit: a 5-row spill bound spills every boundary, refs grow
+    // 1/boundary until the cap (16) trips at the v160 boundary
+    (0 until 9).foreach(c => metaCommit(c * 10, 10))    // v1..v9
+    (0 until 141).foreach(i => metaCommit(90 + i, 1))   // v10..v150
+    // a REAL delete right before the folding boundary: its tombstones
+    // land in the SAME manifest the fold builds (stats keep the
+    // synthetic files out of the candidate read)
+    Snapshots.deleteWhere(spark, root, "k <= 50")       // v151
+    val before = Snapshots.SidecarMaintenance.snapshot
+    (0 until 15).foreach(i => metaCommit(300 + i, 1))   // crosses v160: fold
+    val after = Snapshots.SidecarMaintenance.snapshot
+    assert(after._4 > before._4, "a fold must have fired at the ref cap")
+    val head = Snapshots.latestVersion(spark, root)
+    val cv = head / 10 * 10
+    val manifest = spark.read.parquet(f"$root/_log/v$cv%08d.checkpoint.parquet")
+    val refs = manifest.filter(col("kind") === "sidecar")
+      .select("hkey", "hval", "rows")
+      .collect().map(r => (r.getString(0).toLong, r.getString(1), r.getLong(2)))
+    assert(refs.length < 16, s"fold must have shrunk the ref set, got ${refs.length}")
+    // the BIG v10 sidecar (~91 rows) was NOT rewritten: its generation
+    // survives as an existing ref while the small ones folded
+    assert(refs.exists(r => r._1 == 10L && r._3 > 50L),
+      s"the big sidecar must survive a size-tiered fold, refs=${refs.toSeq}")
+    assert(Snapshots.maintenanceEvents.toArray.map(_.toString)
+      .exists(m => m.contains("size-tiered fold") && m.contains(root)),
+      "the fold must be visibly logged")
+    // exactness: reconstruction at EVERY version equals pure delta replay
+    val viaCkpt = (0L to head).map(v => Snapshots.versionFiles(spark, root, v))
+    val p = new Path(root + "/_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logNames(root).filter(_.endsWith(".checkpoint.parquet"))
+      .foreach(n => fs.delete(new Path(p, n), true))
+    Snapshots.invalidateCaches(spark, root)
+    assert((0L to head).map(v => Snapshots.versionFiles(spark, root, v)) == viaCkpt,
+      "fold-assembled reconstruction must equal from-v0 replay at EVERY version")
+  }
+
   test("reader feature gate + DROP FEATURE refusal while references survive") {
     val root = tmp()
     Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"), props)

@@ -1554,11 +1554,12 @@ object Snapshots {
         // delta exactly like `reconstruct`
         val ops = scala.collection.mutable.LinkedHashMap[String, Option[(
           Option[graft.core.Skipping.FileStats], Option[(Long, Long)], Seq[String])]]()
+        val removed = scala.collection.mutable.LinkedHashSet[String]()
         ((cv + 1) to v).foreach { w =>
           val d = readDelta(spark, root, w)
           val pc = graft.core.HivePartitions.columnsOf(d.props)
           d.adds.foreach(r => ops(r) = Some((d.stats.get(r), d.fmeta.get(r), pc)))
-          d.removes.foreach(r => ops(r) = None)
+          d.removes.foreach { r => ops(r) = None; removed += r }
         }
         val touched = ops.keys.toSeq
         val finalAdds = ops.collect { case (r, Some((s, f, pc))) =>
@@ -1575,10 +1576,17 @@ object Snapshots {
         val fresh1 =
           if (finalAdds.isEmpty) freshKept
           else freshKept.unionByName(spark.createDataset(finalAdds))
-        // a tombstone for EVERY touched path: re-adds land in fresh at a
-        // gen ≥ v so the tomb can never kill them, and tombs for paths
-        // with no sidecar copy are harmless (bounded by the compact cap)
-        val tombs1 = tombs0 ++ touched.map(_ -> v)
+        // a tombstone for every REMOVED path only (r16). A pure add of a
+        // never-live path has no older copy to kill — the manifest's own
+        // fresh rows are replaced by the `touched` filter above, and any
+        // sidecar copy of a re-added path descends from an earlier
+        // REMOVE whose tombstone is still active (fold GC keeps a tomb
+        // while any ref is older). r15's tombstone-per-touched-path made
+        // the tomb set grow linearly under pure APPENDS — the dominant
+        // workload — tripping the tombCap full compact every ~100k adds
+        // (the unexplained 100k steady_ckpt spike). Re-adds still land
+        // in fresh at gen ≥ v, so no tombstone here can kill them.
+        val tombs1 = tombs0 ++ removed.map(_ -> v)
         // the tombstone cap forces a FULL fold — tombs only vanish for
         // good when every ref older than them is rewritten. The ref cap
         // takes the SIZE-TIERED path when every ref carries its row

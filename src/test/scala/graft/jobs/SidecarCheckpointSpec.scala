@@ -162,6 +162,38 @@ class SidecarCheckpointSpec extends AnyFunSuite {
       "every surviving reference must resolve to a surviving sidecar")
   }
 
+  test("pure appends accumulate ZERO tombstones; removes create exactly theirs") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v"), props)
+    (1 to 25).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 5L).map(i => (b * 100L + i, i * 1.0)).toDF("k", "v").coalesce(1))
+    }
+    def tombs(v: Long): Seq[String] =
+      spark.read.parquet(f"$root/_log/v$v%08d.checkpoint.parquet")
+        .filter(col("kind") === "tomb").select("path").as[String].collect().toSeq
+    // the dominant 100-TB workload is append-only: its manifests must
+    // carry NO tombstones (r15 tombstoned every touched path, so the
+    // tomb set grew linearly with ADDS and tripped the full-compact cap
+    // every ~100k files — the 100k steady_ckpt spike)
+    Seq(10L, 20L).foreach(v =>
+      assert(tombs(v).isEmpty, s"append-only manifest at v$v must be tomb-free"))
+    // a delete tombstones exactly files that are no longer live
+    val preDelete = Snapshots.versionFiles(spark, root).toSet
+    Snapshots.deleteWhere(spark, root, "k <= 103") // kills seed + one append file
+    (1 to 9).foreach(b => Snapshots.append(spark, root,
+      Seq((90000L + b, 1.0)).toDF("k", "v")))
+    val head = Snapshots.latestVersion(spark, root)
+    val t = tombs(head / 10 * 10)
+    assert(t.nonEmpty, "a COW delete's removes must tombstone")
+    val liveNow = Snapshots.versionFiles(spark, root).toSet
+    assert(t.forall(p => preDelete.exists(_.endsWith(s"/$p")) &&
+      !liveNow.exists(_.endsWith(s"/$p"))),
+      s"every tombstone must name a previously-live, now-dead file: $t")
+    // and reads stay exact through the tomb-bearing manifest
+    assert(Snapshots.readVersion(spark, root).count() == 1 + 25 * 5 - 4 + 9)
+  }
+
   test("size-tiered fold: ref cap folds the SMALLEST sidecars, bootstrap survives") {
     val root = tmp()
     val tiered = props + ("graft.checkpoint.sidecar.spillRows" -> "5")

@@ -1421,13 +1421,13 @@ object Snapshots {
     // sidecar manifests split the file rows three ways (fresh rows here,
     // reference + tombstone rows alongside); plain checkpoints carry the
     // complete live set as file rows
-    val (fileRows0, extraRows) =
+    val (fileRows0, extraRows, scAggr) =
       if (sidecarsOn(hd.props))
         sidecarManifestRows(spark, root, v, fs, qroot, prevPq)
       else {
         val rows = (if (allowIncremental) checkpointFileFrame(spark, root, v)
                     else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
-        (rows, Seq.empty[CkptRow])
+        (rows, Seq.empty[CkptRow], None)
       }
     // persist once: the incremental lineage (previous-manifest read +
     // anti-join + union) feeds BOTH the aggregate header and the final
@@ -1443,7 +1443,7 @@ object Snapshots {
     // when any live file's size is unrecorded (hand-edited legacy logs)
     // — readers fall back to per-file statuses exactly then.
     val aggrRows: Seq[CkptRow] = {
-      val incr = liveAggregate(spark, root, v)
+      val incr = liveAggregate(spark, root, v).orElse(scAggr)
       val full = if (incr.isDefined) None else {
         val frame =
           if (!sidecarsOn(hd.props)) Some(fileRows)
@@ -1517,10 +1517,20 @@ object Snapshots {
       spark: SparkSession, root: String, v: Long,
       fs: org.apache.hadoop.fs.FileSystem, qroot: Path,
       prevPq: Option[Long])
-      : (org.apache.spark.sql.Dataset[CkptRow], Seq[CkptRow]) = {
+      : (org.apache.spark.sql.Dataset[CkptRow], Seq[CkptRow], Option[(Long, Long)]) = {
     val props = readDelta(spark, root, v).props
     val spillRows = props.get(sidecarSpillRowsProp).flatMap(_.toLongOption)
       .getOrElse(sidecarSpillRowsDefault)
+    // (liveFiles, totalBytes) off an already-persisted COMPLETE live
+    // frame — a tiny extra job on cached data, handed to the caller so
+    // a bootstrap/compact never re-assembles the world just for the
+    // aggr header. None when any size is unrecorded.
+    def aggOf(all: org.apache.spark.sql.Dataset[CkptRow], n: Long)
+        : Option[(Long, Long)] = {
+      if (n == 0L) return Some((0L, 0L))
+      val r = all.agg(sum(col("fsize")), count(col("fsize"))).head
+      if (r.getLong(1) == n) Some((n, r.getLong(0))) else None
+    }
     // `rows` must be PERSISTED by the caller (or counted already) — the
     // write consumes it a second time and an unpersisted lineage would
     // re-run the whole assembly
@@ -1599,6 +1609,7 @@ object Snapshots {
           val t0 = System.nanoTime()
           val (all, n) = persistCount(checkpointFileFrame(spark, root, v)
             .getOrElse(fullLiveRows(spark, root, v, fs, qroot)))
+          val agg = aggOf(all, n)
           val ref = try spill(all, v, n) finally all.unpersist()
           SidecarMaintenance.folds.incrementAndGet()
           SidecarMaintenance.foldNanos.addAndGet(System.nanoTime() - t0)
@@ -1606,7 +1617,7 @@ object Snapshots {
           noteMaintenance(s"sidecar FULL fold on $root@v$v: ${refs0.size} " +
             s"refs + ${tombs1.size} tombs -> 1 ref ($n rows, " +
             f"${(System.nanoTime() - t0) / 1e9}%.2f s)")
-          (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref)))
+          (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref)), agg)
         } else {
           val (refs1, tombs2) =
             if (refs0.size < sidecarMaxRefs) (refs0, tombs1)
@@ -1656,20 +1667,21 @@ object Snapshots {
             val ref = try spill(freshP, v, freshN) finally freshP.unpersist()
             (spark.emptyDataset[CkptRow],
               (refs1 :+ ref).map(sidecarRefRowOf) ++
-                tombs2.toSeq.map { case (p, g) => tombRowOf(p, g) })
+                tombs2.toSeq.map { case (p, g) => tombRowOf(p, g) }, None)
           } else {
             // freshP stays persisted: the caller's checkpoint write
             // consumes it and unpersists afterwards
             (freshP,
               refs1.map(sidecarRefRowOf) ++
-                tombs2.toSeq.map { case (p, g) => tombRowOf(p, g) })
+                tombs2.toSeq.map { case (p, g) => tombRowOf(p, g) }, None)
           }
         }
       case None =>
         // bootstrap / full rebuild: the whole live set becomes sidecar #1
         val (all, n) = persistCount(fullLiveRows(spark, root, v, fs, qroot))
+        val agg = aggOf(all, n)
         val ref = try spill(all, v, n) finally all.unpersist()
-        (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref)))
+        (spark.emptyDataset[CkptRow], Seq(sidecarRefRowOf(ref)), agg)
     }
   }
 

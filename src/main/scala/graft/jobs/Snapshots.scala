@@ -1429,39 +1429,7 @@ object Snapshots {
                     else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
         (rows, Seq.empty[CkptRow], None)
       }
-    // persist once: the incremental lineage (previous-manifest read +
-    // anti-join + union) feeds BOTH the aggregate header and the final
-    // write — unpersisted it would re-run per consumer
-    val fileRows =
-      if (fileRows0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        fileRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else fileRows0
-    // the (liveFiles, totalBytes) header: incremental from the previous
-    // checkpoint's own header (O(tail change)); otherwise ONE distributed
-    // aggregate over the complete live set — plain checkpoints already
-    // hold it (persisted), sidecar manifests assemble it once. Omitted
-    // when any live file's size is unrecorded (hand-edited legacy logs)
-    // — readers fall back to per-file statuses exactly then.
-    val aggrRows: Seq[CkptRow] = {
-      val incr = liveAggregate(spark, root, v).orElse(scAggr)
-      val full = if (incr.isDefined) None else {
-        val frame =
-          if (!sidecarsOn(hd.props)) Some(fileRows)
-          else (if (allowIncremental) checkpointFileFrame(spark, root, v)
-                else None).orElse(
-            scala.util.Try(fullLiveRows(spark, root, v, fs, qroot)).toOption)
-        frame.flatMap { fr =>
-          val r = fr.agg(count(lit(1)), sum(col("fsize")),
-            count(col("fsize"))).head
-          val n = r.getLong(0)
-          if (n == 0L) Some((0L, 0L))
-          else if (r.getLong(2) == n) Some((n, r.getLong(1)))
-          else None
-        }
-      }
-      incr.orElse(full).map { case (c, b) =>
-        headerRowOf("aggr", s"$c,$b") }.toSeq
-    }
+    val fileRows = fileRows0
     val (copiedRows, maxTxn) = prevPq match {
       case Some(cv) =>
         // headers refresh incrementally too: prior `copied` rows stay a
@@ -1485,18 +1453,71 @@ object Snapshots {
         (spark.createDataset(copiedUpTo(spark, root, v).toSeq.sorted
           .map(headerRowOf("copied", _))), lastTxnUpTo(spark, root, v))
     }
+    val tmp = new Path(qroot,
+      f"_log/.v$v%08d-ckpt-pq-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    // JOB 1 — the file rows, OBSERVED: (liveFiles, totalBytes) metrics
+    // ride the write action itself, so the plain codec's aggr header
+    // costs ZERO extra passes (and the frame needs no persist — it is
+    // consumed exactly once). Sidecar manifests' fresh-only rows can't
+    // yield the live aggregate; they use the roll-forward / the spill's
+    // precomputed value below.
+    val obs = new org.apache.spark.sql.Observation(
+      f"graft-ckpt-aggr-v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}")
+    try {
+      fileRows.observe(obs, count(lit(1)).as("n"),
+          sum(col("fsize")).as("b"), count(col("fsize")).as("nb"))
+        .write.mode("overwrite").parquet(tmp.toString)
+    } finally fileRows.unpersist() // no-op unless the sidecar path persisted it
+    // the (liveFiles, totalBytes) header: the observed metrics (plain
+    // codec — the frame IS the live set), the spill's precomputed value
+    // (sidecar bootstrap/compact), or the previous header rolled forward
+    // O(tail change) (sidecar steady state). Omitted when any live
+    // file's size is unrecorded (hand-edited legacy logs) — readers
+    // fall back to per-file statuses exactly then.
+    val aggrRows: Seq[CkptRow] = {
+      val observed: Option[(Long, Long)] =
+        if (sidecarsOn(hd.props)) None
+        else {
+          val m = obs.get
+          val n = m("n").asInstanceOf[Long]
+          if (n == 0L) Some((0L, 0L))
+          else if (m("nb").asInstanceOf[Long] == n)
+            Some((n, m("b").asInstanceOf[Long]))
+          else None
+        }
+      observed.orElse(scAggr)
+        .orElse(liveAggregate(spark, root, v))
+        .orElse {
+          // legacy sidecar manifests (written before aggr existed) have
+          // no header to roll forward: ONE distributed assembly agg
+          // re-seeds it, after which every later boundary is incremental
+          if (!sidecarsOn(hd.props)) None
+          else scala.util.Try {
+            (if (allowIncremental) checkpointFileFrame(spark, root, v)
+             else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
+          }.toOption.flatMap { fr =>
+            val r = fr.agg(count(lit(1)), sum(col("fsize")),
+              count(col("fsize"))).head
+            val n = r.getLong(0)
+            if (n == 0L) Some((0L, 0L))
+            else if (r.getLong(2) == n) Some((n, r.getLong(1)))
+            else None
+          }
+        }
+        .map { case (c, b) => headerRowOf("aggr", s"$c,$b") }.toSeq
+    }
     val headerRows = hd.schema.map(headerRowOf("schema", _)).toSeq ++
       Seq(headerRowOf("protocol", s"${hd.minReader},${hd.minWriter}"),
         headerRowOf("maxtxn", maxTxn.toString)) ++
       hd.rfeat.map(headerRowOf("rfeat", _)) ++
       hd.wfeat.map(headerRowOf("wfeat", _)) ++ aggrRows
-    val tmp = new Path(qroot,
-      f"_log/.v$v%08d-ckpt-pq-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    try {
-      fileRows.unionByName(copiedRows)
-        .unionByName(spark.createDataset(headerRows ++ extraRows))
-        .write.mode("overwrite").parquet(tmp.toString)
-    } finally fileRows.unpersist()
+    // JOB 2 — headers + sidecar refs/tombs + copied identities appended
+    // as their own (tiny) parquet parts: header lookups row-group-skip
+    // the file-row parts entirely, and nothing references `tmp` until
+    // the rename below publishes it atomically.
+    copiedRows
+      .unionByName(spark.createDataset(headerRows ++ extraRows))
+      .write.mode("append").parquet(tmp.toString)
     // a concurrent checkpointer may have landed first: same derived
     // content, so losing this race is a silent no-op
     if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)

@@ -565,8 +565,14 @@ object Snapshots {
         partitionPointEnvelopes(rel, partCols, s.map(_.rows).getOrElse(0L))
       val svHex = sv.map { case (k, b) => k -> graft.core.Skipping.toHex(b) }
       // without a row count the all-null (default-partition) null count
-      // is unknowable — record only the exact zero-null entries
-      val nvSafe = if (s.isDefined) nv else nv.filter(_._2 == 0L)
+      // is unknowable — keep only CONCRETE-valued columns (their zero is
+      // exact regardless of rows; every concrete value lands in exactly
+      // one of the three value families). Filtering on the computed
+      // count would keep a default-partition entry whose `rows`
+      // defaulted to 0 — a false "zero nulls" baked into an all-null
+      // file.
+      val concrete = lv.keySet ++ dv.keySet ++ sv.keySet
+      val nvSafe = if (s.isDefined) nv else nv.filter(kv => concrete(kv._1))
       base.copy(
         lmin = base.lmin ++ lv, lmax = base.lmax ++ lv,
         dmin = base.dmin ++ dv, dmax = base.dmax ++ dv,
@@ -622,6 +628,17 @@ object Snapshots {
   private def headerRowOf(k: String, v: String): CkptRow =
     CkptRow("header", "", None, Map.empty, Map.empty, Map.empty, Map.empty,
       Map.empty, Map.empty, Map.empty, k, v)
+
+  /** The ONE validity rule for an aggr value derived from
+    * (rowCount, rowsWithRecordedSize, byteSum): exact only when every
+    * live row carries a recorded size; a partial sum would understate
+    * the table and mis-size every downstream plan. `bytes` is by-name —
+    * it may be null-backed when no row had a size. */
+  private def validAggr(n: Long, withSize: Long, bytes: => Long)
+      : Option[(Long, Long)] =
+    if (n == 0L) Some((0L, 0L))
+    else if (withSize == n) Some((n, bytes))
+    else None
 
   private def fileStatsOf(r: CkptRow): Option[graft.core.Skipping.FileStats] =
     r.rows.map(n => graft.core.Skipping.FileStats(r.path, n,
@@ -1421,7 +1438,7 @@ object Snapshots {
     // sidecar manifests split the file rows three ways (fresh rows here,
     // reference + tombstone rows alongside); plain checkpoints carry the
     // complete live set as file rows
-    val (fileRows0, extraRows, scAggr) =
+    val (fileRows, extraRows, scAggr) =
       if (sidecarsOn(hd.props))
         sidecarManifestRows(spark, root, v, fs, qroot, prevPq)
       else {
@@ -1429,7 +1446,6 @@ object Snapshots {
                     else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
         (rows, Seq.empty[CkptRow], None)
       }
-    val fileRows = fileRows0
     val (copiedRows, maxTxn) = prevPq match {
       case Some(cv) =>
         // headers refresh incrementally too: prior `copied` rows stay a
@@ -1474,16 +1490,13 @@ object Snapshots {
     // O(tail change) (sidecar steady state). Omitted when any live
     // file's size is unrecorded (hand-edited legacy logs) — readers
     // fall back to per-file statuses exactly then.
-    val aggrRows: Seq[CkptRow] = {
+    val aggr: Option[(Long, Long)] = {
       val observed: Option[(Long, Long)] =
         if (sidecarsOn(hd.props)) None
         else {
           val m = obs.get
-          val n = m("n").asInstanceOf[Long]
-          if (n == 0L) Some((0L, 0L))
-          else if (m("nb").asInstanceOf[Long] == n)
-            Some((n, m("b").asInstanceOf[Long]))
-          else None
+          validAggr(m("n").asInstanceOf[Long], m("nb").asInstanceOf[Long],
+            m("b").asInstanceOf[Long])
         }
       observed.orElse(scAggr)
         .orElse(liveAggregate(spark, root, v))
@@ -1498,14 +1511,12 @@ object Snapshots {
           }.toOption.flatMap { fr =>
             val r = fr.agg(count(lit(1)), sum(col("fsize")),
               count(col("fsize"))).head
-            val n = r.getLong(0)
-            if (n == 0L) Some((0L, 0L))
-            else if (r.getLong(2) == n) Some((n, r.getLong(1)))
-            else None
+            validAggr(r.getLong(0), r.getLong(2), r.getLong(1))
           }
         }
-        .map { case (c, b) => headerRowOf("aggr", s"$c,$b") }.toSeq
     }
+    val aggrRows: Seq[CkptRow] =
+      aggr.map { case (c, b) => headerRowOf("aggr", s"$c,$b") }.toSeq
     val headerRows = hd.schema.map(headerRowOf("schema", _)).toSeq ++
       Seq(headerRowOf("protocol", s"${hd.minReader},${hd.minWriter}"),
         headerRowOf("maxtxn", maxTxn.toString)) ++
@@ -1521,6 +1532,10 @@ object Snapshots {
     // a concurrent checkpointer may have landed first: same derived
     // content, so losing this race is a silent no-op
     if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
+    // overwrite any pre-publish cache entry for THIS version (the
+    // bootstrap path caches None before its header exists; a lost race's
+    // winner derived the identical value, so unconditional is safe)
+    liveAggrCache.put((qroot.toString, v), aggr)
   }
 
   /** The three row groups of a SIDECAR manifest at checkpoint `v`:
@@ -1548,9 +1563,9 @@ object Snapshots {
     // aggr header. None when any size is unrecorded.
     def aggOf(all: org.apache.spark.sql.Dataset[CkptRow], n: Long)
         : Option[(Long, Long)] = {
-      if (n == 0L) return Some((0L, 0L))
+      if (n == 0L) return Some((0L, 0L)) // skip the job, not just the cast
       val r = all.agg(sum(col("fsize")), count(col("fsize"))).head
-      if (r.getLong(1) == n) Some((n, r.getLong(0))) else None
+      validAggr(n, r.getLong(1), r.getLong(0))
     }
     // `rows` must be PERSISTED by the caller (or counted already) — the
     // write consumes it a second time and an unpersisted lineage would
@@ -1617,6 +1632,12 @@ object Snapshots {
         // workload — tripping the tombCap full compact every ~100k adds
         // (the unexplained 100k steady_ckpt spike). Re-adds still land
         // in fresh at gen ≥ v, so no tombstone here can kill them.
+        // INVARIANT this leans on (shared with the plain codec's
+        // `checkpointFileFrame`, which also unions adds without dedup):
+        // an add names a path that is not currently live. Real writers
+        // satisfy it by construction — data files carry fresh UUID
+        // suffixes per attempt, and RESTORE's re-adds always follow the
+        // remove that freed the path.
         val tombs1 = tombs0 ++ removed.map(_ -> v)
         // the tombstone cap forces a FULL fold — tombs only vanish for
         // good when every ref older than them is rewritten. The ref cap
@@ -1644,16 +1665,21 @@ object Snapshots {
             if (refs0.size < sidecarMaxRefs) (refs0, tombs1)
             else {
               // SIZE-TIERED fold: rewrite the smallest half of the refs
-              // into one sidecar at the max folded gen. Current tombs are
-              // applied to the folded rows FIRST — a row re-tagged at the
-              // higher gen would otherwise outrun a tombstone between its
-              // old gen and the fold gen. Tombs stay for the unfolded
-              // refs; ones no kept ref is older than are GC'd.
+              // into one sidecar at gen `v` — the CURRENT checkpoint
+              // version, like every other spill, so vacuum's gen<floor
+              // guard keeps protecting the not-yet-referenced directory
+              // (a fold named at an old folded gen could be GC'd by a
+              // concurrent vacuum between spill and manifest publish).
+              // Current tombs are applied to the folded rows FIRST — a
+              // row re-tagged at the higher gen would otherwise outrun a
+              // tombstone between its old gen and v; survivors have no
+              // such tomb by construction, and future tombs land at
+              // gens > v. Tombs stay for the unfolded refs; ones no
+              // kept ref is older than are GC'd.
               val t0 = System.nanoTime()
               val sorted = refs0.sortBy(_.rows.get)
               val (foldRefs, keepRefs) =
                 sorted.splitAt(math.max(2, refs0.size / 2))
-              val foldGen = foldRefs.map(_.gen).max
               val unioned = foldRefs.map { r =>
                 readCkptRows(spark, sidecarPath(qroot, r.name))
                   .filter(col("kind") === "file").toDF()
@@ -1670,7 +1696,7 @@ object Snapshots {
                 }
               val (folded, n) = persistCount(
                 survivors.drop("_gen").as[CkptRow])
-              val newRef = try spill(folded, foldGen, n) finally folded.unpersist()
+              val newRef = try spill(folded, v, n) finally folded.unpersist()
               SidecarMaintenance.folds.incrementAndGet()
               SidecarMaintenance.foldNanos.addAndGet(System.nanoTime() - t0)
               SidecarMaintenance.foldedRows.addAndGet(n)
@@ -3265,7 +3291,14 @@ object Snapshots {
     computed
   }
 
-  private val liveAggrCache = new LruCache[(String, Long), (Long, Long)](64)
+  // values are Options: a (root, version) is immutable, so "no aggr
+  // header reachable" is as cacheable as a value — without the negative
+  // entry every plan of a legacy table would re-run the header lookup
+  // jobs just to fall back. The checkpoint writer overwrites the entry
+  // for its own version after publish (the one moment the answer for
+  // an existing key improves).
+  private val liveAggrCache =
+    new LruCache[(String, Long), Option[(Long, Long)]](64)
 
   /** (liveFiles, totalBytes) of an immutable (root, version) WITHOUT
     * materializing the per-file list anywhere: the nearest parquet
@@ -3283,10 +3316,10 @@ object Snapshots {
       spark: SparkSession, root: String, version: Long): Option[(Long, Long)] = {
     val (_, qroot) = fsOf(spark, root)
     val key = (qroot.toString, version)
-    liveAggrCache.get(key).foreach(hit => return Some(hit))
-    if (!parquetPathOn(readDelta(spark, root, version).props)) return None
+    liveAggrCache.get(key).foreach(hit => return hit)
     val computed: Option[(Long, Long)] =
-      try logVersions(spark, root, ".checkpoint.parquet")
+      if (!parquetPathOn(readDelta(spark, root, version).props)) None
+      else try logVersions(spark, root, ".checkpoint.parquet")
         .filter(_ <= version).lastOption
         // same staleness gate as the file frame: a tail past 4× the
         // cadence means a crashed checkpointer — don't trust the header
@@ -3300,45 +3333,52 @@ object Snapshots {
           }
         }
       catch { case scala.util.control.NonFatal(_) => None }
-    computed.foreach(liveAggrCache.put(key, _))
+    liveAggrCache.put(key, computed)
     computed
   }
 
   /** `base` = (count, bytes) at checkpoint `cv`, rolled forward to `v`:
     * per-path FINAL tail ops on the driver (adds before removes per
-    * delta, mirroring `reconstruct`), previously-live sizes of the
-    * touched paths via ONE pushed-filter scan of the cv assembly that
-    * collects only those rows. Every touched path's PRIOR row leaves
-    * the live set (removed or replaced) and every final add enters it,
-    * so: count' = count − |prior live ∩ touched| + |final adds|, bytes
-    * likewise. None when a final add lacks recorded fmeta or a touched
-    * prior row lacks fsize (legacy rows) — the caller falls back. */
+    * delta, mirroring `reconstruct`). A prior live row can only leave
+    * the live set through a REMOVE (the adds-name-non-live-paths
+    * invariant the whole distributed tier leans on), so only the
+    * REMOVED paths' previous sizes need looking up — ONE pushed-filter
+    * scan of the cv assembly collecting exactly those rows, and an
+    * append-only tail (the dominant workload) rolls forward with ZERO
+    * distributed work. None when a final add lacks recorded fmeta or a
+    * removed prior row lacks fsize (legacy rows) — the caller falls
+    * back. */
   private def adjustAggregate(
       spark: SparkSession, root: String, qroot: Path,
       cv: Long, v: Long, base: (Long, Long)): Option[(Long, Long)] = {
     val ops = scala.collection.mutable.LinkedHashMap[
       String, Option[Option[(Long, Long)]]]()
+    val removed = scala.collection.mutable.LinkedHashSet[String]()
     ((cv + 1) to v).foreach { w =>
       val d = readDelta(spark, root, w)
       d.adds.foreach(r => ops(r) = Some(d.fmeta.get(r)))
-      d.removes.foreach(r => ops(r) = None)
+      d.removes.foreach { r => ops(r) = None; removed += r }
     }
     if (ops.isEmpty) return Some(base)
     val finalAdds = ops.collect { case (_, Some(fm)) => fm }.toSeq
     if (finalAdds.exists(_.isEmpty)) return None
-    val touched = ops.keys.toSeq
-    val frame = assembleCheckpointRows(spark, qroot, cv).toDF()
-    val hit =
-      if (touched.size <= 1000) frame.filter(col("path").isin(touched: _*))
+    val prior: Seq[(String, Option[Long])] =
+      if (removed.isEmpty) Nil
       else {
-        val t = spark.createDataset(touched)(
-          org.apache.spark.sql.Encoders.STRING).toDF("path")
-        frame.join(broadcast(t), Seq("path"), "left_semi")
+        val lookup = removed.toSeq
+        val frame = assembleCheckpointRows(spark, qroot, cv).toDF()
+        val hit =
+          if (lookup.size <= 1000) frame.filter(col("path").isin(lookup: _*))
+          else {
+            val t = spark.createDataset(lookup)(
+              org.apache.spark.sql.Encoders.STRING).toDF("path")
+            frame.join(broadcast(t), Seq("path"), "left_semi")
+          }
+        hit.select(col("path"), col("fsize"))
+          .as[(String, Option[Long])](
+            org.apache.spark.sql.Encoders.product[(String, Option[Long])])
+          .collect().toSeq
       }
-    val prior = hit.select(col("path"), col("fsize"))
-      .as[(String, Option[Long])](
-        org.apache.spark.sql.Encoders.product[(String, Option[Long])])
-      .collect().toSeq
     if (prior.exists(_._2.isEmpty)) return None
     Some((base._1 - prior.size + finalAdds.size,
       base._2 - prior.iterator.map(_._2.get).sum +

@@ -47,22 +47,40 @@ object Bench {
     val progressPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROGRESS", "target/bench_progress.jsonl")
     Option(Paths.get(progressPath).getParent).foreach(Files.createDirectories(_))
     val progress = new PrintWriter(new FileWriter(progressPath, false), true) // autoflush per line
+    // Failures are STRUCTURAL (r16 verdict #2): a failed run never
+    // contributes a timing — it is counted per query, lands in the
+    // progress JSONL and the driver artifact, and a query failing every
+    // run publishes sec = -1 instead of a fake number. The stderr print
+    // stays for the stack-trace forensics, but the JSON no longer needs it.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to nRuns).map { _ =>
+      var failed = 0
+      val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              failed += 1
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              e.printStackTrace()
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // stage caches must not leak into the next timing
-        dt
+        if (ok) Some(dt) else None
       }
-      progress.println(s"""{"query":"$name","sec":${times.min},"runs":[${times.mkString(",")}]}""")
-      name -> times.min
+      val best = if (times.isEmpty) -1.0 else times.min
+      progress.println(s"""{"query":"$name","sec":$best,"failed":$failed,"runs":[${times.mkString(",")}]}""")
+      (name, best, failed)
     }
     def r3(d: Double): String = f"$d%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val failedRuns = results.map(_._3).sum
+    val failedQueries = results.collect { case (k, _, f) if f > 0 => k }
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed_runs":$failedRuns,"failed_queries":$failedJson,"sf":"$sfDir"}"""
     progress.println(line) // the full line lives on disk even if stdout truncates
     progress.close()
     val totalWriter = new PrintWriter(new FileWriter("target/bench_total.json", false), true)
@@ -82,10 +100,11 @@ object Bench {
     // driver raw, printed after spark.stop() so nothing trails them.
     val slowest = results.sortBy(-_._2).take(48).grouped(12).toSeq
     val chunks = slowest.zipWithIndex.map { case (grp, i) =>
-      val qs48 = grp.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val qs48 = grp.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       s"""{"metric":"slowest","chunk":${i + 1},"of":${slowest.size},"queries":$qs48}"""
     }
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
+      s""""failed_runs":$failedRuns,"failed_queries":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     chunks.foreach(println)
     println(short)

@@ -97,8 +97,18 @@ object HivePartitions {
     * other zone would shift timestamp-typed partition values and make
     * plan-time pruning silently drop matching partitions. */
   def internalRowOf(path: String, partitionSchema: StructType,
-      timeZoneId: String): InternalRow = {
-    val raw = valuesOf(path, partitionSchema.fieldNames.toSeq)
+      timeZoneId: String): InternalRow =
+    internalRowOfValues(
+      valuesOf(path, partitionSchema.fieldNames.toSeq), partitionSchema, timeZoneId)
+
+  /** The typed row for already-parsed raw partition values — split out
+    * so a caller grouping MANY paths can cast once per DISTINCT
+    * partition instead of per file: each `Cast(...).eval` allocates and
+    * resolves a fresh expression (~tens of µs), which at 10⁵–10⁷
+    * planned files was the dominant plan-time cost on partitioned
+    * tables (the r16 partsc plan_sel gap). */
+  def internalRowOfValues(raw: Map[String, Option[String]],
+      partitionSchema: StructType, timeZoneId: String): InternalRow = {
     val values = partitionSchema.fields.map { f =>
       raw.getOrElse(f.name, None) match {
         case None => null

@@ -184,8 +184,11 @@ object Snapshots {
     if (parquetPathOn(d.props)) both("parquetCheckpoint")
     // sidecar manifests: a reader without the assembly would take the
     // manifest's FRESH rows for the whole table — silent data loss, the
-    // worst class — so the gate is a reader feature
-    if (sidecarsOn(d.props)) both("checkpointSidecars")
+    // worst class — so the gate is a reader feature. `auto` tables
+    // stamp it immediately (the auto-sidecar flip may fire at any later
+    // commit) unless the flip is explicitly disabled.
+    if (sidecarsOn(d.props) || autoSidecarsAt(d.props).isDefined)
+      both("checkpointSidecars")
     if (d.props.keys.exists(_.startsWith(identityPrefix))) w += "identityColumns"
     if (d.props.keys.exists(_.startsWith(generatedPrefix))) w += "generatedColumns"
     if (d.props.keys.exists(_.startsWith(constraintPrefix))) w += "checkConstraints"
@@ -274,6 +277,10 @@ object Snapshots {
         require(!sidecarsOn(prevDelta.props),
           s"cannot drop checkpointSidecars from $root while " +
             s"$checkpointSidecarsProp=true — unset it first")
+        require(autoSidecarsAt(prevDelta.props).isEmpty,
+          s"cannot drop checkpointSidecars from $root while the auto-" +
+            s"sidecar flip is armed — set $autoSidecarsAtProp=-1 (or " +
+            s"$checkpointFormatProp to a non-auto codec) first")
         val (_, qroot) = fsOf(spark, root)
         val withRefs = checkpointVersions(spark, root)
           .filter(cv => sidecarRefsOf(spark, qroot, cv).nonEmpty)
@@ -381,6 +388,38 @@ object Snapshots {
   private[jobs] def sidecarsOn(props: Map[String, String]): Boolean =
     props.get(checkpointSidecarsProp).contains("true")
 
+  /** `format = auto`'s SECOND flip (r17): past this live-file count an
+    * auto table starts writing sidecar MANIFESTS — the plain parquet
+    * codec's full-row rewrite is the trap a default-config user falls
+    * into at scale (38.7 s per checkpoint at 10⁷ files vs the
+    * manifest's O(change) ~2 s). Same discipline as the text→parquet
+    * flip: the reader feature stamps IMMEDIATELY on auto tables (any
+    * later commit may flip, possibly under a concurrently-following
+    * legacy reader), readers dispatch on the checkpoint FILES present,
+    * and once flipped the table stays in manifests (no thrash around
+    * the threshold) until the user disables with `-1`, which exits via
+    * one full plain rewrite. */
+  private val autoSidecarsAtProp = "graft.checkpoint.auto.sidecarsAt"
+  private val autoSidecarsAtDefault = 100000L
+
+  /** The auto-sidecar threshold in force, None when the table is not
+    * `auto`-format or the flip is disabled (`-1`). */
+  private[jobs] def autoSidecarsAt(props: Map[String, String]): Option[Long] =
+    if (!props.get(checkpointFormatProp).contains("auto")) None
+    else Some(props.get(autoSidecarsAtProp).flatMap(_.toLongOption)
+      .getOrElse(autoSidecarsAtDefault)).filter(_ >= 0)
+
+  /** Below this live-file count (known pre-write from the aggr
+    * roll-forward / the full build) a parquet checkpoint is ONE write
+    * job with headers inline — the two-job `_headers/` split exists so
+    * BIG tables' header lookups skip the file-row parts, and costs a
+    * whole extra Spark job that dominates from-scratch small-table
+    * workloads (the r16 `agg_metadata_only_pq` regression). Above it,
+    * file rows and header-side rows write separately and lookups read
+    * `_headers/` alone. Overridable per table. */
+  private val inlineHeadersProp = "graft.checkpoint.inlineBelow"
+  private val inlineHeadersDefault = 20000L
+
   private def sidecarsDir(qroot: Path) = new Path(qroot, "_log/_sidecars")
   private def sidecarPath(qroot: Path, name: String) =
     new Path(sidecarsDir(qroot), name)
@@ -420,7 +459,7 @@ object Snapshots {
     val key = (qroot.toString, cv)
     val hit = manifestMetaCache.get(key)
     if (hit != null) return hit
-    val rows = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
+    val rows = readCkptMetaRows(spark, parquetCheckpointPath(qroot, cv))
       .filter(col("kind") === "sidecar" || col("kind") === "tomb")
       .select(col("kind"), col("path"), col("hkey"), col("hval"), col("rows"))
       .collect()
@@ -581,17 +620,62 @@ object Snapshots {
     }
   }
 
-  /** A checkpoint parquet directory as `Dataset[CkptRow]`, tolerant of
-    * checkpoints written before `fsize`/`mtime` rode the rows — missing
-    * columns null-fill, exactly what `Option` fields decode as. */
+  /** The checkpoint's header-side rows (headers, sidecar refs, tombs,
+    * copied identities) live in a `_headers/` SUB-DIRECTORY since r17 —
+    * Spark's parquet reader ignores underscore-prefixed paths, so the
+    * main directory reads as pure file rows, and header/manifest
+    * lookups read the tiny side directory alone: O(1) in the table's
+    * file count instead of footer-skipping every file-row part (the
+    * r16 `partsc` size_cold gap). Checkpoints below `inlineBelow` live
+    * files write everything inline in ONE job instead (no `_headers`);
+    * readers dispatch on the directory's presence, so both layouts —
+    * and pre-r17 checkpoints — read identically. */
+  private val ckptHeadersDirName = "_headers"
+
+  /** The rows a header/manifest lookup needs: the `_headers` side
+    * directory when the checkpoint has one, the whole checkpoint
+    * otherwise (inline/legacy layouts — small by construction or by
+    * age). Stays a distributed frame: `copied` identities can be
+    * O(10⁶) at scale. */
+  private def readCkptMetaRows(
+      spark: SparkSession, pq: Path): org.apache.spark.sql.Dataset[CkptRow] = {
+    val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hdrs = new Path(pq, ckptHeadersDirName)
+    if (fs.exists(hdrs))
+      spark.read.schema(ckptEnc.schema).parquet(hdrs.toString).as[CkptRow]
+    else readCkptRows(spark, pq)
+  }
+
+  /** A checkpoint parquet directory as `Dataset[CkptRow]` — the main
+    * file-row parts plus the `_headers` side directory when present.
+    * The EXPLICIT schema makes two tolerances free: checkpoints written
+    * before `fsize`/`mtime` rode the rows null-fill those columns, and
+    * a main directory holding ZERO data files (a sidecar manifest whose
+    * fresh set spilled) still reads as an empty frame instead of
+    * failing schema inference. */
   private def readCkptRows(
       spark: SparkSession, pq: Path): org.apache.spark.sql.Dataset[CkptRow] = {
-    val df0 = spark.read.parquet(pq.toString)
-    val df = Seq("fsize", "mtime").foldLeft(df0) { (acc, c) =>
-      if (acc.columns.contains(c)) acc
-      else acc.withColumn(c, lit(null).cast("long"))
-    }
-    df.as[CkptRow]
+    val fs = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(pq)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new java.io.FileNotFoundException(s"no checkpoint directory at $pq")
+      }
+    // the explicit schema below skips inference, so a vacuum-raced or
+    // corrupted checkpoint would otherwise read as EMPTY instead of
+    // failing loudly — validate driver-side that at least one real
+    // parquet part exists (a valid part is never zero-length; even an
+    // empty-frame write lands a footer-only part)
+    def isData(s: org.apache.hadoop.fs.FileStatus) = s.isFile && s.getLen > 0 &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+    val hdrs = entries.find(s =>
+      s.isDirectory && s.getPath.getName == ckptHeadersDirName).map(_.getPath)
+    if (!entries.exists(isData) && hdrs.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"checkpoint at $pq holds no data files — vacuum race or corruption")
+    val paths = pq.toString +: hdrs.map(_.toString).toSeq
+    spark.read.schema(ckptEnc.schema).parquet(paths: _*).as[CkptRow]
   }
 
   /** Path-encoded partition values of one file as POINT stats envelopes
@@ -851,6 +935,43 @@ object Snapshots {
   /** Cache-miss counter (filesystem reads of delta files) — test hook
     * for the ≤1-log-read-per-version pin. */
   private[graft] val deltaFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Access-order LRU bounded by total WEIGHT (rows), not entry count —
+    * the r16 liveMetaCache held up to 8 entries of O(files) rows each
+    * (~1 GB/entry at 10⁷ files), an unbounded driver-heap ceiling in
+    * table size × entry cap. Eviction drops least-recently-used entries
+    * until the total fits; an entry bigger than the whole budget is
+    * cached ALONE (everything else evicted) — the ceiling is then
+    * max(budget, largest single version's live count), i.e. never more
+    * than the transient heap the plan itself needs to enumerate its
+    * splits. */
+  private[jobs] final class WeightedLruCache[K, V](weight: V => Long) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+    private var total = 0L
+    def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+    def put(k: K, v: V, budget: Long): Unit = m.synchronized {
+      Option(m.remove(k)).foreach(old => total -= weight(old))
+      m.put(k, v); total += weight(v)
+      val it = m.entrySet.iterator
+      while (total > budget && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { total -= weight(e.getValue); it.remove() }
+      }
+    }
+    def removeKeysIf(p: K => Boolean): Unit = m.synchronized {
+      val it = m.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        if (p(e.getKey)) { total -= weight(e.getValue); it.remove() }
+      }
+    }
+    def keys: Seq[K] = m.synchronized {
+      val out = Seq.newBuilder[K]
+      m.keySet.forEach(k => out += k)
+      out.result()
+    }
+    def totalWeight: Long = m.synchronized(total)
+  }
 
   /** Tiny synchronized access-order LRU — per-entry eviction instead of
     * a wholesale `clear()`, so a multi-table workload keeps its hot
@@ -1326,29 +1447,64 @@ object Snapshots {
             "format mid-transition?")
         ok
       }.map { cv =>
-      val base = assembleCheckpointRows(spark, qroot, cv)
-      ((cv + 1) to v).foldLeft(base) { (acc, w) =>
-        val d = readDelta(spark, root, w)
-        val pc = graft.core.HivePartitions.columnsOf(d.props)
-        // adds BEFORE removes, mirroring the driver `reconstruct` replay
-        // exactly — a (pathological) delta naming one path in both adds
-        // and removes must reconstruct identically dead under both
-        // codecs, never live-here-dead-there
-        val afterAdd =
-          if (d.adds.isEmpty) acc
-          else acc.unionByName(spark.createDataset(
-            d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel), d.fmeta.get(rel), pc))))
-        if (d.removes.isEmpty) afterAdd
-        else if (d.removes.size <= 1000)
-          afterAdd.filter(!col("path").isin(d.removes: _*))
-        else {
-          // a wide rewrite (OPTIMIZE over many files): anti-join beats
-          // a 10k-literal IN — the removes side is metadata-small
-          val rm = spark.createDataset(d.removes)(
-            org.apache.spark.sql.Encoders.STRING).toDF("path")
-          afterAdd.join(broadcast(rm), Seq("path"), "left_anti").as[CkptRow]
-        }
+      replayTailDeltas(spark, root,
+        assembleCheckpointRows(spark, qroot, cv), cv, v)
+    }
+  }
+
+  /** Replay deltas (cv, v] onto a base live-row frame — adds BEFORE
+    * removes per delta, mirroring the driver `reconstruct` replay
+    * exactly (a pathological delta naming one path in both adds and
+    * removes must reconstruct identically dead under both codecs,
+    * never live-here-dead-there). Shared by the per-query file frame
+    * and the distributed full rebuild. */
+  private def replayTailDeltas(
+      spark: SparkSession, root: String,
+      base: org.apache.spark.sql.Dataset[CkptRow], cv: Long, v: Long)
+      : org.apache.spark.sql.Dataset[CkptRow] =
+    ((cv + 1) to v).foldLeft(base) { (acc, w) =>
+      val d = readDelta(spark, root, w)
+      val pc = graft.core.HivePartitions.columnsOf(d.props)
+      val afterAdd =
+        if (d.adds.isEmpty) acc
+        else acc.unionByName(spark.createDataset(
+          d.adds.map(rel => ckptRowOf(rel, d.stats.get(rel), d.fmeta.get(rel), pc))))
+      if (d.removes.isEmpty) afterAdd
+      else if (d.removes.size <= 1000)
+        afterAdd.filter(!col("path").isin(d.removes: _*))
+      else {
+        // a wide rewrite (OPTIMIZE over many files): anti-join beats
+        // a 10k-literal IN — the removes side is metadata-small
+        val rm = spark.createDataset(d.removes)(
+          org.apache.spark.sql.Encoders.STRING).toDF("path")
+        afterAdd.join(broadcast(rm), Seq("path"), "left_anti").as[CkptRow]
       }
+    }
+
+  /** The UNION of live file sets across the CONTIGUOUS version range
+    * [vFrom, vTo] as a distributed frame of root-relative paths:
+    * live(vFrom) ∪ adds(vFrom+1 .. vTo) — a file live at any v in the
+    * range either was live at vFrom or entered through a tail delta's
+    * add. This is what keeps vacuum/restore candidate selection off the
+    * driver: the O(files) live sets stay executor-side and only the
+    * (small) difference is ever collected. The tail adds are already
+    * driver-resident via the delta cache, so building their frame costs
+    * nothing new. None when live(vFrom) has no distributed assembly
+    * (text regime / missing checkpoint) — callers keep the driver path. */
+  private def liveUnionFrame(
+      spark: SparkSession, root: String, vFrom: Long, vTo: Long): Option[DataFrame] = {
+    val base: Option[DataFrame] =
+      if (vFrom == 0L)
+        // live(0) IS delta 0's adds — no checkpoint needed
+        Some(spark.createDataset(readDelta(spark, root, 0L).adds)(
+          org.apache.spark.sql.Encoders.STRING).toDF("path"))
+      else checkpointFileFrame(spark, root, vFrom).map(_.toDF().select(col("path")))
+    base.map { b =>
+      val adds = ((vFrom + 1) to vTo)
+        .flatMap(w => readDelta(spark, root, w).adds).distinct
+      if (adds.isEmpty) b
+      else b.union(spark.createDataset(adds)(
+        org.apache.spark.sql.Encoders.STRING).toDF("path"))
     }
   }
 
@@ -1373,10 +1529,18 @@ object Snapshots {
     // fallback chain (next-lower checkpoint, from-v0 replay).
     try writeCheckpointParquetOnce(spark, root, v, allowIncremental = true)
     catch {
+      // a debug-mode invariant violation is a WRITER bug, not a
+      // vanished-base race — retrying as a full rebuild would mask it
+      case e: InvariantViolation => throw e
       case scala.util.control.NonFatal(_) =>
         writeCheckpointParquetOnce(spark, root, v, allowIncremental = false)
     }
   }
+
+  /** Thrown (debug mode only) when a log invariant the distributed tier
+    * leans on is provably violated — never retried or swallowed. */
+  private[graft] final class InvariantViolation(msg: String)
+    extends IllegalStateException(msg)
 
   /** Full (non-incremental) live row build: `reconstruct` + whatever
     * fmeta the surviving deltas carry; missing fmeta is backfilled by a
@@ -1385,7 +1549,115 @@ object Snapshots {
   private def fullLiveRows(
       spark: SparkSession, root: String, v: Long,
       fs: org.apache.hadoop.fs.FileSystem, qroot: Path)
-      : org.apache.spark.sql.Dataset[CkptRow] = {
+      : org.apache.spark.sql.Dataset[CkptRow] =
+    fullLiveRowsWithAggr(spark, root, v, fs, qroot)._1
+
+  /** The live rows of `v` assembled WITHOUT the driver ever holding the
+    * file list, from a TEXT checkpoint base: the checkpoint's lines
+    * parse on the EXECUTORS (file lines ⟕ `#stats:` lines), fmeta from
+    * the surviving deltas joins in, the tail deltas replay exactly like
+    * the parquet frame, and missing sizes backfill with a distributed
+    * stat pass. This is the text→parquet CONVERSION path — flipping a
+    * big text table to the parquet codec must not drive an O(table)
+    * line parse. None when no text checkpoint sits within the sane-tail
+    * bound of `v` (parquet-base rebuilds keep the driver `reconstruct`,
+    * whose checkpoint-fallback chain the crash-retry path relies on). */
+  private def distributedTextLiveRows(
+      spark: SparkSession, root: String, v: Long,
+      fs: org.apache.hadoop.fs.FileSystem, qroot: Path)
+      : Option[org.apache.spark.sql.Dataset[CkptRow]] = {
+    if (spark.conf.getOption("spark.graft.prune.distributed").contains("never"))
+      return None
+    logVersions(spark, root, ".checkpoint").filter(_ <= v).lastOption
+      .filter { cv =>
+        // worth distributing only when the checkpoint is BIG — the
+        // text regime exists because small tables are cheaper on the
+        // driver than three Spark jobs (~4 MB ≈ tens of thousands of
+        // file+stats lines); the floor is per-table-overridable so
+        // specs can pin the distributed path on small fixtures
+        val minBytes = readDelta(spark, root, v).props
+          .get("graft.checkpoint.distributedTextMinBytes")
+          .flatMap(_.toLongOption).getOrElse(4L * 1024 * 1024)
+        v - cv <= checkpointEvery * 4 &&
+          (try fs.getFileStatus(checkpointPath(qroot, cv)).getLen >= minBytes
+           catch { case _: java.io.FileNotFoundException => false })
+      }
+      .map { cv =>
+        val pc = graft.core.HivePartitions.columnsOf(
+          readDelta(spark, root, v).props)
+        val lines = spark.read.textFile(checkpointPath(qroot, cv).toString)
+        val statRows = lines.filter(_.startsWith("#stats:"))
+          .map { l =>
+            val (rel, s) = parseStats(l)
+            ckptRowOf(rel, Some(s), None, pc)
+          }(ckptEnc)
+        val filePaths = lines.filter(l => !l.startsWith("#")).toDF("path")
+        val statKept = statRows.toDF()
+          .join(filePaths, Seq("path"), "left_semi")
+        val bare = filePaths
+          .join(statRows.toDF().select(col("path")), Seq("path"), "left_anti")
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .map(rel => ckptRowOf(rel, None, None, pc))(ckptEnc)
+        val base = statKept.as[CkptRow].unionByName(bare)
+        // fmeta recorded by the surviving deltas (the text codec carries
+        // none in the checkpoint itself) — the map is already
+        // driver-resident via the delta cache, so the join frame is free
+        val fmetaAll = versions(spark, root).filter(_ <= v)
+          .foldLeft(Map.empty[String, (Long, Long)]) { (m, w) =>
+            val d = readDelta(spark, root, w)
+            (m ++ d.fmeta) -- d.removes
+          }
+        val enriched =
+          if (fmetaAll.isEmpty) base
+          else {
+            val fm = spark.createDataset(fmetaAll.toSeq.map {
+              case (p, (s, m)) => (p, s, m)
+            })(org.apache.spark.sql.Encoders.product[(String, Long, Long)])
+              .toDF("path", "_fs", "_mt")
+            base.toDF().join(fm, Seq("path"), "left_outer")
+              .withColumn("fsize", coalesce(col("fsize"), col("_fs")))
+              .withColumn("mtime", coalesce(col("mtime"), col("_mt")))
+              .drop("_fs", "_mt").as[CkptRow]
+          }
+        val replayed = replayTailDeltas(spark, root, enriched, cv, v)
+        // one-time distributed backfill for rows no surviving delta
+        // sized — tolerant of vanished files (readers stat those lazily)
+        val qrootStr = qroot.toString
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        replayed.mapPartitions { it =>
+          lazy val pfs = new Path(qrootStr).getFileSystem(hconf.value)
+          it.map { r =>
+            if (r.fsize.isDefined && r.mtime.isDefined) r
+            else try {
+              val st = pfs.getFileStatus(new Path(new Path(qrootStr), r.path))
+              r.copy(fsize = Some(st.getLen), mtime = Some(st.getModificationTime))
+            } catch { case scala.util.control.NonFatal(_) => r }
+          }
+        }(ckptEnc)
+      }
+  }
+
+  /** `fullLiveRows` plus the (liveFiles, totalBytes) aggregate the
+    * build already knows on the driver (every size is in the fmeta
+    * fold / backfill result) — lets a from-scratch checkpoint of a
+    * small table write its aggr header WITHOUT an observation pass or
+    * a second job. None when any live file's size is unrecorded. */
+  private def fullLiveRowsWithAggr(
+      spark: SparkSession, root: String, v: Long,
+      fs: org.apache.hadoop.fs.FileSystem, qroot: Path)
+      : (org.apache.spark.sql.Dataset[CkptRow], Option[(Long, Long)]) = {
+    // the distributed text-base assembly first: the conversion path of
+    // a big text table never materializes the list on the driver (its
+    // aggr comes from the write's observation instead)
+    try distributedTextLiveRows(spark, root, v, fs, qroot) match {
+      case Some(rows) => return (rows, None)
+      case None => ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        noteFallback(s"distributed text-checkpoint assembly fell back " +
+          s"on $root@v$v: ${e.getMessage}")
+    }
     val (files, stats) = reconstruct(spark, root, v)
     val fmetaAll = versions(spark, root).filter(_ <= v)
       .foldLeft(Map.empty[String, (Long, Long)]) { (m, w) =>
@@ -1420,8 +1692,63 @@ object Snapshots {
     val fmAll = fmetaAll ++ backfilled
     val pc = graft.core.HivePartitions.columnsOf(
       readDelta(spark, root, v).props)
-    spark.createDataset(
-      files.map(rel => ckptRowOf(rel, stats.get(rel), fmAll.get(rel), pc)))
+    val aggr =
+      if (files.forall(fmAll.contains))
+        Some((files.size.toLong, files.iterator.map(f => fmAll(f)._1).sum))
+      else None
+    (spark.createDataset(
+      files.map(rel => ckptRowOf(rel, stats.get(rel), fmAll.get(rel), pc))),
+      aggr)
+  }
+
+  /** DEBUG-mode invariant check (`spark.graft.debug.invariants = true`):
+    * every distributed-tier lean-site — removed-only tombstones, the
+    * aggr roll-forward, undeduped add unions — relies on an add never
+    * naming a CURRENTLY-LIVE path. Real writers satisfy it by
+    * construction (UUID data-file suffixes; RESTORE re-adds follow
+    * removes), but an external/hand-rolled log writer could violate it
+    * and silently corrupt state; with this check on, the next
+    * checkpoint boundary fails LOUDLY naming the offending paths
+    * instead. Cost: one driver replay of the tail (O(change)) plus at
+    * most one broadcast semi-join against the base assembly collecting
+    * only violators — debug-gated because it is a whole extra job per
+    * checkpoint. */
+  private def assertAddsNotLive(
+      spark: SparkSession, root: String, qroot: Path, cv: Long, v: Long): Unit = {
+    val inTailLive = scala.collection.mutable.Set[String]()
+    val inTailDead = scala.collection.mutable.Set[String]()
+    val suspects = scala.collection.mutable.LinkedHashSet[String]()
+    val violators = scala.collection.mutable.LinkedHashSet[String]()
+    ((cv + 1) to v).foreach { w =>
+      val d = readDelta(spark, root, w)
+      d.adds.foreach { r =>
+        if (inTailLive(r)) violators += r
+        else if (inTailDead(r)) { inTailDead -= r; inTailLive += r } // legit re-add
+        else { suspects += r; inTailLive += r } // liveness decided by the base
+      }
+      d.removes.foreach { r => inTailLive -= r; inTailDead += r }
+    }
+    if (suspects.nonEmpty) {
+      val s = spark.createDataset(suspects.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("path")
+      try {
+        violators ++= assembleCheckpointRows(spark, qroot, cv).toDF()
+          .join(broadcast(s), Seq("path"), "left_semi")
+          .select(col("path")).as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect()
+      } catch {
+        // a vacuumed base checkpoint: the caller's own fallback handles
+        // the write; the debug check just can't decide these adds
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }
+    if (violators.nonEmpty)
+      throw new InvariantViolation(
+        s"add-names-live-path invariant violated on $root (tail v${cv + 1}..v$v): " +
+          violators.take(10).mkString(", ") +
+          (if (violators.size > 10) s" … ${violators.size} total" else "") +
+          " — an add must never name a currently-live path (re-adds must " +
+          "follow a remove); this writer would silently duplicate live rows")
   }
 
   private def writeCheckpointParquetOnce(
@@ -1435,23 +1762,47 @@ object Snapshots {
       if (allowIncremental)
         logVersions(spark, root, ".checkpoint.parquet").filter(_ < v).lastOption
       else None
+    if (spark.conf.getOption("spark.graft.debug.invariants").contains("true"))
+      prevPq.foreach(cv => assertAddsNotLive(spark, root, qroot, cv, v))
+    // THIS checkpoint's layout: manifests when the prop demands them, OR
+    // when an auto table crossed the flip threshold (count O(tail) from
+    // the aggr header; the distributed count / memoized reconstruct are
+    // the bootstrap fallbacks), OR — hysteresis — when the previous
+    // manifest already holds refs and the flip is still armed, so a
+    // table oscillating around the threshold never thrashes layouts
+    val useSidecars = sidecarsOn(hd.props) || autoSidecarsAt(hd.props).exists { th =>
+      prevPq.exists(cv => sidecarRefsOf(spark, qroot, cv).nonEmpty) || {
+        val liveCount = liveAggregate(spark, root, v).map(_._1)
+          .orElse(scala.util.Try(
+            checkpointFileFrame(spark, root, v).map(_.count())).toOption.flatten)
+          .getOrElse(reconstruct(spark, root, v)._1.size.toLong)
+        liveCount >= th
+      }
+    }
     // sidecar manifests split the file rows three ways (fresh rows here,
     // reference + tombstone rows alongside); plain checkpoints carry the
     // complete live set as file rows
     val (fileRows, extraRows, scAggr) =
-      if (sidecarsOn(hd.props))
+      if (useSidecars)
         sidecarManifestRows(spark, root, v, fs, qroot, prevPq)
       else {
-        val rows = (if (allowIncremental) checkpointFileFrame(spark, root, v)
-                    else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
-        (rows, Seq.empty[CkptRow], None)
+        // the full build knows its aggregate on the driver already —
+        // carried in the same slot the sidecar spill uses, so a
+        // from-scratch checkpoint can skip the observation pass
+        val (rows, fullAggr) =
+          (if (allowIncremental)
+            checkpointFileFrame(spark, root, v)
+              .map(fr => (fr, Option.empty[(Long, Long)]))
+          else None)
+            .getOrElse(fullLiveRowsWithAggr(spark, root, v, fs, qroot))
+        (rows, Seq.empty[CkptRow], fullAggr)
       }
     val (copiedRows, maxTxn) = prevPq match {
       case Some(cv) =>
         // headers refresh incrementally too: prior `copied` rows stay a
         // distributed frame (COPY INTO identities can be O(10⁶) at
         // scale), maxtxn is one pushed-filter lookup + the tail's max
-        val prevHdr = readCkptRows(spark, parquetCheckpointPath(qroot, cv))
+        val prevHdr = readCkptMetaRows(spark, parquetCheckpointPath(qroot, cv))
           .filter(col("kind") === "header")
         val tailCopied = ((cv + 1) to v)
           .flatMap(w => readDelta(spark, root, w).copied).distinct
@@ -1471,64 +1822,102 @@ object Snapshots {
     }
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-ckpt-pq-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    // JOB 1 — the file rows, OBSERVED: (liveFiles, totalBytes) metrics
-    // ride the write action itself, so the plain codec's aggr header
-    // costs ZERO extra passes (and the frame needs no persist — it is
-    // consumed exactly once). Sidecar manifests' fresh-only rows can't
-    // yield the live aggregate; they use the roll-forward / the spill's
-    // precomputed value below.
-    val obs = new org.apache.spark.sql.Observation(
-      f"graft-ckpt-aggr-v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}")
-    try {
-      fileRows.observe(obs, count(lit(1)).as("n"),
-          sum(col("fsize")).as("b"), count(col("fsize")).as("nb"))
-        .write.mode("overwrite").parquet(tmp.toString)
-    } finally fileRows.unpersist() // no-op unless the sidecar path persisted it
-    // the (liveFiles, totalBytes) header: the observed metrics (plain
-    // codec — the frame IS the live set), the spill's precomputed value
-    // (sidecar bootstrap/compact), or the previous header rolled forward
-    // O(tail change) (sidecar steady state). Omitted when any live
-    // file's size is unrecorded (hand-edited legacy logs) — readers
-    // fall back to per-file statuses exactly then.
-    val aggr: Option[(Long, Long)] = {
-      val observed: Option[(Long, Long)] =
-        if (sidecarsOn(hd.props)) None
-        else {
-          val m = obs.get
-          validAggr(m("n").asInstanceOf[Long], m("nb").asInstanceOf[Long],
-            m("b").asInstanceOf[Long])
+    // either write job failing must not leak the half-written tmp
+    // directory in _log forever (the full-rebuild retry allocates a
+    // fresh UUID tmp) — delete it before rethrowing; `vacuumDebris`
+    // remains the backstop for a crash BETWEEN the jobs
+    def cleanupOnFailure[A](body: => A): A =
+      try body
+      catch {
+        case e: Throwable =>
+          try fs.delete(tmp, true)
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
+    def headerRowsOf(aggr: Option[(Long, Long)]): Seq[CkptRow] =
+      hd.schema.map(headerRowOf("schema", _)).toSeq ++
+        Seq(headerRowOf("protocol", s"${hd.minReader},${hd.minWriter}"),
+          headerRowOf("maxtxn", maxTxn.toString)) ++
+        hd.rfeat.map(headerRowOf("rfeat", _)) ++
+        hd.wfeat.map(headerRowOf("wfeat", _)) ++
+        aggr.map { case (c, b) => headerRowOf("aggr", s"$c,$b") }.toSeq
+    // the aggr value known BEFORE any write runs: the spill/full-build's
+    // precomputed value, or the previous header rolled forward O(tail)
+    val preAggr: Option[(Long, Long)] = scAggr.orElse(liveAggregate(spark, root, v))
+    val inlineBelow = hd.props.get(inlineHeadersProp).flatMap(_.toLongOption)
+      .getOrElse(inlineHeadersDefault)
+    val aggr: Option[(Long, Long)] =
+      if (preAggr.exists(_._1 <= inlineBelow)) {
+        // SMALL checkpoint (live count known pre-write and under the
+        // inline threshold): ONE job writes file rows + headers + refs
+        // + copied together — the two-job split buys nothing when a
+        // header lookup reads the whole (tiny) directory anyway, and
+        // the extra job was the r16 `agg_metadata_only_pq` regression.
+        try cleanupOnFailure {
+          fileRows.toDF().unionByName(copiedRows.toDF())
+            .unionByName(spark.createDataset(
+              headerRowsOf(preAggr) ++ extraRows).toDF())
+            .write.mode("overwrite").parquet(tmp.toString)
+        } finally fileRows.unpersist()
+        preAggr
+      } else {
+        // JOB 1 — the file rows, OBSERVED: (liveFiles, totalBytes)
+        // metrics ride the write action itself, so the plain codec's
+        // aggr header costs ZERO extra passes (and the frame needs no
+        // persist — it is consumed exactly once). Sidecar manifests'
+        // fresh-only rows can't yield the live aggregate; they use the
+        // roll-forward / the spill's precomputed value.
+        val obs = new org.apache.spark.sql.Observation(
+          f"graft-ckpt-aggr-v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}")
+        try cleanupOnFailure {
+          fileRows.observe(obs, count(lit(1)).as("n"),
+              sum(col("fsize")).as("b"), count(col("fsize")).as("nb"))
+            .write.mode("overwrite").parquet(tmp.toString)
+        } finally fileRows.unpersist() // no-op unless the sidecar path persisted it
+        // the (liveFiles, totalBytes) header: the pre-write value when
+        // known, else the observed metrics (plain codec — the frame IS
+        // the live set). Omitted when any live file's size is
+        // unrecorded (hand-edited legacy logs) — readers fall back to
+        // per-file statuses exactly then.
+        val computed: Option[(Long, Long)] = cleanupOnFailure {
+          val observed: Option[(Long, Long)] =
+            if (useSidecars) None
+            else {
+              val m = obs.get
+              validAggr(m("n").asInstanceOf[Long], m("nb").asInstanceOf[Long],
+                m("b").asInstanceOf[Long])
+            }
+          preAggr.orElse(observed)
+            .orElse {
+              // legacy sidecar manifests (written before aggr existed)
+              // have no header to roll forward: ONE distributed assembly
+              // agg re-seeds it, after which every later boundary is
+              // incremental
+              if (!useSidecars) None
+              else scala.util.Try {
+                (if (allowIncremental) checkpointFileFrame(spark, root, v)
+                 else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
+              }.toOption.flatMap { fr =>
+                val r = fr.agg(count(lit(1)), sum(col("fsize")),
+                  count(col("fsize"))).head
+                validAggr(r.getLong(0), r.getLong(2), r.getLong(1))
+              }
+            }
         }
-      observed.orElse(scAggr)
-        .orElse(liveAggregate(spark, root, v))
-        .orElse {
-          // legacy sidecar manifests (written before aggr existed) have
-          // no header to roll forward: ONE distributed assembly agg
-          // re-seeds it, after which every later boundary is incremental
-          if (!sidecarsOn(hd.props)) None
-          else scala.util.Try {
-            (if (allowIncremental) checkpointFileFrame(spark, root, v)
-             else None).getOrElse(fullLiveRows(spark, root, v, fs, qroot))
-          }.toOption.flatMap { fr =>
-            val r = fr.agg(count(lit(1)), sum(col("fsize")),
-              count(col("fsize"))).head
-            validAggr(r.getLong(0), r.getLong(2), r.getLong(1))
-          }
+        // JOB 2 — headers + sidecar refs/tombs + copied identities into
+        // the `_headers/` SIDE DIRECTORY (hidden from the main parquet
+        // read): header/manifest lookups read this tiny directory alone
+        // — O(1) in the table's file count, never footer-skipping the
+        // file-row parts (the r16 partsc size_cold gap). Nothing
+        // references `tmp` until the rename below publishes it.
+        cleanupOnFailure {
+          copiedRows
+            .unionByName(spark.createDataset(headerRowsOf(computed) ++ extraRows))
+            .write.mode("overwrite")
+            .parquet(new Path(tmp, ckptHeadersDirName).toString)
         }
-    }
-    val aggrRows: Seq[CkptRow] =
-      aggr.map { case (c, b) => headerRowOf("aggr", s"$c,$b") }.toSeq
-    val headerRows = hd.schema.map(headerRowOf("schema", _)).toSeq ++
-      Seq(headerRowOf("protocol", s"${hd.minReader},${hd.minWriter}"),
-        headerRowOf("maxtxn", maxTxn.toString)) ++
-      hd.rfeat.map(headerRowOf("rfeat", _)) ++
-      hd.wfeat.map(headerRowOf("wfeat", _)) ++ aggrRows
-    // JOB 2 — headers + sidecar refs/tombs + copied identities appended
-    // as their own (tiny) parquet parts: header lookups row-group-skip
-    // the file-row parts entirely, and nothing references `tmp` until
-    // the rename below publishes it atomically.
-    copiedRows
-      .unionByName(spark.createDataset(headerRows ++ extraRows))
-      .write.mode("append").parquet(tmp.toString)
+        computed
+      }
     // a concurrent checkpointer may have landed first: same derived
     // content, so losing this race is a silent no-op
     if (fs.exists(dest) || !fs.rename(tmp, dest)) fs.delete(tmp, true)
@@ -1647,10 +2036,17 @@ object Snapshots {
         // a fixed change's amortized maintenance stays flat in table size.
         if (tombs1.size > sidecarTombCap ||
             (refs0.size >= sidecarMaxRefs && refs0.exists(_.rows.isEmpty))) {
-          // FULL COMPACT: fold sidecars + tombs + fresh into one sidecar
+          // FULL COMPACT: fold sidecars + tombs + fresh into one sidecar.
+          // The fold rebuilds the live set anyway, so dedup by path here
+          // (one extra exchange on an already-O(table) pass): if an
+          // external writer ever violated the adds-never-name-live-paths
+          // invariant, the duplicate rows self-heal at the next fold
+          // instead of compounding forever (survivor arbitrary — the
+          // duplicates descend from the same path's re-add).
           val t0 = System.nanoTime()
           val (all, n) = persistCount(checkpointFileFrame(spark, root, v)
-            .getOrElse(fullLiveRows(spark, root, v, fs, qroot)))
+            .getOrElse(fullLiveRows(spark, root, v, fs, qroot))
+            .dropDuplicates("path").as[CkptRow])
           val agg = aggOf(all, n)
           val ref = try spill(all, v, n) finally all.unpersist()
           SidecarMaintenance.folds.incrementAndGet()
@@ -1785,7 +2181,7 @@ object Snapshots {
       if (!fs.exists(pq))
         throw new java.io.FileNotFoundException(
           s"no checkpoint at version $cv of $root")
-      try spark.read.parquet(pq.toString)
+      try readCkptMetaRows(spark, pq)
         .filter(col("kind") === "header" && col("hkey") === key)
         .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSeq
@@ -3271,14 +3667,27 @@ object Snapshots {
     * from with zero filesystem RPCs. One distributed collect per
     * version, then cached: the planner asks for `sizeInBytes` on every
     * query. None on text-codec tables (callers keep the listing path).
-    * Bounded small (entries are O(files) driver memory each) with
-    * PER-ENTRY LRU eviction — a 9-table workload keeps its hot
-    * versions instead of re-collecting the world on every miss. */
+    * Bounded by TOTAL ROWS (r17), not entry count — the driver-heap
+    * ceiling is `spark.graft.meta.cacheRows` (default 20M rows, ~2 GB)
+    * regardless of how many tables/versions plan, except that one
+    * over-budget version is kept alone (its rows are the heap the plan
+    * transiently needs anyway). LRU: a multi-table workload keeps its
+    * hot versions. */
   private val liveMetaCache =
-    new LruCache[(String, Long), Seq[LiveFileMeta]](8)
+    new WeightedLruCache[(String, Long), Seq[LiveFileMeta]](_.size.toLong)
+
+  private val metaCacheRowsProp = "spark.graft.meta.cacheRows"
+  private val metaCacheRowsDefault = 20000000L
+
+  /** Test hook: total rows currently held by the live-meta cache. */
+  private[graft] def liveMetaCacheRows: Long = liveMetaCache.totalWeight
 
   /** Test hook: the cache's current keys, most-recently-used last. */
   private[graft] def liveMetaCacheKeys: Seq[(String, Long)] = liveMetaCache.keys
+
+  /** Test hook: the aggr cache's current keys — pins that a transient
+    * header-read failure is NOT cached as a permanent None. */
+  private[graft] def liveAggrCacheKeys: Seq[(String, Long)] = liveAggrCache.keys
 
   private[graft] def liveFileMeta(
       spark: SparkSession, root: String, version: Long): Option[Seq[LiveFileMeta]] = {
@@ -3287,7 +3696,9 @@ object Snapshots {
     liveMetaCache.get(key).foreach(hit => return Some(hit))
     val computed = distributedCandidateMeta(spark, root, version,
       Map.empty, Map.empty, Map.empty, Map.empty)
-    computed.foreach(liveMetaCache.put(key, _))
+    val budget = spark.conf.getOption(metaCacheRowsProp)
+      .flatMap(_.toLongOption).getOrElse(metaCacheRowsDefault)
+    computed.foreach(liveMetaCache.put(key, _, budget))
     computed
   }
 
@@ -3317,9 +3728,18 @@ object Snapshots {
     val (_, qroot) = fsOf(spark, root)
     val key = (qroot.toString, version)
     liveAggrCache.get(key).foreach(hit => return hit)
+    // a None DERIVED from the immutable log (no parquet path, no header,
+    // legacy rows) is cacheable; a None born of an EXCEPTION (vacuum
+    // deleting the checkpoint mid-read) is transient — caching it would
+    // permanently pin the O(files) per-file fallback for this version,
+    // so exceptions return without inserting and the next query retries
+    // against the surviving newer checkpoint
+    if (!parquetPathOn(readDelta(spark, root, version).props)) {
+      liveAggrCache.put(key, None)
+      return None
+    }
     val computed: Option[(Long, Long)] =
-      if (!parquetPathOn(readDelta(spark, root, version).props)) None
-      else try logVersions(spark, root, ".checkpoint.parquet")
+      try logVersions(spark, root, ".checkpoint.parquet")
         .filter(_ <= version).lastOption
         // same staleness gate as the file frame: a tail past 4× the
         // cadence means a crashed checkpointer — don't trust the header
@@ -3332,7 +3752,7 @@ object Snapshots {
             else adjustAggregate(spark, root, qroot, cv, version, base)
           }
         }
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch { case scala.util.control.NonFatal(_) => return None }
     liveAggrCache.put(key, computed)
     computed
   }
@@ -3384,6 +3804,53 @@ object Snapshots {
       base._2 - prior.iterator.map(_._2.get).sum +
         finalAdds.iterator.map(_.get._1).sum))
   }
+
+  /** Whether the live files' envelopes on `lead` (PHYSICAL name)
+    * overlap — the clustered-OPTIMIZE admission — computed on the
+    * EXECUTORS: one completeness aggregate picks the first envelope
+    * family every file records (same long → double → string precedence
+    * as the driver loop), then one window pass checks whether any
+    * file's lower bound falls strictly below a preceding file's upper
+    * bound in lo-order (adjacent-overlap is complete for sorted
+    * intervals; hex-coded string envelopes compare identically to
+    * unsigned-lex bytes as plain strings). None when no family is
+    * complete in the LOG stats or the table has no checkpoint frame —
+    * the caller falls back to the driver index, which can still
+    * footer-read legacy files. */
+  private def distributedEnvelopeOverlap(
+      spark: SparkSession, root: String, version: Long,
+      lead: String): Option[Boolean] =
+    try (if (spark.conf.getOption("spark.graft.prune.distributed")
+      .contains("never")) None
+    else checkpointFileFrame(spark, root, version)).flatMap { rows =>
+      val df = rows.toDF()
+      def e(m: String) = element_at(col(m), lead)
+      val pres = df.agg(
+        count(lit(1)).as("n"),
+        count(when(e("lmin").isNotNull && e("lmax").isNotNull, 1)).as("l"),
+        count(when(e("dmin").isNotNull && e("dmax").isNotNull, 1)).as("d"),
+        count(when(e("smin").isNotNull && e("smax").isNotNull, 1)).as("s")).head
+      val n = pres.getLong(0)
+      val fam: Option[(String, String)] =
+        if (n == pres.getLong(1)) Some(("lmin", "lmax"))
+        else if (n == pres.getLong(2)) Some(("dmin", "dmax"))
+        else if (n == pres.getLong(3)) Some(("smin", "smax"))
+        else None
+      fam.map { case (mn, mx) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("lo"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        df.select(e(mn).as("lo"), e(mx).as("hi"))
+          .withColumn("ph", max(col("hi")).over(w))
+          .filter(col("ph") > col("lo"))
+          .limit(1).count() > 0
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        noteFallback(s"distributed overlap admission fell back on " +
+          s"$root@v$version: ${e.getMessage}")
+        None
+    }
 
   private[graft] def distributedCandidateMeta(
       spark: SparkSession, root: String, version: Long,
@@ -3503,9 +3970,17 @@ object Snapshots {
       }
       val kept = (keepLong ++ keepDbl ++ keepStr ++ keepNull)
         .foldLeft(rows.toDF())((df, k) => df.filter(k))
-      kept.select(col("path"), col("fsize"), col("mtime"))
+      // collect UNSORTED (a distributed orderBy would add a range-
+      // sampling pass over the whole checkpoint), then parallel-sort
+      // the array in place on the driver: at 10⁷ rows the old
+      // single-threaded sortBy was seconds of comparison + a full
+      // second copy of the list; parallelSort uses every core and
+      // keeps the exact Java string order the driver path uses
+      val arr = kept.select(col("path"), col("fsize"), col("mtime"))
         .as[LiveFileMeta](org.apache.spark.sql.Encoders.product[LiveFileMeta])
-        .collect().toSeq.sortBy(_.path)
+        .collect()
+      java.util.Arrays.parallelSort(arr, Ordering.by((m: LiveFileMeta) => m.path))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
     } catch {
       // a vanished checkpoint or dropped tail delta (vacuum racing this
       // prune) — the driver path has its own fallback chain
@@ -5254,14 +5729,61 @@ object Snapshots {
     val (fs, qroot) = fsOf(spark, root)
     val head = latestVersion(spark, root)
     require(toVersion < head, s"restore target $toVersion is not before head $head")
-    val (oldFiles, oldStats) = reconstruct(spark, root, toVersion)
-    val current = versionFileList(spark, root, head).toSet
-    oldFiles.filterNot(current.contains).foreach { f =>
+    // the delta is O(difference): compute it as TWO anti-joins between
+    // the old and head checkpoint frames, collecting only the re-adds
+    // (with their recorded stats) and the removes — the full live sets
+    // never reach the driver on parquet-checkpoint tables. The driver
+    // reconstruct remains the text-regime fallback.
+    val distributed: Option[
+        (Seq[(String, Option[graft.core.Skipping.FileStats])], Seq[String])] =
+      (for {
+        _ <- if (spark.conf.getOption("spark.graft.prune.distributed")
+          .contains("never")) None else Some(())
+        oldF <- checkpointFileFrame(spark, root, toVersion)
+        curF <- checkpointFileFrame(spark, root, head)
+      } yield
+        try {
+          val readdRows = oldF.toDF()
+            .join(curF.toDF().select(col("path")), Seq("path"), "left_anti")
+            .as[CkptRow].collect()
+          val rms = curF.toDF().select(col("path"))
+            .join(oldF.toDF().select(col("path")), Seq("path"), "left_anti")
+            .as[String](org.apache.spark.sql.Encoders.STRING)
+            .collect().toSeq.sorted
+          // checkpoint rows carry BAKED partition point-envelopes the
+          // original adding delta's stats never had — strip them so the
+          // restore delta records exactly the organic stats (partition
+          // columns live in paths, never in data-file footers)
+          val pcs = graft.core.HivePartitions.columnsOf(
+            readDelta(spark, root, toVersion).props).toSet
+          def organic(s: graft.core.Skipping.FileStats) =
+            if (pcs.isEmpty) s
+            else s.copy(mins = s.mins -- pcs, maxs = s.maxs -- pcs,
+              dmins = s.dmins -- pcs, dmaxs = s.dmaxs -- pcs,
+              smins = s.smins -- pcs, smaxs = s.smaxs -- pcs,
+              nullCounts = s.nullCounts -- pcs)
+          Some((readdRows.toSeq.sortBy(_.path)
+            .map(r => r.path -> fileStatsOf(r).map(organic)), rms))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            noteFallback(s"distributed restore selection fell back on " +
+              s"$root: ${e.getMessage}")
+            None
+        }).flatten
+    val (readds, removes, readdStats) = distributed match {
+      case Some((rs, rm)) =>
+        (rs.map(_._1), rm, rs.collect { case (p, Some(s)) => p -> s }.toMap)
+      case None =>
+        val (oldFiles, oldStats) = reconstruct(spark, root, toVersion)
+        val current = versionFileList(spark, root, head).toSet
+        val ra = oldFiles.filterNot(current.contains)
+        (ra, (current -- oldFiles).toSeq.sorted,
+          ra.flatMap(f => oldStats.get(f).map(f -> _)).toMap)
+    }
+    readds.foreach { f =>
       require(fs.exists(new Path(qroot, f)),
         s"cannot restore $root to $toVersion: $f was vacuumed away")
     }
-    val readds = oldFiles.filterNot(current.contains)
-    val removes = (current -- oldFiles).toSeq.sorted
     val oldDelta = readDelta(spark, root, toVersion)
     // the restored-to content includes the old version's DELETION
     // VECTORS — they must still exist (vacuum may have reclaimed them)
@@ -5273,7 +5795,7 @@ object Snapshots {
       Delta(readds, removes,
         schema = oldDelta.schema.orElse(readDelta(spark, root, head).schema),
         props = readDelta(spark, root, head).props,
-        stats = readds.flatMap(f => oldStats.get(f).map(f -> _)).toMap,
+        stats = readdStats,
         op = Some("restore"), dv = oldDelta.dv))
   }
 
@@ -5330,14 +5852,54 @@ object Snapshots {
     val prev = latestVersion(spark, root)
     val (fs, qroot) = fsOf(spark, root)
     val prevDelta = readDelta(spark, root, prev)
-    val inScope: Set[String] = where match {
-      case None => versionFileList(spark, root, prev).toSet
-      case Some(p) => filesMatchingPartitionPredicate(spark, root, prev, p).toSet
+    // victim selection DISTRIBUTED (r17): filter the checkpoint frame's
+    // RECORDED sizes on the executors and collect only the victims —
+    // the r16 shape statted every live file through the filesystem from
+    // the driver (O(files) serialized RPCs; a stall at 10⁷ on an object
+    // store). Rows without a recorded size (legacy logs) are statted
+    // individually — O(legacy rows), zero on current logs.
+    val smallDistributed: Option[Seq[(String, Long)]] =
+      (if (spark.conf.getOption("spark.graft.prune.distributed")
+        .contains("never")) None
+      else checkpointFileFrame(spark, root, prev)).flatMap { rows =>
+        try {
+          val base = rows.toDF()
+          val scoped = where match {
+            case None => base
+            case Some(p) =>
+              val files = filesMatchingPartitionPredicate(spark, root, prev, p)
+              base.join(broadcast(spark.createDataset(files)(
+                org.apache.spark.sql.Encoders.STRING).toDF("path")),
+                Seq("path"), "left_semi")
+          }
+          val collected = scoped
+            .filter(col("fsize").isNull || col("fsize") < smallerThanBytes)
+            .select(col("path"), col("fsize"))
+            .as[(String, Option[Long])](
+              org.apache.spark.sql.Encoders.product[(String, Option[Long])])
+            .collect()
+          val known = collected.collect { case (p, Some(len)) => (p, len) }
+          val statted = collected.collect { case (p, None) => p }
+            .map(p => p -> fs.getFileStatus(new Path(qroot, p)).getLen)
+            .filter(_._2 < smallerThanBytes)
+          Some((known ++ statted).toSeq.sortBy(_._1))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            noteFallback(s"distributed OPTIMIZE victim selection fell " +
+              s"back on $root: ${e.getMessage}")
+            None
+        }
+      }
+    val small = smallDistributed.getOrElse {
+      val inScope: Set[String] = where match {
+        case None => versionFileList(spark, root, prev).toSet
+        case Some(p) => filesMatchingPartitionPredicate(spark, root, prev, p).toSet
+      }
+      versionFileList(spark, root, prev)
+        .filter(inScope.contains)
+        .map(f => f -> fs.getFileStatus(new Path(qroot, f)).getLen)
+        .filter(_._2 < smallerThanBytes)
     }
-    val sized = versionFileList(spark, root, prev)
-      .filter(inScope.contains)
-      .map(f => f -> fs.getFileStatus(new Path(qroot, f)).getLen)
-    val small = sized.filter(_._2 < smallerThanBytes)
     if (small.size < 2) return -1L
     val v = prev + 1
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
@@ -5397,15 +5959,27 @@ object Snapshots {
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
     require(cols.nonEmpty, s"$root carries no $clusterByProp property")
     val (fs, qroot) = fsOf(spark, root)
-    val files = versionFileList(spark, root, prev)
-    val totalBytes = files.map(f => fs.getFileStatus(new Path(qroot, f)).getLen).sum
+    // admission metadata from the AGGR HEADER (O(tail change)) instead
+    // of statting every live file from the driver; the per-file loop
+    // survives only for text-regime/legacy tables
+    val (nFiles, totalBytes) = liveAggregate(spark, root, prev).getOrElse {
+      val files = versionFileList(spark, root, prev)
+      (files.size.toLong,
+        files.map(f => fs.getFileStatus(new Path(qroot, f)).getLen).sum)
+    }
     val nTarget = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     def rewrite(): Long = optimizeCow(spark, root, cols, nTarget, where)
     if (where.isDefined) return rewrite() // caller scoped the recluster
-    if (files.size > 4L * nTarget) return rewrite() // fragmentation
-    if (files.size <= 1) return -1L
+    if (nFiles > 4L * nTarget) return rewrite() // fragmentation
+    if (nFiles <= 1) return -1L
     val lead = versionSchema(spark, root, prev).map(physicalMap)
       .getOrElse(Map.empty[String, String]).getOrElse(cols.head, cols.head)
+    // overlap admission DISTRIBUTED when the checkpoint frame serves:
+    // one completeness agg + one window pass on the executors, never a
+    // driver-materialized stats index
+    distributedEnvelopeOverlap(spark, root, prev, lead).foreach { ov =>
+      return if (ov) rewrite() else -1L
+    }
     val idx = statsIndex(spark, root, prev)
     def overlap[T](ivs: Seq[Option[(T, T)]], lt: (T, T) => Boolean): Option[Boolean] =
       if (!ivs.forall(_.isDefined)) None
@@ -5551,13 +6125,10 @@ object Snapshots {
     require(keep.nonEmpty, s"vacuum would drop every version of $root")
     val floor = keep.min
     writeCheckpoint(spark, root, floor, versionFileList(spark, root, floor))
-    val referenced = keep.flatMap(v => versionFileList(spark, root, v)).toSet
     // never touch out-of-root files: a shallow clone BORROWS the source
     // table's files — de-referencing them here is fine, deleting them
     // would corrupt the lender
-    val orphans = drop.flatMap(v => versionFileList(spark, root, v)).distinct
-      .filterNot(referenced.contains)
-      .filter(f => ownedByTable(qroot, f))
+    val orphans = vacuumOrphanCandidates(spark, root, qroot, drop, keep)
     // dropped versions' change feeds go with their deltas (feed location
     // rides the delta header, so read it before the delta is deleted);
     // deletion vectors are reclaimed only when NO retained version's
@@ -5566,7 +6137,22 @@ object Snapshots {
     val keptDvs = keep.flatMap(v => readDelta(spark, root, v).dv).toSet
     val droppedDvs = drop.flatMap(v => readDelta(spark, root, v).dv).distinct
       .filterNot(keptDvs.contains)
-    orphans.foreach(f => fs.delete(new Path(qroot, f), false))
+    // a wide vacuum (dropping a rewrite-heavy history) can orphan 10⁶+
+    // files — serialized driver deletes are an object-store stall, so
+    // big sets delete on the executors (deletes are idempotent; a
+    // failed task retry is safe)
+    if (orphans.size > 10000) {
+      val qrootStr = qroot.toString
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.createDataset(orphans)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .foreachPartition { it: Iterator[String] =>
+          val q = new Path(qrootStr)
+          val pfs = q.getFileSystem(hconf.value)
+          it.foreach(f => pfs.delete(new Path(q, f), false))
+        }
+    } else orphans.foreach(f => fs.delete(new Path(qroot, f), false))
     drop.foreach(v => fs.delete(deltaPath(qroot, v), false))
     droppedFeeds.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true))
     droppedDvs.foreach(n => fs.delete(new Path(qroot, s"_dv/$n"), true))
@@ -5603,11 +6189,48 @@ object Snapshots {
     val all = versions(spark, root)
     val (drop, keep) = all.partition(_ < keepFrom)
     require(keep.nonEmpty, s"vacuum would drop every version of $root")
-    val referenced = keep.flatMap(v => versionFileList(spark, root, v)).toSet
-    drop.flatMap(v => versionFileList(spark, root, v)).distinct
-      .filterNot(referenced.contains)
-      .filter(f => ownedByTable(qroot, f))
+    vacuumOrphanCandidates(spark, root, qroot, drop, keep)
       .map(f => new Path(qroot, f).toString).sorted
+  }
+
+  /** The data files vacuum would delete: files some DROPPED version
+    * references that no KEPT version does, minus out-of-root clone
+    * borrows. DISTRIBUTED when the checkpoints allow it — both sides
+    * become `liveUnionFrame`s (live-at-range-start ∪ tail adds, the
+    * O(files) sets never leave the executors) and ONE anti-join
+    * collects only the orphans, which are O(dropped change) by
+    * construction. The r16 shape collected EVERY kept version's full
+    * live list to the driver — K × O(files) heap and time. Falls back
+    * to the exact per-version driver sets on text-regime tables. */
+  private def vacuumOrphanCandidates(
+      spark: SparkSession, root: String, qroot: Path,
+      drop: Seq[Long], keep: Seq[Long]): Seq[String] = {
+    if (drop.isEmpty) return Nil
+    val distributedOff =
+      spark.conf.getOption("spark.graft.prune.distributed").contains("never")
+    val distributed: Option[Seq[String]] =
+      (for {
+        _ <- if (distributedOff) None else Some(())
+        dropped <- liveUnionFrame(spark, root, drop.head, drop.last)
+        kept <- liveUnionFrame(spark, root, keep.min, keep.max)
+      } yield
+        try Some(dropped.distinct()
+          .join(kept, Seq("path"), "left_anti")
+          .select(col("path"))
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().toSeq)
+        catch {
+          // a raced-away checkpoint mid-read: the driver path is exact
+          case scala.util.control.NonFatal(e) =>
+            noteFallback(s"distributed vacuum selection fell back on " +
+              s"$root: ${e.getMessage}")
+            None
+        }).flatten
+    distributed.getOrElse {
+      val referenced = keep.flatMap(v => versionFileList(spark, root, v)).toSet
+      drop.flatMap(v => versionFileList(spark, root, v)).distinct
+        .filterNot(referenced.contains)
+    }.filter(f => ownedByTable(qroot, f))
   }
 
   /** Retention-window vacuum: drop history while REFUSING to drop any
@@ -5665,15 +6288,40 @@ object Snapshots {
       }
     }
     val committed = versions(spark, root)
-    val referenced = committed.flatMap(v => versionFileList(spark, root, v)).toSet
+    // the sweep needs only DIRECTORY-grain reachability: collect the
+    // distinct referenced commit-dir names (O(commit dirs), tiny) from
+    // the distributed live-union frame instead of materializing every
+    // version's full file list on the driver; the per-file set survives
+    // as the text-regime fallback
+    val referencedDirs: Option[Set[String]] =
+      if (committed.isEmpty) Some(Set.empty)
+      else liveUnionFrame(spark, root, committed.head, committed.last)
+        .flatMap { frame =>
+          try Some(frame
+            .filter(col("path").startsWith("data/"))
+            .select(expr("split(path, '/')[1]").as("d")).distinct()
+            .as[String](org.apache.spark.sql.Encoders.STRING)
+            .collect().toSet)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              noteFallback(s"distributed debris selection fell back on " +
+                s"$root: ${e.getMessage}")
+              None
+          }
+        }
+    lazy val referenced =
+      committed.flatMap(v => versionFileList(spark, root, v)).toSet
     // whole-commit-dir granularity: a committed dir has referenced data
     // files and is never touched; an uncommitted dir (no file referenced
     // by ANY version) goes entirely once every file in it is old enough
     val data = new Path(qroot, "data")
     if (fs.exists(data)) fs.listStatus(data).filter(_.isDirectory).foreach { dir =>
       val files = fs.listStatus(dir.getPath).toSeq
-      val anyReferenced = files.exists(f =>
-        referenced.contains(s"data/${dir.getPath.getName}/${f.getPath.getName}"))
+      val anyReferenced = referencedDirs match {
+        case Some(dirs) => dirs.contains(dir.getPath.getName)
+        case None => files.exists(f =>
+          referenced.contains(s"data/${dir.getPath.getName}/${f.getPath.getName}"))
+      }
       if (!anyReferenced && files.nonEmpty && files.forall(_.getModificationTime < cutoff)) {
         removed += files.count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith("."))

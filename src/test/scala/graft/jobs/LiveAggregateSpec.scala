@@ -116,6 +116,94 @@ class LiveAggregateSpec extends AnyFunSuite {
     assert(size == statTruth(root, head)._2)
   }
 
+  test("a transient header-read failure is retried, never cached as None") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 10).foreach { b =>
+      Snapshots.append(spark, root, Seq((b * 100L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val head = Snapshots.latestVersion(spark, root)
+    val truth = statTruth(root, head)
+    val qroot = new Path(root)
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qrootStr = fs.makeQualified(qroot).toString
+    // corrupt the nearest checkpoint: a plain FILE at its path keeps it
+    // in the log listing but makes the header read throw mid-read —
+    // exactly the shape of a vacuum racing the reader
+    val ckpt = fs.listStatus(new Path(qroot, "_log"))
+      .map(_.getPath).filter(_.getName.endsWith(".checkpoint.parquet"))
+      .maxBy(_.getName)
+    val aside = new Path(qroot, "ckpt_aside")
+    Snapshots.invalidateCaches(spark, root)
+    assert(fs.rename(ckpt, aside))
+    fs.create(ckpt, false).close()
+    try {
+      assert(Snapshots.liveAggregate(spark, root, head).isEmpty,
+        "a failing header read must answer None")
+      assert(!Snapshots.liveAggrCacheKeys.contains((qrootStr, head)),
+        "a None born of an exception must NOT be cached")
+    } finally {
+      fs.delete(ckpt, false)
+      assert(fs.rename(aside, ckpt))
+    }
+    // the next query retries against the restored checkpoint and heals
+    val got = Snapshots.liveAggregate(spark, root, head)
+    assert(got.contains(truth), s"retry must answer $truth, got $got")
+    assert(Snapshots.liveAggrCacheKeys.contains((qrootStr, head)))
+  }
+
+  test("debug invariants: an add naming a live path fails the checkpoint loudly") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 10).foreach { b =>
+      Snapshots.append(spark, root, Seq((b * 10L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    val live = Snapshots.versionFiles(spark, root)
+      .map(f => f.substring(f.indexOf("data/")))
+    spark.conf.set("spark.graft.debug.invariants", "true")
+    try {
+      // re-add a LIVE path without a remove — the external-writer bug
+      // the removed-only tombstones and the aggr roll-forward lean on
+      // never happening; drive to the next checkpoint boundary
+      Snapshots.commitMetadataOnlyAdds(spark, root, Seq(live.head), Map.empty)
+      val e = intercept[IllegalStateException] {
+        var v = Snapshots.latestVersion(spark, root)
+        while (v % 10 != 0) {
+          Snapshots.append(spark, root, Seq((9999L, 9.0)).toDF("k", "v").coalesce(1))
+          v = Snapshots.latestVersion(spark, root)
+        }
+      }
+      assert(e.getMessage.contains("add-names-live-path"))
+    } finally spark.conf.unset("spark.graft.debug.invariants")
+  }
+
+  test("debug invariants: a legit re-add (remove then add) checkpoints fine") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    (1 to 12).foreach { b =>
+      Snapshots.append(spark, root, Seq((b * 10L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    spark.conf.set("spark.graft.debug.invariants", "true")
+    try {
+      val preRestore = Snapshots.latestVersion(spark, root)
+      Snapshots.deleteWhere(spark, root, "k <= 5") // removes + re-adds survivors
+      Snapshots.restore(spark, root, preRestore)   // re-adds the removed paths
+      var v = Snapshots.latestVersion(spark, root)
+      while (v % 10 != 0) {
+        Snapshots.append(spark, root, Seq((8888L, 8.0)).toDF("k", "v").coalesce(1))
+        v = Snapshots.latestVersion(spark, root)
+      }
+      // boundary checkpoint landed without tripping the invariant check
+      assert(Snapshots.liveAggregate(spark, root, v).isDefined)
+    } finally spark.conf.unset("spark.graft.debug.invariants")
+  }
+
   test("auto-codec decision consumes the aggr count O(change)") {
     val root = tmp()
     Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v").coalesce(1),

@@ -30,25 +30,31 @@ class ParquetCheckpointSpec extends AnyFunSuite {
     fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
-  test("liveMetaCache evicts per-entry LRU — hot versions survive a 9-table sweep") {
-    // 9 tiny parquet-checkpoint tables (init lands the v0 checkpoint)
+  test("liveMetaCache evicts per-entry LRU within its row budget — hot versions survive a 9-table sweep") {
+    // 9 tiny parquet-checkpoint tables (init lands the v0 checkpoint);
+    // each entry weighs 1 row, and the budget admits 8 — the r17 cache
+    // bounds TOTAL ROWS, not entry count
     val roots = (1 to 9).map { i =>
       val r = tmp()
       Snapshots.init(spark, r, Seq((i.toLong, 1.0)).toDF("k", "v").coalesce(1),
         Map(Snapshots.checkpointFormatProp -> "parquet"))
       r
     }
-    // warm 8 entries, re-touch the first (now most-recent), then insert
-    // the 9th: the LRU entry (table 2) must be the one evicted — a
-    // wholesale clear() would dump table 1 too and re-collect it
-    roots.take(8).foreach(r => assert(Snapshots.liveFileMeta(spark, r, 0L).nonEmpty))
-    assert(Snapshots.liveFileMeta(spark, roots(0), 0L).nonEmpty)
-    assert(Snapshots.liveFileMeta(spark, roots(8), 0L).nonEmpty)
-    val keys = Snapshots.liveMetaCacheKeys.map(_._1)
-    assert(keys.size <= 8, s"cache must stay bounded, got ${keys.size}")
-    assert(keys.exists(_.endsWith(roots(0))), "the re-touched entry must survive")
-    assert(!keys.exists(_.endsWith(roots(1))), "the least-recently-used entry is evicted")
-    assert(keys.exists(_.endsWith(roots(8))), "the new entry lands")
+    spark.conf.set("spark.graft.meta.cacheRows", "8")
+    try {
+      // warm 8 entries, re-touch the first (now most-recent), then insert
+      // the 9th: the LRU entry (table 2) must be the one evicted — a
+      // wholesale clear() would dump table 1 too and re-collect it
+      roots.take(8).foreach(r => assert(Snapshots.liveFileMeta(spark, r, 0L).nonEmpty))
+      assert(Snapshots.liveFileMeta(spark, roots(0), 0L).nonEmpty)
+      assert(Snapshots.liveFileMeta(spark, roots(8), 0L).nonEmpty)
+      val keys = Snapshots.liveMetaCacheKeys.map(_._1)
+      assert(Snapshots.liveMetaCacheRows <= 8,
+        s"cache must stay inside its row budget, got ${Snapshots.liveMetaCacheRows}")
+      assert(keys.exists(_.endsWith(roots(0))), "the re-touched entry must survive")
+      assert(!keys.exists(_.endsWith(roots(1))), "the least-recently-used entry is evicted")
+      assert(keys.exists(_.endsWith(roots(8))), "the new entry lands")
+    } finally spark.conf.unset("spark.graft.meta.cacheRows")
   }
 
   test("partition envelopes BAKE into checkpoint rows; stripped (legacy) rows fall back per row") {

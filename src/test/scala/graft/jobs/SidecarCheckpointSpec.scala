@@ -271,4 +271,50 @@ class SidecarCheckpointSpec extends AnyFunSuite {
       Snapshots.dropFeature(spark, root, "checkpointSidecars"))
     assert(e2.getMessage.contains("still reference"))
   }
+
+  test("format=auto flips to sidecar manifests past the live-file threshold, exits on -1") {
+    val root = tmp()
+    Snapshots.init(spark, root, Seq((0L, 0.0)).toDF("k", "v").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "auto",
+        "graft.checkpoint.autoThreshold" -> "5",
+        "graft.checkpoint.auto.sidecarsAt" -> "15",
+        "graft.checkpoint.sidecar.spillRows" -> "10"))
+    // the flip may fire at any commit, so the reader feature is stamped
+    // from the FIRST commit, like auto's parquetCheckpoint stamp
+    assert(Snapshots.protocol(spark, root)._3.contains("checkpointSidecars"))
+    (1 to 10).foreach { b =>
+      Snapshots.append(spark, root, Seq((b * 10L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    def refsOf(v: Long): Long =
+      spark.read.parquet(f"$root/_log/v$v%08d.checkpoint.parquet")
+        .filter(col("kind") === "sidecar").count()
+    // v10: 11 live files ≥ auto threshold (parquet codec) but < 15 —
+    // still a PLAIN checkpoint
+    assert(logNames(root).contains("v00000010.checkpoint.parquet"))
+    assert(refsOf(10L) == 0L, "below the flip threshold the layout stays plain")
+    (11 to 20).foreach { b =>
+      Snapshots.append(spark, root, Seq((b * 10L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    // v20: 21 live files ≥ 15 — the checkpoint is now a thin MANIFEST
+    assert(refsOf(20L) > 0L, "past the threshold the auto table writes sidecar manifests")
+    assert(sidecarNames(root).nonEmpty)
+    Snapshots.invalidateCaches(spark, root)
+    assert(Snapshots.readVersion(spark, root).count() == 21L)
+    // hysteresis: later boundaries STAY manifests even if count hovers
+    (21 to 30).foreach { b =>
+      Snapshots.append(spark, root, Seq((b * 10L, 1.0)).toDF("k", "v").coalesce(1))
+    }
+    assert(refsOf(30L) > 0L, "once flipped, the table stays in manifests")
+    // exit ramp: disarming the flip writes one full plain checkpoint
+    Snapshots.setProperties(spark, root,
+      Map("graft.checkpoint.auto.sidecarsAt" -> "-1"))
+    (1 to 9).foreach { b =>
+      Snapshots.append(spark, root, Seq((4000L + b, 4.0)).toDF("k", "v").coalesce(1))
+    }
+    val head = Snapshots.latestVersion(spark, root)
+    assert(head % 10 == 0, s"expected a boundary, got $head")
+    assert(refsOf(head) == 0L, "disarming exits to the plain layout")
+    Snapshots.invalidateCaches(spark, root)
+    assert(Snapshots.readVersion(spark, root).count() == 40L)
+  }
 }

@@ -25,11 +25,18 @@ import graft.jobs.Snapshots
   * commits, so checkpoints land every 10 commits and the parquet ones
   * build incrementally, exactly as production would.
   *
-  * Usage: runMain graft.MetaScale [outJsonlPath] [sizesCsv] [codecsCsv]
+  * Usage: runMain graft.MetaScale [outJsonlPath] [sizesCsv] [codecsCsv] [mode]
   * Emits one JSON line per (codec, files) cell:
   *   {"meta_scale":..,"files":..,"build_sec":..,"ckpt_commit_sec":..,
   *    "plain_commit_sec":..,"resolve_cold_sec":..,"prune_cold_sec":..,
   *    "prune_warm_sec":..,"survivors":..}
+  *
+  * mode `light` (r17): skip the two cells that INHERENTLY materialize
+  * the full live list on the driver (`resolve_cold`, `plan_cold`) and
+  * verify the build via the aggr header instead of `versionFiles` — the
+  * 10⁸-file aspiration cell: the whole build + steady checkpoint +
+  * sizing + selective plan completes without the driver EVER holding
+  * the O(files) list.
   */
 object MetaScale {
   def main(args: Array[String]): Unit = {
@@ -58,6 +65,7 @@ object MetaScale {
       .getOrElse(Seq(1000, 10000, 100000))
     val codecs = args.lift(2).map(_.split(',').map(_.trim).toSeq)
       .getOrElse(Seq("text", "parquet"))
+    val light = args.lift(3).contains("light")
     for (codec <- codecs; n <- sizes) {
       val root = java.nio.file.Files.createTempDirectory("metascale")
         .toFile.getAbsolutePath + "/t"
@@ -113,12 +121,30 @@ object MetaScale {
           // their difference isolates the checkpoint cost at full size
           if (c == 99) ckptSec = sec
           if (c == 98) plainSec = sec
+          // light mode: drop the root's caches at each boundary — the
+          // delta cache would otherwise accumulate EVERY commit's stats
+          // maps (O(total adds) driver heap at 10⁸); the next boundary
+          // re-parses only its ≤10-delta tail
+          if (light && (c + 1) % 10 == 0) Snapshots.invalidateCaches(spark, root)
         }
       }
       val head = Snapshots.latestVersion(spark, root)
       Snapshots.invalidateCaches(spark, root)
-      val (files, resolveCold) = time(Snapshots.versionFiles(spark, root, head))
-      require(files.size == n + 1, s"expected ${n + 1} live files, got ${files.size}")
+      // light mode: the driver must NEVER hold the full list — verify
+      // the build through the aggr header (O(tail)) instead of
+      // resolving every path
+      val (_, resolveCold) =
+        if (light) {
+          val aggr = Snapshots.liveAggregate(spark, root, head)
+          require(aggr.exists(_._1 == n + 1),
+            s"expected ${n + 1} live files, aggr says $aggr")
+          ((), -1.0)
+        } else {
+          val (files, t) = time(Snapshots.versionFiles(spark, root, head))
+          require(files.size == n + 1,
+            s"expected ${n + 1} live files, got ${files.size}")
+          ((), t)
+        }
       // a selective range: ~1% of the k-domain → ~1% of the files
       // survive; the partitioned cell ALSO constrains the partition
       // dimension (point envelopes from the paths cut a further ~11/12)
@@ -145,7 +171,7 @@ object MetaScale {
       val hasPq = lfs.listStatus(logPath)
         .exists(_.getPath.getName.endsWith(".checkpoint.parquet"))
       val (planned, planCold) =
-        if (hasPq)
+        if (hasPq && !light)
           time(graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
         else (-1L, -1.0)
       if (planned >= 0)

@@ -1771,7 +1771,11 @@ object Snapshots {
     // manifest already holds refs and the flip is still armed, so a
     // table oscillating around the threshold never thrashes layouts
     val useSidecars = sidecarsOn(hd.props) || autoSidecarsAt(hd.props).exists { th =>
-      prevPq.exists(cv => sidecarRefsOf(spark, qroot, cv).nonEmpty) || {
+      // hysteresis probe first: ONE directory-existence RPC (a flipped
+      // table has spilled sidecars; the user exits via `-1`, which
+      // skips this whole branch) — never a per-boundary manifest
+      // collect or count job for the common small-auto-table case
+      fs.exists(sidecarsDir(qroot)) || {
         val liveCount = liveAggregate(spark, root, v).map(_._1)
           .orElse(scala.util.Try(
             checkpointFileFrame(spark, root, v).map(_.count())).toOption.flatten)
@@ -2278,7 +2282,20 @@ object Snapshots {
   def versionFiles(spark: SparkSession, root: String, version: Long = -1L): Seq[String] = {
     val v = if (version < 0) latestVersion(spark, root) else version
     val (_, qroot) = fsOf(spark, root)
-    versionFileList(spark, root, v).map(f => new Path(qroot, f).toString)
+    // `new Path(parent, child)` parses a URI per call (~2.5 µs) — at
+    // 10⁷ files that alone was ~25 s of single-threaded driver time
+    // (the dominant resolve_cold cost). Engine-written rels are clean
+    // relative paths, so plain concat is byte-identical; the Path
+    // constructor survives only for out-of-root rows (clone borrows)
+    // and anything path-shaped enough to need real resolution.
+    val prefix = qroot.toString + "/"
+    versionFileList(spark, root, v).map { f =>
+      // ':' catches every scheme-qualified absolute rel (clone borrows
+      // record "file:/…"); clean engine rels contain none of these
+      if (f.isEmpty || f.startsWith("/") || f.contains(":") ||
+          f.contains("./") || f.contains("//")) new Path(qroot, f).toString
+      else prefix + f
+    }
   }
 
   /** Read a specific version (default: latest). Plans from the log's
@@ -3745,11 +3762,20 @@ object Snapshots {
         // cadence means a crashed checkpointer — don't trust the header
         .filter(cv => version - cv <= checkpointEvery * 4)
         .flatMap { cv =>
-          checkpointHeaders(spark, root, cv, "aggr").headOption.flatMap { h =>
-            val parts = h.split(',')
-            val base = (parts(0).toLong, parts(1).toLong)
-            if (cv == version) Some(base)
-            else adjustAggregate(spark, root, qroot, cv, version, base)
+          // the checkpoint WRITER caches its own version's aggregate at
+          // publish — steady-state roll-forwards answer from that
+          // in-memory value and skip the header-read job entirely; a
+          // cold JVM (or a known-absent header) keeps the read path
+          val base: Option[(Long, Long)] =
+            liveAggrCache.get((qroot.toString, cv)).getOrElse {
+              checkpointHeaders(spark, root, cv, "aggr").headOption.map { h =>
+                val parts = h.split(',')
+                (parts(0).toLong, parts(1).toLong)
+              }
+            }
+          base.flatMap { b =>
+            if (cv == version) Some(b)
+            else adjustAggregate(spark, root, qroot, cv, version, b)
           }
         }
       catch { case scala.util.control.NonFatal(_) => return None }
@@ -3970,17 +3996,64 @@ object Snapshots {
       }
       val kept = (keepLong ++ keepDbl ++ keepStr ++ keepNull)
         .foldLeft(rows.toDF())((df, k) => df.filter(k))
-      // collect UNSORTED (a distributed orderBy would add a range-
-      // sampling pass over the whole checkpoint), then parallel-sort
-      // the array in place on the driver: at 10⁷ rows the old
-      // single-threaded sortBy was seconds of comparison + a full
-      // second copy of the list; parallelSort uses every core and
-      // keeps the exact Java string order the driver path uses
-      val arr = kept.select(col("path"), col("fsize"), col("mtime"))
-        .as[LiveFileMeta](org.apache.spark.sql.Encoders.product[LiveFileMeta])
+      // the full-list collect is the ONE place the driver must hold
+      // O(files): make every stage of it parallel. Rows pack into ONE
+      // blob per partition on the executors (UTF-8 path bytes +
+      // primitive offset/size/mtime arrays — the encoder's primitive-
+      // array fast path decodes them with a memcpy, not per-row work),
+      // so the driver decodes 32 blobs instead of 10⁷ rows on a single
+      // thread; object construction and the path sort then fan out
+      // across cores. r16 shape (row-at-a-time decode + single-threaded
+      // sortBy) was 78 s at 10⁷ files; blobs + parallel build +
+      // parallelSort target ≲10 s.
+      def t0 = System.nanoTime()
+      var mark = t0
+      def lap(tag: String): Unit =
+        if (sys.env.contains("SPARK_GRAFT_TIMING")) {
+          val now = System.nanoTime()
+          System.err.println(f"[timing] $tag: ${(now - mark) / 1e9}%.2f s")
+          mark = now
+        }
+      lap("start")
+      val packed = kept.select(col("path"),
+          coalesce(col("fsize"), lit(-1L)), coalesce(col("mtime"), lit(-1L)))
+        .as[(String, Long, Long)](
+          org.apache.spark.sql.Encoders.product[(String, Long, Long)])
+        .mapPartitions { it =>
+          val bytes = new java.io.ByteArrayOutputStream()
+          val offs = Array.newBuilder[Int]
+          val fsz = Array.newBuilder[Long]
+          val mts = Array.newBuilder[Long]
+          var off = 0
+          it.foreach { case (p, f, m) =>
+            val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            bytes.write(b, 0, b.length); off += b.length
+            offs += off; fsz += f; mts += m
+          }
+          Iterator.single((bytes.toByteArray, offs.result(), fsz.result(), mts.result()))
+        }(org.apache.spark.sql.Encoders.product[
+          (Array[Byte], Array[Int], Array[Long], Array[Long])])
         .collect()
-      java.util.Arrays.parallelSort(arr, Ordering.by((m: LiveFileMeta) => m.path))
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+      lap("packed-collect")
+      val starts = packed.scanLeft(0)(_ + _._2.length)
+      val out = new Array[LiveFileMeta](starts.last)
+      java.util.stream.IntStream.range(0, packed.length).parallel().forEach { pi =>
+        val (bytes, offs, fsz, mts) = packed(pi)
+        var prev = 0
+        var i = 0
+        while (i < offs.length) {
+          val path = new String(bytes, prev, offs(i) - prev,
+            java.nio.charset.StandardCharsets.UTF_8)
+          out(starts(pi) + i) = LiveFileMeta(path,
+            if (fsz(i) < 0) None else Some(fsz(i)),
+            if (mts(i) < 0) None else Some(mts(i)))
+          prev = offs(i); i += 1
+        }
+      }
+      lap("build")
+      java.util.Arrays.parallelSort(out, Ordering.by((m: LiveFileMeta) => m.path))
+      lap("sort")
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     } catch {
       // a vanished checkpoint or dropped tail delta (vacuum racing this
       // prune) — the driver path has its own fallback chain

@@ -30,20 +30,32 @@ private[graft] object PartitionedRead {
       partitionFilters: Seq[Expression], timeZoneId: String): Seq[PartitionDirectory] = {
     if (partitionSchema.isEmpty)
       return Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
-    // group by the RAW string values (cheap path split), then cast to a
-    // typed row ONCE per distinct partition — casting per FILE allocated
-    // a fresh Cast expression each time, which at 10⁵+ planned files
-    // dominated plan time on partitioned tables
+    // group by the PARENT-DIRECTORY substring (one lastIndexOf per
+    // file), then parse + cast partition values once per DIRECTORY —
+    // per-file parsing (path split + unescape + Cast allocation) was
+    // seconds-to-minutes of driver time at 10⁵–10⁷ planned files.
+    // Hive layout puts a partition's files under one directory, so
+    // per-dir grouping is per-partition grouping (two dirs with equal
+    // values yield two PartitionDirectories with equal rows — Spark
+    // concatenates them, same plan).
     val names = partitionSchema.fieldNames.toSeq
-    val byRaw = statuses
-      .groupBy(s => HivePartitions.valuesOf(s.getPath.toString, names))
+    val byDir = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[FileStatus]]()
+    statuses.foreach { s =>
+      val p = s.getPath.toString
+      val cut = p.lastIndexOf('/')
+      val dir = if (cut <= 0) "" else p.substring(0, cut)
+      var b = byDir.get(dir)
+      if (b == null) { b = new scala.collection.mutable.ArrayBuffer[FileStatus](); byDir.put(dir, b) }
+      b += s
+    }
     val keep = predicateOn(partitionFilters, partitionSchema)
-    byRaw.toSeq
-      .map { case (raw, fs) =>
-        (HivePartitions.internalRowOfValues(raw, partitionSchema, timeZoneId), fs)
-      }
-      .filter { case (row, _) => keep(row) }
-      .map { case (row, fs) => PartitionDirectory(row, fs.toArray) }
+    val out = Seq.newBuilder[PartitionDirectory]
+    byDir.forEach { (dir, fs) =>
+      val row = HivePartitions.internalRowOfValues(
+        HivePartitions.valuesOf(dir, names), partitionSchema, timeZoneId)
+      if (keep(row)) out += PartitionDirectory(row, fs.toArray)
+    }
+    out.result()
   }
 
   /** Bind `filters` (conjuncts over partition columns) against

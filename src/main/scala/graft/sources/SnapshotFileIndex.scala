@@ -80,7 +80,15 @@ private[sources] class SnapshotFileIndex(
   private lazy val statuses: Seq[FileStatus] = liveMetas match {
     case Some(metas) =>
       val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      metas.map(statusOf(_, fs))
+      // Path construction is ~2.5 µs of URI parsing per file — at 10⁷
+      // planned files a sequential map is tens of seconds of driver
+      // time, so the FileStatus array builds on every core (statusOf
+      // is side-effect-free; the legacy stat fallback is thread-safe)
+      val arr = new Array[FileStatus](metas.size)
+      val seq = metas.toIndexedSeq
+      java.util.stream.IntStream.range(0, arr.length).parallel()
+        .forEach(i => arr(i) = statusOf(seq(i), fs))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
     case None =>
       val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val files = Snapshots.versionFiles(spark, root, version).toSet

@@ -378,9 +378,12 @@ class InteropGauntletSpec extends AnyFunSuite {
     Snapshots.vacuum(spark, root, keepFrom = head0 - 2)
     check("vacuum")
 
-    // ---- exit ramp: sidecars off → plain parquet boundary → vacuum →
-    // DROP FEATURE → text → DROP parquetCheckpoint
-    Snapshots.setProperties(spark, root, Map.empty,
+    // ---- exit ramp: sidecars off (the r17 auto-sidecar flip must be
+    // DISARMED too — while armed, any later commit could legally flip
+    // back, so DROP FEATURE refuses) → plain parquet boundary → vacuum
+    // → DROP FEATURE → text → DROP parquetCheckpoint
+    Snapshots.setProperties(spark, root,
+      Map("graft.checkpoint.auto.sidecarsAt" -> "-1"),
       unset = Seq(Snapshots.checkpointSidecarsProp))
     val at = Snapshots.latestVersion(spark, root)
     ((at + 1) to (at / 10 * 10 + 10)).foreach { i =>

@@ -39,6 +39,30 @@ object Bench {
     // driver sets no filter and benches everything.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.split(',').toSeq)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // r18 (VERDICT task 6): at min-of-2 the host's background load made
+    // UNTOUCHED heavy queries swing ±30% round-to-round — every total was
+    // a coin flip. The top decile of the PREVIOUS round's driver artifact
+    // (the only queries that can explain a total) get extra runs
+    // (min-of-4 by default); per-run values land in the progress JSONL.
+    val heavyRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_RUNS", "4").toInt
+    val heavy: Set[String] =
+      try {
+        val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        if (arts.isEmpty) Set.empty
+        else {
+          val latest = arts.maxBy(
+            _.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+          val txt = new String(Files.readAllBytes(latest.toPath), "UTF-8")
+          // the artifact's "queries" map entries: "name":12.345
+          val pair = """"([A-Za-z0-9_]+)":(-?\d+\.\d+)""".r
+          val pairs = pair.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(kv => kv._1 != "value" && kv._2 >= 0).toSeq
+          val n = math.max(1, pairs.size / 10)
+          pairs.sortBy(-_._2).take(n).map(_._1).toSet
+        }
+      } catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     // Incremental per-query emission (VERDICT r4 item #1): every timing is
@@ -54,7 +78,8 @@ object Bench {
     // stays for the stack-trace forensics, but the JSON no longer needs it.
     val results = selected.map { case (name, fn) =>
       var failed = 0
-      val times = (1 to nRuns).flatMap { _ =>
+      val runsFor = if (heavy(name)) math.max(nRuns, heavyRuns) else nRuns
+      val times = (1 to runsFor).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -36,7 +36,15 @@ import graft.jobs.Snapshots
   * verify the build via the aggr header instead of `versionFiles` — the
   * 10⁸-file aspiration cell: the whole build + steady checkpoint +
   * sizing + selective plan completes without the driver EVER holding
-  * the O(files) list.
+  * the O(files) list. mode `lightlist` (r18): light build/verify, but
+  * run the two full-listing cells ONCE at the end — the decade-up
+  * full-scan data point without paying the listing on every rep.
+  *
+  * r18: every measurement cell is min-of-N (SPARK_GRAFT_METASCALE_REPS,
+  * default 3) with the per-run values in the JSONL — three committed
+  * r17 runs of the same cell disagreed by up to 2×, and a single
+  * number cannot separate a fix from host noise. A daemon thread
+  * samples driver heap every 250 ms; the line carries the peak.
   */
 object MetaScale {
   def main(args: Array[String]): Unit = {
@@ -65,7 +73,39 @@ object MetaScale {
       .getOrElse(Seq(1000, 10000, 100000))
     val codecs = args.lift(2).map(_.split(',').map(_.trim).toSeq)
       .getOrElse(Seq("text", "parquet"))
-    val light = args.lift(3).contains("light")
+    val mode = args.lift(3).getOrElse("")
+    val light = mode == "light" || mode == "lightlist"
+    val listOnce = mode == "lightlist"
+    val reps = sys.env.get("SPARK_GRAFT_METASCALE_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // min-of-N with per-run values: one table build, N measurements per
+    // cell — a single number cannot separate a fix from host noise
+    def minOfN[A](n: Int)(prep: => Unit)(f: => A): (A, Double, Seq[Double]) = {
+      var best: Option[(A, Double)] = None
+      val runs = Seq.newBuilder[Double]
+      (1 to n).foreach { _ =>
+        prep
+        val (a, t) = time(f)
+        runs += t
+        if (best.forall(_._2 > t)) best = Some((a, t))
+      }
+      (best.get._1, best.get._2, runs.result())
+    }
+    def runsJson(rs: Seq[Double]): String =
+      rs.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // driver-heap peak per cell, sampled by a daemon thread — the
+    // number the 10⁸ light row must keep bounded
+    val heapPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (true) {
+        val rt = Runtime.getRuntime
+        val used = rt.totalMemory() - rt.freeMemory()
+        heapPeak.updateAndGet(m => math.max(m, used))
+        Thread.sleep(250)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     for (codec <- codecs; n <- sizes) {
       val root = java.nio.file.Files.createTempDirectory("metascale")
         .toFile.getAbsolutePath + "/t"
@@ -129,21 +169,27 @@ object MetaScale {
         }
       }
       val head = Snapshots.latestVersion(spark, root)
+      heapPeak.set(0L)
       Snapshots.invalidateCaches(spark, root)
       // light mode: the driver must NEVER hold the full list — verify
       // the build through the aggr header (O(tail)) instead of
-      // resolving every path
-      val (_, resolveCold) =
-        if (light) {
-          val aggr = Snapshots.liveAggregate(spark, root, head)
-          require(aggr.exists(_._1 == n + 1),
-            s"expected ${n + 1} live files, aggr says $aggr")
-          ((), -1.0)
-        } else {
-          val (files, t) = time(Snapshots.versionFiles(spark, root, head))
+      // resolving every path; lightlist runs the listing ONCE at the
+      // end (the decade-up full-scan data point)
+      val listReps = if (listOnce) 1 else if (light) 0 else reps
+      if (light) {
+        val aggr = Snapshots.liveAggregate(spark, root, head)
+        require(aggr.exists(_._1 == n + 1),
+          s"expected ${n + 1} live files, aggr says $aggr")
+      }
+      val (resolveCold, resolveRuns) =
+        if (listReps == 0) (-1.0, Seq.empty[Double])
+        else {
+          val (files, t, rs) = minOfN(listReps)(
+            Snapshots.invalidateCaches(spark, root))(
+            Snapshots.versionFiles(spark, root, head))
           require(files.size == n + 1,
             s"expected ${n + 1} live files, got ${files.size}")
-          ((), t)
+          (t, rs)
         }
       // a selective range: ~1% of the k-domain → ~1% of the files
       // survive; the partitioned cell ALSO constrains the partition
@@ -151,51 +197,60 @@ object MetaScale {
       val pred =
         (s"k BETWEEN ${n / 2 * 100L} AND ${(n / 2 + n / 100) * 100L}") +
           (if (partitioned) s" AND month = ${(n / 2) % 12}" else "")
-      Snapshots.invalidateCaches(spark, root)
-      val (cold, pruneCold) = time(
-        Snapshots.statsCandidateFiles(spark, root, head, pred))
-      val (warm, pruneWarm) = time(
-        Snapshots.statsCandidateFiles(spark, root, head, pred))
-      require(cold == warm, "cold and warm prunes must agree")
+      // cold/warm pairs per rep: invalidate, then measure both
+      var cold: Seq[String] = Nil
+      val pruneColdRuns = Seq.newBuilder[Double]
+      val pruneWarmRuns = Seq.newBuilder[Double]
+      (1 to reps).foreach { _ =>
+        Snapshots.invalidateCaches(spark, root)
+        val (c, tc) = time(Snapshots.statsCandidateFiles(spark, root, head, pred))
+        val (w, tw) = time(Snapshots.statsCandidateFiles(spark, root, head, pred))
+        require(c == w, "cold and warm prunes must agree")
+        cold = c
+        pruneColdRuns += tc; pruneWarmRuns += tw
+      }
+      val (pruneColdRs, pruneWarmRs) = (pruneColdRuns.result(), pruneWarmRuns.result())
+      val (pruneCold, pruneWarm) = (pruneColdRs.min, pruneWarmRs.min)
       // plan-time file-list construction through the FileIndex front
       // door (FileStatus synthesis included) — the scan operator's
       // actual plan-time wait. Parquet-checkpoint tables synthesize
       // from the recorded fmeta with zero stat RPCs; text tables would
       // listStatus real directories, which synthetic files lack → -1.
-      Snapshots.invalidateCaches(spark, root)
-      // only meaningful when a parquet checkpoint exists (the RPC-free
-      // FileStatus synthesis path); the text regime would listStatus
-      // real directories, which synthetic files lack
       val logPath = new org.apache.hadoop.fs.Path(root + "/_log")
       val lfs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasPq = lfs.listStatus(logPath)
         .exists(_.getPath.getName.endsWith(".checkpoint.parquet"))
-      val (planned, planCold) =
-        if (hasPq && !light)
-          time(graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
-        else (-1L, -1.0)
-      if (planned >= 0)
-        require(planned == n + 1, s"planned $planned files, expected ${n + 1}")
+      val (planCold, planRuns) =
+        if (hasPq && listReps > 0) {
+          val (planned, t, rs) = minOfN(listReps)(
+            Snapshots.invalidateCaches(spark, root))(
+            graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
+          require(planned == n + 1, s"planned $planned files, expected ${n + 1}")
+          (t, rs)
+        } else (-1.0, Seq.empty[Double])
       // what the OPTIMIZER waits for on every query — `sizeInBytes`,
       // answered from the checkpoint's aggr header (r16): O(tail
       // change), flat in file count. And a SELECTIVE scan's plan-time
       // listing: only the prune survivors' FileStatuses are built.
-      Snapshots.invalidateCaches(spark, root)
-      val (sized, sizeCold) =
-        if (hasPq)
-          time(graft.sources.SnapshotPlanProbe.planSize(spark, root, head))
-        else (-1L, -1.0)
-      // n synthetic 10 MiB files + one REAL seed file of unknown size
-      if (sized >= 0)
-        require(sized >= n.toLong * 10L * 1024 * 1024 &&
-          sized < (n + 2).toLong * 10L * 1024 * 1024,
-          s"sizeInBytes $sized out of range for $n synthetic 10 MiB files")
-      Snapshots.invalidateCaches(spark, root)
-      val (planSel, planSelCold) =
-        if (hasPq)
-          time(graft.sources.SnapshotPlanProbe.planSelective(spark, root, head,
-            "k", n / 2 * 100L, (n / 2 + n / 100) * 100L))
-        else (-1L, -1.0)
+      val (sizeCold, sizeRuns) =
+        if (hasPq) {
+          val (sized, t, rs) = minOfN(reps)(
+            Snapshots.invalidateCaches(spark, root))(
+            graft.sources.SnapshotPlanProbe.planSize(spark, root, head))
+          // n synthetic 10 MiB files + one REAL seed file of unknown size
+          require(sized >= n.toLong * 10L * 1024 * 1024 &&
+            sized < (n + 2).toLong * 10L * 1024 * 1024,
+            s"sizeInBytes $sized out of range for $n synthetic 10 MiB files")
+          (t, rs)
+        } else (-1.0, Seq.empty[Double])
+      val (planSel, planSelCold, planSelRuns) =
+        if (hasPq) {
+          val (p, t, rs) = minOfN(reps)(
+            Snapshots.invalidateCaches(spark, root))(
+            graft.sources.SnapshotPlanProbe.planSelective(spark, root, head,
+              "k", n / 2 * 100L, (n / 2 + n / 100) * 100L))
+          (p, t, rs)
+        } else (-1L, -1.0, Seq.empty[Double])
       // the probe's filter carries the k-range only; on partitioned
       // tables the prune's predicate ALSO cut the month dimension, so
       // the probe legitimately lists more there
@@ -243,11 +298,18 @@ object MetaScale {
         f""""prune_warm_sec":$pruneWarm%.3f,"plan_cold_sec":$planCold%.3f,""" +
         f""""size_cold_sec":$sizeCold%.3f,"plan_sel_sec":$planSelCold%.3f,""" +
         f""""plan_sel_files":$planSel,""" +
+        f""""resolve_cold_runs":${runsJson(resolveRuns)},""" +
+        f""""plan_cold_runs":${runsJson(planRuns)},""" +
+        f""""prune_cold_runs":${runsJson(pruneColdRs)},""" +
+        f""""prune_warm_runs":${runsJson(pruneWarmRs)},""" +
+        f""""size_cold_runs":${runsJson(sizeRuns)},""" +
+        f""""plan_sel_runs":${runsJson(planSelRuns)},""" +
         f""""steady_ckpt_sec":$steadySec%.3f,""" +
         f""""steady_spills":${maint._1},"steady_spill_sec":${maint._2}%.3f,""" +
         f""""steady_spill_rows":${maint._3},""" +
         f""""steady_folds":${maint._4},"steady_fold_sec":${maint._5}%.3f,""" +
         f""""steady_fold_rows":${maint._6},""" +
+        f""""heap_peak_mb":${heapPeak.get() / (1024 * 1024)},""" +
         f""""survivors":${cold.size}}""")
     }
     sink.foreach(_.close())

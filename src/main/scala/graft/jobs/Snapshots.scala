@@ -145,7 +145,7 @@ object Snapshots {
       * reading. */
     val supportedReaderFeatures: Set[String] =
       Set("deletionVectors", "columnMapping", "typeWidening", "columnDefaults",
-        "parquetCheckpoint", "checkpointSidecars")
+        "parquetCheckpoint", "checkpointSidecars", "checkpointHeadersDir")
     /** Features a WRITER must understand to keep the table's invariants
       * (identity allocation, generated-column validation, constraint
       * checks, bucket layout, CDC publication). */
@@ -182,6 +182,18 @@ object Snapshots {
     // parquet checkpoint at any later commit, possibly from a session a
     // legacy reader is concurrently following.
     if (parquetPathOn(d.props)) both("parquetCheckpoint")
+    // the `_headers/` split layout (r17): Spark's parquet reader IGNORES
+    // underscore-prefixed paths, so a reader that knows parquetCheckpoint
+    // but not the split would read a split manifest's main directory as
+    // the whole table — no sidecar refs, no tombstones, fresh rows only:
+    // SILENT data loss (and hidden schema/protocol/maxtxn/copied headers
+    // break idempotent-txn + COPY INTO dedup once vacuum drops the
+    // carrying deltas). Any parquet-checkpoint table may cross
+    // `inlineBelow` and split at a later boundary — possibly from a
+    // session a legacy reader is concurrently following — so the gate
+    // stamps with parquetCheckpoint itself, same discipline as the
+    // immediate auto-sidecar stamp.
+    if (parquetPathOn(d.props)) both("checkpointHeadersDir")
     // sidecar manifests: a reader without the assembly would take the
     // manifest's FRESH rows for the whole table — silent data loss, the
     // worst class — so the gate is a reader feature. `auto` tables
@@ -291,9 +303,9 @@ object Snapshots {
         commitRewrite(spark, root, head + 1,
           Delta(Nil, Nil, schema = prevDelta.schema, props = prevDelta.props,
             op = Some("metadata"), dv = prevDelta.dv, featDrop = Seq(feature)))
-      case "parquetCheckpoint" =>
+      case "parquetCheckpoint" | "checkpointHeadersDir" =>
         require(!parquetPathOn(prevDelta.props),
-          s"cannot drop parquetCheckpoint from $root while " +
+          s"cannot drop $feature from $root while " +
             s"$checkpointFormatProp is 'parquet' or 'auto' — set it to " +
             "'text' first")
         commitRewrite(spark, root, head + 1,
@@ -1771,11 +1783,14 @@ object Snapshots {
     // manifest already holds refs and the flip is still armed, so a
     // table oscillating around the threshold never thrashes layouts
     val useSidecars = sidecarsOn(hd.props) || autoSidecarsAt(hd.props).exists { th =>
-      // hysteresis probe first: ONE directory-existence RPC (a flipped
-      // table has spilled sidecars; the user exits via `-1`, which
-      // skips this whole branch) — never a per-boundary manifest
-      // collect or count job for the common small-auto-table case
-      fs.exists(sidecarsDir(qroot)) || {
+      // hysteresis probe first: does the PREVIOUS manifest actually
+      // reference sidecars (manifestMeta-cached — one tiny `_headers`
+      // read per cold boundary)? A flipped table always does; the user
+      // exits via `-1`, which skips this whole branch. Probing bare
+      // `_log/_sidecars` existence instead would let stale debris (a
+      // leftover directory from an earlier explicit-sidecars era) force
+      // an armed auto table into manifest layout forever.
+      prevPq.exists(cv => sidecarRefsOf(spark, qroot, cv).nonEmpty) || {
         val liveCount = liveAggregate(spark, root, v).map(_._1)
           .orElse(scala.util.Try(
             checkpointFileFrame(spark, root, v).map(_.count())).toOption.flatten)
@@ -1891,7 +1906,24 @@ object Snapshots {
               validAggr(m("n").asInstanceOf[Long], m("nb").asInstanceOf[Long],
                 m("b").asInstanceOf[Long])
             }
-          preAggr.orElse(observed)
+          // plain-codec boundaries prefer the OBSERVED metrics: they ride
+          // the live frame that was ACTUALLY WRITTEN (free — no extra
+          // pass), so any roll-forward drift (an external writer
+          // violating the adds-never-name-live invariant, an
+          // adjustAggregate bug) self-heals every boundary instead of
+          // silently steering the auto-sidecar flip, the inline-layout
+          // decision, and planner sizing forever. A disagreement is an
+          // invariant breach: loud under debug mode, WARN-noted otherwise.
+          for (o <- observed; p <- preAggr; if o != p) {
+            val msg = s"checkpoint aggr drift on $root@v$v: rolled-forward " +
+              s"header says $p, the written live frame observes $o — " +
+              "repairing to the observed value this boundary"
+            if (spark.conf.getOption("spark.graft.debug.invariants")
+                .contains("true"))
+              throw new InvariantViolation(msg)
+            noteMaintenance(msg)
+          }
+          observed.orElse(preAggr)
             .orElse {
               // legacy sidecar manifests (written before aggr existed)
               // have no header to roll forward: ONE distributed assembly
@@ -3863,13 +3895,48 @@ object Snapshots {
         else if (n == pres.getLong(3)) Some(("smin", "smax"))
         else None
       fam.map { case (mn, mx) =>
+        // a GLOBAL Window.orderBy would sort the whole live-file frame
+        // in ONE task — at the 10⁷-file scale this admission targets,
+        // that degenerates to a single executor thread. Instead:
+        // range-partition by lo, check the sorted-run overlap WITHIN
+        // each partition (window per partition id — full parallelism),
+        // and close the cross-partition pairs on the driver from ≤P
+        // (min lo, max hi) summaries: partitions are lo-ordered, so a
+        // file in an earlier partition overlaps a later one iff the
+        // running max of earlier highs exceeds the later partition's
+        // min lo — the same strict adjacent-merge the window applies.
+        val parts = math.max(2, spark.sparkContext.defaultParallelism)
+        val ranged = df.select(e(mn).as("lo"), e(mx).as("hi"))
+          .repartitionByRange(parts, col("lo"))
+          .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("lo"))
+          .partitionBy(col("pid")).orderBy(col("lo"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        df.select(e(mn).as("lo"), e(mx).as("hi"))
+        val summaries = ranged
           .withColumn("ph", max(col("hi")).over(w))
-          .filter(col("ph") > col("lo"))
-          .limit(1).count() > 0
+          .groupBy(col("pid"))
+          .agg(max(when(col("ph") > col("lo"), 1).otherwise(0)).as("inner"),
+            min(col("lo")).as("mnlo"), max(col("hi")).as("mxhi"))
+          .collect()
+          .sortBy(_.getInt(0))
+        var runMax: Any = null
+        var overlap = false
+        // lo/hi share one envelope family per the completeness pick —
+        // compare values exactly as the rows deliver them
+        def ord(a: Any, b: Any): Int = (a, b) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case _ => 0
+        }
+        summaries.foreach { r =>
+          if (r.getInt(1) == 1) overlap = true
+          val (mnlo, mxhi) = (r.get(2), r.get(3))
+          if (runMax != null && mnlo != null && ord(runMax, mnlo) > 0) overlap = true
+          if (mxhi != null && (runMax == null || ord(mxhi, runMax) > 0)) runMax = mxhi
+        }
+        overlap
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -5807,6 +5874,22 @@ object Snapshots {
     // (with their recorded stats) and the removes — the full live sets
     // never reach the driver on parquet-checkpoint tables. The driver
     // reconstruct remains the text-regime fallback.
+    // checkpoint rows carry BAKED partition point-envelopes the
+    // original adding delta's stats never had — strip them so the
+    // restore delta records exactly the organic stats (partition
+    // columns live in paths, never in data-file footers). Applied by
+    // BOTH selection modes: the driver fallback's reconstruct may be
+    // seeded from a parquet checkpoint (fileStatsOf) and carry the
+    // same baked envelopes — the two modes must commit identical
+    // delta stats or a prune could differ by which mode ran.
+    val pcs = graft.core.HivePartitions.columnsOf(
+      readDelta(spark, root, toVersion).props).toSet
+    def organic(s: graft.core.Skipping.FileStats) =
+      if (pcs.isEmpty) s
+      else s.copy(mins = s.mins -- pcs, maxs = s.maxs -- pcs,
+        dmins = s.dmins -- pcs, dmaxs = s.dmaxs -- pcs,
+        smins = s.smins -- pcs, smaxs = s.smaxs -- pcs,
+        nullCounts = s.nullCounts -- pcs)
     val distributed: Option[
         (Seq[(String, Option[graft.core.Skipping.FileStats])], Seq[String])] =
       (for {
@@ -5823,18 +5906,6 @@ object Snapshots {
             .join(oldF.toDF().select(col("path")), Seq("path"), "left_anti")
             .as[String](org.apache.spark.sql.Encoders.STRING)
             .collect().toSeq.sorted
-          // checkpoint rows carry BAKED partition point-envelopes the
-          // original adding delta's stats never had — strip them so the
-          // restore delta records exactly the organic stats (partition
-          // columns live in paths, never in data-file footers)
-          val pcs = graft.core.HivePartitions.columnsOf(
-            readDelta(spark, root, toVersion).props).toSet
-          def organic(s: graft.core.Skipping.FileStats) =
-            if (pcs.isEmpty) s
-            else s.copy(mins = s.mins -- pcs, maxs = s.maxs -- pcs,
-              dmins = s.dmins -- pcs, dmaxs = s.dmaxs -- pcs,
-              smins = s.smins -- pcs, smaxs = s.smaxs -- pcs,
-              nullCounts = s.nullCounts -- pcs)
           Some((readdRows.toSeq.sortBy(_.path)
             .map(r => r.path -> fileStatsOf(r).map(organic)), rms))
         } catch {
@@ -5851,7 +5922,7 @@ object Snapshots {
         val current = versionFileList(spark, root, head).toSet
         val ra = oldFiles.filterNot(current.contains)
         (ra, (current -- oldFiles).toSeq.sorted,
-          ra.flatMap(f => oldStats.get(f).map(f -> _)).toMap)
+          ra.flatMap(f => oldStats.get(f).map(s => f -> organic(s))).toMap)
     }
     readds.foreach { f =>
       require(fs.exists(new Path(qroot, f)),

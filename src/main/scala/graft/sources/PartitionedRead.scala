@@ -39,54 +39,94 @@ private[graft] object PartitionedRead {
     // values yield two PartitionDirectories with equal rows — Spark
     // concatenates them, same plan).
     val names = partitionSchema.fieldNames.toSeq
-    // even the cheap per-file work (Path.toString + substring + map op)
-    // is ~1.5 µs — at 10⁷ planned files that is ~15 s single-threaded,
-    // so the grouping fans out over index chunks and merges in chunk
-    // order (per-dir file order preserved: chunks partition the input
-    // contiguously)
+    // group by dir substring of the rendered path (one URI render per
+    // file — the checkpoint-metadata plan path avoids even that by
+    // grouping its raw path strings via groupIndicesByDir directly)
     val idx = statuses.toIndexedSeq
-    type Group = java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[FileStatus]]
-    def dirOf(s: FileStatus): String = {
-      val p = s.getPath.toString
-      val cut = p.lastIndexOf('/')
-      if (cut <= 0) "" else p.substring(0, cut)
+    val byDir = groupIndicesByDir(idx.size, i => idx(i).getPath.toString)
+    val keep = predicateOn(partitionFilters, partitionSchema)
+    val out = Seq.newBuilder[PartitionDirectory]
+    byDir.forEach { (dir, is) =>
+      val row = HivePartitions.internalRowOfValues(
+        HivePartitions.valuesOf(dir, names), partitionSchema, timeZoneId)
+      if (keep(row)) out += PartitionDirectory(row, is.map(idx(_)))
     }
-    val nChunks = math.max(1, math.min(64, idx.size / 50000))
-    val chunkMaps = new Array[Group](nChunks)
+    out.result()
+  }
+
+  /** Group indices `[0, n)` by the parent-directory substring of
+    * `pathOf(i)` — pure string work (one `lastIndexOf` per index, a
+    * substring only when the directory CHANGES), no `Path`/URI
+    * construction — fanned out over contiguous chunks and merged in
+    * chunk order, so per-dir index order is preserved. This is the
+    * grouping primitive the checkpoint-metadata plan path uses BEFORE
+    * any `FileStatus` exists: at 10⁷ planned files, grouping the raw
+    * checkpoint path strings costs tens of ms where grouping
+    * `FileStatus.getPath.toString` (a fresh URI render per file) was
+    * ~14 s of plan-time driver work. */
+  def groupIndicesByDir(n: Int, pathOf: Int => String)
+      : java.util.LinkedHashMap[String, Array[Int]] = {
+    type Chunk = java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]
+    val nChunks = math.max(1, math.min(64, n / 50000))
+    val chunkMaps = new Array[Chunk](nChunks)
     java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
-      val lo = (idx.size.toLong * c / nChunks).toInt
-      val hi = (idx.size.toLong * (c + 1) / nChunks).toInt
-      val m = new Group()
+      val lo = (n.toLong * c / nChunks).toInt
+      val hi = (n.toLong * (c + 1) / nChunks).toInt
+      val m = new Chunk()
+      // consecutive checkpoint rows are path-sorted, so the directory
+      // repeats: reuse the previous substring when the prefix matches
+      var lastDir: String = null
+      var lastB: scala.collection.mutable.ArrayBuilder.ofInt = null
       var i = lo
       while (i < hi) {
-        val s = idx(i)
-        val dir = dirOf(s)
-        var b = m.get(dir)
-        if (b == null) { b = new scala.collection.mutable.ArrayBuffer[FileStatus](); m.put(dir, b) }
-        b += s
+        val p = pathOf(i)
+        val cut = p.lastIndexOf('/')
+        val sameDir = lastDir != null && cut == lastDir.length &&
+          p.regionMatches(0, lastDir, 0, cut)
+        if (!sameDir) {
+          lastDir = if (cut <= 0) "" else p.substring(0, cut)
+          lastB = m.get(lastDir)
+          if (lastB == null) {
+            lastB = new scala.collection.mutable.ArrayBuilder.ofInt()
+            m.put(lastDir, lastB)
+          }
+        }
+        lastB += i
         i += 1
       }
       chunkMaps(c) = m
     }
-    val byDir = new Group()
-    chunkMaps.foreach(_.forEach { (dir, fs) =>
-      val b = byDir.get(dir)
-      if (b == null) byDir.put(dir, fs) else b ++= fs
-    })
-    val keep = predicateOn(partitionFilters, partitionSchema)
-    val out = Seq.newBuilder[PartitionDirectory]
-    byDir.forEach { (dir, fs) =>
-      val row = HivePartitions.internalRowOfValues(
-        HivePartitions.valuesOf(dir, names), partitionSchema, timeZoneId)
-      if (keep(row)) out += PartitionDirectory(row, fs.toArray)
+    val out = new java.util.LinkedHashMap[String, Array[Int]]()
+    if (nChunks == 1) {
+      chunkMaps(0).forEach((dir, b) => out.put(dir, b.result()))
+      return out
     }
-    out.result()
+    val parts = new java.util.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Array[Int]]]()
+    chunkMaps.foreach(_.forEach { (dir, b) =>
+      var buf = parts.get(dir)
+      if (buf == null) {
+        buf = new scala.collection.mutable.ArrayBuffer[Array[Int]]()
+        parts.put(dir, buf)
+      }
+      buf += b.result()
+    })
+    parts.forEach { (dir, bufs) =>
+      val total = bufs.iterator.map(_.length).sum
+      val arr = new Array[Int](total)
+      var off = 0
+      bufs.foreach { a =>
+        System.arraycopy(a, 0, arr, off, a.length); off += a.length
+      }
+      out.put(dir, arr)
+    }
+    out
   }
 
   /** Bind `filters` (conjuncts over partition columns) against
     * `partitionSchema` by attribute NAME and compile to an evaluable
     * predicate over partition-values rows. */
-  private def predicateOn(
+  private[sources] def predicateOn(
       filters: Seq[Expression], partitionSchema: StructType): InternalRow => Boolean = {
     if (filters.isEmpty) return _ => true
     val index = partitionSchema.fieldNames.zipWithIndex.toMap

@@ -226,12 +226,70 @@ private[sources] class SnapshotFileIndex(
   private[sources] def survivingPaths(dataFilters: Seq[Expression]): Set[String] =
     survivingStatuses(dataFilters).map(_.getPath.toString).toSet
 
+  /** Partition directories straight from checkpoint METADATA rows —
+    * the partitioned-table plan path. Grouping runs on the raw relative
+    * path strings (no `Path`/URI per file — at 10⁷ files the
+    * per-file `Path.toString` render alone was ~14 s of plan time),
+    * partition values parse + cast once per DIRECTORY, and
+    * `FileStatus`es are synthesized only for the files of partitions
+    * the filters KEEP — a pruned partition never pays even the `Path`
+    * constructor. Construction is one flat parallel loop over the kept
+    * files (balanced regardless of how many files share a directory). */
+  private def directoriesOfMetas(
+      metas: Seq[Snapshots.LiveFileMeta],
+      partitionFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = metas.toIndexedSeq
+    val names = partitionSchema.fieldNames.toSeq
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val byDir = PartitionedRead.groupIndicesByDir(idx.size, i => idx(i).path)
+    val keep = PartitionedRead.predicateOn(partitionFilters, partitionSchema)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    byDir.forEach { (dir, is) =>
+      val row = graft.core.HivePartitions.internalRowOfValues(
+        graft.core.HivePartitions.valuesOf(dir, names), partitionSchema, tz)
+      if (keep(row)) { rows += row; groups += is }
+    }
+    // one flat parallel loop over ALL kept files: group boundaries via
+    // binary search on the prefix sums, statuses land in per-group
+    // arrays directly
+    val starts = groups.scanLeft(0)(_ + _.length).toArray
+    val arrs = groups.map(g => new Array[FileStatus](g.length))
+    java.util.stream.IntStream.range(0, starts.last).parallel().forEach { j =>
+      val p = java.util.Arrays.binarySearch(starts, j)
+      val g = if (p >= 0) p else -p - 2
+      val li = j - starts(g)
+      arrs(g)(li) = statusOf(idx(groups(g)(li)), fs)
+    }
+    rows.indices.map(g => PartitionDirectory(rows(g), arrs(g)))
+  }
+
   override def listFiles(
-      partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+      partitionFilters: Seq[Expression], dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // partitioned metadata tables group + prune on the checkpoint rows
+    // BEFORE any FileStatus exists (bloom pruning, the one stage that
+    // needs rendered paths, keeps the status-list path)
+    if (partitionSchema.nonEmpty && bloomOn.isEmpty) {
+      boundsOf(dataFilters) match {
+        case None => return Nil // some conjunct is provably unsatisfiable
+        case Some((bs, dbs, sbs, nbs)) =>
+          val metas =
+            if (bs.isEmpty && dbs.isEmpty && sbs.isEmpty && nbs.isEmpty)
+              liveMetas
+            else Snapshots.distributedCandidateMeta(
+              spark, root, version, bs, dbs, sbs, nbs)
+          metas match {
+            case Some(ms) => return directoriesOfMetas(ms, partitionFilters)
+            case None => () // text codec / fallback: status-list path below
+          }
+      }
+    }
     PartitionedRead.partitionDirectories(
       survivingStatuses(dataFilters),
       partitionSchema, partitionFilters,
       spark.sessionState.conf.sessionLocalTimeZone)
+  }
 }
 
 /** Integral-bounds extraction from predicate conjuncts — the shared

@@ -202,4 +202,53 @@ class DistributedLifecycleSpec extends AnyFunSuite {
         "one over-budget entry rides alone (the plan's own transient heap)")
     } finally spark.conf.unset("spark.graft.meta.cacheRows")
   }
+
+  test("restore on a PARTITIONED table: both selection modes commit identical stats") {
+    // the distributed diff strips baked partition point-envelopes from
+    // re-add stats; the driver fallback (reconstruct seeded from a
+    // parquet checkpoint) must strip them identically or the two modes
+    // commit different delta stats
+    def partTable(root: String): Long = {
+      val df = (1L to 60L).map(i => (i, i % 3, i * 1.0)).toDF("k", "p", "v")
+      Snapshots.init(spark, root, df.repartition(2),
+        Map(Snapshots.checkpointFormatProp -> "parquet",
+          "graft.partitionBy" -> "p"))
+      (1 to 11).foreach { b =>
+        Snapshots.append(spark, root,
+          (1L to 6L).map(i => (b * 1000L + i, i % 3, i * 2.0))
+            .toDF("k", "p", "v").repartition(2))
+      }
+      Snapshots.deleteWhere(spark, root, "k <= 20")
+      (1 to 3).foreach(b =>
+        Snapshots.append(spark, root, Seq((90000L + b, b % 3, 3.0)).toDF("k", "p", "v")))
+      Snapshots.latestVersion(spark, root)
+    }
+    val rootA = tmp()
+    val head = partTable(rootA)
+    val rootB = tmp()
+    cloneDir(rootA.stripSuffix("/t"), rootB.stripSuffix("/t"))
+    val target = head - 6
+    val va = Snapshots.restore(spark, rootA, target)
+    Snapshots.invalidateCaches(spark, rootB)
+    val vb = driverOnly(Snapshots.restore(spark, rootB, target))
+    assert(va == vb)
+    val fa = Snapshots.versionFiles(spark, rootA).map(_.split("/t/").last).sorted
+    val fb = Snapshots.versionFiles(spark, rootB).map(_.split("/t/").last).sorted
+    assert(fa == fb)
+    // the STATS indexes must agree file-by-file — including the absence
+    // of baked partition-column envelopes on the restore re-adds
+    Snapshots.invalidateCaches(spark, rootA)
+    Snapshots.invalidateCaches(spark, rootB)
+    val sa = Snapshots.statsIndex(spark, rootA, va)
+      .map(x => x.path.split("/t/").last -> x.copy(path = "")).toMap
+    val sb = Snapshots.statsIndex(spark, rootB, vb)
+      .map(x => x.path.split("/t/").last -> x.copy(path = "")).toMap
+    assert(sa.keySet == sb.keySet)
+    sa.keys.foreach { k =>
+      assert(sa(k) == sb(k), s"stats differ on $k: ${sa(k)} vs ${sb(k)}")
+    }
+    val a = Snapshots.readVersion(spark, rootA, va).orderBy("k").collect().toSeq
+    val b = Snapshots.readVersion(spark, rootB, vb).orderBy("k").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -3,6 +3,7 @@ package graft.jobs
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -218,5 +219,70 @@ class LiveAggregateSpec extends AnyFunSuite {
     Snapshots.invalidateCaches(spark, root)
     val got = Snapshots.liveAggregate(spark, root, head)
     assert(got.isDefined && got.get == statTruth(root, head))
+  }
+
+  /** Corrupt the `aggr` header of checkpoint `v` IN PLACE (read the
+    * `_headers/` side directory, patch the hval, swap the directory) —
+    * simulates roll-forward drift from an external writer. */
+  private def corruptAggrHeader(root: String, v: Long): Unit = {
+    val hdrs = new Path(root, f"_log/v$v%08d.checkpoint.parquet/_headers")
+    val fs = hdrs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(hdrs), s"fixture expects a split-layout checkpoint at v$v")
+    val rows = spark.read.parquet(hdrs.toString)
+    val patched = rows.withColumn("hval",
+      when(col("kind") === "header" && col("hkey") === "aggr", lit("7,777"))
+        .otherwise(col("hval")))
+    val tmpDir = new Path(hdrs.getParent, "_headers_tmp")
+    patched.write.mode("overwrite").parquet(tmpDir.toString)
+    fs.delete(hdrs, true)
+    fs.rename(tmpDir, hdrs)
+  }
+
+  test("plain-codec boundary self-heals a drifted rolled-forward aggr (observed wins)") {
+    val root = tmp()
+    // inlineBelow=0 forces the two-job split layout (observed metrics
+    // ride job 1) on every boundary
+    Snapshots.init(spark, root,
+      (1L to 50L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2),
+      Map(Snapshots.checkpointFormatProp -> "parquet",
+        "graft.checkpoint.inlineBelow" -> "0"))
+    (1 to 10).foreach(b =>
+      Snapshots.append(spark, root, Seq((1000L + b, 2.0)).toDF("k", "v").coalesce(1)))
+    corruptAggrHeader(root, 10L)
+    Snapshots.invalidateCaches(spark, root)
+    val drifted = Snapshots.liveAggregate(spark, root, 10L)
+    assert(drifted.exists(_ != statTruth(root, 10L)),
+      s"fixture must actually drift: $drifted vs ${statTruth(root, 10L)}")
+    // the NEXT boundary (v20) prefers the metrics observed on the
+    // actually-written live frame: the drift is repaired, not rolled
+    // forward forever
+    (1 to 10).foreach(b =>
+      Snapshots.append(spark, root, Seq((2000L + b, 3.0)).toDF("k", "v").coalesce(1)))
+    Snapshots.invalidateCaches(spark, root)
+    val healed = Snapshots.liveAggregate(spark, root, 20L)
+    assert(healed.contains(statTruth(root, 20L)),
+      s"v20 header must carry the observed truth: $healed vs ${statTruth(root, 20L)}")
+    assert(Snapshots.maintenanceEvents.toArray.exists(
+      _.toString.contains("aggr drift")), "the repair must be noted")
+  }
+
+  test("debug-invariants mode fails LOUDLY on aggr drift instead of repairing silently") {
+    val root = tmp()
+    Snapshots.init(spark, root,
+      (1L to 30L).map(i => (i, i * 1.0)).toDF("k", "v").repartition(2),
+      Map(Snapshots.checkpointFormatProp -> "parquet",
+        "graft.checkpoint.inlineBelow" -> "0"))
+    (1 to 10).foreach(b =>
+      Snapshots.append(spark, root, Seq((1000L + b, 2.0)).toDF("k", "v").coalesce(1)))
+    corruptAggrHeader(root, 10L)
+    Snapshots.invalidateCaches(spark, root)
+    spark.conf.set("spark.graft.debug.invariants", "true")
+    try {
+      val e = intercept[Snapshots.InvariantViolation] {
+        (1 to 10).foreach(b =>
+          Snapshots.append(spark, root, Seq((2000L + b, 3.0)).toDF("k", "v").coalesce(1)))
+      }
+      assert(e.getMessage.contains("aggr drift"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.debug.invariants")
   }
 }

@@ -144,4 +144,27 @@ class ProtocolSpec extends AnyFunSuite {
     assert(lines.exists(_.startsWith("#protocol:1,1")), lines.take(5).toString)
     assert(lines.contains("#wfeat:identityColumns"), lines.take(8).toString)
   }
+
+  test("parquet-checkpoint tables stamp the _headers split gate (checkpointHeadersDir)") {
+    val root = tmp()
+    // the r17 `_headers/` side-directory is INVISIBLE to Spark's parquet
+    // reader — a build that knows parquetCheckpoint but not the split
+    // would read a split manifest's main directory as the whole table
+    // (silent data loss), so the gate must stamp the moment the codec
+    // can ever write one: with parquetCheckpoint itself
+    Snapshots.init(spark, root, Seq((1, 1.0)).toDF("k", "v"),
+      Map(Snapshots.checkpointFormatProp -> "parquet"))
+    val (_, _, r, w) = Snapshots.protocol(spark, root)
+    assert(r.contains("parquetCheckpoint") && r.contains("checkpointHeadersDir"),
+      s"reader features must gate the split layout: $r")
+    assert(w.contains("checkpointHeadersDir"), s"writer features: $w")
+    // droppable exactly like parquetCheckpoint: only once the codec is text
+    val e = intercept[IllegalArgumentException](
+      Snapshots.dropFeature(spark, root, "checkpointHeadersDir"))
+    assert(e.getMessage.contains("text"), e.getMessage)
+    Snapshots.setProperties(spark, root,
+      Map(Snapshots.checkpointFormatProp -> "text"))
+    Snapshots.dropFeature(spark, root, "checkpointHeadersDir")
+    assert(!Snapshots.protocol(spark, root)._3.contains("checkpointHeadersDir"))
+  }
 }

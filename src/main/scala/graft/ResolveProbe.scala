@@ -111,6 +111,19 @@ object ResolveProbe {
         println("  metas=" + Snapshots.liveFileMeta(spark, root, head).map(_.size))
       }
     }
+    // the full plan-time listing (FileStatus synthesis included) — the
+    // scan operator's actual wait; cold = caches dropped each rep
+    (1 to reps).foreach { i =>
+      Snapshots.invalidateCaches(spark, root)
+      time(s"planFiles-cold#$i") {
+        println("  planned=" + graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
+      }
+    }
+    (1 to reps).foreach { i =>
+      time(s"planFiles-warm#$i") {
+        println("  planned=" + graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
+      }
+    }
     spark.stop()
   }
 }

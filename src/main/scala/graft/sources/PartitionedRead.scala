@@ -188,7 +188,14 @@ private[graft] class ExplicitPartitionedFileIndex(
 
   private lazy val statuses: Seq[FileStatus] = {
     val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    files.distinct.sorted.map(f => fs.getFileStatus(new Path(f)))
+    // one stat RPC per named file is unavoidable here (explicit lists
+    // carry no recorded sizes) — but serial stats are an object-store
+    // stall at 10⁴⁺ files, so they fan out (FileSystem is thread-safe)
+    val sorted = files.distinct.sorted.toIndexedSeq
+    val arr = new Array[FileStatus](sorted.size)
+    java.util.stream.IntStream.range(0, sorted.size).parallel()
+      .forEach(i => arr(i) = fs.getFileStatus(new Path(sorted(i))))
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
   }
 
   override def rootPaths: Seq[Path] = Seq(qroot)

@@ -45,6 +45,8 @@ object Bench {
     // (the only queries that can explain a total) get extra runs
     // (min-of-4 by default); per-run values land in the progress JSONL.
     val heavyRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_RUNS", "4").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     val heavy: Set[String] =
       try {
         val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -54,17 +56,19 @@ object Bench {
           val latest = arts.maxBy(
             _.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
           val txt = new String(Files.readAllBytes(latest.toPath), "UTF-8")
-          // the artifact's "queries" map entries: "name":12.345
-          val pair = """"([A-Za-z0-9_]+)":(-?\d+\.\d+)""".r
+          // the artifact's per-query entries — the driver embeds the
+          // stdout chunk lines as an ESCAPED JSON string ("tail"), so the
+          // pairs appear as \"name\":12.345; accept both shapes. The
+          // artifact carries only the ~48 slowest, which always covers
+          // the registry's top decile.
+          val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*(-?\d+\.\d+)""".r
           val pairs = pair.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter(kv => kv._1 != "value" && kv._2 >= 0).toSeq
-          val n = math.max(1, pairs.size / 10)
+          val n = math.max(1, selected.size / 10)
           pairs.sortBy(-_._2).take(n).map(_._1).toSet
         }
       } catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => filter.forall(_.exists(name.contains)) }
     // Incremental per-query emission (VERDICT r4 item #1): every timing is
     // appended to a JSONL file the moment it's measured, so a truncated
     // stdout capture can never lose per-query numbers or the total again.

@@ -58,13 +58,18 @@ object Bench {
           val txt = new String(Files.readAllBytes(latest.toPath), "UTF-8")
           // the artifact's per-query entries — the driver embeds the
           // stdout chunk lines as an ESCAPED JSON string ("tail"), so the
-          // pairs appear as \"name\":12.345; accept both shapes. The
-          // artifact carries only the ~48 slowest, which always covers
-          // the registry's top decile.
-          val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*(-?\d+\.\d+)""".r
+          // pairs appear as \"name\":12.345; accept both shapes, plus the
+          // r19 [wall,cpu,gc] array shape (first element = wall). The
+          // artifact carries only the slowest tier, which always covers
+          // the registry's top decile. Matched names are intersected with
+          // the queries registry (r18 ADVICE): non-query numeric keys
+          // ("sf", "value", any future total) can never occupy a slot.
+          val registry = SparkEntry.queries.keySet
+          val pair = """\\?"([A-Za-z0-9_]+)\\?":\s*\[?(-?\d+\.\d+)""".r
           val pairs = pair.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(kv => kv._1 != "value" && kv._2 >= 0).toSeq
+            .filter(kv => registry.contains(kv._1) && kv._2 >= 0).toSeq
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }.toSeq
           val n = math.max(1, selected.size / 10)
           pairs.sortBy(-_._2).take(n).map(_._1).toSet
         }
@@ -80,10 +85,26 @@ object Bench {
     // progress JSONL and the driver artifact, and a query failing every
     // run publishes sec = -1 instead of a fake number. The stderr print
     // stays for the stack-trace forensics, but the JSON no longer needs it.
+    // r19 (VERDICT task 1): per-run process-CPU and GC time land next to
+    // every wall timing, so host-load contamination is visible IN the
+    // artifact (an externally-loaded run shows wall >> cpu with flat gc;
+    // a GC storm shows gc ~ wall). Process CPU counts all JVM threads —
+    // under local[N] cpu > wall is normal for parallel stages.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    def r3(d: Double): String = f"$d%.3f"
     val results = selected.map { case (name, fn) =>
       var failed = 0
       val runsFor = if (heavy(name)) math.max(nRuns, heavyRuns) else nRuns
       val times = (1 to runsFor).flatMap { _ =>
+        val c0 = osBean.getProcessCpuTime
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -95,20 +116,28 @@ object Bench {
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        val gc = (gcMillis() - g0) / 1e3
         spark.catalog.clearCache() // stage caches must not leak into the next timing
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, cpu, gc)) else None
       }
-      val best = if (times.isEmpty) -1.0 else times.min
-      progress.println(s"""{"query":"$name","sec":$best,"failed":$failed,"runs":[${times.mkString(",")}]}""")
-      (name, best, failed)
+      val best = if (times.isEmpty) (-1.0, -1.0, -1.0) else times.minBy(_._1)
+      progress.println(
+        s"""{"query":"$name","sec":${best._1},"cpu":${r3(best._2)},"gc":${r3(best._3)},""" +
+        s""""runsFor":$runsFor,"failed":$failed,"runs":[${times.map(_._1).mkString(",")}],""" +
+        s""""cpuRuns":[${times.map(t => r3(t._2)).mkString(",")}],""" +
+        s""""gcRuns":[${times.map(t => r3(t._3)).mkString(",")}]}""")
+      (name, best._1, failed, best._2, best._3)
     }
-    def r3(d: Double): String = f"$d%.3f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val totalCpu = results.collect { case (_, v, _, c, _) if v >= 0 => c }.sum
+    val totalGc = results.collect { case (_, v, _, _, g) if v >= 0 => g }.sum
     val failedRuns = results.map(_._3).sum
-    val failedQueries = results.collect { case (k, _, f) if f > 0 => k }
+    val failedQueries = results.collect { case (k, _, f, _, _) if f > 0 => k }
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""cpu_total":${r3(totalCpu)},"gc_total":${r3(totalGc)},""" +
       s""""failed_runs":$failedRuns,"failed_queries":$failedJson,"sf":"$sfDir"}"""
     progress.println(line) // the full line lives on disk even if stdout truncates
     progress.close()
@@ -127,12 +156,19 @@ object Bench {
     // build.sbt forces StdoutOutput (no "[info] " prefix) and
     // showSuccess=false (no "[success]" trailer) so these lines reach the
     // driver raw, printed after spark.stop() so nothing trails them.
-    val slowest = results.sortBy(-_._2).take(48).grouped(12).toSeq
+    // r19: chunk entries are "name":[wall,cpu,gc] triples so the driver
+    // artifact itself attributes a slow cell (wall >> cpu = host load;
+    // gc ~ wall = GC storm). Triples are ~3× wider, so 6 queries/chunk
+    // (24 slowest total) keeps each line inside the ~400-char budget.
+    val slowest = results.sortBy(-_._2).take(24).grouped(6).toSeq
     val chunks = slowest.zipWithIndex.map { case (grp, i) =>
-      val qs48 = grp.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"slowest","chunk":${i + 1},"of":${slowest.size},"queries":$qs48}"""
+      val qs24 = grp.map { case (k, v, _, c, g) =>
+        "\"" + k + "\":[" + r3(v) + "," + r3(c) + "," + r3(g) + "]"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"slowest","chunk":${i + 1},"of":${slowest.size},"queries":$qs24}"""
     }
     val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
+      s""""cpu_total":${r3(totalCpu)},"gc_total":${r3(totalGc)},""" +
       s""""failed_runs":$failedRuns,"failed_queries":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     chunks.foreach(println)

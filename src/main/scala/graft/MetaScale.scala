@@ -78,34 +78,50 @@ object MetaScale {
     val listOnce = mode == "lightlist"
     val reps = sys.env.get("SPARK_GRAFT_METASCALE_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    // min-of-N with per-run values: one table build, N measurements per
-    // cell — a single number cannot separate a fix from host noise
-    def minOfN[A](n: Int)(prep: => Unit)(f: => A): (A, Double, Seq[Double]) = {
-      var best: Option[(A, Double)] = None
-      val runs = Seq.newBuilder[Double]
-      (1 to n).foreach { _ =>
-        prep
-        val (a, t) = time(f)
-        runs += t
-        if (best.forall(_._2 > t)) best = Some((a, t))
-      }
-      (best.get._1, best.get._2, runs.result())
-    }
-    def runsJson(rs: Seq[Double]): String =
-      rs.map(t => f"$t%.3f").mkString("[", ",", "]")
     // driver-heap peak per cell, sampled by a daemon thread — the
-    // number the 10⁸ light row must keep bounded
+    // number the 10⁸ light row must keep bounded. heapRunPeak tracks
+    // the SAME signal per measurement run (r18 VERDICT task 2: the
+    // listing cells' heap story must be per-run, not per-cell).
     val heapPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val heapRunPeak = new java.util.concurrent.atomic.AtomicLong(0L)
+    def usedHeap(): Long = {
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
     val sampler = new Thread(() => {
       while (true) {
-        val rt = Runtime.getRuntime
-        val used = rt.totalMemory() - rt.freeMemory()
+        val used = usedHeap()
         heapPeak.updateAndGet(m => math.max(m, used))
+        heapRunPeak.updateAndGet(m => math.max(m, used))
         Thread.sleep(250)
       }
     })
     sampler.setDaemon(true)
     sampler.start()
+    // min-of-N with per-run values: one table build, N measurements per
+    // cell — a single number cannot separate a fix from host noise.
+    // Each run also records ITS OWN heap peak (MB), and prep ends with
+    // an explicit GC fence so a run never pays (or hides under) the
+    // previous rep's uncollected garbage — the attribution the r18
+    // 356 s GC-storm rep lacked.
+    def minOfN[A](n: Int)(prep: => Unit)(f: => A): (A, Double, Seq[Double], Seq[Long]) = {
+      var best: Option[(A, Double)] = None
+      val runs = Seq.newBuilder[Double]
+      val heaps = Seq.newBuilder[Long]
+      (1 to n).foreach { _ =>
+        prep
+        System.gc()
+        heapRunPeak.set(usedHeap())
+        val (a, t) = time(f)
+        runs += t
+        heaps += math.max(heapRunPeak.get(), usedHeap()) / (1024 * 1024)
+        if (best.forall(_._2 > t)) best = Some((a, t))
+      }
+      (best.get._1, best.get._2, runs.result(), heaps.result())
+    }
+    def runsJson(rs: Seq[Double]): String =
+      rs.map(t => f"$t%.3f").mkString("[", ",", "]")
+    def heapsJson(hs: Seq[Long]): String = hs.mkString("[", ",", "]")
     for (codec <- codecs; n <- sizes) {
       val root = java.nio.file.Files.createTempDirectory("metascale")
         .toFile.getAbsolutePath + "/t"
@@ -169,6 +185,12 @@ object MetaScale {
         }
       }
       val head = Snapshots.latestVersion(spark, root)
+      // GC fence between build and measurement: the build loop's
+      // synthetic-add garbage (10⁶ FileStats per commit at the 10⁸
+      // decade) must not be collected INSIDE a measurement cell nor
+      // linger in used-heap — after this, recorded peaks are the
+      // measurement cells' own (r18 VERDICT task 3)
+      System.gc()
       heapPeak.set(0L)
       Snapshots.invalidateCaches(spark, root)
       // light mode: the driver must NEVER hold the full list — verify
@@ -181,15 +203,15 @@ object MetaScale {
         require(aggr.exists(_._1 == n + 1),
           s"expected ${n + 1} live files, aggr says $aggr")
       }
-      val (resolveCold, resolveRuns) =
-        if (listReps == 0) (-1.0, Seq.empty[Double])
+      val (resolveCold, resolveRuns, resolveHeaps) =
+        if (listReps == 0) (-1.0, Seq.empty[Double], Seq.empty[Long])
         else {
-          val (files, t, rs) = minOfN(listReps)(
+          val (files, t, rs, hs) = minOfN(listReps)(
             Snapshots.invalidateCaches(spark, root))(
             Snapshots.versionFiles(spark, root, head))
           require(files.size == n + 1,
             s"expected ${n + 1} live files, got ${files.size}")
-          (t, rs)
+          (t, rs, hs)
         }
       // a selective range: ~1% of the k-domain → ~1% of the files
       // survive; the partitioned cell ALSO constrains the partition
@@ -220,21 +242,21 @@ object MetaScale {
       val lfs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val hasPq = lfs.listStatus(logPath)
         .exists(_.getPath.getName.endsWith(".checkpoint.parquet"))
-      val (planCold, planRuns) =
+      val (planCold, planRuns, planHeaps) =
         if (hasPq && listReps > 0) {
-          val (planned, t, rs) = minOfN(listReps)(
+          val (planned, t, rs, hs) = minOfN(listReps)(
             Snapshots.invalidateCaches(spark, root))(
             graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
           require(planned == n + 1, s"planned $planned files, expected ${n + 1}")
-          (t, rs)
-        } else (-1.0, Seq.empty[Double])
+          (t, rs, hs)
+        } else (-1.0, Seq.empty[Double], Seq.empty[Long])
       // what the OPTIMIZER waits for on every query — `sizeInBytes`,
       // answered from the checkpoint's aggr header (r16): O(tail
       // change), flat in file count. And a SELECTIVE scan's plan-time
       // listing: only the prune survivors' FileStatuses are built.
       val (sizeCold, sizeRuns) =
         if (hasPq) {
-          val (sized, t, rs) = minOfN(reps)(
+          val (sized, t, rs, _) = minOfN(reps)(
             Snapshots.invalidateCaches(spark, root))(
             graft.sources.SnapshotPlanProbe.planSize(spark, root, head))
           // n synthetic 10 MiB files + one REAL seed file of unknown size
@@ -245,7 +267,7 @@ object MetaScale {
         } else (-1.0, Seq.empty[Double])
       val (planSel, planSelCold, planSelRuns) =
         if (hasPq) {
-          val (p, t, rs) = minOfN(reps)(
+          val (p, t, rs, _) = minOfN(reps)(
             Snapshots.invalidateCaches(spark, root))(
             graft.sources.SnapshotPlanProbe.planSelective(spark, root, head,
               "k", n / 2 * 100L, (n / 2 + n / 100) * 100L))
@@ -300,6 +322,9 @@ object MetaScale {
         f""""plan_sel_files":$planSel,""" +
         f""""resolve_cold_runs":${runsJson(resolveRuns)},""" +
         f""""plan_cold_runs":${runsJson(planRuns)},""" +
+        f""""resolve_cold_heap_mb_runs":${heapsJson(resolveHeaps)},""" +
+        f""""plan_cold_heap_mb_runs":${heapsJson(planHeaps)},""" +
+        f""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
         f""""prune_cold_runs":${runsJson(pruneColdRs)},""" +
         f""""prune_warm_runs":${runsJson(pruneWarmRs)},""" +
         f""""size_cold_runs":${runsJson(sizeRuns)},""" +

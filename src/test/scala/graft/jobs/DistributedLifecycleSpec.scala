@@ -251,4 +251,94 @@ class DistributedLifecycleSpec extends AnyFunSuite {
     val b = Snapshots.readVersion(spark, rootB, vb).orderBy("k").collect().toSeq
     assert(a == b)
   }
+
+  /** Partitioned churn table shared by the vacuum and OPTIMIZE parity
+    * legs (r18 VERDICT task 5 — restore got its partitioned leg in
+    * r18; the same point-envelope/selection bug class could lurk in
+    * the other two lifecycle ops). */
+  private def partMixedTable(root: String): Long = {
+    val df = (1L to 60L).map(i => (i, i % 3, i * 1.0)).toDF("k", "p", "v")
+    Snapshots.init(spark, root, df.repartition(2),
+      Map(Snapshots.checkpointFormatProp -> "parquet",
+        "graft.partitionBy" -> "p"))
+    (1 to 11).foreach { b =>
+      Snapshots.append(spark, root,
+        (1L to 6L).map(i => (b * 1000L + i, i % 3, i * 2.0))
+          .toDF("k", "p", "v").repartition(2))
+    }
+    Snapshots.deleteWhere(spark, root, "k <= 20")
+    Snapshots.optimizeCompact(spark, root, 1L << 30, 1L << 30)
+    (1 to 3).foreach(b =>
+      Snapshots.append(spark, root, Seq((90000L + b, b % 3, 3.0)).toDF("k", "p", "v")))
+    Snapshots.latestVersion(spark, root)
+  }
+
+  test("vacuum on a PARTITIONED table: distributed selection equals the driver path, retained versions read") {
+    val root = tmp()
+    val head = partMixedTable(root)
+    val keepFrom = head - 4
+    val dist = Snapshots.vacuumPlan(spark, root, keepFrom)
+    val drv = driverOnly(Snapshots.vacuumPlan(spark, root, keepFrom))
+    assert(dist.nonEmpty, "the partitioned mixed history must have real orphans")
+    assert(dist == drv, s"distributed $dist != driver $drv")
+    val before = (keepFrom to head).map(v =>
+      Snapshots.readVersion(spark, root, v).count())
+    val n = Snapshots.vacuum(spark, root, keepFrom)
+    assert(n == dist.size)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dist.foreach(f => assert(!fs.exists(new Path(f)), s"$f must be gone"))
+    Snapshots.invalidateCaches(spark, root)
+    (keepFrom to head).zip(before).foreach { case (v, c) =>
+      assert(Snapshots.readVersion(spark, root, v).count() == c,
+        s"v$v must still read after vacuum")
+    }
+  }
+
+  test("optimizeCompact on a PARTITIONED table: both selection modes pack the same victims with the same stats") {
+    val rootA = tmp()
+    // three BIG per-partition init files (survive the cutoff) + ten
+    // tiny appends scattered across partitions (the victims)
+    Snapshots.init(spark, rootA,
+      (1L to 90000L).map(i => (i, i % 3, i * 1.0)).toDF("k", "p", "v").coalesce(1),
+      Map(Snapshots.checkpointFormatProp -> "parquet",
+        "graft.partitionBy" -> "p"))
+    (1 to 10).foreach { b =>
+      Snapshots.append(spark, rootA,
+        Seq((100000L + b, b % 3L, 1.0)).toDF("k", "p", "v").coalesce(1))
+    }
+    val head = Snapshots.latestVersion(spark, rootA)
+    val rootB = tmp()
+    cloneDir(rootA.stripSuffix("/t"), rootB.stripSuffix("/t"))
+    val cutoff = 64L * 1024 // big init files stay, the 10 tiny ones pack
+    val va = Snapshots.optimizeCompact(spark, rootA, cutoff)
+    Snapshots.invalidateCaches(spark, rootB)
+    val vb = driverOnly(Snapshots.optimizeCompact(spark, rootB, cutoff))
+    assert(va > 0 && vb > 0 && va == vb && va == head + 1)
+    val fa = Snapshots.versionFiles(spark, rootA)
+    val fb = Snapshots.versionFiles(spark, rootB)
+    assert(fa.size == fb.size)
+    // 3 surviving big init files + one pack file per partition: the
+    // selection DIFFERENTIATED (a mode that packed the big files too
+    // would land at 3 files; one that packed nothing stays at 13)
+    assert(fa.size == 6, s"expected 3 survivors + 3 packs, got ${fa.size}")
+    // per-partition live layout must agree (a pack that mixed partition
+    // dirs, or victim sets that differ by mode, would break this)
+    def perDir(files: Seq[String]): Map[String, Int] =
+      files.map(_.split('/').dropRight(1).filter(_.contains('=')).mkString("/"))
+        .groupBy(identity).map { case (d, xs) => d -> xs.size }
+    assert(perDir(fa) == perDir(fb))
+    // stats envelopes must agree as a multiset (pack file names differ
+    // by UUID) — including the partition point-envelope treatment on
+    // the re-added pack files
+    Snapshots.invalidateCaches(spark, rootA)
+    Snapshots.invalidateCaches(spark, rootB)
+    val sa = Snapshots.statsIndex(spark, rootA, va)
+      .map(_.copy(path = "").toString).sorted
+    val sb = Snapshots.statsIndex(spark, rootB, vb)
+      .map(_.copy(path = "").toString).sorted
+    assert(sa == sb, "stats multisets differ between selection modes")
+    val a = Snapshots.readVersion(spark, rootA, va).orderBy("k").collect().toSeq
+    val b = Snapshots.readVersion(spark, rootB, vb).orderBy("k").collect().toSeq
+    assert(a == b)
+  }
 }

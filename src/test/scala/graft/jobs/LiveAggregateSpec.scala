@@ -262,8 +262,10 @@ class LiveAggregateSpec extends AnyFunSuite {
     val healed = Snapshots.liveAggregate(spark, root, 20L)
     assert(healed.contains(statTruth(root, 20L)),
       s"v20 header must carry the observed truth: $healed vs ${statTruth(root, 20L)}")
-    assert(Snapshots.maintenanceEvents.toArray.exists(
-      _.toString.contains("aggr drift")), "the repair must be noted")
+    // the breach lands in the WARN fallback ring (a pathology signal),
+    // not the INFO maintenance ring (amortized work) — r18 ADVICE
+    assert(Snapshots.fallbackEvents.toArray.exists(
+      _.toString.contains("aggr drift")), "the repair must be WARN-noted")
   }
 
   test("debug-invariants mode fails LOUDLY on aggr drift instead of repairing silently") {

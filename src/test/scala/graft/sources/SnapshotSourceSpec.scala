@@ -209,6 +209,44 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(got == Seq(1234L))
   }
 
+  test("partitioned + bloomOn: blooms probe partition survivors through the metas-first path") {
+    // r18 VERDICT task 4: a bloom-indexed PARTITIONED table used to bail
+    // to the status-list path on every plan, paying the per-file render
+    // for partitions the filters were about to discard. The metas-first
+    // path now partition-prunes on raw checkpoint rows first and probes
+    // blooms only over the survivors' rendered statuses.
+    val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
+    Snapshots.init(spark, root,
+      (0L until 4000L).map(i => (i, s"key$i", i % 4)).toDF("id", "s", "p")
+        .repartition(4),
+      props = Map(
+        Snapshots.checkpointFormatProp -> "parquet",
+        "graft.partitionBy" -> "p",
+        "parquet.bloom.filter.enabled#s" -> "true",
+        "parquet.bloom.filter.expected.ndv#s" -> "4000"))
+    val idx = new SnapshotFileIndex(spark, root,
+      Snapshots.latestVersion(spark, root), Some("s"))
+    val all = Snapshots.versionFiles(spark, root)
+    val s = AttributeReference("s", StringType)()
+    val p = AttributeReference("p", LongType)()
+    val sEq = CEq(s, CLit(UTF8String.fromString("key1234"), StringType))
+    // bloom pruning engages inside the partitioned metas-first path
+    val noPart = idx.listFiles(Nil, Seq(sEq))
+    val plannedNoPart = noPart.map(_.files.size).sum
+    assert(plannedNoPart > 0 && plannedNoPart < all.size,
+      s"bloom must prune through the partitioned path: $plannedNoPart of ${all.size}")
+    // a partition filter stacks on top: only p=2 survivors get probed
+    val both = idx.listFiles(Seq(CEq(p, CLit(2L, LongType))), Seq(sEq))
+    assert(both.forall(_.files.forall(_.getPath.toString.contains("p=2"))))
+    val plannedBoth = both.map(_.files.size).sum
+    assert(plannedBoth > 0 && plannedBoth <= plannedNoPart)
+    // front door answers correctly through partition + bloom pruning
+    val got = spark.read.format(fmt).option("bloomOn", "s").load(root)
+      .where(col("p") === 2 && col("s") === "key1234")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1234L)) // 1234 % 4 == 2
+  }
+
   test("schema evolution is visible through the front door") {
     val root = Files.createTempDirectory("snapsrc").toFile.getAbsolutePath + "/t"
     Snapshots.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))

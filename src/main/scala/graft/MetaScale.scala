@@ -37,8 +37,9 @@ import graft.jobs.Snapshots
   * 10⁸-file aspiration cell: the whole build + steady checkpoint +
   * sizing + selective plan completes without the driver EVER holding
   * the O(files) list. mode `lightlist` (r18): light build/verify, but
-  * run the two full-listing cells ONCE at the end — the decade-up
-  * full-scan data point without paying the listing on every rep.
+  * run the two full-listing cells at the end — min-of-N like every
+  * other cell since r19 (the max-run/min-run ratio IS the GC-storm
+  * detector the r18 single-shot row couldn't provide).
   *
   * r18: every measurement cell is min-of-N (SPARK_GRAFT_METASCALE_REPS,
   * default 3) with the per-run values in the JSONL — three committed
@@ -133,14 +134,20 @@ object MetaScale {
       // "partsc": the FLAGSHIP COMPOSITION (r16) — partitioned layout +
       // sidecar manifests + format=auto on ONE table, i.e. exactly how
       // the reference's year=/month= store would be configured at scale.
-      val partitioned = codec == "partpq" || codec == "partsc"
+      // "partscbl": partsc with bloomOn set on the PLAN probes — pins
+      // that a bloom-indexed partitioned table rides the same
+      // metas-first plan path (r18 VERDICT task 4; no bloom VALUES in
+      // the probe filters, so no footer reads — synthetic files).
+      val partitioned =
+        codec == "partpq" || codec == "partsc" || codec == "partscbl"
+      val bloomProbe = if (codec == "partscbl") Some("k") else None
       val props = codec match {
         case "parquet" | "auto" => Map(Snapshots.checkpointFormatProp -> codec)
         case "sidecar" => Map(Snapshots.checkpointFormatProp -> "parquet",
           Snapshots.checkpointSidecarsProp -> "true")
         case "partpq" => Map(Snapshots.checkpointFormatProp -> "parquet",
           "graft.partitionBy" -> "month")
-        case "partsc" => Map(Snapshots.checkpointFormatProp -> "auto",
+        case "partsc" | "partscbl" => Map(Snapshots.checkpointFormatProp -> "auto",
           Snapshots.checkpointSidecarsProp -> "true",
           "graft.partitionBy" -> "month")
         case _ => Map.empty[String, String]
@@ -197,7 +204,7 @@ object MetaScale {
       // the build through the aggr header (O(tail)) instead of
       // resolving every path; lightlist runs the listing ONCE at the
       // end (the decade-up full-scan data point)
-      val listReps = if (listOnce) 1 else if (light) 0 else reps
+      val listReps = if (listOnce) reps else if (light) 0 else reps
       if (light) {
         val aggr = Snapshots.liveAggregate(spark, root, head)
         require(aggr.exists(_._1 == n + 1),
@@ -246,7 +253,7 @@ object MetaScale {
         if (hasPq && listReps > 0) {
           val (planned, t, rs, hs) = minOfN(listReps)(
             Snapshots.invalidateCaches(spark, root))(
-            graft.sources.SnapshotPlanProbe.planFiles(spark, root, head))
+            graft.sources.SnapshotPlanProbe.planFiles(spark, root, head, bloomProbe))
           require(planned == n + 1, s"planned $planned files, expected ${n + 1}")
           (t, rs, hs)
         } else (-1.0, Seq.empty[Double], Seq.empty[Long])
@@ -258,7 +265,7 @@ object MetaScale {
         if (hasPq) {
           val (sized, t, rs, _) = minOfN(reps)(
             Snapshots.invalidateCaches(spark, root))(
-            graft.sources.SnapshotPlanProbe.planSize(spark, root, head))
+            graft.sources.SnapshotPlanProbe.planSize(spark, root, head, bloomProbe))
           // n synthetic 10 MiB files + one REAL seed file of unknown size
           require(sized >= n.toLong * 10L * 1024 * 1024 &&
             sized < (n + 2).toLong * 10L * 1024 * 1024,
@@ -270,7 +277,7 @@ object MetaScale {
           val (p, t, rs, _) = minOfN(reps)(
             Snapshots.invalidateCaches(spark, root))(
             graft.sources.SnapshotPlanProbe.planSelective(spark, root, head,
-              "k", n / 2 * 100L, (n / 2 + n / 100) * 100L))
+              "k", n / 2 * 100L, (n / 2 + n / 100) * 100L, bloomProbe))
           (p, t, rs)
         } else (-1L, -1.0, Seq.empty[Double])
       // the probe's filter carries the k-range only; on partitioned

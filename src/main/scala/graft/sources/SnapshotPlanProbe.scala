@@ -14,16 +14,18 @@ object SnapshotPlanProbe {
 
   /** Full-scan plan: every live file's `FileStatus` is constructed —
     * inherently O(files) (the scan must enumerate its splits). */
-  def planFiles(spark: SparkSession, root: String, version: Long): Long = {
-    val idx = new SnapshotFileIndex(spark, root, version, None)
+  def planFiles(spark: SparkSession, root: String, version: Long,
+      bloomOn: Option[String] = None): Long = {
+    val idx = new SnapshotFileIndex(spark, root, version, bloomOn)
     idx.listFiles(Nil, Nil).map(_.files.size.toLong).sum
   }
 
   /** What the OPTIMIZER waits for before any file is listed:
     * `sizeInBytes` (asked on every query for join sizing) — O(tail
     * change) from the checkpoint's aggr header, never the full list. */
-  def planSize(spark: SparkSession, root: String, version: Long): Long = {
-    val idx = new SnapshotFileIndex(spark, root, version, None)
+  def planSize(spark: SparkSession, root: String, version: Long,
+      bloomOn: Option[String] = None): Long = {
+    val idx = new SnapshotFileIndex(spark, root, version, bloomOn)
     idx.sizeInBytes
   }
 
@@ -33,8 +35,9 @@ object SnapshotPlanProbe {
     * survivors' `FileStatus`es are ever constructed. */
   def planSelective(
       spark: SparkSession, root: String, version: Long,
-      column: String, lo: Long, hi: Long): Long = {
-    val idx = new SnapshotFileIndex(spark, root, version, None)
+      column: String, lo: Long, hi: Long,
+      bloomOn: Option[String] = None): Long = {
+    val idx = new SnapshotFileIndex(spark, root, version, bloomOn)
     val a = AttributeReference(column, LongType)()
     val filters = Seq(
       GreaterThanOrEqual(a, Literal(lo)), LessThanOrEqual(a, Literal(hi)))

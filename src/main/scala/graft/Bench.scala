@@ -23,6 +23,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // match core/Sessions: AQE right-sizes persisted O(change)
+      // intermediates (merge candidates, keysets) instead of pinning
+      // them at the static shuffle-partition count
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
     // A/B hatch for isolating catalog/extension overhead in local runs;
     // the driver never sets it — extensions are on by default

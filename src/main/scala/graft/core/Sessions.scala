@@ -37,6 +37,13 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE also re-optimizes the materialization of persisted frames
+      // (off by default): the engine persists O(change) intermediates
+      // (merge candidates, keysets), and without this their cached
+      // partitioning stays at the static shuffle-partition count —
+      // every downstream write then emits that many near-empty files.
+      // Scale-adaptive by construction (AQE's advisory size governs).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.filterPushdown", "true")
       // testdata timestamps are `timestamp[us]` isAdjustedToUTC=false; infer

@@ -176,10 +176,21 @@ object Skipping {
   }
 
   /** Index an explicit file list — the form a snapshot-logged table uses
-    * (its manifest IS the file list; no directory involved). */
+    * (its manifest IS the file list; no directory involved). Footer
+    * reads are independent metadata I/O, so they fan out across driver
+    * cores (ParquetFileReader/FileSystem are thread-safe) — every COW
+    * commit pays this on its just-written files, so the serial loop was
+    * a per-commit wall of (files × open+footer-parse) latency. */
   def buildIndexForFiles(spark: SparkSession, files: Seq[String]): Seq[FileStats] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map(f => statsOfFile(conf, f))
+    if (files.size <= 1) files.map(f => statsOfFile(conf, f))
+    else {
+      val arr = files.toArray
+      val out = new Array[FileStats](arr.length)
+      java.util.stream.IntStream.range(0, arr.length).parallel()
+        .forEach(i => out(i) = statsOfFile(conf, arr(i)))
+      out.toSeq
+    }
   }
 
   /** An INT64 timestamp chunk's envelope enters ONLY for MICROS

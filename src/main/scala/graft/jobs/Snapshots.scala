@@ -1798,6 +1798,8 @@ object Snapshots {
         liveCount >= th
       }
     }
+    val inlineBelow = hd.props.get(inlineHeadersProp).flatMap(_.toLongOption)
+      .getOrElse(inlineHeadersDefault)
     // sidecar manifests split the file rows three ways (fresh rows here,
     // reference + tombstone rows alongside); plain checkpoints carry the
     // complete live set as file rows
@@ -1805,11 +1807,21 @@ object Snapshots {
       if (useSidecars)
         sidecarManifestRows(spark, root, v, fs, qroot, prevPq)
       else {
+        // a SMALL table (live count ≤ inlineBelow, known O(tail) from
+        // the aggr roll-forward) skips the incremental frame outright:
+        // that plan — previous-checkpoint scan plus one union/filter
+        // node per tail delta — schedules hundreds of near-empty tasks
+        // and compiles a codegen branch per delta, while the driver
+        // build is a memoized reconstruct into one flat LocalRelation.
+        // Driver memory stays bounded by the same threshold that
+        // already gates the inline layout.
+        val smallInline =
+          liveAggregate(spark, root, v).exists(_._1 <= inlineBelow)
         // the full build knows its aggregate on the driver already —
         // carried in the same slot the sidecar spill uses, so a
         // from-scratch checkpoint can skip the observation pass
         val (rows, fullAggr) =
-          (if (allowIncremental)
+          (if (allowIncremental && !smallInline)
             checkpointFileFrame(spark, root, v)
               .map(fr => (fr, Option.empty[(Long, Long)]))
           else None)
@@ -1863,8 +1875,6 @@ object Snapshots {
     // the aggr value known BEFORE any write runs: the spill/full-build's
     // precomputed value, or the previous header rolled forward O(tail)
     val preAggr: Option[(Long, Long)] = scAggr.orElse(liveAggregate(spark, root, v))
-    val inlineBelow = hd.props.get(inlineHeadersProp).flatMap(_.toLongOption)
-      .getOrElse(inlineHeadersDefault)
     val aggr: Option[(Long, Long)] =
       if (preAggr.exists(_._1 <= inlineBelow)) {
         // SMALL checkpoint (live count known pre-write and under the
@@ -1872,10 +1882,14 @@ object Snapshots {
         // + copied together — the two-job split buys nothing when a
         // header lookup reads the whole (tiny) directory anyway, and
         // the extra job was the r16 `agg_metadata_only_pq` regression.
+        // coalesce(1): the threshold bounds the row count, so one task
+        // writes one part file — readers list/footer-read one object
+        // instead of up to defaultParallelism near-empty ones.
         try cleanupOnFailure {
           fileRows.toDF().unionByName(copiedRows.toDF())
             .unionByName(spark.createDataset(
               headerRowsOf(preAggr) ++ extraRows).toDF())
+            .coalesce(1)
             .write.mode("overwrite").parquet(tmp.toString)
         } finally fileRows.unpersist()
         preAggr
@@ -2605,8 +2619,13 @@ object Snapshots {
   private def statsForNewFiles(
       spark: SparkSession, qroot: Path, rels: Seq[String]): Map[String, graft.core.Skipping.FileStats] = {
     val abs = rels.map(r => new Path(qroot, r).toString)
+    // footer stats for a just-written commit: the driver path fans the
+    // per-file footer reads across driver cores (Skipping), so up to
+    // ~128 files it beats launching a Spark job (task scheduling alone
+    // costs more than 128 parallel local footer reads); bigger commits
+    // (a wide OPTIMIZE) keep the distributed pass
     val built =
-      if (rels.size <= 16) graft.core.Skipping.buildIndexForFiles(spark, abs)
+      if (rels.size <= 128) graft.core.Skipping.buildIndexForFiles(spark, abs)
       else graft.core.Skipping.buildIndexDistributed(spark, abs)
     val byAbs = built.map(s => s.path -> s).toMap
     rels.zip(abs).flatMap { case (r, a) =>
@@ -3525,42 +3544,53 @@ object Snapshots {
     val prevFiles = versionFileList(spark, root, prev)
     val prevDelta = readDelta(spark, root, prev)
     val current = readVersionWithFile(spark, root, prev)
+    // the keyset is probed three times (doomed-file detection, the feed,
+    // the kept-rows anti-join) — materialize it once; it is O(doomed
+    // keys) by definition
     val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
-    val cdfDir =
-      if (changeFeed) Some(stageChangeFeed(spark, qroot, v,
-        ChangeFeed.deleteFeed(readVersion(spark, root, prev), keySet, keyCols)))
-      else None
-    def commitOrCleanFeed(d: Delta): Long =
-      try commitRewrite(spark, root, v, d)
-      catch { case e: Throwable =>
-        cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
-      }
-    // input_file_name() yields URI spellings (file:///x) that differ from
-    // Path.toString (file:/x) — normalize through Path before comparing
-    val doomedFiles = current.join(keySet, keyCols, "left_semi")
-      .select(col("__file")).distinct()
-      .collect().map(r => new Path(r.getString(0)).toString).toSet
-    if (doomedFiles.isEmpty) {
-      return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
-        schema = prevDelta.schema, props = prevDelta.props, op = Some("delete"),
-        dv = prevDelta.dv))
-    }
-    val rewritten = prevFiles.filter(f => doomedFiles.contains(new Path(qroot, f).toString))
-    // EVERY doomed path must resolve to a manifest entry: a partial
-    // resolution means path spellings diverged and unmatched files would
-    // silently keep their doomed rows
-    require(rewritten.size == doomedFiles.size,
-      s"${doomedFiles.size} files hold doomed keys but only ${rewritten.size} " +
-        s"resolved to log entries — path normalization bug? $doomedFiles")
-    val prevSchemaS = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val kept = readFilesAs(spark, qroot,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // input_file_name() yields URI spellings (file:///x) that differ from
+      // Path.toString (file:/x) — normalize through Path before comparing
+      val doomedFiles = current.join(keySet, keyCols, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => new Path(r.getString(0)).toString).toSet
+      val rewritten = prevFiles.filter(f => doomedFiles.contains(new Path(qroot, f).toString))
+      // EVERY doomed path must resolve to a manifest entry: a partial
+      // resolution means path spellings diverged and unmatched files would
+      // silently keep their doomed rows
+      require(rewritten.size == doomedFiles.size,
+        s"${doomedFiles.size} files hold doomed keys but only ${rewritten.size} " +
+          s"resolved to log entries — path normalization bug? $doomedFiles")
+      val prevSchemaS = prevDelta.schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+      // deleted rows live ONLY in the doomed files (that is the detection
+      // join's definition), so the feed's semi-join over those files'
+      // rows is identical to the old full-table read — the staged feed
+      // costs O(doomed files), never O(table)
+      def doomedRows: DataFrame = readFilesAs(spark, qroot,
         rewritten.map(f => new Path(qroot, f).toString),
         prevSchemaS, prevDelta.props, prevDelta.dv)
-      .join(keySet, keyCols, "left_anti")
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, prevSchemaS)
-    commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = prevDelta.schema, props = prevDelta.props, stats = stats,
-      op = Some("delete"), dv = prevDelta.dv))
+      val cdfDir =
+        if (!changeFeed) None
+        else Some(stageChangeFeed(spark, qroot, v, ChangeFeed.deleteFeed(
+          if (rewritten.isEmpty) readVersion(spark, root, prev).limit(0)
+          else doomedRows, keySet, keyCols)))
+      def commitOrCleanFeed(d: Delta): Long =
+        try commitRewrite(spark, root, v, d)
+        catch { case e: Throwable =>
+          cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
+        }
+      if (doomedFiles.isEmpty) {
+        return commitOrCleanFeed(Delta(Nil, Nil, txn = txn, cdf = cdfDir,
+          schema = prevDelta.schema, props = prevDelta.props, op = Some("delete"),
+          dv = prevDelta.dv))
+      }
+      val kept = doomedRows.join(keySet, keyCols, "left_anti")
+      val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, prevSchemaS)
+      commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
+        schema = prevDelta.schema, props = prevDelta.props, stats = stats,
+        op = Some("delete"), dv = prevDelta.dv))
+    } finally keySet.unpersist(blocking = false)
   }
 
   /** Candidate files for a predicate rewrite: the subset of `version`'s
@@ -4720,37 +4750,58 @@ object Snapshots {
           .withColumn(rowIdCol, coalesce(col(rowIdCol),
             lit(hwm + 1) + monotonically_increasing_id()))
       }
-    val cdfDir =
-      if (changeFeed) Some(stageChangeFeed(spark, qroot, v,
-        ChangeFeed.mergeFeed(
-          conform(readVersion(spark, root, prev), merged),
-          conform(srcFinal, merged), keyCols)))
-      else None
-    val kept =
-      if (rewritten.isEmpty) conform(srcFinal, merged)
-      else conform(
-          readFilesAs(spark, qroot,
-              rewritten.map(f => new Path(qroot, f).toString),
-              Some(prevSchema), prevDelta.props, prevDelta.dv)
-            .join(srcKeys, keyCols, "left_anti"), merged)
-        .unionByName(conform(srcFinal, merged))
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
-    val idPatch =
-      if (!tracked) Map.empty[String, String]
-      else {
-        // advance-only: an all-matched merge's stats max is the OLD ids'
-        // max (≤ hwm) — patching it would regress the hwm
-        val cur = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
-        identityPatch(stats, Seq(rowIdCol -> 1L),
-          c => physicalMap(merged).getOrElse(c, c))
-          .filter(_._2.toLong > cur)
+    // the conformed source feeds BOTH the staged change feed and the
+    // kept-rows write — materialize it once (it is O(source), and the
+    // persist also pins any monotonically_increasing_id row ids
+    // identical between the two consumers)
+    val srcFinalC = conform(srcFinal, merged)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every key the source matches provably lives in a REWRITTEN file
+    // (that is the detection pass's definition), so the feed's
+    // pre/post/insert classification over the rewritten files' rows is
+    // identical to the old full-table read — the feed now costs
+    // O(change), never O(table)
+    def tgtRewritten: DataFrame =
+      if (rewritten.isEmpty)
+        conform(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          prevSchema), merged)
+      else conform(readFilesAs(spark, qroot,
+        rewritten.map(f => new Path(qroot, f).toString),
+        Some(prevSchema), prevDelta.props, prevDelta.dv), merged)
+    def commitPhase(): Long = {
+      val cdfDir =
+        if (changeFeed) Some(stageChangeFeed(spark, qroot, v,
+          ChangeFeed.mergeFeed(tgtRewritten, srcFinalC, keyCols)))
+        else None
+      val kept =
+        if (rewritten.isEmpty) srcFinalC
+        else conform(
+            readFilesAs(spark, qroot,
+                rewritten.map(f => new Path(qroot, f).toString),
+                Some(prevSchema), prevDelta.props, prevDelta.dv)
+              .join(srcKeys, keyCols, "left_anti"), merged)
+          .unionByName(srcFinalC)
+      val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
+      val idPatch =
+        if (!tracked) Map.empty[String, String]
+        else {
+          // advance-only: an all-matched merge's stats max is the OLD ids'
+          // max (≤ hwm) — patching it would regress the hwm
+          val cur = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
+          identityPatch(stats, Seq(rowIdCol -> 1L),
+            c => physicalMap(merged).getOrElse(c, c))
+            .filter(_._2.toLong > cur)
+        }
+      try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
+        schema = Some(merged.json), props = prevDelta.props ++ idPatch, stats = stats,
+        op = Some("merge"), dv = prevDelta.dv))
+      catch { case e: Throwable =>
+        cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
       }
-    try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = Some(merged.json), props = prevDelta.props ++ idPatch, stats = stats,
-      op = Some("merge"), dv = prevDelta.dv))
-    catch { case e: Throwable =>
-      cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
     }
+    try commitPhase()
+    finally srcFinalC.unpersist(blocking = false)
   }
 
   /** One WHEN clause of a clause-level MERGE (`mergeClauses`).
@@ -4991,7 +5042,16 @@ object Snapshots {
     val joinCond = keyCols.map(k => col(k) === col(srcSidePrefix + k)).reduce(_ && _)
     val actCol = targetResolved
       .foldRight(lit("keep"): Column) { (r, els) => when(r.pred, lit(r.id)).otherwise(els) }
+    // the candidate⋈source join feeds up to five downstream passes (the
+    // kept-rows write, the feed's pre/post/delete branches, the
+    // changed-rows constraint gate) — materialize it ONCE instead of
+    // re-running the join per consumer. The frame is O(candidate files'
+    // rows) by the detection pass above, never O(table), so the persist
+    // is bounded by the change size; it also pins any
+    // monotonically_increasing_id-derived row ids identical between the
+    // staged feed and the committed data files.
     val withAct = tgtM.join(srcR, joinCond, "left_outer").withColumn("__act", actCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deleteIds = targetResolved.filter(_.isDelete).map(_.id)
     val updateResolved = targetResolved.filterNot(_.isDelete)
     val outCols: Seq[Column] = merged.fields.toSeq.map { f =>
@@ -5016,7 +5076,10 @@ object Snapshots {
     val genNames = prevDelta.props.keys
       .filter(_.startsWith(generatedPrefix)).map(_.stripPrefix(generatedPrefix)).toSet
     val insAssigned = iResolved.flatMap(_.set.keys).toSet
-    val inserted: DataFrame =
+    // consumed by the changed-rows gate, the feed's insert branch and
+    // the kept-rows write — same materialize-once reasoning (and the
+    // same row-id stability guarantee) as `withAct`; O(source rows).
+    val inserted: DataFrame = (
       if (iResolved.isEmpty) conform(tgtM.limit(0), merged)
       else {
         val fullKeys = readVersion(spark, root, prev)
@@ -5052,44 +5115,52 @@ object Snapshots {
           }
         conform(withGenerated(built, prevDelta.props), merged)
       }
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // gates on CHANGED rows only (updated + inserted), O(changed)
     val changed = newTgtAct.where(col("__act") =!= "keep").drop("__act")
       .unionByName(inserted)
     checkConstraints(changed, prevDelta.props)
     withGenerated(changed, prevDelta.props) // contradiction probe on present cols
-    val cdfDir =
-      if (!changeFeed) None
-      else {
-        val updateIds = updateResolved.map(_.id)
-        val fieldsOnly = merged.fieldNames.toSeq.map(col)
-        val pre = withAct.where(inIds(updateIds)).select(fieldsOnly: _*)
-          .withColumn(ChangeFeed.opCol, lit("update_preimage"))
-        val post = newTgtAct.where(inIds(updateIds)).drop("__act")
-          .withColumn(ChangeFeed.opCol, lit("update_postimage"))
-        val dels = withAct.where(inIds(deleteIds)).select(fieldsOnly: _*)
-          .withColumn(ChangeFeed.opCol, lit("delete"))
-        val ins = inserted.withColumn(ChangeFeed.opCol, lit("insert"))
-        Some(stageChangeFeed(spark, qroot, v,
-          pre.unionByName(post).unionByName(dels).unionByName(ins)))
+    def commitPhase(): Long = {
+      val cdfDir =
+        if (!changeFeed) None
+        else {
+          val updateIds = updateResolved.map(_.id)
+          val fieldsOnly = merged.fieldNames.toSeq.map(col)
+          val pre = withAct.where(inIds(updateIds)).select(fieldsOnly: _*)
+            .withColumn(ChangeFeed.opCol, lit("update_preimage"))
+          val post = newTgtAct.where(inIds(updateIds)).drop("__act")
+            .withColumn(ChangeFeed.opCol, lit("update_postimage"))
+          val dels = withAct.where(inIds(deleteIds)).select(fieldsOnly: _*)
+            .withColumn(ChangeFeed.opCol, lit("delete"))
+          val ins = inserted.withColumn(ChangeFeed.opCol, lit("insert"))
+          Some(stageChangeFeed(spark, qroot, v,
+            pre.unionByName(post).unionByName(dels).unionByName(ins)))
+        }
+      val kept = newTgt.unionByName(inserted)
+      val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
+      // advance-only hwm patch for freshly-inserted row ids (see mergeCow)
+      val idPatch =
+        if (!rowTrackingOn(prevDelta.props) ||
+            !merged.fieldNames.contains(rowIdCol)) Map.empty[String, String]
+        else {
+          val hwmKey = identityPrefix + rowIdCol + ".hwm"
+          val cur = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
+          identityPatch(stats, Seq(rowIdCol -> 1L),
+            c => physicalMap(merged).getOrElse(c, c))
+            .filter(_._2.toLong > cur)
+        }
+      try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
+        schema = Some(merged.json), props = prevDelta.props ++ idPatch, stats = stats,
+        op = Some("merge"), dv = prevDelta.dv))
+      catch { case e: Throwable =>
+        cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
       }
-    val kept = newTgt.unionByName(inserted)
-    val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
-    // advance-only hwm patch for freshly-inserted row ids (see mergeCow)
-    val idPatch =
-      if (!rowTrackingOn(prevDelta.props) ||
-          !merged.fieldNames.contains(rowIdCol)) Map.empty[String, String]
-      else {
-        val hwmKey = identityPrefix + rowIdCol + ".hwm"
-        val cur = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
-        identityPatch(stats, Seq(rowIdCol -> 1L),
-          c => physicalMap(merged).getOrElse(c, c))
-          .filter(_._2.toLong > cur)
-      }
-    try commitRewrite(spark, root, v, Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
-      schema = Some(merged.json), props = prevDelta.props ++ idPatch, stats = stats,
-      op = Some("merge"), dv = prevDelta.dv))
-    catch { case e: Throwable =>
-      cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
+    }
+    try commitPhase()
+    finally {
+      withAct.unpersist(blocking = false)
+      inserted.unpersist(blocking = false)
     }
   }
 

@@ -26,9 +26,22 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     } catch { case _: Throwable => () }
 
+  /** Inferred schema per (immutable) testdata file, memoized for the
+    * process lifetime: parquet schema inference is a footer-read pass
+    * (Spark runs it as a job) that every `spark.read.parquet` repeats —
+    * a pure fixed cost when the same static table is read hundreds of
+    * times per bench/verify run, and equally wasted work on a static
+    * 100 TB table. The memo stores only the schema (metadata), never
+    * rows; the first read still infers under the timestamp-compat confs
+    * so the cached value is exactly what inference would return. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureTimestampCompat(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** S13 missing-input tolerance: the reference's skip-missing contract

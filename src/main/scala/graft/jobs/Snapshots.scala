@@ -5236,6 +5236,18 @@ object Snapshots {
   def applyCdcBatch(
       spark: SparkSession, root: String, feed: DataFrame,
       keyCols: Seq[String], batchId: Long): Boolean = {
+    // the batch feed is consumed by four passes (drop-keys, adds,
+    // affected-file detection, the kept-rows write) — materialize it
+    // once per micro-batch instead of re-reading the feed files per
+    // consumer; a CDC batch is O(changed rows) by contract
+    val fed = feed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyCdcBatchOn(spark, root, fed, keyCols, batchId)
+    finally fed.unpersist(blocking = false)
+  }
+
+  private def applyCdcBatchOn(
+      spark: SparkSession, root: String, feed: DataFrame,
+      keyCols: Seq[String], batchId: Long): Boolean = {
     val dropKeys = feed
       .where(col(ChangeFeed.opCol).isin("update_preimage", "delete"))
       .select(keyCols.map(col): _*).dropDuplicates(keyCols)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming re-expression of the batch pipeline (SURVEY.md §2.12
   * marks streaming absent in the reference; this is the §7.5 extension): the
@@ -18,12 +19,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingJobs {
 
+  /** Batch-peeked schema per (immutable) testdata path, memoized for the
+    * process lifetime — the peek is a footer-read job repeated at every
+    * stream setup otherwise (same reasoning as core/Tables.schemaCache;
+    * metadata only, never rows). */
+  private val peekedSchema =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private def peekSchema(spark: SparkSession, path: String): StructType =
+    peekedSchema.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   /** readStream over a parquet directory with a fixed schema (streaming
     * sources require one — inferred here from a batch peek at setup time). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     graft.core.Tables.ensureTimestampCompat(spark)
-    val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(peekSchema(spark, dir)).parquet(dir)
   }
 
   /** Streaming source over one TABLE of an sf directory, agnostic to the
@@ -38,7 +47,7 @@ object StreamingJobs {
     graft.core.Tables.ensureTimestampCompat(spark)
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val schema = spark.read.parquet(p.toString).schema
+    val schema = peekSchema(spark, p.toString)
     if (fs.getFileStatus(p).isDirectory)
       // the batch-peeked schema includes any partition columns, so the
       // stream discovers partition subdirs (recursiveFileLookup would

@@ -1290,13 +1290,17 @@ object Snapshots {
     // tolerant getFileStatus here — O(new files), a cost the commit
     // already paid several times over (footer stats, listing). Synthetic
     // adds (metadata-only commits whose files never exist) simply skip.
-    val fmetaAll = d.fmeta ++
-      d.adds.filterNot(d.fmeta.contains).flatMap { rel =>
+    val fmetaMissing = d.adds.filterNot(d.fmeta.contains).toIndexedSeq
+    val fmetaCaptured = new Array[Option[(String, (Long, Long))]](fmetaMissing.size)
+    // independent stat RPCs — fan out like the other per-file loops
+    java.util.stream.IntStream.range(0, fmetaMissing.size).parallel().forEach { i =>
+      fmetaCaptured(i) =
         try {
-          val st = fs.getFileStatus(new Path(qroot, rel))
-          Some(rel -> (st.getLen, st.getModificationTime))
+          val st = fs.getFileStatus(new Path(qroot, fmetaMissing(i)))
+          Some(fmetaMissing(i) -> (st.getLen, st.getModificationTime))
         } catch { case scala.util.control.NonFatal(_) => None }
-      }
+    }
+    val fmetaAll = d.fmeta ++ fmetaCaptured.flatten
     val lines =
       Seq(s"#ts:$ts",
         s"#protocol:${dStamped.minReader},${dStamped.minWriter}") ++
@@ -2305,6 +2309,11 @@ object Snapshots {
   /** Reconstructed (files, stats) memoized per (qualified root, version)
     * — bounded wholesale, purged on v0 publish, same discipline as
     * `deltaCache`/`indexCache`. */
+  /** Inferred schema per (immutable) staged-feed directory — metadata
+    * only, crudely size-bounded like the other memos. */
+  private val feedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   private val reconstructCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), (Seq[String], Map[String, graft.core.Skipping.FileStats])]()
 
@@ -5193,8 +5202,18 @@ object Snapshots {
     val (_, qroot) = fsOf(spark, root)
     val frames = ((fromV + 1) to toV).flatMap { v =>
       val d = readDelta(spark, root, v)
-      if (d.cdf.isDefined)
-        Some(spark.read.parquet(new Path(qroot, s"_changes/${d.cdf.get}").toString))
+      if (d.cdf.isDefined) {
+        // a staged feed directory is immutable once its commit published
+        // the #cdf: header, so its inferred schema memoizes per path —
+        // CDC consumers (changesBetween proofs, the streaming source's
+        // per-version batches) re-read the same feed several times and
+        // paid a footer-inference job each time otherwise
+        val p = new Path(qroot, s"_changes/${d.cdf.get}").toString
+        val sch = feedSchemaCache.computeIfAbsent(
+          p, q => spark.read.parquet(q).schema)
+        if (feedSchemaCache.size > 256) feedSchemaCache.clear()
+        Some(spark.read.schema(sch).parquet(p))
+      }
       else if (d.op.contains("optimize")) None // same rows, different files
       else if (d.dvAdd.isDefined) throw new IllegalArgumentException(
         s"version $v of $root deleted rows by deletion vector without a " +

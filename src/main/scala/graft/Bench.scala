@@ -171,9 +171,28 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"slowest","chunk":${i + 1},"of":${slowest.size},"queries":$qs24}"""
     }
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
-      s""""cpu_total":${r3(totalCpu)},"gc_total":${r3(totalGc)},""" +
+    // r20 (VERDICT r19 task 2): the TOTAL line itself carries a per-query
+    // wall map again, so the driver's round-over-round comparator gets
+    // per-query rows from the stdout artifact (PERF r18/r19: n_common 0 —
+    // the separate "slowest" chunk lines never reached it). The driver
+    // keeps only a 2000-char stdout TAIL, and a beheaded JSON line parses
+    // as null (r6–r9), so the map is filled GREEDILY slowest-first until
+    // the whole line reaches ~1880 chars: the queries that can explain a
+    // total are always present (~60 at current name lengths, a superset of
+    // the old 48-slowest surface) and the line always parses. The COMPLETE
+    // map still lands in target/bench_progress.jsonl + bench_total.json.
+    val lineBudget = 1880
+    val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":{"""
+    val suffix = s"""},"cpu_total":${r3(totalCpu)},"gc_total":${r3(totalGc)},""" +
       s""""failed_runs":$failedRuns,"failed_queries":$failedJson,"sf":"$sfDir"}"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = prefix.length + suffix.length
+    results.sortBy(-_._2).foreach { case (k, v, _, _, _) =>
+      val e = "\"" + k + "\":" + r3(v)
+      val cost = e.length + (if (entries.isEmpty) 0 else 1) // comma
+      if (used + cost <= lineBudget) { entries += e; used += cost }
+    }
+    val short = prefix + entries.mkString(",") + suffix
     spark.stop()
     chunks.foreach(println)
     println(short)

@@ -187,9 +187,51 @@ object Skipping {
     else {
       val arr = files.toArray
       val out = new Array[FileStats](arr.length)
-      java.util.stream.IntStream.range(0, arr.length).parallel()
-        .forEach(i => out(i) = statsOfFile(conf, arr(i)))
+      metaIoParallel(arr.length)(i => out(i) = statsOfFile(conf, arr(i)))
       out.toSeq
+    }
+  }
+
+  /** Dedicated bounded pool for the driver-side metadata fan-outs every
+    * commit pays (footer reads, per-file stat RPCs). These BLOCK on I/O;
+    * on the shared `ForkJoinPool.commonPool` they would couple every
+    * concurrent commit — and any other parallel-stream user — to one
+    * queue, so a pool-wide stall (one slow read) serializes all commits
+    * (r19 ADVICE). CPU-bound fan-outs stay on the common pool, where
+    * work-stealing is the right tool. Daemon threads, idle out. */
+  private lazy val metaIoPool: java.util.concurrent.ThreadPoolExecutor = {
+    val n = math.min(32, math.max(4, Runtime.getRuntime.availableProcessors))
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val seq = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-meta-io-${seq.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      n, n, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
+
+  /** Run `f(i)` for i in [0, n) on the metadata-I/O pool; order of the
+    * side effects is the caller's to index, the first failure rethrows
+    * its cause (parallel-stream parity). */
+  private[graft] def metaIoParallel(n: Int)(f: Int => Unit): Unit = {
+    if (n <= 0) return
+    if (n == 1) { f(0); return }
+    import scala.jdk.CollectionConverters._
+    val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+      (0 until n).map { i =>
+        new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = f(i)
+        }: java.util.concurrent.Callable[Unit]
+      }.asJava
+    metaIoPool.invokeAll(tasks).asScala.foreach { fut =>
+      try fut.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
     }
   }
 

@@ -35,12 +35,21 @@ object Tables {
     * rows; the first read still infers under the timestamp-compat confs
     * so the cached value is exactly what inference would return. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureTimestampCompat(spark)
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    // keyed on (path, mtime) so testdata regenerated IN-PROCESS with a
+    // different schema re-infers instead of silently misreading under the
+    // stale schema (r19 ADVICE). One getFileStatus per read — driver
+    // metadata, never a job.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val mtime = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    if (schemaCache.size > 256) schemaCache.clear()
+    val schema =
+      schemaCache.computeIfAbsent((path, mtime), _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

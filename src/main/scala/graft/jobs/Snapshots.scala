@@ -1292,8 +1292,9 @@ object Snapshots {
     // adds (metadata-only commits whose files never exist) simply skip.
     val fmetaMissing = d.adds.filterNot(d.fmeta.contains).toIndexedSeq
     val fmetaCaptured = new Array[Option[(String, (Long, Long))]](fmetaMissing.size)
-    // independent stat RPCs — fan out like the other per-file loops
-    java.util.stream.IntStream.range(0, fmetaMissing.size).parallel().forEach { i =>
+    // independent stat RPCs — fan out on the dedicated metadata-I/O pool
+    // (blocking I/O off the common pool, r19 ADVICE)
+    graft.core.Skipping.metaIoParallel(fmetaMissing.size) { i =>
       fmetaCaptured(i) =
         try {
           val st = fs.getFileStatus(new Path(qroot, fmetaMissing(i)))
@@ -1832,7 +1833,14 @@ object Snapshots {
             .getOrElse(fullLiveRowsWithAggr(spark, root, v, fs, qroot))
         (rows, Seq.empty[CkptRow], fullAggr)
       }
-    val (copiedRows, maxTxn) = prevPq match {
+    // `copiedSmall`: is the copied-identity row count ALSO bounded, so
+    // the single-task small-checkpoint layout below stays safe? (r19
+    // ADVICE: the inlineBelow bound covers LIVE rows only; COPY INTO
+    // identities are unbounded.) Exactly known with no parquet base
+    // (driver-resident set); with a base, inductively bounded when the
+    // base itself used the inline small layout (no `_headers` side dir —
+    // a layout this gate has admitted) and the tail adds few.
+    val (copiedRows, maxTxn, copiedSmall) = prevPq match {
       case Some(cv) =>
         // headers refresh incrementally too: prior `copied` rows stay a
         // distributed frame (COPY INTO identities can be O(10⁶) at
@@ -1850,10 +1858,14 @@ object Snapshots {
         val tailMax = ((cv + 1) to v)
           .flatMap(w => readDelta(spark, root, w).txn)
           .foldLeft(-1L)(math.max)
-        (copied, math.max(prevMax, tailMax))
+        val prevInline = !fs.exists(
+          new Path(parquetCheckpointPath(qroot, cv), ckptHeadersDirName))
+        (copied, math.max(prevMax, tailMax),
+          prevInline && tailCopied.size <= inlineBelow)
       case None =>
-        (spark.createDataset(copiedUpTo(spark, root, v).toSeq.sorted
-          .map(headerRowOf("copied", _))), lastTxnUpTo(spark, root, v))
+        val ids = copiedUpTo(spark, root, v).toSeq.sorted
+        (spark.createDataset(ids.map(headerRowOf("copied", _))),
+          lastTxnUpTo(spark, root, v), ids.size <= inlineBelow)
     }
     val tmp = new Path(qroot,
       f"_log/.v$v%08d-ckpt-pq-${java.util.UUID.randomUUID.toString.take(8)}.tmp")
@@ -1880,9 +1892,10 @@ object Snapshots {
     // precomputed value, or the previous header rolled forward O(tail)
     val preAggr: Option[(Long, Long)] = scAggr.orElse(liveAggregate(spark, root, v))
     val aggr: Option[(Long, Long)] =
-      if (preAggr.exists(_._1 <= inlineBelow)) {
+      if (preAggr.exists(_._1 <= inlineBelow) && copiedSmall) {
         // SMALL checkpoint (live count known pre-write and under the
-        // inline threshold): ONE job writes file rows + headers + refs
+        // inline threshold, copied identities bounded too — see
+        // copiedSmall): ONE job writes file rows + headers + refs
         // + copied together — the two-job split buys nothing when a
         // header lookup reads the whole (tiny) directory anyway, and
         // the extra job was the r16 `agg_metadata_only_pq` regression.
@@ -1894,7 +1907,8 @@ object Snapshots {
             .unionByName(spark.createDataset(
               headerRowsOf(preAggr) ++ extraRows).toDF())
             .coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
+            .write.options(internalWriteOptions).mode("overwrite")
+            .parquet(tmp.toString)
         } finally fileRows.unpersist()
         preAggr
       } else {
@@ -1909,7 +1923,8 @@ object Snapshots {
         try cleanupOnFailure {
           fileRows.observe(obs, count(lit(1)).as("n"),
               sum(col("fsize")).as("b"), count(col("fsize")).as("nb"))
-            .write.mode("overwrite").parquet(tmp.toString)
+            .write.options(internalWriteOptions).mode("overwrite")
+            .parquet(tmp.toString)
         } finally fileRows.unpersist() // no-op unless the sidecar path persisted it
         // the (liveFiles, totalBytes) header: the pre-write value when
         // known, else the observed metrics (plain codec — the frame IS
@@ -1969,7 +1984,7 @@ object Snapshots {
         cleanupOnFailure {
           copiedRows
             .unionByName(spark.createDataset(headerRowsOf(computed) ++ extraRows))
-            .write.mode("overwrite")
+            .write.options(internalWriteOptions).mode("overwrite")
             .parquet(new Path(tmp, ckptHeadersDirName).toString)
         }
         computed
@@ -2021,7 +2036,8 @@ object Snapshots {
       val t0 = System.nanoTime()
       // the name is globally unique, so the write needs no tmp+rename:
       // nothing references the directory until THIS manifest publishes
-      rows.write.mode("overwrite").parquet(sidecarPath(qroot, name).toString)
+      rows.write.options(internalWriteOptions).mode("overwrite")
+        .parquet(sidecarPath(qroot, name).toString)
       SidecarMaintenance.spills.incrementAndGet()
       SidecarMaintenance.spillNanos.addAndGet(System.nanoTime() - t0)
       SidecarMaintenance.spilledRows.addAndGet(count)
@@ -2381,6 +2397,23 @@ object Snapshots {
     * admits exactly this encoding; see core/Skipping). */
   private val tsMicrosProp = "graft.parquet.timestampMicros"
 
+  /** Writer-side hadoop options for ENGINE-INTERNAL parquet writes
+    * (commit data files, staged feeds, DV sidecars, checkpoints, sidecar
+    * spills). Every such write lands in a freshly-named directory that
+    * NOTHING references until the commit's delta (or the checkpoint
+    * rename) publishes it, so two pieces of the stock commit protocol
+    * are pure overhead here: the `_SUCCESS` marker (the log is the
+    * readiness signal — readers never poll for a marker) and the v1
+    * output committer's job-commit rename fan (v2 promotes task output
+    * directly; a crash leaves partial files in an unreferenced dir that
+    * `vacuumDebris` already owns — the exact guarantee v1 gives this
+    * protocol). Measured on the engine's own write shape (WriteProf):
+    * warm append floor 0.23 → 0.18 s at sf0.1; at scale each skipped
+    * rename/create is a per-file object-store RPC. */
+  private val internalWriteOptions = Map(
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false",
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+
   private def writeCommitFiles(
       spark: SparkSession, root: String, v: Long, df0: DataFrame,
       props: Map[String, String] = Map.empty,
@@ -2439,7 +2472,7 @@ object Snapshots {
     // are tight from the first commit; the per-commit shuffle is the
     // declared price, file count preserved)
     try {
-      val w = df.write.options(writerOpts)
+      val w = df.write.options(internalWriteOptions).options(writerOpts)
       (if (partCols.isEmpty) w else w.partitionBy(partCols: _*)).parquet(dir.toString)
     } finally spark.conf.set(tsConf, prevTs)
     val prefix = dir.toString + "/"
@@ -3535,7 +3568,8 @@ object Snapshots {
   private def stageChangeFeed(
       spark: SparkSession, qroot: Path, v: Long, feed: DataFrame): String = {
     val name = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
-    feed.write.mode("overwrite").parquet(new Path(qroot, s"_changes/$name").toString)
+    feed.write.options(internalWriteOptions).mode("overwrite")
+      .parquet(new Path(qroot, s"_changes/$name").toString)
     name
   }
 
@@ -3558,6 +3592,7 @@ object Snapshots {
     // keys) by definition
     val keySet = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var doomedRowsP: Option[DataFrame] = None // see doomedRows below
     try {
       // input_file_name() yields URI spellings (file:///x) that differ from
       // Path.toString (file:/x) — normalize through Path before comparing
@@ -3575,10 +3610,21 @@ object Snapshots {
       // deleted rows live ONLY in the doomed files (that is the detection
       // join's definition), so the feed's semi-join over those files'
       // rows is identical to the old full-table read — the staged feed
-      // costs O(doomed files), never O(table)
-      def doomedRows: DataFrame = readFilesAs(spark, qroot,
-        rewritten.map(f => new Path(qroot, f).toString),
-        prevSchemaS, prevDelta.props, prevDelta.dv)
+      // costs O(doomed files), never O(table). With a feed requested the
+      // rows feed TWO passes (feed + kept-rows write): read+decode them
+      // once (r20); the persist is bounded by the commit's intrinsic
+      // rewrite size.
+      def doomedRows: DataFrame = doomedRowsP.getOrElse {
+        val r0 = readFilesAs(spark, qroot,
+          rewritten.map(f => new Path(qroot, f).toString),
+          prevSchemaS, prevDelta.props, prevDelta.dv)
+        val r =
+          if (changeFeed)
+            r0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else r0
+        doomedRowsP = Some(r)
+        r
+      }
       val cdfDir =
         if (!changeFeed) None
         else Some(stageChangeFeed(spark, qroot, v, ChangeFeed.deleteFeed(
@@ -3599,7 +3645,10 @@ object Snapshots {
       commitOrCleanFeed(Delta(newFiles, rewritten, txn = txn, cdf = cdfDir,
         schema = prevDelta.schema, props = prevDelta.props, stats = stats,
         op = Some("delete"), dv = prevDelta.dv))
-    } finally keySet.unpersist(blocking = false)
+    } finally {
+      keySet.unpersist(blocking = false)
+      doomedRowsP.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Candidate files for a predicate rewrite: the subset of `version`'s
@@ -4481,7 +4530,8 @@ object Snapshots {
     val matched = cand.where(pred)
     val dvName = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     matched.select(col("__pos_path").as("file_path"), col("__pos_idx").as("row_index"))
-      .write.mode("overwrite").parquet(new Path(qroot, s"_dv/$dvName").toString)
+      .write.options(internalWriteOptions).mode("overwrite")
+      .parquet(new Path(qroot, s"_dv/$dvName").toString)
     val dvRows = spark.read.parquet(new Path(qroot, s"_dv/$dvName").toString).count()
     if (dvRows == 0L) {
       fs.delete(new Path(qroot, s"_dv/$dvName"), true)
@@ -4571,7 +4621,8 @@ object Snapshots {
     val doomed = cand.where(pred)
     val dvName = f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     doomed.select(col("__pos_path").as("file_path"), col("__pos_idx").as("row_index"))
-      .write.mode("overwrite").parquet(new Path(qroot, s"_dv/$dvName").toString)
+      .write.options(internalWriteOptions).mode("overwrite")
+      .parquet(new Path(qroot, s"_dv/$dvName").toString)
     val dvRows = spark.read.parquet(new Path(qroot, s"_dv/$dvName").toString).count()
     if (dvRows == 0L) {
       fs.delete(new Path(qroot, s"_dv/$dvName"), true)
@@ -4741,6 +4792,24 @@ object Snapshots {
     // the commit like any identity allocation.
     val tracked = rowTrackingOn(prevDelta.props) &&
       prevSchema.fieldNames.contains(rowIdCol)
+    // the REWRITTEN files' rows feed up to three passes (the tracked
+    // row-id lookup, the staged feed's pre/post classification, the
+    // kept-rows anti-join) — read+decode them ONCE when more than one
+    // pass will run (r20; r19 had each pass re-reading the parquet).
+    // O(rewritten) = O(change) by the detection pass's definition, so
+    // the persist is bounded by the commit's intrinsic rewrite size.
+    var rewrittenRowsP: Option[DataFrame] = None
+    def rewrittenRows: DataFrame = rewrittenRowsP.getOrElse {
+      val r0 = readFilesAs(spark, qroot,
+        rewritten.map(f => new Path(qroot, f).toString),
+        Some(prevSchema), prevDelta.props, prevDelta.dv)
+      val r =
+        if (changeFeed || tracked)
+          r0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else r0
+      rewrittenRowsP = Some(r)
+      r
+    }
     val hwmKey = identityPrefix + rowIdCol + ".hwm"
     val srcFinal =
       if (!tracked) conform(src, merged)
@@ -4749,10 +4818,7 @@ object Snapshots {
           if (rewritten.isEmpty)
             conform(spark.emptyDataFrame, StructType(
               keyCols.map(prevSchema(_)) :+ prevSchema(rowIdCol)))
-          else readFilesAs(spark, qroot,
-              rewritten.map(f => new Path(qroot, f).toString),
-              Some(prevSchema), prevDelta.props, prevDelta.dv)
-            .select((keyCols.map(col) :+ col(rowIdCol)): _*)
+          else rewrittenRows.select((keyCols.map(col) :+ col(rowIdCol)): _*)
         val hwm = prevDelta.props.get(hwmKey).flatMap(_.toLongOption).getOrElse(0L)
         conform(src, merged).drop(rowIdCol) // engine-managed: never source-supplied
           .join(tgtIds, keyCols, "left")
@@ -4775,9 +4841,7 @@ object Snapshots {
         conform(spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           prevSchema), merged)
-      else conform(readFilesAs(spark, qroot,
-        rewritten.map(f => new Path(qroot, f).toString),
-        Some(prevSchema), prevDelta.props, prevDelta.dv), merged)
+      else conform(rewrittenRows, merged)
     def commitPhase(): Long = {
       val cdfDir =
         if (changeFeed) Some(stageChangeFeed(spark, qroot, v,
@@ -4786,10 +4850,7 @@ object Snapshots {
       val kept =
         if (rewritten.isEmpty) srcFinalC
         else conform(
-            readFilesAs(spark, qroot,
-                rewritten.map(f => new Path(qroot, f).toString),
-                Some(prevSchema), prevDelta.props, prevDelta.dv)
-              .join(srcKeys, keyCols, "left_anti"), merged)
+            rewrittenRows.join(srcKeys, keyCols, "left_anti"), merged)
           .unionByName(srcFinalC)
       val (newFiles, stats) = writeCommitFiles(spark, root, v, kept, prevDelta.props, Some(merged))
       val idPatch =
@@ -4810,7 +4871,10 @@ object Snapshots {
       }
     }
     try commitPhase()
-    finally srcFinalC.unpersist(blocking = false)
+    finally {
+      srcFinalC.unpersist(blocking = false)
+      rewrittenRowsP.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** One WHEN clause of a clause-level MERGE (`mergeClauses`).
@@ -5091,8 +5155,16 @@ object Snapshots {
     val inserted: DataFrame = (
       if (iResolved.isEmpty) conform(tgtM.limit(0), merged)
       else {
-        val fullKeys = readVersion(spark, root, prev)
-          .select(keyCols.map(k => col(k).as(srcSidePrefix + k)): _*)
+        // "matches no target key AT ALL": with MATCHED clauses present,
+        // the detection pass made every file holding a source-matched
+        // key a candidate, so the candidate rows — already materialized
+        // in the PERSISTED withAct frame — carry exactly the matchable
+        // keys, and the anti-join needs no O(table) re-read (r20).
+        // Without MATCHED clauses the candidate set is NMBS-only and
+        // proves nothing about key presence: keep the full-table scan.
+        val fullKeys =
+          (if (matched.nonEmpty) withAct else readVersion(spark, root, prev))
+            .select(keyCols.map(k => col(k).as(srcSidePrefix + k)): _*)
         val unmatchedSrc = srcR.join(fullKeys, keyCols.map(srcSidePrefix + _), "left_anti")
         val insAct = iResolved
           .foldRight(lit("skip"): Column) { (r, els) => when(r.pred, lit(r.id)).otherwise(els) }
@@ -5125,11 +5197,12 @@ object Snapshots {
         conform(withGenerated(built, prevDelta.props), merged)
       }
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // gates on CHANGED rows only (updated + inserted), O(changed)
+    // gates on CHANGED rows only (updated + inserted), O(changed) —
+    // run INSIDE the try below so the expected error path (a
+    // constraint-violating merge) still unpersists the materialized
+    // frames (r19 ADVICE)
     val changed = newTgtAct.where(col("__act") =!= "keep").drop("__act")
       .unionByName(inserted)
-    checkConstraints(changed, prevDelta.props)
-    withGenerated(changed, prevDelta.props) // contradiction probe on present cols
     def commitPhase(): Long = {
       val cdfDir =
         if (!changeFeed) None
@@ -5166,8 +5239,11 @@ object Snapshots {
         cdfDir.foreach(n => fs.delete(new Path(qroot, s"_changes/$n"), true)); throw e
       }
     }
-    try commitPhase()
-    finally {
+    try {
+      checkConstraints(changed, prevDelta.props)
+      withGenerated(changed, prevDelta.props) // contradiction probe on present cols
+      commitPhase()
+    } finally {
       withAct.unpersist(blocking = false)
       inserted.unpersist(blocking = false)
     }

@@ -71,16 +71,50 @@ object Report {
     * single-task global sort. */
   def cumulativeShare(df: DataFrame, orderKey: String, metric: String,
                       partitionKeys: Seq[String] = Nil): DataFrame = {
-    val base = if (partitionKeys.isEmpty) Window.orderBy(col(orderKey))
-               else Window.partitionBy(partitionKeys.map(col): _*).orderBy(col(orderKey))
-    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totalW = if (partitionKeys.isEmpty) Window.partitionBy()
-                 else Window.partitionBy(partitionKeys.map(col): _*)
     // cum * 100.0 / total (not (cum/total)*100.0): the multiply-first order
     // matches the SQL-oracle rendering bit-for-bit — with integer counts both
     // operands are exact, so the two double ops are fully deterministic.
-    df.withColumn("cum", sum(col(metric)).over(w))
-      .withColumn("cum_pct", col("cum") * lit(100.0) / sum(col(metric)).over(totalW))
+    if (partitionKeys.nonEmpty) {
+      val w = Window.partitionBy(partitionKeys.map(col): _*).orderBy(col(orderKey))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totalW = Window.partitionBy(partitionKeys.map(col): _*)
+      df.withColumn("cum", sum(col(metric)).over(w))
+        .withColumn("cum_pct", col("cum") * lit(100.0) / sum(col(metric)).over(totalW))
+    } else {
+      // No partition keys = a GLOBAL running sum. A bare Window.orderBy
+      // would funnel every row through ONE task (the single-partition
+      // WindowExec anti-pattern); instead: range-partition by the order
+      // key, window WITHIN each sorted range, and add each range's
+      // prefix offset — the only global window left runs over the
+      // per-range totals (≤ shuffle-partition-count rows, never data).
+      // Values are identical for integral metrics (the registry's uses —
+      // counts): equal order keys land in one range, so tie handling
+      // matches the old single-partition sort, and long addition is
+      // associative. (A double metric would see benign reassociation.)
+      val ranged = df.repartitionByRange(col(orderKey))
+        .withColumn("__part", spark_partition_id())
+      val local = ranged.withColumn("cum0",
+        sum(col(metric)).over(Window.partitionBy(col("__part"))
+          .orderBy(col(orderKey))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // per-range totals (≤ shuffle-partition-count rows); the prefix
+      // offsets come from a triangular self-join — O(ranges²) pairs of a
+      // config-bounded frame, and NO window at all, so nothing in this
+      // plan ever logs the single-partition WindowExec warning
+      val ptots = ranged.groupBy(col("__part"))
+        .agg(sum(col(metric)).as("__ptot"))
+      val offsets = ptots.as("a")
+        .join(ptots.select(col("__part").as("__bp"), col("__ptot").as("__bt")),
+          col("__bp") < col("__part"), "left")
+        .groupBy(col("__part"), col("__ptot"))
+        .agg(coalesce(sum(col("__bt")), lit(0L)).as("__off"))
+      val total = ptots.agg(sum(col("__ptot")).as("__total"))
+      local.join(broadcast(offsets.select(col("__part"), col("__off"))), Seq("__part"))
+        .withColumn("cum", col("cum0") + col("__off"))
+        .crossJoin(broadcast(total))
+        .withColumn("cum_pct", col("cum") * lit(100.0) / col("__total"))
+        .drop("__part", "cum0", "__off", "__total")
+    }
   }
 
   /** J3 + E11: code -> label decode against a literal dimension, with

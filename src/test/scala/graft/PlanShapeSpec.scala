@@ -86,7 +86,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q20_heavy_suppliers", // 1-row volume threshold
     "agg_hll_merge_rollup", // three 1-row sketch/exact aggregates composed
     "funnel_steps", // three 1-row per-stage counts composed
-    "graph_pagerank") // 1-row jump/n scalar crossed into each round
+    "graph_pagerank", // 1-row jump/n scalar crossed into each round
+    // r20: cumulativeShare's global form divides by a 1-row total via a
+    // scalar broadcast cross join (the pctOfTotal idiom) instead of a
+    // single-partition Window.partitionBy() over the whole frame
+    "a15_cumulative_demand")
 
   test("no registry query plans a cartesian product or unexpected nested-loop join") {
     // ml_* fit models and dedup_components iterates at plan-build time;

@@ -1016,6 +1016,7 @@ object Snapshots {
     envelopeSummaryCache.keySet.removeIf(_._1 == qroot)
     liveMetaCache.removeKeysIf(_._1 == qroot)
     liveAggrCache.removeKeysIf(_._1 == qroot)
+    ckptMetaCache.removeKeysIf(_._1 == qroot)
     manifestMetaCache.keySet.removeIf(_._1 == qroot)
   }
 
@@ -1840,30 +1841,46 @@ object Snapshots {
     // (driver-resident set); with a base, inductively bounded when the
     // base itself used the inline small layout (no `_headers` side dir —
     // a layout this gate has admitted) and the tail adds few.
+    // copied ids when driver-known (memo hit / bootstrap) — recorded
+    // into ckptMetaCache after publish so the NEXT boundary refreshes
+    // driver-side; None when the prior copied rows stayed distributed
+    var memoIds: Option[Seq[String]] = None
     val (copiedRows, maxTxn, copiedSmall) = prevPq match {
       case Some(cv) =>
-        // headers refresh incrementally too: prior `copied` rows stay a
-        // distributed frame (COPY INTO identities can be O(10⁶) at
-        // scale), maxtxn is one pushed-filter lookup + the tail's max
-        val prevHdr = readCkptMetaRows(spark, parquetCheckpointPath(qroot, cv))
-          .filter(col("kind") === "header")
         val tailCopied = ((cv + 1) to v)
           .flatMap(w => readDelta(spark, root, w).copied).distinct
-        val copied = prevHdr.filter(col("hkey") === "copied")
-          .unionByName(spark.createDataset(tailCopied.map(headerRowOf("copied", _))))
-          .dropDuplicates("hkey", "hval")
-        val prevMax = prevHdr.filter(col("hkey") === "maxtxn")
-          .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
-          .collect().headOption.map(_.toLong).getOrElse(-1L)
         val tailMax = ((cv + 1) to v)
           .flatMap(w => readDelta(spark, root, w).txn)
           .foldLeft(-1L)(math.max)
-        val prevInline = !fs.exists(
-          new Path(parquetCheckpointPath(qroot, cv), ckptHeadersDirName))
-        (copied, math.max(prevMax, tailMax),
-          prevInline && tailCopied.size <= inlineBelow)
+        ckptMetaCache.get((qroot.toString, cv)) match {
+          case Some((prevIds, prevMax)) =>
+            // the previous SMALL checkpoint's header families were
+            // recorded at its write — the refresh is pure driver
+            // arithmetic, zero reads of the previous checkpoint
+            val ids = (prevIds ++ tailCopied).distinct.sorted
+            memoIds = Some(ids)
+            (spark.createDataset(ids.map(headerRowOf("copied", _))),
+              math.max(prevMax, tailMax), ids.size <= inlineBelow)
+          case None =>
+            // headers refresh incrementally: prior `copied` rows stay a
+            // distributed frame (COPY INTO identities can be O(10⁶) at
+            // scale), maxtxn is one pushed-filter lookup + the tail's max
+            val prevHdr = readCkptMetaRows(spark, parquetCheckpointPath(qroot, cv))
+              .filter(col("kind") === "header")
+            val copied = prevHdr.filter(col("hkey") === "copied")
+              .unionByName(spark.createDataset(tailCopied.map(headerRowOf("copied", _))))
+              .dropDuplicates("hkey", "hval")
+            val prevMax = prevHdr.filter(col("hkey") === "maxtxn")
+              .select(col("hval")).as[String](org.apache.spark.sql.Encoders.STRING)
+              .collect().headOption.map(_.toLong).getOrElse(-1L)
+            val prevInline = !fs.exists(
+              new Path(parquetCheckpointPath(qroot, cv), ckptHeadersDirName))
+            (copied, math.max(prevMax, tailMax),
+              prevInline && tailCopied.size <= inlineBelow)
+        }
       case None =>
         val ids = copiedUpTo(spark, root, v).toSeq.sorted
+        memoIds = Some(ids)
         (spark.createDataset(ids.map(headerRowOf("copied", _))),
           lastTxnUpTo(spark, root, v), ids.size <= inlineBelow)
     }
@@ -1891,6 +1908,18 @@ object Snapshots {
     // the aggr value known BEFORE any write runs: the spill/full-build's
     // precomputed value, or the previous header rolled forward O(tail)
     val preAggr: Option[(Long, Long)] = scAggr.orElse(liveAggregate(spark, root, v))
+    // rows of a LocalRelation-planned dataset are ALREADY encoded on the
+    // driver (`createDataset` eagerly serializes) — surface them so the
+    // small-checkpoint branch below can skip the Spark job entirely; any
+    // distributed plan (incremental frame, sidecar fresh rows, text-base
+    // assembly, prev-checkpoint copied reads) answers None and keeps the
+    // job path
+    def localRowsOf(ds: org.apache.spark.sql.Dataset[_]): Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+      ds.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          Some(lr.data)
+        case _ => None
+      }
     val aggr: Option[(Long, Long)] =
       if (preAggr.exists(_._1 <= inlineBelow) && copiedSmall) {
         // SMALL checkpoint (live count known pre-write and under the
@@ -1902,13 +1931,38 @@ object Snapshots {
         // coalesce(1): the threshold bounds the row count, so one task
         // writes one part file — readers list/footer-read one object
         // instead of up to defaultParallelism near-empty ones.
+        //
+        // r20: when EVERY row group is driver-resident (bootstrap /
+        // driver-built small assembly — the common bench/ingest shape),
+        // even that one job is pure overhead: the rows are already
+        // encoded InternalRows inside LocalRelations, so the driver
+        // writes the single part file itself through Spark's own
+        // OutputWriter (prepareWrite supplies the full parquet conf
+        // contract — byte-compatible with the 1-task write, minus the
+        // scheduler round-trip and commit protocol).
+        val headerRows = spark.createDataset(headerRowsOf(preAggr) ++ extraRows)
+        val driverRows: Option[Seq[org.apache.spark.sql.catalyst.InternalRow]] =
+          for {
+            f <- localRowsOf(fileRows)
+            c <- localRowsOf(copiedRows)
+            h <- localRowsOf(headerRows)
+          } yield f ++ c ++ h
         try cleanupOnFailure {
-          fileRows.toDF().unionByName(copiedRows.toDF())
-            .unionByName(spark.createDataset(
-              headerRowsOf(preAggr) ++ extraRows).toDF())
-            .coalesce(1)
-            .write.options(internalWriteOptions).mode("overwrite")
-            .parquet(tmp.toString)
+          driverRows match {
+            case Some(rows) =>
+              fs.mkdirs(tmp)
+              org.apache.spark.sql.execution.datasources.parquet
+                .GraftParquetDriverWriter.writeFile(
+                  spark, ckptEnc.schema, rows.iterator, tmp.toString,
+                  f"part-00000-${java.util.UUID.randomUUID.toString}")
+              ()
+            case None =>
+              fileRows.toDF().unionByName(copiedRows.toDF())
+                .unionByName(headerRows.toDF())
+                .coalesce(1)
+                .write.options(internalWriteOptions).mode("overwrite")
+                .parquet(tmp.toString)
+          }
         } finally fileRows.unpersist()
         preAggr
       } else {
@@ -1996,6 +2050,12 @@ object Snapshots {
     // bootstrap path caches None before its header exists; a lost race's
     // winner derived the identical value, so unconditional is safe)
     liveAggrCache.put((qroot.toString, v), aggr)
+    // same moment, same key discipline: the header families a future
+    // boundary's incremental refresh needs (bounded — only recorded
+    // under the inline threshold; a lost publish race derived the
+    // identical value)
+    memoIds.filter(_.size <= inlineBelow).foreach(ids =>
+      ckptMetaCache.put((qroot.toString, v), (ids, maxTxn)))
   }
 
   /** The three row groups of a SIDECAR manifest at checkpoint `v`:
@@ -3855,6 +3915,18 @@ object Snapshots {
   // an existing key improves).
   private val liveAggrCache =
     new LruCache[(String, Long), Option[(Long, Long)]](64)
+
+  /** (copied identities, maxtxn) of a SMALL parquet checkpoint, recorded
+    * at write time — the two header families the NEXT boundary's
+    * incremental refresh needs. A hit makes the whole refresh driver
+    * arithmetic (prev value ∪ tail deltas) instead of two filtered reads
+    * of the previous checkpoint; a miss (cold process, big checkpoint —
+    * entries are only recorded under the same `inlineBelow` bound that
+    * gates the inline layout) keeps the distributed path. Metadata per
+    * immutable (root, version), never data rows — the deltaCache
+    * discipline. */
+  private val ckptMetaCache =
+    new LruCache[(String, Long), (Seq[String], Long)](64)
 
   /** (liveFiles, totalBytes) of an immutable (root, version) WITHOUT
     * materializing the per-file list anywhere: the nearest parquet
